@@ -1,0 +1,179 @@
+"""Tokenization pipeline — exact reproduction of the reference semantics.
+
+Reference: ``parsing/Parser.java:34-119`` (``getTokens`` +
+``removeConsecutiveCharacter`` + ``stopwords_filtering`` + ``stemming``).
+Order of operations is rank-identity critical:
+
+T1  HTML strip            ``replaceAll("<[^>]+>", " ")``        Parser.java:36
+T2  punctuation strip     ``replaceAll("\\p{Punct}", " ")``     Parser.java:38
+    (Java \\p{Punct} = the 32 ASCII punctuation chars)
+T3  lowercase + split on a SINGLE space                         Parser.java:40
+T4  drop empty tokens and tokens with UTF-8 byte length >= 64   Parser.java:48
+T5  drop tokens containing any non-ASCII char                   Parser.java:35,49-52
+T6  collapse >2 consecutive identical non-digit chars to 2      Parser.java:63-90
+T7  (parse=True) stopword removal, 1297-word stopwords-iso list Parser.java:104-119
+T8  (parse=True) Porter stemming                                Parser.java:93-101
+
+Notes on equivalences used by the vectorized path:
+- T4 tests *byte* length before T5 drops non-ASCII tokens; survivors are
+  all-ASCII, where byte length == char length, and any non-ASCII token
+  is dropped regardless — so (is_ascii AND len < 64) is exact.
+- T6 == regex ``([^0-9])\\1{2,}`` -> ``\\1\\1`` (Java appends digits
+  unconditionally and caps non-digit runs at 2; tokens are ASCII by T5
+  so Unicode digits cannot occur).
+
+Two APIs:
+- ``tokenize(text, parse)``            scalar (tests, query-side)
+- ``tokenize_series(texts, parse)``    vectorized pandas (build-side)
+plus pandas UDF factories ``tokens_udf`` / ``doc_terms_udf`` for Spark.
+"""
+
+from __future__ import annotations
+
+import re
+from importlib import resources
+
+import pandas as pd
+
+from .porter import _Stemmer
+
+_HTML_RE = re.compile(r"<[^>]+>")
+# Java \p{Punct}: !"#$%&'()*+,-./ : ;<=>?@ [\]^_` {|}~  (ASCII 33-47, 58-64, 91-96, 123-126)
+_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+_RUN_RE = re.compile(r"([^0-9])\1{2,}")
+_TERM_MAX_LEN = 64  # config.TERM_DIMENSION; tokens must be < 64 UTF-8 bytes
+# Java String.trim() strips every char <= U+0020 from both ends
+# (Parser.java:55 calls word.trim() before the run-collapse; a token
+# trimmed to "" is still appended — replicated faithfully).
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+
+_stopwords: frozenset[str] | None = None
+_stem_cache: dict[str, str] = {}
+_stemmer = _Stemmer()
+
+
+def stopword_set() -> frozenset[str]:
+    """The reference's stopword list (stopwords-iso English, 1297 words),
+    packaged under resources/stopwords.txt."""
+    global _stopwords
+    if _stopwords is None:
+        txt = (
+            resources.files("mircv_project_spark")
+            .joinpath("resources/stopwords.txt")
+            .read_text(encoding="utf-8")
+        )
+        _stopwords = frozenset(line for line in txt.splitlines() if line)
+    return _stopwords
+
+
+def _cached_stem(tok: str) -> str:
+    s = _stem_cache.get(tok)
+    if s is None:
+        s = _stemmer.stem(tok)
+        _stem_cache[tok] = s
+    return s
+
+
+def tokenize(text: str | None, parse: bool) -> list[str]:
+    """Scalar tokenizer — byte-for-byte the reference pipeline."""
+    if text is None:
+        return []
+    text = _HTML_RE.sub(" ", text)
+    text = _PUNCT_RE.sub(" ", text)
+    out: list[str] = []
+    stops = stopword_set() if parse else None
+    for word in text.lower().split(" "):
+        if not word or len(word.encode("utf-8")) >= _TERM_MAX_LEN:
+            continue
+        if not word.isascii():
+            continue
+        word = word.strip(_JAVA_TRIM_CHARS)
+        word = _RUN_RE.sub(r"\1\1", word)
+        if parse:
+            if word in stops:
+                continue
+            word = _cached_stem(word)
+        out.append(word)
+    return out
+
+
+def _explode_clean(texts: pd.Series, parse: bool) -> pd.Series:
+    """Vectorized T1-T8 over a Series of texts -> exploded Series of final
+    tokens indexed by input row position (duplicates preserved, order
+    stable within a row)."""
+    s = texts.reset_index(drop=True).fillna("").astype(str)
+    s = s.str.replace(_HTML_RE, " ", regex=True)
+    s = s.str.replace(_PUNCT_RE, " ", regex=True)
+    s = s.str.lower()
+    ex = s.str.split(" ").explode()
+    ex = ex[ex.notna() & (ex != "")]
+    if len(ex):
+        keep = ex.map(str.isascii) & (ex.str.len() < _TERM_MAX_LEN)
+        ex = ex[keep]
+    if len(ex):
+        ex = ex.str.strip(_JAVA_TRIM_CHARS)
+        ex = ex.str.replace(_RUN_RE, r"\1\1", regex=True)
+    if parse and len(ex):
+        ex = ex[~ex.isin(stopword_set())]
+        if len(ex):
+            uniq = ex.unique()
+            mapping = {u: _cached_stem(u) for u in uniq}
+            ex = ex.map(mapping)
+    return ex
+
+
+def tokenize_series(texts: pd.Series, parse: bool) -> pd.Series:
+    """Vectorized tokenizer: Series[str] -> Series[list[str]] aligned to
+    the input positions (rows with no surviving tokens -> [])."""
+    n = len(texts)
+    ex = _explode_clean(texts, parse)
+    if len(ex) == 0:
+        return pd.Series([[] for _ in range(n)])
+    grouped = ex.groupby(level=0, sort=False).agg(list)
+    return grouped.reindex(range(n)).apply(lambda v: v if isinstance(v, list) else [])
+
+
+def doc_terms_series(texts: pd.Series, parse: bool) -> pd.Series:
+    """Vectorized per-doc term-frequency: Series[str] ->
+    Series[list[{"term","tf"}]] (term order within a row unspecified).
+    ``doc_len`` (reference ``model/InvertedIndex.java:59-63``: token count
+    AFTER the full pipeline) is recoverable as sum(tf)."""
+    n = len(texts)
+    ex = _explode_clean(texts, parse)
+    empty: list[dict] = []
+    if len(ex) == 0:
+        return pd.Series([empty for _ in range(n)])
+    df = pd.DataFrame({"row": ex.index.values, "term": ex.values})
+    counts = df.groupby(["row", "term"], sort=False).size().reset_index(name="tf")
+    recs = counts.groupby("row", sort=False).apply(
+        lambda g: [{"term": t, "tf": int(c)} for t, c in zip(g["term"], g["tf"])],
+        include_groups=False,
+    )
+    return recs.reindex(range(n)).apply(lambda v: v if isinstance(v, list) else empty)
+
+
+def tokens_udf(parse: bool):
+    """pandas UDF: text -> array<string> of final tokens."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts, parse)
+
+    return _tok
+
+
+def doc_terms_udf(parse: bool):
+    """pandas UDF: text -> array<struct<term:string, tf:int>>.
+
+    The build path uses this so per-doc term frequencies are computed
+    map-side inside one Arrow batch (the SPIMI in-memory tf counting,
+    ``model/InvertedIndex.java:72-77``) — no shuffle of raw tokens.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<term:string, tf:int>>")
+    def _terms(texts: pd.Series) -> pd.Series:
+        return doc_terms_series(texts, parse)
+
+    return _terms
