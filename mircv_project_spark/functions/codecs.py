@@ -1,0 +1,228 @@
+"""Posting-block compression codecs (numpy-vectorized, Arrow-friendly).
+
+The reference compresses posting blocks with Elias-Fano (docIds) + unary
+(frequencies) (``model/EliasFano.java``, ``model/UnaryCompressor.java``).
+Compression is storage-internal — ranks/scores depend only on the decoded
+(docId, tf) pairs — and this rebuild implements the codecs the north rule
+asks for, keeping the reference's *block structure*:
+
+- docIds: variable-byte over d-gaps (first id of each block absolute, so
+  every block is independently decodable -> block skipping works), with
+  Elias-gamma over d-gaps as an alternative codec.
+- tfs: unary, same value convention as the reference
+  (``UnaryCompressor.java:16-41``: v ones then a zero — encodes v, not
+  v-1; tf >= 1 always holds).
+- doc lengths ride along as a third VB stream: the distributed query
+  path reads dl from the block instead of a 10^12-row broadcast of the
+  reference's in-RAM DocumentIndex (``model/DocumentIndex.java:22``).
+
+Block structure (``model/UncompressedPostingList.java:241-284``,
+``configuration/Configuration.java:15``): a list is split only when its
+uncompressed size exceeds BLOCK_THRESHOLD_BYTES (2048); block size =
+floor(sqrt(n)) postings; per-block max_doc_id is the skip pointer /
+block-max metadata (``model/BlockDescriptor.java``).
+
+All encoders/decoders are pure numpy (no per-element Python in the hot
+path except the sequential Elias-gamma bit scan, which is why VB is the
+default scale codec).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..config import BLOCK_THRESHOLD_BYTES, POSTING_BYTES
+
+VB = "vb"
+GAMMA = "gamma"
+RAW = "raw"
+
+
+# ------------------------------ variable-byte ------------------------------
+# Layout: per value, 7-bit groups little-endian (least significant group
+# first); the final (most significant) byte has the 0x80 continuation
+# flag set.
+
+_VB_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]
+
+
+def vb_encode(values) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.shape, dtype=np.int64)
+    for t in _VB_THRESHOLDS:
+        nb += v >= t
+    ends = np.cumsum(nb)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for k in range(max_nb):
+        mask = nb > k
+        # byte k (from LSB group) lands at position end - 1 - k? No:
+        # little-endian group order means group k sits at start + k.
+        pos = ends[mask] - nb[mask] + k
+        out[pos] = (v[mask] >> np.uint64(7 * k)).astype(np.uint8) & 0x7F
+    out[ends - 1] |= 0x80  # flag on final byte of each value
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) != 0
+    ends = np.flatnonzero(is_last) + 1
+    ends = ends[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1]
+    lens = ends - starts
+    vals = np.zeros(n, dtype=np.uint64)
+    for k in range(int(lens.max())):
+        mask = lens > k
+        vals[mask] |= (b[starts[mask] + k].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
+            7 * k
+        )
+    return vals
+
+
+# ---------------------------------- unary ----------------------------------
+# v ones then a terminating zero, MSB-first bit packing (reference
+# convention: Bits.java writeUnary / UnaryCompressor.java).
+
+def unary_encode(values) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    total_bits = int(v.sum()) + v.size
+    bits = np.ones(total_bits, dtype=np.uint8)
+    ends = np.cumsum(v + 1) - 1  # position of each terminating zero
+    bits[ends] = 0
+    return np.packbits(bits).tobytes()
+
+
+def unary_decode(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    zeros = np.flatnonzero(bits == 0)[:n]
+    out = np.empty(n, dtype=np.int64)
+    out[0] = zeros[0]
+    out[1:] = np.diff(zeros) - 1
+    return out
+
+
+# ------------------------------- Elias-gamma -------------------------------
+# value v >= 1: floor(log2 v) zeros, then the binary form of v (MSB
+# first).  Encode is vectorized; decode scans the unary prefixes
+# (sequential) — provided for completeness, VB is the scale default.
+
+def gamma_encode(values) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if (v < 1).any():
+        raise ValueError("Elias-gamma requires values >= 1")
+    nbits = np.zeros(v.shape, dtype=np.int64)  # floor(log2 v)
+    for k in range(1, 64):
+        nbits += v >= (np.uint64(1) << np.uint64(k))
+    total = int((2 * nbits + 1).sum())
+    bits = np.zeros(total, dtype=np.uint8)
+    # binary part of value i occupies [start+nbits, start+2*nbits] (MSB first)
+    ends = np.cumsum(2 * nbits + 1)
+    for k in range(int(nbits.max()) + 1):
+        mask = nbits >= k
+        # bit k counted from the LSB end of the binary part
+        pos = ends[mask] - 1 - k
+        bits[pos] = ((v[mask] >> np.uint64(k)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def gamma_decode(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    for i in range(n):
+        start = pos
+        while bits[pos] == 0:
+            pos += 1
+        nz = pos - start
+        val = np.uint64(0)
+        for _ in range(nz + 1):
+            val = (val << np.uint64(1)) | np.uint64(bits[pos])
+            pos += 1
+        out[i] = val
+    return out
+
+
+# ------------------------------- block layout -------------------------------
+
+def block_size_for(n: int) -> int:
+    """Reference M5: split only when the uncompressed list exceeds
+    BLOCK_THRESHOLD_BYTES; block size = floor(sqrt(n))."""
+    if n * POSTING_BYTES > BLOCK_THRESHOLD_BYTES:
+        return max(1, int(math.isqrt(n)))
+    return n
+
+
+def encode_posting_blocks(docids, tfs, dls, codec: str = VB) -> list[dict]:
+    """Split one term's postings (docId-ascending) into blocks and encode.
+
+    Returns [{max_doc_id, n, docids: bytes, tfs: bytes, dls: bytes}, ...]
+    """
+    ids = np.ascontiguousarray(docids, dtype=np.uint64)
+    tf = np.ascontiguousarray(tfs, dtype=np.int64)
+    dl = np.ascontiguousarray(dls, dtype=np.int64)
+    n = ids.size
+    if n == 0:
+        return []
+    bs = block_size_for(n)
+    blocks = []
+    for s in range(0, n, bs):
+        e = min(s + bs, n)
+        bids = ids[s:e]
+        gaps = np.empty(e - s, dtype=np.uint64)
+        gaps[0] = bids[0]  # first id absolute -> block independently decodable
+        gaps[1:] = bids[1:] - bids[:-1]
+        if codec == VB:
+            id_bytes = vb_encode(gaps)
+        elif codec == GAMMA:
+            id_bytes = gamma_encode(gaps)  # gaps >= 1 (ids strictly increasing)
+        elif codec == RAW:
+            id_bytes = bids.tobytes()
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
+        blocks.append(
+            {
+                "max_doc_id": int(bids[-1]),
+                "n": int(e - s),
+                "docids": id_bytes,
+                "tfs": tf[s:e].tobytes() if codec == RAW else unary_encode(tf[s:e]),
+                "dls": dl[s:e].tobytes() if codec == RAW else vb_encode(dl[s:e]),
+            }
+        )
+    return blocks
+
+
+def decode_block(block, codec: str = VB):
+    """-> (docids uint64, tfs int64, dls int64) numpy arrays."""
+    n = block["n"]
+    if codec == RAW:
+        ids = np.frombuffer(block["docids"], dtype=np.uint64)
+        tfs = np.frombuffer(block["tfs"], dtype=np.int64)
+        dls = np.frombuffer(block["dls"], dtype=np.int64)
+        return ids, tfs, dls
+    if codec == VB:
+        gaps = vb_decode(block["docids"], n)
+    elif codec == GAMMA:
+        gaps = gamma_decode(block["docids"], n)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    ids = np.cumsum(gaps, dtype=np.uint64)
+    tfs = unary_decode(block["tfs"], n)
+    dls = vb_decode(block["dls"], n).astype(np.int64)
+    return ids, tfs, dls

@@ -1,0 +1,280 @@
+"""Inverted-index construction as DataFrame aggregations.
+
+The reference's SPIMI build (``model/InvertedIndex.java:30-214``) is a
+single-threaded loop: tokenize, accumulate term->postings in RAM, flush
+memory-bounded partial indexes, then k-way-merge them.  Spark-first,
+that entire structure collapses into one two-stage aggregation:
+
+- the *partial index flush* is a shuffle map output of
+  ``groupBy(term[, salt])`` (M1/M2);
+- the *k-way merge of sorted runs* (M3) is the sort-based shuffle
+  aggregation itself; explicit salted sub-groups cover head-term skew,
+  and their runs concatenate in docId order because the salt is a
+  range-partition of the docId domain;
+- df/cf/maxDocId merging (M4) are plain sum/max aggregates;
+- term upper bounds (A5, ``queryProcessor/Scorer.java:52-72``) fold into
+  the same aggregation: score = coeff(tf, dl) * idf with idf constant
+  per term, so UB = max(coeff) * idf — no second pass over postings;
+- block split + skip pointers (M5) are a vectorized pandas UDF over the
+  assembled per-term arrays (functions/codecs.py).
+
+Pipeline stages (each checkpointable -> resumable build, SURVEY.md §7):
+
+  stage "tokenized": transcripts -> (docid, docno, conv_id, turn_idx,
+                     doc_len, terms array<struct<term,tf>>)   [doc_index]
+  stage "stats":     N, sum_dl, avgdl
+  stage "postings":  salted two-stage groupBy(term) -> lexicon scalars +
+                     docId-sorted posting arrays -> encoded blocks
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config
+from ..functions import codecs
+from ..functions.tokenizer import doc_terms_udf
+from . import scoring
+
+BLOCKS_SCHEMA = (
+    "array<struct<max_doc_id:long, n:int, docids:binary, tfs:binary, dls:binary>>"
+)
+
+
+@dataclass
+class InvertedIndex:
+    """Handle to the built index tables (DataFrames + scalar stats)."""
+
+    tokenized: DataFrame  # docid, docno, conv_id, turn_idx, doc_len, terms
+    doc_index: DataFrame  # docid, docno, conv_id, turn_idx, doc_len
+    flat: DataFrame  # term, docid, tf, doc_len  (pre-compression postings)
+    postings: DataFrame  # term, df, cf, idf, bm25_ub, tfidf_ub, blocks, bucket
+    n_docs: int
+    sum_doc_len: int
+    parse: bool
+    codec: str
+    term_buckets: int = config.POSTINGS_TERM_BUCKETS
+    metrics: dict = field(default_factory=dict)
+
+    @property
+    def avgdl(self) -> float:
+        # reference CollectionStatistics.java:33 — long / (double) int
+        return self.sum_doc_len / float(self.n_docs)
+
+
+def filter_indexable(transcripts: DataFrame) -> DataFrame:
+    """Blank turns are skipped entirely — they consume no docId
+    (``model/InvertedIndex.java:45-47``: ``line.isBlank() -> continue``).
+    Must run BEFORE docId assignment."""
+    return transcripts.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+
+
+def tokenize_stage(transcripts_with_docid: DataFrame, parse: bool) -> DataFrame:
+    terms = doc_terms_udf(parse)(F.col("text")).alias("terms")
+    out = transcripts_with_docid.select(
+        "docid", "docno", "conv_id", "turn_idx", terms
+    )
+    # docLen = token count after the FULL pipeline (stop/stem included
+    # when parse=True) — model/InvertedIndex.java:59-63 / SURVEY T9.
+    return out.withColumn(
+        "doc_len",
+        F.aggregate("terms", F.lit(0), lambda acc, x: acc + x["tf"]),
+    )
+
+
+def _encode_blocks_udf(codec_name: str):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BLOCKS_SCHEMA)
+    def _enc(docids: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                codecs.encode_posting_blocks(i, t, d, codec=codec_name)
+                for i, t, d in zip(docids, tfs, dls)
+            ]
+        )
+
+    return _enc
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts_with_docid: DataFrame,
+    parse: bool = True,
+    codec: str = codecs.VB,
+    checkpoint_dir: str | None = None,
+    heavy_df_threshold: int = config.HEAVY_TERM_DF_THRESHOLD,
+    heavy_fanout: int = config.HEAVY_TERM_FANOUT,
+    term_buckets: int = config.POSTINGS_TERM_BUCKETS,
+) -> InvertedIndex:
+    """Build the full index from a docid-assigned transcript table.
+
+    checkpoint_dir: when set, each stage is persisted as parquet and
+    re-read (resumable, and avoids recomputing the tokenize UDF for the
+    stats/postings stages).  When None (test scale) stages are cached.
+    """
+    metrics: dict = {}
+    t0 = time.monotonic()
+
+    tok = tokenize_stage(transcripts_with_docid, parse)
+    tok = _materialize(spark, tok, checkpoint_dir, "tokenized", metrics)
+
+    # --- collection statistics (A2/A6) ---
+    row = tok.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
+    avgdl = sum_dl / float(n_docs)
+    metrics["stats_sec"] = time.monotonic() - t0
+
+    doc_index = tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len")
+
+    # --- flat postings: one row per (doc, term); tf counted map-side ---
+    flat = tok.select(
+        "docid",
+        "doc_len",
+        F.explode("terms").alias("kv"),
+    ).select(
+        F.col("kv.term").alias("term"),
+        "docid",
+        F.col("kv.tf").alias("tf"),
+        "doc_len",
+    )
+
+    # --- head-term skew detection (north rule: explicit skew splitting) ---
+    t1 = time.monotonic()
+    heavy = [
+        r["term"]
+        for r in flat.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > heavy_df_threshold)
+        .collect()
+    ]
+    metrics["heavy_terms"] = len(heavy)
+    metrics["heavy_detect_sec"] = time.monotonic() - t1
+
+    # salt = range-partition of the docId domain so that per-salt runs
+    # have disjoint, increasing docId ranges -> concatenation in salt
+    # order IS the sorted merge (reference M3 relies on the same
+    # property across SPIMI partitions, model/InvertedIndex.java:174-178).
+    if heavy:
+        salt = F.when(
+            F.col("term").isin(heavy),
+            F.floor(F.col("docid") * heavy_fanout / F.lit(n_docs + 1)).cast("int"),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+
+    scored = flat.withColumn("salt", salt).withColumn(
+        "bm25_coeff", scoring.bm25_coeff_col(F.col("tf"), F.col("doc_len"), avgdl)
+    ).withColumn("tfidf_coeff", scoring.tfidf_coeff_col(F.col("tf")))
+
+    partial = scored.groupBy("term", "salt").agg(
+        F.count("*").alias("pdf"),
+        F.sum("tf").alias("pcf"),
+        F.max("bm25_coeff").alias("pbm"),
+        F.max("tfidf_coeff").alias("ptf"),
+        F.sort_array(F.collect_list(F.struct("docid", "tf", "doc_len"))).alias("run"),
+    )
+
+    merged = partial.groupBy("term").agg(
+        F.sum("pdf").alias("df"),
+        F.sum("pcf").alias("cf"),
+        F.max("pbm").alias("max_bm25_coeff"),
+        F.max("ptf").alias("max_tfidf_coeff"),
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("salt", "run"))),
+                lambda x: x["run"],
+            )
+        ).alias("plist"),
+    )
+
+    idf = scoring.idf_col(F.col("df"), n_docs)
+    enc = _encode_blocks_udf(codec)
+    postings = merged.select(
+        "term",
+        "df",
+        "cf",
+        idf.alias("idf"),
+        (F.col("max_bm25_coeff") * idf).alias("bm25_ub"),
+        (F.col("max_tfidf_coeff") * idf).alias("tfidf_ub"),
+        enc(
+            F.transform("plist", lambda p: p["docid"]),
+            F.transform("plist", lambda p: p["tf"]),
+            F.transform("plist", lambda p: p["doc_len"]),
+        ).alias("blocks"),
+        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("bucket"),
+    )
+
+    metrics["build_sec_total"] = time.monotonic() - t0
+    return InvertedIndex(
+        tokenized=tok,
+        doc_index=doc_index,
+        flat=flat,
+        postings=postings,
+        n_docs=n_docs,
+        sum_doc_len=sum_dl,
+        parse=parse,
+        codec=codec,
+        term_buckets=term_buckets,
+        metrics=metrics,
+    )
+
+
+def _materialize(
+    spark: SparkSession,
+    df: DataFrame,
+    checkpoint_dir: str | None,
+    stage: str,
+    metrics: dict,
+) -> DataFrame:
+    t = time.monotonic()
+    if checkpoint_dir:
+        path = f"{checkpoint_dir}/{stage}"
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+    else:
+        out = df.cache()
+        out.count()
+    metrics[f"{stage}_sec"] = time.monotonic() - t
+    return out
+
+
+def write_index(index: InvertedIndex, out_dir: str) -> None:
+    """Persist index tables.  Postings are hash-bucketed by term
+    (partition column) and sorted by term within files, so a query-time
+    term lookup prunes to one bucket directory and skips row groups via
+    parquet min/max — the columnar equivalent of the reference's
+    binary-searched sorted lexicon (``model/Lexicon.java:154-195``).
+    With an Iceberg catalog these become ``writeTo(...).partitionedBy(
+    bucket(term))``; plain parquet keeps the same layout on disk.
+    """
+    index.postings.repartition("bucket").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/postings")
+    index.doc_index.repartitionByRange(
+        max(1, index.n_docs // 4_000_000), "docid"
+    ).write.mode("overwrite").parquet(f"{out_dir}/doc_index")
+    stats = index.tokenized.sparkSession.createDataFrame(
+        [
+            (
+                index.n_docs,
+                index.sum_doc_len,
+                index.parse,
+                index.codec,
+                index.term_buckets,
+            )
+        ],
+        "n_docs long, sum_doc_len long, parse boolean, codec string,"
+        " term_buckets int",
+    )
+    stats.write.mode("overwrite").parquet(f"{out_dir}/stats")

@@ -1,0 +1,253 @@
+"""MaxScore dynamic-pruning top-k over compressed posting blocks (DAAT).
+
+Faithful re-implementation of the reference's query engine
+(``queryProcessor/Scorer.java:85-162`` maxScore, posting cursor API
+``model/PostingList.java:34-53`` / ``model/CompressedPostingList.java:232-339``):
+
+- posting lists sorted ascending by term upper bound, cumulative UB
+  prefix sums decide essential vs non-essential lists;
+- essential lists scored DAAT; non-essential probed via nextGEQ with
+  early break when score + ub[i] <= theta;
+- nextGEQ skips whole blocks while block.max_doc_id < target (Q4 —
+  skipped blocks are never DECODED, and with lazy fetch never read);
+- min-heap of size k supplies theta; pivot advances while
+  ub[pivot] <= theta;
+- conjunctive mode replicates the reference's idToSkip / current = -1
+  machinery (Scorer.java:109-137).
+
+Ties: the reference heap compares score only (order undefined); we pin
+descending score then ascending docid, matching the exhaustive oracle.
+
+Execution locality: the algorithm is sequential per query and runs on
+the driver over the (lexicon-pruned) posting lists of the query terms —
+the same data the reference reads from lexicon.dat seeks.  At cluster
+scale the pruning happens storage-side (term-bucket partition pruning +
+parquet min/max on the sorted term column), so only the query terms'
+blocks ever reach the driver; for head terms whose lists exceed driver
+memory, operators/topk.py is the distributed rank-identical fallback.
+MaxScore is rank-safe: both paths return the same top-k.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions import codecs
+from . import scoring
+
+MAX_DOCID = sys.maxsize
+
+
+@dataclass
+class TermPostings:
+    term: str
+    df: int
+    idf: float
+    bm25_ub: float
+    tfidf_ub: float
+    blocks: list  # [{max_doc_id, n, docids, tfs, dls}]
+
+
+class PostingCursor:
+    """docId()/next()/nextGEQ()/score() cursor over encoded blocks.
+
+    Blocks decode lazily, one at a time (numpy-vectorized); nextGEQ
+    advances over block-max metadata without touching skipped payloads.
+    """
+
+    __slots__ = ("tp", "codec", "standard", "n_docs", "avgdl", "ub",
+                 "_bi", "_ids", "_tfs", "_dls", "_pos", "_exhausted")
+
+    def __init__(self, tp: TermPostings, codec: str, standard: str,
+                 n_docs: int, avgdl: float):
+        self.tp = tp
+        self.codec = codec
+        self.standard = standard
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.ub = tp.bm25_ub if standard == scoring.BM25 else tp.tfidf_ub
+        self._bi = -1
+        self._pos = 0
+        self._exhausted = not tp.blocks
+        if not self._exhausted:
+            self._load(0)
+
+    def _load(self, bi: int) -> None:
+        self._bi = bi
+        ids, tfs, dls = codecs.decode_block(self.tp.blocks[bi], codec=self.codec)
+        self._ids = ids.astype(np.int64)
+        self._tfs = tfs
+        self._dls = dls
+        self._pos = 0
+
+    def docid(self) -> int:
+        if self._exhausted:
+            return MAX_DOCID
+        return int(self._ids[self._pos])
+
+    def score(self) -> float:
+        tf = int(self._tfs[self._pos])
+        if self.standard == scoring.BM25:
+            dl = int(self._dls[self._pos])
+            bj = 0.3 + (0.7 * (dl / self.avgdl))
+            return (tf / ((1.5 * bj) + tf)) * self.tp.idf
+        return (1 + np.log10(tf).item()) * self.tp.idf
+
+    def next(self) -> None:
+        if self._exhausted:
+            return
+        self._pos += 1
+        if self._pos >= len(self._ids):
+            if self._bi + 1 < len(self.tp.blocks):
+                self._load(self._bi + 1)
+            else:
+                self._exhausted = True
+
+    def next_geq(self, target: int) -> None:
+        if self._exhausted or self.docid() >= target:
+            return
+        # block-max skip: find first block with max_doc_id >= target
+        if self.tp.blocks[self._bi]["max_doc_id"] < target:
+            bi = self._bi + 1
+            while bi < len(self.tp.blocks) and self.tp.blocks[bi]["max_doc_id"] < target:
+                bi += 1
+            if bi >= len(self.tp.blocks):
+                self._exhausted = True
+                return
+            self._load(bi)
+        pos = int(np.searchsorted(self._ids, target, side="left"))
+        if pos >= len(self._ids):  # defensive; block-max guarantees pos valid
+            self._exhausted = True
+            return
+        self._pos = pos
+
+
+def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool) -> list[tuple[int, float]]:
+    """Reference Scorer.maxScore, line-for-line semantics.  Returns
+    [(docid, score)] sorted by (-score, docid), length <= k."""
+    import heapq
+
+    if not cursors:
+        return []
+    cursors = sorted(cursors, key=lambda c: c.ub)  # ascending term UB
+    upper = []
+    acc = 0.0
+    for c in cursors:
+        acc += c.ub
+        upper.append(acc)
+
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap
+    theta = 0.0
+    pivot = 0
+    id_to_skip = -1
+    current = min(c.docid() for c in cursors)
+
+    n = len(cursors)
+    while pivot < n and current != MAX_DOCID:
+        score = 0.0
+        nxt = MAX_DOCID
+        for i in range(pivot, n):
+            if cursors[i].docid() == current:
+                score += cursors[i].score()
+                cursors[i].next()
+            elif conjunctive:
+                if current != -1:
+                    id_to_skip = current
+                    current = -1
+                    score = 0.0
+                else:
+                    if cursors[i].docid() == id_to_skip:
+                        cursors[i].next()
+            nxt = min(nxt, cursors[i].docid())
+        if current > 0:
+            for i in range(pivot - 1, -1, -1):
+                if score + upper[i] <= theta:
+                    break
+                cursors[i].next_geq(current)
+                if cursors[i].docid() == current:
+                    score += cursors[i].score()
+                elif conjunctive:
+                    break
+            # add to heap (reference: add, poll if > k, theta = kth)
+            heapq.heappush(heap, (score, -current))
+            if len(heap) > k:
+                heapq.heappop(heap)
+            if len(heap) == k:
+                theta = heap[0][0]
+                while pivot < n and upper[pivot] <= theta:
+                    pivot += 1
+        current = nxt
+
+    out = [(-negid, s) for s, negid in heap]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
+def maxscore_topk(
+    term_postings: dict[str, TermPostings],
+    query_tokens: list[str],
+    codec: str,
+    standard: str,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    conjunctive: bool,
+) -> list[tuple[int, float]]:
+    """One query end-to-end: open one cursor PER TOKEN OCCURRENCE
+    (duplicate query tokens double-score, QueryProcessorMain has no
+    dedup), drop missing terms, run MaxScore."""
+    cursors = [
+        PostingCursor(term_postings[t], codec, standard, n_docs, avgdl)
+        for t in query_tokens
+        if t in term_postings
+    ]
+    # conjunctive semantics: every cursor's list must contain the doc —
+    # duplicate tokens share identical lists so this matches "every
+    # existing distinct term".
+    return max_score(cursors, k, conjunctive)
+
+
+def maxscore_topk_df(
+    reader,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+    conjunctive: bool = False,
+):
+    """Batch query evaluation over an IndexReader ->
+    DataFrame(qid, docno, rank, score) with the same rounding/tie rules
+    as operators/topk.exhaustive_topk (rank over rounded score, docid
+    ties ascending), so the two paths are row-identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.tokenizer import tokenize
+    from .topk import ROUND_DECIMALS
+
+    spark = reader.postings.sparkSession
+    qtokens = {qid: tokenize(text, reader.parse) for qid, text in queries}
+    all_terms = sorted({t for toks in qtokens.values() for t in toks})
+    tp = reader.fetch(all_terms)  # one pruned scan for the whole batch
+
+    rows = []
+    for qid, toks in qtokens.items():
+        for docid, raw in maxscore_topk(
+            tp, toks, reader.codec, standard, reader.n_docs, reader.avgdl,
+            k, conjunctive,
+        ):
+            rows.append((qid, docid, raw))
+    out = spark.createDataFrame(rows, "qid string, docid long, raw_score double")
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("docid").asc())
+    return (
+        out.withColumn("score", F.round("raw_score", ROUND_DECIMALS))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "qid",
+            (F.col("docid") - 1).cast("string").alias("docno"),
+            "rank",
+            "score",
+        )
+    )

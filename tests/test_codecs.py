@@ -1,0 +1,95 @@
+"""Codec round-trip + block-layout tests (SURVEY.md §5.2.1).
+
+Property-based round-trips on random monotone docId lists / tf lists
+mirror the reference's JUnit codec suite (EliasFanoTest, UnaryCompressorTest,
+CompressedPostingListTest — we keep its block/skip structure but implement
+the north rule's VB + unary + Elias-gamma codecs, so the goldens that are
+pinned are the *reference semantics* tests: unary value convention and the
+block-split rule, not its byte layouts)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mircv_project_spark.config import BLOCK_THRESHOLD_BYTES, POSTING_BYTES
+from mircv_project_spark.functions import codecs as C
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_vb_roundtrip(vals):
+    assert C.vb_decode(C.vb_encode(vals), len(vals)).tolist() == vals
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_unary_roundtrip(vals):
+    assert C.unary_decode(C.unary_encode(vals), len(vals)).tolist() == vals
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**40), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_gamma_roundtrip(vals):
+    assert C.gamma_decode(C.gamma_encode(vals), len(vals)).tolist() == vals
+
+
+def test_unary_reference_value_convention():
+    # UnaryCompressor encodes v (not v-1): [3,10,1,2] -> bits
+    # 1110 1111111111 0 10 110 -> the reference's golden bytes [-17,-3,96]
+    # == [0xEF, 0xFD, 0x60] (UnaryCompressorTest.java:40-59).
+    assert C.unary_encode([3, 10, 1, 2]) == bytes([0xEF, 0xFD, 0x60])
+
+
+def test_vb_known_values():
+    assert C.vb_encode([0]) == bytes([0x80])
+    assert C.vb_encode([127]) == bytes([0xFF])
+    assert C.vb_encode([128]) == bytes([0x00, 0x81])
+    assert C.vb_decode(bytes([0x00, 0x81]), 1).tolist() == [128]
+
+
+def test_gamma_known_values():
+    # 1 -> '1'; 2 -> '010'; 5 -> '00101'
+    assert C.gamma_encode([1]) == np.packbits([1]).tobytes()
+    assert C.gamma_encode([2, 5]) == np.packbits([0, 1, 0, 0, 0, 1, 0, 1]).tobytes()
+
+
+@pytest.mark.parametrize("codec", [C.VB, C.GAMMA, C.RAW])
+@pytest.mark.parametrize("n", [1, 10, 100, 1000, 10000])
+def test_block_roundtrip_and_skip_walk(codec, n):
+    """Mirror of CompressedPostingListTest.java:16-60: compress ->
+    iterate round-trip and nextGEQ-style stride-5 walk over block-max."""
+    rng = np.random.default_rng(n)
+    ids = np.cumsum(rng.integers(1, 50, size=n).astype(np.uint64))
+    tfs = rng.integers(1, 30, size=n)
+    dls = rng.integers(1, 500, size=n)
+    blocks = C.encode_posting_blocks(ids, tfs, dls, codec=codec)
+    # block split rule (M5)
+    if n * POSTING_BYTES > BLOCK_THRESHOLD_BYTES:
+        assert len(blocks) == -(-n // int(np.sqrt(n)))
+    else:
+        assert len(blocks) == 1
+    out_ids, out_tfs, out_dls = [], [], []
+    prev_max = 0
+    for b in blocks:
+        i, t, d = C.decode_block(b, codec=codec)
+        assert b["max_doc_id"] == int(i[-1])
+        assert int(i[0]) > prev_max
+        prev_max = b["max_doc_id"]
+        out_ids.append(i)
+        out_tfs.append(t)
+        out_dls.append(d)
+    assert np.concatenate(out_ids).tolist() == ids.tolist()
+    assert np.concatenate(out_tfs).tolist() == tfs.tolist()
+    assert np.concatenate(out_dls).tolist() == dls.tolist()
+    # nextGEQ via block-max skipping: for targets with stride 5, the
+    # first block with max_doc_id >= target must contain the answer.
+    targets = ids[::5].astype(np.int64) + 1
+    for tgt in targets:
+        want = ids[np.searchsorted(ids, tgt)] if tgt <= ids[-1] else None
+        blk = next((b for b in blocks if b["max_doc_id"] >= tgt), None)
+        if want is None:
+            assert blk is None or blk is blocks[-1] and blk["max_doc_id"] < tgt
+            continue
+        i, _, _ = C.decode_block(blk, codec=codec)
+        assert int(i[np.searchsorted(i, tgt)]) == int(want)

@@ -1,0 +1,75 @@
+"""MaxScore vs exhaustive oracle (SURVEY §5.2.4): the dynamically-pruned
+DAAT path over encoded blocks must return exactly the exhaustive
+distributed top-k — every query, both standards, both modes, all codecs."""
+
+import pandas as pd
+import pytest
+
+from mircv_project_spark.functions import codecs
+from mircv_project_spark.operators import scoring, topk
+from mircv_project_spark.operators.index_build import (
+    build_index,
+    filter_indexable,
+    write_index,
+)
+from mircv_project_spark.operators.maxscore import maxscore_topk_df
+from mircv_project_spark.oracle import CONJ_QUERY_SET, QUERY_SET
+from mircv_project_spark.sources.index_store import IndexReader
+from mircv_project_spark.sources.transcripts import assign_doc_ids, load_transcripts
+from tests.conftest import SF_SMALL
+
+ALL_QUERIES = QUERY_SET + CONJ_QUERY_SET
+
+
+def _build(spark, parse, codec):
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    return build_index(spark, t, parse=parse, codec=codec)
+
+
+def _cmp(df_a, df_b):
+    a = df_a.toPandas().sort_values(["qid", "rank"], ignore_index=True)
+    b = df_b.toPandas().sort_values(["qid", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+@pytest.mark.parametrize("standard", [scoring.BM25, scoring.TFIDF])
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_maxscore_equals_exhaustive(spark, standard, conjunctive):
+    idx = _build(spark, parse=False, codec=codecs.VB)
+    reader = IndexReader.from_memory(idx)
+    ex = topk.exhaustive_topk(idx, ALL_QUERIES, standard, k=10, conjunctive=conjunctive)
+    ms = maxscore_topk_df(reader, ALL_QUERIES, standard, k=10, conjunctive=conjunctive)
+    _cmp(ex, ms)
+
+
+@pytest.mark.parametrize("codec", [codecs.GAMMA, codecs.RAW])
+def test_codecs_rank_identical(spark, codec):
+    idx = _build(spark, parse=False, codec=codec)
+    reader = IndexReader.from_memory(idx)
+    ex = topk.exhaustive_topk(idx, QUERY_SET, scoring.BM25, k=10)
+    ms = maxscore_topk_df(reader, QUERY_SET, scoring.BM25, k=10)
+    _cmp(ex, ms)
+
+
+def test_parsed_mode_maxscore(spark):
+    idx = _build(spark, parse=True, codec=codecs.VB)
+    reader = IndexReader.from_memory(idx)
+    ex = topk.exhaustive_topk(idx, ALL_QUERIES, scoring.BM25, k=10)
+    ms = maxscore_topk_df(reader, ALL_QUERIES, scoring.BM25, k=10)
+    _cmp(ex, ms)
+
+
+def test_store_roundtrip(spark, tmp_path):
+    idx = _build(spark, parse=False, codec=codecs.VB)
+    out = str(tmp_path / "index")
+    write_index(idx, out)
+    reader = IndexReader.from_dir(spark, out)
+    assert reader.n_docs == idx.n_docs
+    assert reader.sum_doc_len == idx.sum_doc_len
+    assert reader.codec == codecs.VB and reader.parse is False
+    ex = topk.exhaustive_topk(idx, QUERY_SET, scoring.BM25, k=10)
+    ms = maxscore_topk_df(reader, QUERY_SET, scoring.BM25, k=10)
+    _cmp(ex, ms)
+    # pruned fetch returns only requested terms
+    tp = reader.fetch(["spark", "join", "warpcore"])
+    assert set(tp) == {"spark", "join"}
