@@ -96,8 +96,77 @@ def _topk_query(standard: str, conjunctive: bool, parse: bool):
     return run
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from mircv_project_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from mircv_project_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), oracle.JACCARD_THRESHOLD)
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    from mircv_project_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), oracle.JACCARD_THRESHOLD)
+
+
+def _q_simhash(spark, sf_dir):
+    from mircv_project_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from mircv_project_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    from mircv_project_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    from mircv_project_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from mircv_project_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from mircv_project_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
+def _q_ivf_cosine_topk(spark, sf_dir):
+    from mircv_project_spark.operators.similarity import ivf_cosine_topk
+
+    return ivf_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- IR engine (reference parity) ---
         "doc_index": _q_doc_index,
         "collection_stats": _q_collection_stats,
         "lexicon": _q_lexicon,
@@ -109,6 +178,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docstring); driver records rows-only check, pytest covers parity.
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),
         "tfidf_topk_parsed": _topk_query(scoring.TFIDF, False, True),
+        # --- training-data pipeline ---
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "token_counts": _q_token_counts,
+        "fingerprint": _q_fingerprint,
+        "cosine_topk": _q_cosine_topk,
+        # approximate ANN (IVF) — no SQL oracle by construction; recall
+        # floor vs the exact path asserted in tests/test_pipeline_ops.py.
+        "ivf_cosine_topk": _q_ivf_cosine_topk,
     }
 
 

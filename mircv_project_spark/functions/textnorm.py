@@ -1,0 +1,58 @@
+"""JVM-side (Catalyst) text normalization for the pipeline operators.
+
+The dedup / text-analysis / fingerprint operators normalize text with
+the T1-T5 subset of the reference tokenizer (HTML strip, punct strip,
+lowercase, single-space split, drop empty / >=64-byte / non-ASCII
+tokens) expressed as pure column expressions — whole-stage-codegen'd,
+no Python in the hot path.  The same expression is restated in DuckDB
+SQL (oracle.py) for the correctness gate.
+
+T6 (run-collapse) and Java trim are excluded here by design: these
+operators define their own normalization (they are new capabilities,
+not reference parity), and the SQL-expressible subset keeps every one
+of them oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+NON_ASCII = r"[^\x00-\x7F]"
+
+
+def tokens_col(text: Column) -> Column:
+    """text -> array<string> of normalized tokens (T1-T5, JVM-side)."""
+    cleaned = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(text, "<[^>]+>", " "), PUNCT_CLASS, " "
+        )
+    )
+    return F.filter(
+        F.split(cleaned, " "),
+        lambda t: (t != "")
+        & (F.length(t) < 64)
+        & ~t.rlike(NON_ASCII),
+    )
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """tokens -> array<string> of distinct word n-gram shingles.
+    Docs with fewer than n tokens produce no shingles."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def hash60_col(s: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string, identically
+    computable in DuckDB: first 15 hex chars of md5 parsed as int.
+    (Spark conv() and DuckDB '0x...'::UBIGINT agree on 60 bits, safely
+    inside BIGINT range.)"""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all DataFrame-native:
+
+- exact:      hash-groupBy on normalized text (one shuffle on the hash)
+- n-gram Jaccard: exact all-pairs similarity via shingle inverted join
+              (the *verifier*; quadratic in bucket size — test/oracle
+              path and the verify stage of LSH)
+- MinHash + LSH: shingle -> minhash signature -> banded bucket join ->
+              exact-Jaccard verification of candidates (the scale path:
+              only docs sharing a band bucket are ever paired)
+- SimHash:    64-bit near-dup fingerprint with Hamming-band blocking
+
+Scale notes (10^12 rows): every operator is one or two shuffles on
+hash-distributed keys, no driver-side state.  The LSH band join's key
+cardinality is ~n_docs * bands, uniformly hash-distributed; hot buckets
+(boilerplate shingle sets) are capped via bucket-size guard before the
+quadratic pair expansion.  All hashes are md5-derived (hash60) so the
+DuckDB oracle can restate every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import hash60_col, shingles_col, tokens_col
+
+# MinHash parameters — pinned; the oracle SQL restates them.
+# The permutation arithmetic stays inside signed 64-bit range in BOTH
+# engines (no silent overflow / HUGEINT promotion divergence): shingle
+# hashes are 28-bit (first 7 hex chars of md5), a,b < p = 2^31-1, so
+# a*h < 2^59.
+MINHASH_PERMS = 24
+LSH_BANDS = 12  # rows per band = PERMS / BANDS = 2
+MERSENNE_P = (1 << 31) - 1
+MAX_BUCKET = 64  # guard: skip degenerate LSH buckets bigger than this
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i (odd a, both < p)."""
+    a = ((2 * i + 1) * 0x9E3779B9) % MERSENNE_P
+    b = ((i + 1) * 0x85EBCA6B) % MERSENNE_P
+    return a | 1, b
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("tokens", tokens_col(F.col(text_col)))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups over normalized text.
+    -> (text_hash string, keep_id long, dup_count long): one row per
+    distinct text, keep_id = lowest doc id (the canonical survivor)."""
+    norm = F.concat_ws(" ", tokens_col(F.col(text_col)))
+    return (
+        docs.select(F.md5(norm).alias("text_hash"), F.col(id_col).cast("long").alias("id"))
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """-> (id, shingle) exploded distinct n-gram shingles.
+
+    tokens materialize into their own projection first: feeding the
+    tokenizer expression tree straight into shingles_col would inline
+    it once per n-gram position and Catalyst re-evaluates the regex
+    pipeline per access (~10x slower at 5k docs; worse with doc
+    length)."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("tokens"),
+    )
+    return toks.select(
+        "id", F.explode(shingles_col(F.col("tokens"), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
+    -> (id_a, id_b, jaccard double rounded to 6).
+
+    Inverted shingle join: only docs sharing >= 1 shingle are paired
+    (never a full cross join), intersection counted by one groupBy on
+    the pair key.  Quadratic in per-shingle df — the scale path runs
+    minhash_lsh_pairs and uses this only to verify its candidates.
+    """
+    # shingling (tokenize + explode) feeds three branches (sizes + both
+    # join sides) — persist so it is computed once.  MEMORY_AND_DISK:
+    # at scale this is the materialized shingle index; spilling beats
+    # recomputing the tokenizer.
+    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """-> (id, sig array<long>[perms]): minhash over md5-derived 28-bit
+    shingle hashes with (a*h % p + b) % p permutations, p = 2^31-1.
+    Docs with zero shingles are dropped (no signature)."""
+    sh = shingle_sets(docs, id_col, text_col, n).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") % MERSENNE_P + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(i) for i in range(perms))
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: signature split into `bands` bands of perms/bands rows;
+    docs agreeing on any whole band share a bucket.  With 12 bands x 2
+    rows, P(candidate | j) = 1-(1-j^2)^12 — >0.9999 at j>=0.8, so on
+    corpora whose near-dups sit at j>=0.8 the verified output equals
+    exact jaccard_pairs (tests assert this; the oracle uses the exact
+    computation).  Buckets larger than max_bucket are dropped before
+    pair expansion (boilerplate guard) and logged via the `dropped`
+    accumulator pattern at scale.
+    """
+    r = perms // bands
+    # one shingle derivation reused by signature, candidate-verify and
+    # size branches (persisted; see jaccard_pairs note)
+    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    hashed = sh.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") % MERSENNE_P + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(i) for i in range(perms))
+    ]
+    sig = hashed.groupBy("id").agg(*mins).select(
+        "id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig")
+    )
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "_", *[F.col("sig")[bi * r + j] for j in range(r)]
+                            )
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+
+    # band_rows feeds the bucket-size agg AND both sides of the
+    # candidate self-join: persist (n_docs x bands small rows).
+    band_rows = band_rows.persist()
+    sizes = band_rows.groupBy("band", "bkey").agg(F.count("*").alias("bs"))
+    pruned = band_rows.join(
+        sizes.where(F.col("bs") <= max_bucket), ["band", "bkey"]
+    ).persist()
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact verification of candidates only (reuses the persisted sh)
+    sizes_doc = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ea = sh.select(F.col("id").alias("id_a"), "shingle")
+    eb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sizes_doc.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes_doc.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
+    """-> (id, simhash long): tf-weighted sign-sum over md5-derived
+    token hash bits (60 bits so the value stays oracle-computable in
+    DuckDB via the same '0x'+md5 parse).  Ties (sum == 0) resolve to
+    bit 0, matching the SQL restatement."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", hash60_col(F.col("term")))
+    bit_sums = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    val = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        val = term if val is None else (val + term)
+    return bit_sums.select("id", val.alias("simhash"))

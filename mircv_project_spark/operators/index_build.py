@@ -105,49 +105,21 @@ def _encode_blocks_udf(codec_name: str):
     return _enc
 
 
-def build_index(
-    spark: SparkSession,
-    transcripts_with_docid: DataFrame,
-    parse: bool = True,
+def aggregate_postings(
+    flat: DataFrame,
+    n_docs: int,
+    avgdl: float,
     codec: str = codecs.VB,
-    checkpoint_dir: str | None = None,
     heavy_df_threshold: int = config.HEAVY_TERM_DF_THRESHOLD,
     heavy_fanout: int = config.HEAVY_TERM_FANOUT,
     term_buckets: int = config.POSTINGS_TERM_BUCKETS,
-) -> InvertedIndex:
-    """Build the full index from a docid-assigned transcript table.
+    metrics: dict | None = None,
+) -> DataFrame:
+    """flat (term, docid, tf, doc_len) -> postings table
+    (term, df, cf, idf, bm25_ub, tfidf_ub, blocks, bucket).
 
-    checkpoint_dir: when set, each stage is persisted as parquet and
-    re-read (resumable, and avoids recomputing the tokenize UDF for the
-    stats/postings stages).  When None (test scale) stages are cached.
-    """
-    metrics: dict = {}
-    t0 = time.monotonic()
-
-    tok = tokenize_stage(transcripts_with_docid, parse)
-    tok = _materialize(spark, tok, checkpoint_dir, "tokenized", metrics)
-
-    # --- collection statistics (A2/A6) ---
-    row = tok.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("s")
-    ).collect()[0]
-    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
-    avgdl = sum_dl / float(n_docs)
-    metrics["stats_sec"] = time.monotonic() - t0
-
-    doc_index = tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len")
-
-    # --- flat postings: one row per (doc, term); tf counted map-side ---
-    flat = tok.select(
-        "docid",
-        "doc_len",
-        F.explode("terms").alias("kv"),
-    ).select(
-        F.col("kv.term").alias("term"),
-        "docid",
-        F.col("kv.tf").alias("tf"),
-        "doc_len",
-    )
+    Shared by the batch build and the streaming-delta compaction."""
+    metrics = metrics if metrics is not None else {}
 
     # --- head-term skew detection (north rule: explicit skew splitting) ---
     t1 = time.monotonic()
@@ -200,7 +172,7 @@ def build_index(
 
     idf = scoring.idf_col(F.col("df"), n_docs)
     enc = _encode_blocks_udf(codec)
-    postings = merged.select(
+    return merged.select(
         "term",
         "df",
         "cf",
@@ -213,6 +185,62 @@ def build_index(
             F.transform("plist", lambda p: p["doc_len"]),
         ).alias("blocks"),
         F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("bucket"),
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts_with_docid: DataFrame,
+    parse: bool = True,
+    codec: str = codecs.VB,
+    checkpoint_dir: str | None = None,
+    heavy_df_threshold: int = config.HEAVY_TERM_DF_THRESHOLD,
+    heavy_fanout: int = config.HEAVY_TERM_FANOUT,
+    term_buckets: int = config.POSTINGS_TERM_BUCKETS,
+) -> InvertedIndex:
+    """Build the full index from a docid-assigned transcript table.
+
+    checkpoint_dir: when set, each stage is persisted as parquet and
+    re-read (resumable, and avoids recomputing the tokenize UDF for the
+    stats/postings stages).  When None (test scale) stages are cached.
+    """
+    metrics: dict = {}
+    t0 = time.monotonic()
+
+    tok = tokenize_stage(transcripts_with_docid, parse)
+    tok = _materialize(spark, tok, checkpoint_dir, "tokenized", metrics)
+
+    # --- collection statistics (A2/A6) ---
+    row = tok.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
+    avgdl = sum_dl / float(n_docs)
+    metrics["stats_sec"] = time.monotonic() - t0
+
+    doc_index = tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len")
+
+    # --- flat postings: one row per (doc, term); tf counted map-side ---
+    flat = tok.select(
+        "docid",
+        "doc_len",
+        F.explode("terms").alias("kv"),
+    ).select(
+        F.col("kv.term").alias("term"),
+        "docid",
+        F.col("kv.tf").alias("tf"),
+        "doc_len",
+    )
+
+    postings = aggregate_postings(
+        flat,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        codec=codec,
+        heavy_df_threshold=heavy_df_threshold,
+        heavy_fanout=heavy_fanout,
+        term_buckets=term_buckets,
+        metrics=metrics,
     )
 
     metrics["build_sec_total"] = time.monotonic() - t0
@@ -247,6 +275,98 @@ def _materialize(
         out.count()
     metrics[f"{stage}_sec"] = time.monotonic() - t
     return out
+
+
+def staged_build(
+    spark: SparkSession,
+    transcripts_with_docid: DataFrame,
+    workdir: str,
+    parse: bool = True,
+    codec: str = codecs.VB,
+    **agg_kwargs,
+) -> InvertedIndex:
+    """Checkpoint-resumable build (SURVEY §7 step 6 / north rule).
+
+    Every stage materializes to ``workdir/<stage>`` and is SKIPPED on
+    re-run when its ``_SUCCESS`` marker exists, so a killed build
+    resumes from the last completed stage.  Per-stage lineage + metrics
+    (rows, seconds, skipped) append to ``workdir/lineage.jsonl``.
+    Stage outputs are plain parquet here; on a cluster the same layout
+    maps to Iceberg checkpoint tables with snapshot-based rollback.
+    """
+    import json
+    import os
+
+    def done(stage: str) -> bool:
+        return os.path.exists(f"{workdir}/{stage}/_SUCCESS")
+
+    def lineage(stage: str, **kv) -> None:
+        os.makedirs(workdir, exist_ok=True)
+        with open(f"{workdir}/lineage.jsonl", "a") as f:
+            f.write(json.dumps({"stage": stage, **kv}) + "\n")
+
+    metrics: dict = {}
+
+    # stage 1: tokenized (+ doc_index columns)
+    t0 = time.monotonic()
+    if not done("tokenized"):
+        tokenize_stage(transcripts_with_docid, parse).write.mode(
+            "overwrite"
+        ).parquet(f"{workdir}/tokenized")
+        tok = spark.read.parquet(f"{workdir}/tokenized")
+        lineage(
+            "tokenized",
+            skipped=False,
+            rows=tok.count(),
+            partitions=tok.rdd.getNumPartitions(),
+            sec=round(time.monotonic() - t0, 3),
+        )
+    else:
+        tok = spark.read.parquet(f"{workdir}/tokenized")
+        lineage("tokenized", skipped=True)
+
+    # stage 2: stats
+    row = tok.agg(F.count("*").alias("n"), F.sum("doc_len").alias("s")).collect()[0]
+    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
+    avgdl = sum_dl / float(n_docs)
+    lineage("stats", skipped=False, n_docs=n_docs, sum_doc_len=sum_dl)
+
+    flat = tok.select("docid", "doc_len", F.explode("terms").alias("kv")).select(
+        F.col("kv.term").alias("term"), "docid", F.col("kv.tf").alias("tf"), "doc_len"
+    )
+
+    # stage 3: postings
+    t0 = time.monotonic()
+    if not done("postings"):
+        aggregate_postings(
+            flat, n_docs=n_docs, avgdl=avgdl, codec=codec, metrics=metrics,
+            **agg_kwargs,
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{workdir}/postings"
+        )
+        postings = spark.read.parquet(f"{workdir}/postings")
+        lineage(
+            "postings",
+            skipped=False,
+            rows=postings.count(),
+            heavy_terms=metrics.get("heavy_terms"),
+            sec=round(time.monotonic() - t0, 3),
+        )
+    else:
+        postings = spark.read.parquet(f"{workdir}/postings")
+        lineage("postings", skipped=True)
+
+    return InvertedIndex(
+        tokenized=tok,
+        doc_index=tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len"),
+        flat=flat,
+        postings=postings,
+        n_docs=n_docs,
+        sum_doc_len=sum_dl,
+        parse=parse,
+        codec=codec,
+        metrics=metrics,
+    )
 
 
 def write_index(index: InvertedIndex, out_dir: str) -> None:

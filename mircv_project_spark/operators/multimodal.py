@@ -1,0 +1,138 @@
+"""Multimodal columns: images / audio / video as opaque binary payloads
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+Design (the part that must be right at 100 TB):
+- payloads are `binary` columns riding in the same row as their
+  metadata — no sidecar files, so partition pruning / predicate
+  pushdown on (kind, meta) prunes payload IO too (parquet lazy column
+  reads; Iceberg: same, plus delete-file compaction);
+- decode / feature-extract / resize / frame-sample run as mapInPandas
+  over Arrow record batches: one Python worker call per ~10k rows, the
+  decode loop vectorized per batch, output schema fixed and typed;
+- partitioning: payload rows are salted by media_id so a handful of
+  multi-GB videos can't skew a partition (repartitionByRange on
+  media_id before heavy stages).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode kernel is pluggable: `decoder=None` uses a clearly-marked
+DETERMINISTIC FAKE (features derived from the payload's md5) so the
+Spark-side plumbing — schema, batching, partitioning, UDF signature —
+is real and tested; passing a real decoder callable swaps it in
+unchanged.  Attempting `decoder="real"` without the libs raises
+NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "media_id long, kind string, payload binary, meta map<string,string>"
+FEATURE_DIM = 8
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, features array<float>"
+)
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_hash string"
+
+_KIND_SIZES = {"image": 4096, "audio": 16384, "video": 65536}
+
+
+def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (pure Catalyst expressions:
+    payload bytes = unhex(repeated md5 stream keyed by id/seed))."""
+    kinds = list(_KIND_SIZES)
+    karr = F.array(*[F.lit(k) for k in kinds])
+    kind = F.element_at(karr, (F.col("id") % len(kinds) + 1).cast("int"))
+    reps = F.element_at(
+        F.array(*[F.lit(_KIND_SIZES[k] // 16) for k in kinds]),
+        (F.col("id") % len(kinds) + 1).cast("int"),
+    )
+    payload = F.unhex(
+        F.repeat(F.md5(F.concat_ws("-", F.col("id"), F.lit(seed))), reps)
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.create_map(
+            F.lit("seed"), F.lit(str(seed)),
+            F.lit("codec"), F.lit("fake/deterministic"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: md5(payload) -> dim float32 in [0,1).
+    Stands in for image-embed / audio-fingerprint; NOT a real decoder."""
+    dig = hashlib.md5(payload).digest()
+    raw = (dig * ((dim * 4) // len(dig) + 1))[: dim * 4]
+    ints = np.frombuffer(raw, dtype=np.uint32).astype(np.float64)
+    return (ints / 2**32).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], np.ndarray] | str | None = None,
+) -> DataFrame:
+    """mapInPandas feature extraction: (media_id, kind, payload, meta)
+    -> (media_id, kind, n_bytes, features[FEATURE_DIM])."""
+    if decoder == "real":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg, not present in "
+                "this environment; pass decoder=None for the deterministic "
+                "fake or a callable(bytes, kind) -> np.ndarray"
+            ) from e
+    decode = decoder if callable(decoder) else _fake_features_by_kind
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    # range-partition on media_id first: payload sizes are skewed by
+    # kind; range keeps per-task byte volume bounded at scale.
+    return media.repartitionByRange(
+        media.sparkSession.sparkContext.defaultParallelism, "media_id"
+    ).mapInPandas(run, FEATURES_SCHEMA)
+
+
+def _fake_features_by_kind(payload: bytes, kind: str) -> np.ndarray:
+    return _fake_features(payload)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 16384) -> DataFrame:
+    """Frame sampling for video payloads: one row per sampled frame
+    offset with a content hash (stub kernel, real batching/schema).
+    -> (media_id, frame_idx, frame_hash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    chunk = payload[off : off + every_n_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_hash": pd.Series(hashes, dtype="object")}
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)

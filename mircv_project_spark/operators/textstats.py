@@ -1,0 +1,147 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst column expressions over the normalized token array
+(functions/textnorm.py) — whole-stage codegen, zero Python per row —
+and each restatable in DuckDB SQL for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import tokens_col
+
+# marker-word profiles for the n-gram/stopword language heuristic —
+# tiny public function-word lists; argmax with deterministic tie order
+# (en > de > es > fr > unknown)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+# quality-score stopwords: the English marker list doubles as the
+# stopword-ratio probe (full 1297-word list is used by the IR engine;
+# this op needs an oracle-restatable small set)
+_QS_STOPS = LANG_MARKERS["en"]
+
+# BPE-ish token estimate: word chunks of <=4 chars — a deterministic
+# proxy for subword token counts (ceil(len/4) per word)
+BPE_CHUNK = 4
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (id, lang_pred, lang_hits): marker-word hit counts per
+    language; argmax with LANG_ORDER tie-break; 'unknown' when no
+    marker hits at all."""
+    def _hit_filter(words: list[str]):
+        return lambda t: t.isin(*words)
+
+    # staged projections: tokens -> per-language hit counts -> argmax.
+    # Each stage references the previous stage's columns as attributes,
+    # so the tokenizer regex pipeline evaluates once per row instead of
+    # being inlined into every downstream use.
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("tokens"),
+    )
+    hits = toks.select(
+        "id",
+        *[
+            F.size(F.filter(F.col("tokens"), _hit_filter(LANG_MARKERS[lg]))).alias(
+                f"h_{lg}"
+            )
+            for lg in LANG_ORDER
+        ],
+    )
+    best = F.greatest(*[F.col(f"h_{lg}") for lg in LANG_ORDER])
+    scored = hits.withColumn("best", best)
+    pred = F.when(F.col("best") == 0, F.lit("unknown"))
+    for lg in LANG_ORDER:
+        pred = pred.when(F.col(f"h_{lg}") == F.col("best"), F.lit(lg))
+    return scored.select(
+        "id",
+        pred.alias("lang_pred"),
+        F.col("best").cast("long").alias("lang_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (id, n_tokens, mean_token_len, digit_ratio, stopword_ratio,
+    quality double): length/character/stopword heuristics composed into
+    a [0,1] quality score (the usual pretraining-corpus filters)."""
+    t = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("text"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    n = F.size("toks")
+    tok_chars = F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x))
+    digit_chars = F.aggregate(
+        "toks",
+        F.lit(0),
+        lambda a, x: a + F.length(F.regexp_replace(x, "[^0-9]", "")),
+    )
+    stop_hits = F.size(F.filter("toks", lambda x: x.isin(*_QS_STOPS)))
+    nf = n.cast("double")
+    mean_len = F.when(n > 0, tok_chars / nf).otherwise(F.lit(0.0))
+    digit_ratio = F.when(tok_chars > 0, digit_chars / tok_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n > 0, stop_hits / nf).otherwise(F.lit(0.0))
+    len_term = F.least(nf / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
+    wordlen_term = F.when(
+        (mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.lit(0.4) * len_term
+        + F.lit(0.2) * wordlen_term
+        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
+        + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0)),
+        6,
+    )
+    return t.select(
+        "id",
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (id, ws_tokens, norm_tokens, bpe_est): whitespace-split count,
+    normalized-token count, and a BPE-ish subword estimate
+    (sum of ceil(len/4) over normalized tokens)."""
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("_text"),
+        tokens_col(F.col(text_col)).alias("tokens"),
+    )
+    ws = F.size(F.filter(F.split(F.col("_text"), r"\s+"), lambda x: x != ""))
+    bpe = F.aggregate(
+        F.col("tokens"),
+        F.lit(0),
+        lambda a, x: a + F.ceil(F.length(x) / F.lit(BPE_CHUNK)).cast("int"),
+    )
+    return staged.select(
+        "id",
+        ws.cast("long").alias("ws_tokens"),
+        F.size("tokens").cast("long").alias("norm_tokens"),
+        bpe.cast("long").alias("bpe_est"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (id, fp): md5 fingerprint of the normalized token stream —
+    whitespace/markup/case-insensitive exact-dup key (the rolling-hash
+    winnowing variant lives in operators/dedup.simhash + minhash)."""
+    norm = F.concat_ws(" ", tokens_col(F.col(text_col)))
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"), F.md5(norm).alias("fp")
+    )

@@ -207,4 +207,193 @@ ORDER BY a.term
         "bm25_topk_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         "tfidf_topk_conjunctive": _topk_sql(CONJ_QUERY_SET, "tfidf", True, TOPK_K),
     }
+    out.update(pipeline_oracles())
     return out
+
+
+# ===========================================================================
+# training-data pipeline oracles (operators/dedup.py, textstats.py,
+# similarity.py) — run directly over the `documents` / `embeddings` views
+# ===========================================================================
+
+JACCARD_THRESHOLD = 0.8
+PROBE_IDS = list(range(10))
+ANN_K = 5
+
+_DOC_TOKENS = f"""
+doctoks AS (
+    SELECT doc_id, {_TOKENS_EXPR.format(col='text')} AS tokens FROM documents
+)"""
+
+_SHINGLES = """
+shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(0, greatest(len(tokens) - 2, 0)),
+               i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+           )) AS shingles
+    FROM doctoks
+),
+sh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM shingled),
+shsizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY id)"""
+
+_JACCARD_PAIRS_SQL = f"""WITH {_DOC_TOKENS}, {_SHINGLES},
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN shsizes sa ON i.id_a = sa.id
+JOIN shsizes sb ON i.id_b = sb.id
+WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
+        for b in range(bits)
+    )
+    val = " + ".join(f"CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(bits))
+    return f"""WITH {_DOC_TOKENS},
+tf AS (
+    SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(tokens) AS term FROM doctoks)
+    GROUP BY 1, 2
+),
+hashed AS (
+    SELECT id, tf, CAST(('0x' || substr(md5(term), 1, 15))::UBIGINT AS BIGINT) AS h
+    FROM tf
+),
+bitsums AS (
+    SELECT id,
+           {bit_sums}
+    FROM hashed GROUP BY id
+)
+SELECT id, {val} AS simhash FROM bitsums
+"""
+
+
+_LANGS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr"]
+
+
+def _lang_id_sql() -> str:
+    hits = ",\n           ".join(
+        "CAST(len(list_filter(tokens, t -> t IN ({}))) AS BIGINT) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in _LANGS[lg]), lg
+        )
+        for lg in _LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in _LANG_ORDER) + ")"
+    pred = "CASE WHEN {b} = 0 THEN 'unknown' ".format(b=best) + " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in _LANG_ORDER
+    ) + " END"
+    return f"""WITH {_DOC_TOKENS},
+hits AS (SELECT doc_id AS id, {hits} FROM doctoks)
+SELECT id, {pred} AS lang_pred, {best} AS lang_hits FROM hits
+"""
+
+
+_QS_STOPS_SQL = ", ".join(f"'{w}'" for w in _LANGS["en"])
+
+_QUALITY_SQL = f"""WITH {_DOC_TOKENS},
+m AS (
+    SELECT doc_id AS id,
+           CAST(len(tokens) AS BIGINT) AS n,
+           coalesce(list_sum(list_transform(tokens, t -> length(t))), 0) AS tok_chars,
+           coalesce(list_sum(list_transform(tokens,
+               t -> length(regexp_replace(t, '[^0-9]', '', 'g')))), 0) AS digit_chars,
+           len(list_filter(tokens, t -> t IN ({_QS_STOPS_SQL}))) AS stop_hits
+    FROM doctoks
+),
+r AS (
+    SELECT id, n,
+           CASE WHEN n > 0 THEN tok_chars / CAST(n AS DOUBLE) ELSE 0.0 END AS mean_len,
+           CASE WHEN tok_chars > 0 THEN digit_chars / CAST(tok_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END AS stop_ratio
+    FROM m
+)
+SELECT id, n AS n_tokens,
+       round(mean_len, 6) AS mean_token_len,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(0.4 * least(CAST(n AS DOUBLE) / 20.0, 1.0)
+           + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (1.0 - digit_ratio)
+           + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+FROM r
+"""
+
+_TOKEN_COUNTS_SQL = f"""WITH {_DOC_TOKENS},
+ws AS (
+    SELECT doc_id AS id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens
+    FROM documents
+)
+SELECT t.doc_id AS id, w.ws_tokens,
+       CAST(len(t.tokens) AS BIGINT) AS norm_tokens,
+       CAST(coalesce(list_sum(list_transform(t.tokens,
+            x -> CAST(ceil(length(x) / 4) AS INTEGER))), 0) AS BIGINT) AS bpe_est
+FROM doctoks t JOIN ws w ON t.doc_id = w.id
+"""
+
+_FINGERPRINT_SQL = f"""WITH {_DOC_TOKENS}
+SELECT doc_id AS id, md5(array_to_string(tokens, ' ')) AS fp FROM doctoks
+"""
+
+_EXACT_DEDUP_SQL = f"""WITH {_DOC_TOKENS}
+SELECT md5(array_to_string(tokens, ' ')) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM doctoks GROUP BY 1
+"""
+
+_COSINE_TOPK_SQL = f"""WITH pr AS (
+    SELECT vec_id AS pid, embedding AS pe FROM embeddings
+    WHERE vec_id IN ({', '.join(str(i) for i in PROBE_IDS)})
+),
+cand AS (
+    SELECT pr.pid, e.vec_id AS nid,
+           round(
+             list_sum(list_transform(range(1, len(pr.pe) + 1),
+                 i -> CAST(pr.pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(pr.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos
+    FROM pr, embeddings e
+    WHERE e.vec_id <> pr.pid
+),
+ranked AS (
+    SELECT pid, nid, cos,
+           CAST(row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+    FROM cand
+)
+SELECT CAST(pid AS BIGINT) AS probe_id, CAST(nid AS BIGINT) AS neighbor_id, rank, cos
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def pipeline_oracles() -> dict[str, str]:
+    return {
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # LSH + exact-verify returns exactly the exhaustive pairs when
+        # banding recall is 1 at the threshold (asserted in tests) —
+        # the oracle is the exhaustive computation.
+        "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        "simhash": _simhash_sql(),
+        "lang_id": _lang_id_sql(),
+        "quality_score": _QUALITY_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+    }

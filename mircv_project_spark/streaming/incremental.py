@@ -1,0 +1,154 @@
+"""Structured-Streaming incremental index maintenance.
+
+The reference is strictly batch (S1: tar.gz scan).  The Spark-native
+engine adds streaming ingestion of new transcript turns:
+
+- ``index_delta_query``: readStream over a transcript directory ->
+  foreachBatch appends (a) doc_index delta rows with globally
+  consistent docIds and (b) flat posting delta rows
+  (term, docid, tf, doc_len) to a delta store.  docIds continue the
+  reference's read-order semantics (``model/InvertedIndex.java:51``:
+  lastDocId++ per arriving document): foreachBatch executes micro-
+  batches sequentially, so batch N's ids start where N-1 ended (the
+  running offset is recovered from the delta store on restart —
+  exactly-once via the streaming checkpoint + idempotent per-batch
+  overwrite into a batch=<epoch> subdirectory).
+- ``compact_index``: merges accumulated deltas into a fresh postings
+  table via the same aggregate_postings used by the batch build —
+  queries on the compacted index are bit-identical to a batch build
+  over the same rows in the same order.
+- ``turns_per_window``: the watermarked event-time aggregation
+  (late-data tolerant ingestion metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index_build import (
+    InvertedIndex,
+    aggregate_postings,
+    filter_indexable,
+    tokenize_stage,
+)
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string,"
+    " ts timestamp"
+)
+
+
+def transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def _next_doc_offset(spark: SparkSession, delta_dir: str) -> int:
+    try:
+        row = (
+            spark.read.parquet(f"{delta_dir}/doc_index")
+            .agg(F.max("docid"))
+            .collect()[0]
+        )
+        return int(row[0] or 0)
+    except Exception:  # first batch: no delta store yet
+        return 0
+
+
+def index_delta_query(
+    spark: SparkSession,
+    input_dir: str,
+    delta_dir: str,
+    checkpoint_dir: str,
+    parse: bool = True,
+    available_now: bool = True,
+):
+    """Start (and return) the streaming query writing index deltas."""
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = filter_indexable(batch_df)
+        if batch_df.isEmpty():
+            return
+        offset = _next_doc_offset(spark, delta_dir)
+        # arrival-order docIds within the batch (reference read-order
+        # semantics); (conv_id, turn_idx) orders rows of one batch.
+        from pyspark.sql import Window
+
+        w = Window.orderBy("conv_id", "turn_idx")
+        with_ids = (
+            batch_df.withColumn(
+                "docid", (F.row_number().over(w) + F.lit(offset)).cast("long")
+            )
+            .withColumn("docno", (F.col("docid") - 1).cast("string"))
+        )
+        tok = tokenize_stage(with_ids, parse)
+        # idempotent per-epoch outputs: reprocessing epoch N overwrites
+        # its own subdirectory instead of double-appending
+        tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len").write.mode(
+            "overwrite"
+        ).parquet(f"{delta_dir}/doc_index/batch={epoch_id}")
+        flat = tok.select(
+            "docid", "doc_len", F.explode("terms").alias("kv")
+        ).select("docid", F.col("kv.term").alias("term"), F.col("kv.tf").alias("tf"), "doc_len")
+        flat.write.mode("overwrite").parquet(f"{delta_dir}/flat/batch={epoch_id}")
+
+    writer = (
+        transcript_stream(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_index(
+    spark: SparkSession, delta_dir: str, parse: bool, codec: str = "vb"
+) -> InvertedIndex:
+    """Merge all accumulated deltas into queryable index tables."""
+    doc_index = spark.read.parquet(f"{delta_dir}/doc_index")
+    flat = spark.read.parquet(f"{delta_dir}/flat").select(
+        "term", "docid", "tf", "doc_len"
+    )
+    row = doc_index.agg(F.count("*"), F.sum("doc_len")).collect()[0]
+    n_docs, sum_dl = int(row[0]), int(row[1] or 0)
+    postings = aggregate_postings(
+        flat, n_docs=n_docs, avgdl=sum_dl / float(n_docs), codec=codec
+    )
+    return InvertedIndex(
+        tokenized=doc_index,
+        doc_index=doc_index.select("docid", "docno", "conv_id", "turn_idx", "doc_len"),
+        flat=flat,
+        postings=postings,
+        n_docs=n_docs,
+        sum_doc_len=sum_dl,
+        parse=parse,
+        codec=codec,
+    )
+
+
+def turns_per_window(
+    stream: DataFrame, window: str = "1 minute", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Watermarked event-time aggregation: turns + distinct-ish convs
+    per (window, role).  Late rows beyond the watermark are dropped;
+    state is bounded by watermark horizon."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("role"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "turns",
+            "approx_convs",
+        )
+    )

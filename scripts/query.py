@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Query CLI — the engine's ``query_processor.jar`` equivalent
+(reference: ``queryProcessor/QueryProcessorMain.java``): batch TREC
+evaluation over a query TSV, or single ad-hoc queries; '+'-prefixed
+queries run conjunctive (QueryProcessorMain.java:60-61).
+
+    spark-submit --py-files dist/mircv_project_spark.zip scripts/query.py \
+        --index /path/to/index --queries queries.tsv --standard bm25 -k 10
+
+Output: TREC lines ``qid Q0 docno rank score STANDARD``
+(QueryProcessorMain.java:112-118).  Batch mode sorts each query's
+tokens alphabetically and forces disjunctive evaluation, matching the
+reference's TREC path (QueryProcessorMain.java:105-108).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument("--queries", default=None, help="TSV qid\\ttext (TREC batch)")
+    p.add_argument("--query", default=None, help="single query text ('+...' = conjunctive)")
+    p.add_argument("--standard", default="bm25", choices=["bm25", "tfidf"])
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--exhaustive", action="store_true",
+                   help="distributed exhaustive scorer instead of MaxScore")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from mircv_project_spark.operators.maxscore import maxscore_topk_df
+    from mircv_project_spark.operators.topk import trec_format
+    from mircv_project_spark.session import get_spark
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    spark = get_spark("mircv-query", master=args.master)
+    reader = IndexReader.from_dir(spark, args.index)
+
+    queries: list[tuple[str, str]] = []
+    conjunctive = False
+    if args.queries:
+        with open(args.queries, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    qid, text = line.rstrip("\n").split("\t", 1)
+                    queries.append((qid, text))
+    elif args.query is not None:
+        text = args.query
+        if text.startswith("+"):
+            conjunctive, text = True, text[1:]
+        queries = [("0", text)]
+    else:
+        p.error("one of --queries / --query is required")
+
+    out = maxscore_topk_df(reader, queries, args.standard, k=args.k,
+                           conjunctive=conjunctive)
+    for r in trec_format(out, args.standard).collect():
+        print(f"{r['qid']} Q0 {r['docno']} {r['rank']} {r['score']} {r['standard']}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Physical-plan tests: the scale properties, asserted on explain()
+output (SURVEY §4: what Catalyst must be doing for this design)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mircv_project_spark.functions import codecs
+from mircv_project_spark.operators import scoring, topk
+from mircv_project_spark.operators.index_build import (
+    build_index,
+    filter_indexable,
+    write_index,
+)
+from mircv_project_spark.oracle import QUERY_SET
+from mircv_project_spark.plans import checks
+from mircv_project_spark.sources.index_store import IndexReader
+from mircv_project_spark.sources.transcripts import assign_doc_ids, load_transcripts
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def stored_index(spark, tmp_path_factory):
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    idx = build_index(spark, t, parse=False, codec=codecs.VB)
+    out = str(tmp_path_factory.mktemp("planidx") / "index")
+    write_index(idx, out)
+    return idx, out
+
+
+def test_posting_fetch_prunes_partitions_and_pushes_term(spark, stored_index):
+    _, out = stored_index
+    reader = IndexReader.from_dir(spark, out)
+    terms = ["spark", "join"]
+    brows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(reader.term_buckets)).cast("int"))
+        .collect()
+    )
+    pruned = reader.postings.where(
+        F.col("bucket").isin([r[0] for r in brows])
+    ).where(F.col("term").isin(terms))
+    checks.assert_partition_pruned(pruned, "bucket")
+    checks.assert_filter_pushed(pruned, "term")
+
+
+def test_exhaustive_topk_broadcasts_query_terms(spark, stored_index):
+    idx, _ = stored_index
+    df = topk.exhaustive_topk(idx, QUERY_SET, scoring.BM25, k=10)
+    checks.assert_broadcast_join(df)
+    checks.assert_no_sort_merge_join(df)
+    checks.assert_whole_stage_codegen(df)
+
+
+def test_doc_index_scan_prunes_columns(spark, stored_index):
+    _, out = stored_index
+    reader = IndexReader.from_dir(spark, out)
+    two_cols = reader.doc_index.select("docid", "doc_len")
+    text = checks.plan_text(two_cols)
+    # ReadSchema must contain only the projected columns
+    read_schema = text.split("ReadSchema:")[1].splitlines()[0]
+    assert "docid" in read_schema and "doc_len" in read_schema
+    assert "conv_id" not in read_schema, text

@@ -1,0 +1,105 @@
+"""Streaming incremental indexing + checkpoint-resume (SURVEY §5.2.5):
+- streaming deltas compacted == batch build over the same rows;
+- watermarked windowed aggregation runs end-to-end;
+- staged_build resumes from completed stages (lineage records skips)
+  and its queries match the in-memory build.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mircv_project_spark.operators import scoring, topk
+from mircv_project_spark.operators.index_build import (
+    build_index,
+    filter_indexable,
+    staged_build,
+)
+from mircv_project_spark.oracle import QUERY_SET
+from mircv_project_spark.sources.transcripts import assign_doc_ids, generate_transcripts
+from mircv_project_spark.streaming import incremental as S
+from tests.conftest import SF_SMALL
+
+
+def _topk_rows(idx, queries=QUERY_SET[:4]):
+    return sorted(
+        tuple(r)
+        for r in topk.exhaustive_topk(idx, queries, scoring.BM25, k=10).collect()
+    )
+
+
+def test_streaming_deltas_match_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_t = generate_transcripts(spark, 400, seed=11).orderBy("conv_id", "turn_idx")
+    # two arrival batches in conv order (streaming docIds are
+    # arrival-order, the reference's read-order semantics)
+    part1 = all_t.where(F.col("conv_id") < "conv-000000000025")
+    part2 = all_t.where(F.col("conv_id") >= "conv-000000000025")
+    part1.coalesce(1).write.mode("overwrite").parquet(f"{inp}/b1")
+    q = S.index_delta_query(spark, f"{inp}/b1", delta, ckpt, parse=False)
+    q.awaitTermination(120)
+    part2.coalesce(1).write.mode("append").parquet(f"{inp}/b1")
+    q2 = S.index_delta_query(spark, f"{inp}/b1", delta, ckpt, parse=False)
+    q2.awaitTermination(120)
+
+    streamed = S.compact_index(spark, delta, parse=False)
+    batch = build_index(
+        spark, assign_doc_ids(filter_indexable(all_t)), parse=False
+    )
+    assert streamed.n_docs == batch.n_docs
+    assert streamed.sum_doc_len == batch.sum_doc_len
+    assert _topk_rows(streamed) == _topk_rows(batch)
+
+
+def test_watermarked_window_agg(spark, tmp_path):
+    inp = str(tmp_path / "win_in")
+    generate_transcripts(spark, 300, seed=3).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    agg = S.turns_per_window(S.transcript_stream(spark, inp))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("winagg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from winagg").collect()
+    assert rows
+    assert sum(r["turns"] for r in rows) == 300
+    assert {r["role"] for r in rows} <= {"user", "assistant", "system", "tool"}
+
+
+def test_staged_build_resumes(spark, tmp_path):
+    from mircv_project_spark.sources.transcripts import load_transcripts
+
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    work = str(tmp_path / "stagework")
+
+    idx1 = staged_build(spark, t, work, parse=False)
+    mem = build_index(spark, t, parse=False)
+    assert idx1.n_docs == mem.n_docs
+    assert _topk_rows(idx1) == _topk_rows(mem)
+
+    # resume: rerun -> all stages skipped
+    idx2 = staged_build(spark, t, work, parse=False)
+    assert _topk_rows(idx2) == _topk_rows(mem)
+    lines = [json.loads(x) for x in open(f"{work}/lineage.jsonl")]
+    tok_runs = [x for x in lines if x["stage"] == "tokenized"]
+    post_runs = [x for x in lines if x["stage"] == "postings"]
+    assert tok_runs[0]["skipped"] is False and tok_runs[-1]["skipped"] is True
+    assert post_runs[0]["skipped"] is False and post_runs[-1]["skipped"] is True
+    # partial resume: drop postings stage only -> tokenized still skipped
+    import shutil
+
+    shutil.rmtree(f"{work}/postings")
+    idx3 = staged_build(spark, t, work, parse=False)
+    assert _topk_rows(idx3) == _topk_rows(mem)
+    lines = [json.loads(x) for x in open(f"{work}/lineage.jsonl")]
+    assert [x for x in lines if x["stage"] == "tokenized"][-1]["skipped"] is True
+    assert [x for x in lines if x["stage"] == "postings"][-1]["skipped"] is False
