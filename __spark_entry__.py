@@ -63,7 +63,7 @@ def _q_doc_index(spark, sf_dir):
 
 def _q_collection_stats(spark, sf_dir):
     idx = _index(spark, sf_dir, parse=False)
-    n_terms = idx.postings.count()
+    n_terms = idx.lexicon.count()
     return spark.range(1).select(
         F.lit(idx.n_docs).cast("long").alias("n_docs"),
         F.lit(idx.sum_doc_len).cast("long").alias("sum_doc_len"),
@@ -74,7 +74,7 @@ def _q_collection_stats(spark, sf_dir):
 
 def _q_lexicon(spark, sf_dir):
     idx = _index(spark, sf_dir, parse=False)
-    return idx.postings.select(
+    return idx.lexicon.select(
         "term",
         "df",
         "cf",

@@ -58,8 +58,8 @@ def _build_synthetic(spark, n_turns: int) -> float:
     t0 = time.monotonic()
     t = generate_transcripts(spark, n_turns)
     t = assign_doc_ids(filter_indexable(t))
-    idx = build_index(spark, t, parse=True)
-    idx.postings.write.mode("overwrite").format("noop").save()
+    idx = build_index(spark, t, parse=True)  # materializes the posting runs
+    idx.lexicon.write.mode("overwrite").format("noop").save()
     return time.monotonic() - t0
 
 

@@ -54,7 +54,8 @@ class InvertedIndex:
     tokenized: DataFrame  # docid, docno, conv_id, turn_idx, doc_len, terms
     doc_index: DataFrame  # docid, docno, conv_id, turn_idx, doc_len
     flat: DataFrame  # term, docid, tf, doc_len  (pre-compression postings)
-    postings: DataFrame  # term, df, cf, idf, bm25_ub, tfidf_ub, blocks, bucket
+    postings: DataFrame  # run-grained: term, run, run_df, pcf, pbm, ptf, blocks, bucket
+    lexicon: DataFrame  # term, df, cf, idf, bm25_ub, tfidf_ub, n_runs, bucket
     n_docs: int
     sum_doc_len: int
     parse: bool
@@ -115,76 +116,138 @@ def aggregate_postings(
     term_buckets: int = config.POSTINGS_TERM_BUCKETS,
     metrics: dict | None = None,
 ) -> DataFrame:
-    """flat (term, docid, tf, doc_len) -> postings table
-    (term, df, cf, idf, bm25_ub, tfidf_ub, blocks, bucket).
+    """flat (term, docid, tf, doc_len) -> run-grained postings table:
 
+    - postings: term, run, run_df, pcf, pbm, ptf, blocks, bucket
+      (the lexicon — term-level df/cf/idf/UBs — derives from the run
+      scalars via lexicon_from_runs() AFTER this table materializes,
+      so the posting payload is shuffled exactly once)
+
+    Run-grained layout is the scale-critical decision: a head term's
+    postings are NEVER materialized as one row/array.  Tail terms
+    (df <= heavy_df_threshold) take a SINGLE groupBy(term) shuffle of
+    the posting payload — one run each.  Heavy terms are salted into
+    range-partitioned docId sub-runs (disjoint, increasing ranges) and
+    each run block-encodes independently; since runs are docId-ordered
+    segments, a term's blocks are just its runs' blocks concatenated in
+    run order (the reference's k-way merge property across SPIMI
+    partitions, model/InvertedIndex.java:174-178, kept as metadata
+    instead of re-sorted).
+
+    This mirrors the reference's lexicon.dat / posting-file split.
     Shared by the batch build and the streaming-delta compaction."""
     metrics = metrics if metrics is not None else {}
 
     # --- head-term skew detection (north rule: explicit skew splitting) ---
     t1 = time.monotonic()
-    heavy = [
-        r["term"]
-        for r in flat.groupBy("term")
+    heavy_rows = (
+        flat.groupBy("term")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > heavy_df_threshold)
         .collect()
-    ]
-    metrics["heavy_terms"] = len(heavy)
+    )
+    # per-term fanout scales with df so run payloads stay bounded
+    # (~heavy_df_threshold postings per run, capped at heavy_fanout)
+    heavy_fan = {
+        r["term"]: min(
+            heavy_fanout, max(2, -(-r["df"] // heavy_df_threshold))
+        )
+        for r in heavy_rows
+    }
+    metrics["heavy_terms"] = len(heavy_fan)
     metrics["heavy_detect_sec"] = time.monotonic() - t1
 
-    # salt = range-partition of the docId domain so that per-salt runs
-    # have disjoint, increasing docId ranges -> concatenation in salt
-    # order IS the sorted merge (reference M3 relies on the same
-    # property across SPIMI partitions, model/InvertedIndex.java:174-178).
-    if heavy:
-        salt = F.when(
-            F.col("term").isin(heavy),
-            F.floor(F.col("docid") * heavy_fanout / F.lit(n_docs + 1)).cast("int"),
-        ).otherwise(F.lit(0))
-    else:
-        salt = F.lit(0)
-
-    scored = flat.withColumn("salt", salt).withColumn(
+    scored = flat.withColumn(
         "bm25_coeff", scoring.bm25_coeff_col(F.col("tf"), F.col("doc_len"), avgdl)
     ).withColumn("tfidf_coeff", scoring.tfidf_coeff_col(F.col("tf")))
 
-    partial = scored.groupBy("term", "salt").agg(
+    enc = _encode_blocks_udf(codec)
+
+    def _encode_runs(grouped: DataFrame) -> DataFrame:
+        return grouped.select(
+            "term",
+            "run",
+            F.col("pdf").alias("run_df"),
+            "pcf",
+            "pbm",
+            "ptf",
+            enc(
+                F.transform("rundata", lambda p: p["docid"]),
+                F.transform("rundata", lambda p: p["tf"]),
+                F.transform("rundata", lambda p: p["doc_len"]),
+            ).alias("blocks"),
+        )
+
+    run_agg = [
         F.count("*").alias("pdf"),
         F.sum("tf").alias("pcf"),
         F.max("bm25_coeff").alias("pbm"),
         F.max("tfidf_coeff").alias("ptf"),
-        F.sort_array(F.collect_list(F.struct("docid", "tf", "doc_len"))).alias("run"),
-    )
+        F.sort_array(F.collect_list(F.struct("docid", "tf", "doc_len"))).alias(
+            "rundata"
+        ),
+    ]
 
-    merged = partial.groupBy("term").agg(
-        F.sum("pdf").alias("df"),
-        F.sum("pcf").alias("cf"),
-        F.max("pbm").alias("max_bm25_coeff"),
-        F.max("ptf").alias("max_tfidf_coeff"),
-        F.flatten(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("salt", "run"))),
-                lambda x: x["run"],
+    if heavy_fan:
+        heavy_terms = list(heavy_fan)
+        fan_map = F.create_map(
+            *[F.lit(x) for kv in heavy_fan.items() for x in kv]
+        )
+        tail = scored.where(~F.col("term").isin(heavy_terms))
+        head = scored.where(F.col("term").isin(heavy_terms))
+        tail_runs = _encode_runs(
+            tail.groupBy("term").agg(*run_agg).withColumn("run", F.lit(0))
+        )
+        head_runs = _encode_runs(
+            head.withColumn(
+                "run",
+                F.floor(
+                    F.col("docid") * fan_map[F.col("term")] / F.lit(n_docs + 1)
+                ).cast("int"),
             )
-        ).alias("plist"),
+            .groupBy("term", "run")
+            .agg(*run_agg)
+        )
+        runs = tail_runs.unionByName(head_runs)
+    else:
+        runs = _encode_runs(
+            scored.groupBy("term").agg(*run_agg).withColumn("run", F.lit(0))
+        )
+
+    bucket = F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    return runs.select(
+        "term", "run", "run_df", "pcf", "pbm", "ptf", "blocks",
+        bucket.alias("bucket"),
     )
 
+
+def lexicon_from_runs(postings_runs: DataFrame, n_docs: int) -> DataFrame:
+    """Run-scalar aggregation -> lexicon
+    (term, df, cf, idf, bm25_ub, tfidf_ub, n_runs, bucket).
+
+    Call on the MATERIALIZED runs table: column pruning keeps the
+    `blocks` payload out of this scan entirely (term-level df/cf/idf/
+    upper bounds per model/InvertedIndex.java:156-166,186-195)."""
     idf = scoring.idf_col(F.col("df"), n_docs)
-    enc = _encode_blocks_udf(codec)
-    return merged.select(
-        "term",
-        "df",
-        "cf",
-        idf.alias("idf"),
-        (F.col("max_bm25_coeff") * idf).alias("bm25_ub"),
-        (F.col("max_tfidf_coeff") * idf).alias("tfidf_ub"),
-        enc(
-            F.transform("plist", lambda p: p["docid"]),
-            F.transform("plist", lambda p: p["tf"]),
-            F.transform("plist", lambda p: p["doc_len"]),
-        ).alias("blocks"),
-        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("bucket"),
+    return (
+        postings_runs.groupBy("term", "bucket")
+        .agg(
+            F.sum("run_df").alias("df"),
+            F.sum("pcf").alias("cf"),
+            F.max("pbm").alias("max_bm25_coeff"),
+            F.max("ptf").alias("max_tfidf_coeff"),
+            F.count("*").alias("n_runs"),
+        )
+        .select(
+            "term",
+            "df",
+            "cf",
+            idf.alias("idf"),
+            (F.col("max_bm25_coeff") * idf).alias("bm25_ub"),
+            (F.col("max_tfidf_coeff") * idf).alias("tfidf_ub"),
+            "n_runs",
+            "bucket",
+        )
     )
 
 
@@ -242,6 +305,9 @@ def build_index(
         term_buckets=term_buckets,
         metrics=metrics,
     )
+    # materialize runs once; the lexicon aggregates their scalars only
+    postings = _materialize(spark, postings, checkpoint_dir, "postings", metrics)
+    lexicon = lexicon_from_runs(postings, n_docs)
 
     metrics["build_sec_total"] = time.monotonic() - t0
     return InvertedIndex(
@@ -249,6 +315,7 @@ def build_index(
         doc_index=doc_index,
         flat=flat,
         postings=postings,
+        lexicon=lexicon,
         n_docs=n_docs,
         sum_doc_len=sum_dl,
         parse=parse,
@@ -361,6 +428,7 @@ def staged_build(
         doc_index=tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len"),
         flat=flat,
         postings=postings,
+        lexicon=lexicon_from_runs(postings, n_docs),
         n_docs=n_docs,
         sum_doc_len=sum_dl,
         parse=parse,
@@ -379,8 +447,11 @@ def write_index(index: InvertedIndex, out_dir: str) -> None:
     bucket(term))``; plain parquet keeps the same layout on disk.
     """
     index.postings.repartition("bucket").sortWithinPartitions(
-        "term"
+        "term", "run"
     ).write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/postings")
+    index.lexicon.repartition("bucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{out_dir}/lexicon")
     index.doc_index.repartitionByRange(
         max(1, index.n_docs // 4_000_000), "docid"
     ).write.mode("overwrite").parquet(f"{out_dir}/doc_index")

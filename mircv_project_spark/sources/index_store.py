@@ -28,7 +28,8 @@ from ..operators.maxscore import TermPostings
 
 @dataclass
 class IndexReader:
-    postings: DataFrame  # term, df, cf, idf, bm25_ub, tfidf_ub, blocks[, bucket]
+    postings: DataFrame  # run-grained: term, run, run_df, ..., blocks[, bucket]
+    lexicon: DataFrame  # term, df, cf, idf, bm25_ub, tfidf_ub, n_runs[, bucket]
     doc_index: DataFrame
     n_docs: int
     sum_doc_len: int
@@ -44,6 +45,7 @@ class IndexReader:
     def from_memory(cls, index: InvertedIndex) -> "IndexReader":
         return cls(
             postings=index.postings,
+            lexicon=index.lexicon,
             doc_index=index.doc_index,
             n_docs=index.n_docs,
             sum_doc_len=index.sum_doc_len,
@@ -57,6 +59,7 @@ class IndexReader:
         stats = spark.read.parquet(f"{path}/stats").collect()[0]
         return cls(
             postings=spark.read.parquet(f"{path}/postings"),
+            lexicon=spark.read.parquet(f"{path}/lexicon"),
             doc_index=spark.read.parquet(f"{path}/doc_index"),
             n_docs=stats["n_docs"],
             sum_doc_len=stats["sum_doc_len"],
@@ -65,14 +68,7 @@ class IndexReader:
             term_buckets=int(stats["term_buckets"]),
         )
 
-    def fetch(self, terms: list[str]) -> dict[str, TermPostings]:
-        """Collect the posting rows for the given terms (driver-side
-        MaxScore input).  Pushes bucket + term predicates down to the
-        scan so pruning happens storage-side."""
-        terms = sorted(set(terms))
-        if not terms:
-            return {}
-        df = self.postings
+    def _prune(self, df: DataFrame, terms: list[str]) -> DataFrame:
         if self.term_buckets and "bucket" in df.columns:
             spark = df.sparkSession
             brows = (
@@ -84,17 +80,40 @@ class IndexReader:
                 .collect()
             )
             df = df.where(F.col("bucket").isin([r[0] for r in brows]))
-        rows = df.where(F.col("term").isin(terms)).select(
-            "term", "df", "idf", "bm25_ub", "tfidf_ub", "blocks"
-        ).collect()
-        return {
-            r["term"]: TermPostings(
-                term=r["term"],
-                df=r["df"],
-                idf=r["idf"],
-                bm25_ub=r["bm25_ub"],
-                tfidf_ub=r["tfidf_ub"],
-                blocks=[b.asDict() for b in r["blocks"]],
-            )
-            for r in rows
+        return df.where(F.col("term").isin(terms))
+
+    def fetch(self, terms: list[str]) -> dict[str, TermPostings]:
+        """Collect lexicon entries + posting runs for the given terms
+        (driver-side MaxScore input).  Bucket + term predicates push
+        down to both scans; a term's runs concatenate in run order
+        (disjoint, increasing docId ranges by construction)."""
+        terms = sorted(set(terms))
+        if not terms:
+            return {}
+        lex = {
+            r["term"]: r
+            for r in self._prune(self.lexicon, terms)
+            .select("term", "df", "idf", "bm25_ub", "tfidf_ub")
+            .collect()
         }
+        runs: dict[str, list] = {}
+        for r in (
+            self._prune(self.postings, terms)
+            .select("term", "run", "blocks")
+            .collect()
+        ):
+            runs.setdefault(r["term"], []).append((r["run"], r["blocks"]))
+        out = {}
+        for term, lrow in lex.items():
+            blocks = []
+            for _, bl in sorted(runs.get(term, []), key=lambda x: x[0]):
+                blocks.extend(b.asDict() for b in bl)
+            out[term] = TermPostings(
+                term=term,
+                df=lrow["df"],
+                idf=lrow["idf"],
+                bm25_ub=lrow["bm25_ub"],
+                tfidf_ub=lrow["tfidf_ub"],
+                blocks=blocks,
+            )
+        return out

@@ -73,6 +73,10 @@ def assign_doc_ids(transcripts: DataFrame, scalable: bool = True) -> DataFrame:
     ranged = ranged.sortWithinPartitions("conv_id", "turn_idx").withColumn(
         "_pid", F.spark_partition_id()
     )
+    # persisted: consumed twice (per-partition counts, then numbering) —
+    # without this the upstream (possibly generator/tokenizer) pipeline
+    # runs twice; at cluster scale this is the checkpointed stage
+    ranged = ranged.persist()
     # per-partition counts -> cumulative start offsets (tiny; collected)
     counts = dict(
         (r["_pid"], r["cnt"])
@@ -157,7 +161,7 @@ def generate_transcripts(
     )
 
 
-_DEFAULT_VOCAB = [
+_BASE_VOCAB = [
     "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
     "hash", "batch", "window", "spark", "order", "data", "column", "join",
     "small", "line", "customer", "query", "stream", "group", "big", "sort",
@@ -166,4 +170,11 @@ _DEFAULT_VOCAB = [
     "thread", "executor", "shuffle", "skew", "salt", "bucket", "codec",
     "running", "universities", "connection", "engines", "tokens", "stemming",
     "retrieval", "ranking", "postings", "compression", "evaluate", "latency",
+]
+
+# realistic vocabulary size: 60 base words stay the Zipf head; suffixed
+# variants form a ~1.5k-word tail so the build sees a head/tail df mix
+# instead of 60 giant posting lists
+_DEFAULT_VOCAB = _BASE_VOCAB + [
+    f"{w}{i}" for i in range(24) for w in _BASE_VOCAB
 ]

@@ -118,9 +118,12 @@ def compact_index(
     n_docs, sum_dl = int(row[0]), int(row[1] or 0)
     postings = aggregate_postings(
         flat, n_docs=n_docs, avgdl=sum_dl / float(n_docs), codec=codec
-    )
+    ).persist()
+    from ..operators.index_build import lexicon_from_runs
+
     return InvertedIndex(
         tokenized=doc_index,
+        lexicon=lexicon_from_runs(postings, n_docs),
         doc_index=doc_index.select("docid", "docno", "conv_id", "turn_idx", "doc_len"),
         flat=flat,
         postings=postings,

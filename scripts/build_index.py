@@ -71,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps({
         "n_docs": idx.n_docs,
         "sum_doc_len": idx.sum_doc_len,
-        "n_terms": idx.postings.count(),
+        "n_terms": idx.lexicon.count(),
         "parse": idx.parse,
         "codec": idx.codec,
         "metrics": idx.metrics,

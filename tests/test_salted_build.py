@@ -1,0 +1,81 @@
+"""Head-term skew splitting: force the salted path (tiny
+heavy_df_threshold) and verify the run-grained index is byte-for-byte
+rank-identical to the unsalted build — salting must be invisible to
+queries (SURVEY §2.3 A3 / §7 risk register)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mircv_project_spark.operators import scoring, topk
+from mircv_project_spark.operators.index_build import (
+    build_index,
+    filter_indexable,
+)
+from mircv_project_spark.operators.maxscore import maxscore_topk_df
+from mircv_project_spark.oracle import CONJ_QUERY_SET, QUERY_SET
+from mircv_project_spark.sources.index_store import IndexReader
+from mircv_project_spark.sources.transcripts import assign_doc_ids, load_transcripts
+from tests.conftest import SF_SMALL
+
+
+def _cmp(df_a, df_b):
+    a = df_a.toPandas().sort_values(["qid", "rank"], ignore_index=True)
+    b = df_b.toPandas().sort_values(["qid", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_salted_build_rank_identical(spark):
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    plain = build_index(spark, t, parse=False)
+    salted = build_index(
+        spark, t, parse=False, heavy_df_threshold=50, heavy_fanout=8
+    )
+    assert salted.metrics["heavy_terms"] > 0, "threshold should trip on this corpus"
+
+    # head terms really are split into multiple runs with disjoint,
+    # increasing docid ranges (run order == docid order)
+    multi = salted.postings.groupBy("term").agg(
+        F.count("*").alias("n_runs")
+    ).where(F.col("n_runs") > 1)
+    assert multi.count() > 0
+
+    # lexicon scalars identical between salted and plain builds
+    lp = plain.lexicon.select("term", "df", "cf", "idf", "bm25_ub", "tfidf_ub")
+    ls = salted.lexicon.select("term", "df", "cf", "idf", "bm25_ub", "tfidf_ub")
+    assert lp.exceptAll(ls).count() == 0 and ls.exceptAll(lp).count() == 0
+
+    # MaxScore over the salted run-grained store == exhaustive over plain
+    for conj, qs in [(False, QUERY_SET), (True, CONJ_QUERY_SET)]:
+        ex = topk.exhaustive_topk(plain, qs, scoring.BM25, k=10, conjunctive=conj)
+        ms = maxscore_topk_df(
+            IndexReader.from_memory(salted), qs, scoring.BM25, k=10, conjunctive=conj
+        )
+        _cmp(ex, ms)
+
+
+def test_run_docid_ranges_disjoint(spark):
+    from mircv_project_spark.functions import codecs as C
+
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    salted = build_index(
+        spark, t, parse=False, heavy_df_threshold=50, heavy_fanout=8
+    )
+    rows = salted.postings.select("term", "run", "blocks").collect()
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append((r["run"], r["blocks"]))
+    checked = 0
+    for term, runs in by_term.items():
+        if len(runs) < 2:
+            continue
+        prev_max = -1
+        for _, blocks in sorted(runs, key=lambda x: x[0]):
+            ids = []
+            for b in blocks:
+                i, _, _ = C.decode_block(b.asDict(), codec=C.VB)
+                ids.extend(i.tolist())
+            assert ids == sorted(ids)
+            assert ids[0] > prev_max
+            prev_max = ids[-1]
+        checked += 1
+    assert checked > 0
