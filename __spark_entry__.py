@@ -164,6 +164,51 @@ def _q_ivf_cosine_topk(spark, sf_dir):
     return ivf_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _topk_compressed(standard: str):
+    """Distributed top-k over the compressed block store (codecs + the
+    run-grained layout inside the oracle-checked path)."""
+
+    def run(spark, sf_dir):
+        from mircv_project_spark.operators.topk import topk_from_blocks
+        from mircv_project_spark.sources.index_store import IndexReader
+
+        idx = _index(spark, sf_dir, parse=False)
+        return topk_from_blocks(
+            IndexReader.from_memory(idx), oracle.QUERY_SET, standard, k=oracle.TOPK_K
+        )
+
+    return run
+
+
+def _topk_maxscore(standard: str):
+    """Driver-side MaxScore dynamic pruning under the oracle gate."""
+
+    def run(spark, sf_dir):
+        from mircv_project_spark.operators.maxscore import maxscore_topk_df
+        from mircv_project_spark.sources.index_store import IndexReader
+
+        idx = _index(spark, sf_dir, parse=False)
+        return maxscore_topk_df(
+            IndexReader.from_memory(idx), oracle.QUERY_SET, standard, k=oracle.TOPK_K
+        )
+
+    return run
+
+
+def _q_eval_metrics(spark, sf_dir):
+    """trec_eval stage: per-query MAP@10 / nDCG@10 of the BM25 run
+    against deterministic synthetic qrels (SURVEY §5.1)."""
+    from mircv_project_spark.operators.evaluation import (
+        evaluate_run,
+        synthetic_qrels,
+    )
+
+    idx = _index(spark, sf_dir, parse=False)
+    run = topk.exhaustive_topk(idx, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+    qrels = synthetic_qrels(_docs(spark, sf_dir), oracle.QUERY_SET)
+    return evaluate_run(run, qrels, k=oracle.TOPK_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR engine (reference parity) ---
@@ -174,6 +219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _topk_query(scoring.TFIDF, False, False),
         "bm25_topk_conjunctive": _topk_query(scoring.BM25, True, False),
         "tfidf_topk_conjunctive": _topk_query(scoring.TFIDF, True, False),
+        # same oracles as bm25/tfidf_topk: the compressed-store scan and
+        # the MaxScore pruner must reproduce the exhaustive ranking
+        "bm25_topk_compressed": _topk_compressed(scoring.BM25),
+        "tfidf_topk_compressed": _topk_compressed(scoring.TFIDF),
+        "bm25_topk_maxscore": _topk_maxscore(scoring.BM25),
+        "bm25_eval_metrics": _q_eval_metrics,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
         # docstring); driver records rows-only check, pytest covers parity.
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),

@@ -1,0 +1,93 @@
+"""Retrieval-quality evaluation: MAP@k and nDCG@k per query.
+
+The reference's evaluation chapter scores TREC runs with trec_eval
+against qrels (SURVEY §5.1: evaluation/qrels.txt, MAP@20 / nDCG@20).
+This module reproduces that step as DataFrame ops:
+
+- ``synthetic_qrels``: deterministic relevance judgments over the test
+  corpus — grade = min(3, #distinct query terms contained in the doc)
+  (noparse tokens), graded 1-3, 0/absent = not relevant.  No external
+  data; the DuckDB oracle restates the same derivation.
+- ``evaluate_run``: standard definitions over a TREC-shaped run
+  (qid, docno, rank, score):
+      AP@k    = sum_r  rel_r * (cum_rel_r / r) / R,   R = |relevant|
+      nDCG@k  = DCG@k / IDCG@k,  DCG = sum_r (2^grade - 1)/log2(r+1)
+  Queries with no relevant docs are omitted (trec_eval behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import tokens_col
+
+
+def synthetic_qrels(
+    docs: DataFrame, queries: list[tuple[str, str]], id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (qid, docno string, grade int) for grade > 0 only."""
+    from .topk import query_terms
+
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(q, t) for q, t, _ in query_terms(queries, parse=False)],
+        "qid string, term string",
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("docno_l"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+    )
+    matched = toks.join(F.broadcast(qt), "term").groupBy("qid", "docno_l").agg(
+        F.count("*").alias("matched")
+    )
+    return matched.select(
+        "qid",
+        F.col("docno_l").cast("string").alias("docno"),
+        F.least(F.col("matched"), F.lit(3)).cast("int").alias("grade"),
+    )
+
+
+def evaluate_run(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """run (qid, docno, rank, score) + qrels (qid, docno, grade)
+    -> (qid, ap, ndcg) rounded to 6, one row per qid with >=1 relevant."""
+    run_k = run.where(F.col("rank") <= k)
+    joined = run_k.join(qrels, ["qid", "docno"], "left").withColumn(
+        "grade", F.coalesce(F.col("grade"), F.lit(0))
+    )
+    w = Window.partitionBy("qid").orderBy("rank")
+    rel = (F.col("grade") > 0).cast("int")
+    per_rank = joined.withColumn("rel", rel).withColumn(
+        "cum_rel", F.sum("rel").over(w)
+    )
+    dcg_term = (F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.log2(
+        F.col("rank") + 1.0
+    )
+    agg = per_rank.groupBy("qid").agg(
+        F.sum(F.col("rel") * F.col("cum_rel") / F.col("rank")).alias("ap_num"),
+        F.sum(dcg_term).alias("dcg"),
+    )
+    # R = total relevant per qid; IDCG = ideal DCG over top-k grades
+    r_tot = qrels.groupBy("qid").agg(F.count("*").alias("r_total"))
+    wq = Window.partitionBy("qid").orderBy(F.col("grade").desc(), F.col("docno"))
+    ideal = (
+        qrels.withColumn("irank", F.row_number().over(wq))
+        .where(F.col("irank") <= k)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                / F.log2(F.col("irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    return (
+        agg.join(r_tot, "qid")
+        .join(ideal, "qid")
+        .select(
+            "qid",
+            F.round(F.col("ap_num") / F.col("r_total"), 6).alias("ap"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

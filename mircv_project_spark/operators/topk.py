@@ -47,50 +47,38 @@ def query_terms(queries: list[tuple[str, str]], parse: bool) -> list[tuple[str, 
     return rows
 
 
-def exhaustive_topk(
-    index: InvertedIndex,
-    queries: list[tuple[str, str]],
-    standard: str = scoring.BM25,
-    k: int = 10,
-    conjunctive: bool = False,
-) -> DataFrame:
-    """-> DataFrame(qid string, docno string, rank long, score double)."""
-    spark = index.flat.sparkSession
-    qt_rows = query_terms(queries, index.parse)
-    if not qt_rows:
-        return spark.createDataFrame(
-            [], "qid string, docno string, rank long, score double"
-        )
+_EMPTY_SCHEMA = "qid string, docno string, rank long, score double"
 
-    # resolve df for each query term driver-side (tiny); missing terms drop
-    terms = sorted({t for _, t, _ in qt_rows})
-    lex = (
-        index.flat.where(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .collect()
-    )
-    df_by_term = {r["term"]: r["df"] for r in lex}
+
+def _resolve_query_terms(spark, qt_rows, df_by_term):
+    """Attach df, drop missing terms, compute conjunctive requirements."""
     qt_rows = [(q, t, c, df_by_term[t]) for q, t, c in qt_rows if t in df_by_term]
     if not qt_rows:
-        return spark.createDataFrame(
-            [], "qid string, docno string, rank long, score double"
-        )
-    n_required = {}
+        return None, None
+    n_required: dict[str, int] = {}
     for q, _, _, _ in qt_rows:
         n_required[q] = n_required.get(q, 0) + 1
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf int, df long")
+    return qt, n_required
 
-    qt = spark.createDataFrame(
-        qt_rows, "qid string, term string, qtf int, df long"
-    )
 
-    matched = index.flat.join(F.broadcast(qt), "term")
+def _score_and_rank(
+    matched: DataFrame,
+    standard: str,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    conjunctive: bool,
+    n_required: dict[str, int],
+) -> DataFrame:
+    """(qid, qtf, df, docid, tf, doc_len) rows -> top-k result frame.
+    Shared by the flat (pre-compression) and block-store query paths."""
     if standard == scoring.BM25:
         s = scoring.bm25_col(
-            F.col("tf"), F.col("doc_len"), F.col("df"), index.n_docs, index.avgdl
+            F.col("tf"), F.col("doc_len"), F.col("df"), n_docs, avgdl
         )
     elif standard == scoring.TFIDF:
-        s = scoring.tfidf_col(F.col("tf"), F.col("df"), index.n_docs)
+        s = scoring.tfidf_col(F.col("tf"), F.col("df"), n_docs)
     else:
         raise ValueError(f"unknown standard {standard!r}")
 
@@ -100,9 +88,7 @@ def exhaustive_topk(
         .agg(F.sum("contrib").alias("raw_score"), F.count("*").alias("nmatch"))
     )
     if conjunctive:
-        req = F.create_map(
-            *[F.lit(x) for kv in n_required.items() for x in kv]
-        )
+        req = F.create_map(*[F.lit(x) for kv in n_required.items() for x in kv])
         scored = scored.where(F.col("nmatch") == req[F.col("qid")])
 
     w = Window.partitionBy("qid").orderBy(
@@ -118,6 +104,105 @@ def exhaustive_topk(
             "rank",
             "score",
         )
+    )
+
+
+def exhaustive_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """-> DataFrame(qid string, docno string, rank long, score double)."""
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    # resolve df for each query term driver-side (tiny); missing terms drop
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.flat.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    qt, n_required = _resolve_query_terms(
+        spark, qt_rows, {r["term"]: r["df"] for r in lex}
+    )
+    if qt is None:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    matched = index.flat.join(F.broadcast(qt), "term")
+    return _score_and_rank(
+        matched, standard, index.n_docs, index.avgdl, k, conjunctive, n_required
+    )
+
+
+def topk_from_blocks(
+    reader,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Distributed top-k reading the COMPRESSED block store — the scale
+    query path for posting lists too large to pull to the driver.
+
+    Plan: bucket/term-pruned scan of the run-grained postings table ->
+    explode blocks -> Arrow-batched block decode (one numpy decode per
+    block, rows regenerated via mapInPandas) -> broadcast-join the tiny
+    query-term table -> same shared scoring/agg/rank tail as the flat
+    path.  Rank-identical to exhaustive_topk and MaxScore; exercised
+    against the same DuckDB oracle (bm25_topk_compressed)."""
+    import pandas as pd
+
+    from ..functions import codecs as C
+
+    spark = reader.postings.sparkSession
+    qt_rows = query_terms(queries, reader.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    terms = sorted({t for _, t, _ in qt_rows})
+
+    lex = reader._prune(reader.lexicon, terms).select("term", "df").collect()
+    qt, n_required = _resolve_query_terms(
+        spark, qt_rows, {r["term"]: r["df"] for r in lex}
+    )
+    if qt is None:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    blocks = reader._prune(reader.postings, terms).select(
+        "term", F.explode("blocks").alias("b")
+    )
+    codec = reader.codec
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for term, b in zip(pdf["term"], pdf["b"]):
+                ids, tfs, dls = C.decode_block(b, codec=codec)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "docid": ids.astype("int64"),
+                            "tf": tfs.astype("int32"),
+                            "doc_len": dls.astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    flat = blocks.mapInPandas(
+        decode, "term string, docid long, tf int, doc_len int"
+    )
+    matched = flat.join(F.broadcast(qt), "term")
+    return _score_and_rank(
+        matched, standard, reader.n_docs, reader.avgdl, k, conjunctive, n_required
     )
 
 

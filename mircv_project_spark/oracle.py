@@ -136,7 +136,8 @@ _BM25 = (
 _TFIDF = "(1 + log10(p.tf)) * log10(s.n_docs / q.df)"
 
 
-def _topk_sql(queries, standard: str, conjunctive: bool, k: int) -> str:
+def _ranked_ctes(queries, standard: str, conjunctive: bool) -> str:
+    """WITH-body through the `ranked` CTE (shared by top-k + eval SQL)."""
     expr = _BM25 if standard == "bm25" else _TFIDF
     conj_filter = (
         "JOIN nreq r ON sc.qid = r.qid WHERE sc.nmatch = r.n_required"
@@ -162,10 +163,66 @@ ranked AS (
            ) AS BIGINT) AS rank
     FROM scored sc
     {conj_filter}
-)
+)"""
+
+
+def _topk_sql(queries, standard: str, conjunctive: bool, k: int) -> str:
+    return f"""{_ranked_ctes(queries, standard, conjunctive)}
 SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
 FROM ranked WHERE rank <= {k}
 ORDER BY qid, rank
+"""
+
+
+def _eval_sql(queries, standard: str, k: int) -> str:
+    """MAP@k / nDCG@k of the top-k run against synthetic qrels
+    (grade = least(#distinct query terms in doc, 3))."""
+    return f"""{_ranked_ctes(queries, standard, False)},
+dterm AS (
+    SELECT DISTINCT docid, term
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+),
+qrels AS (
+    SELECT q.qid, d.docid, least(count(*), 3) AS grade
+    FROM (SELECT DISTINCT qid, term FROM qterms) q
+    JOIN dterm d USING (term)
+    GROUP BY 1, 2
+),
+runk AS (SELECT qid, docid, rank FROM ranked WHERE rank <= {k}),
+j AS (
+    SELECT r.qid, r.rank, coalesce(g.grade, 0) AS grade
+    FROM runk r LEFT JOIN qrels g ON r.qid = g.qid AND r.docid = g.docid
+),
+pr AS (
+    SELECT qid, rank, grade,
+           CASE WHEN grade > 0 THEN 1 ELSE 0 END AS rel,
+           sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+    FROM j
+),
+agg AS (
+    SELECT qid,
+           sum(rel * cum_rel / rank) AS ap_num,
+           sum((power(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg
+    FROM pr GROUP BY qid
+),
+rtot AS (SELECT qid, count(*) AS r_total FROM qrels GROUP BY qid),
+ideal AS (
+    SELECT qid, sum((power(2.0, grade) - 1.0) / log2(irank + 1.0)) AS idcg
+    FROM (
+        SELECT qid, grade,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY grade DESC, docid
+               ) AS irank
+        FROM qrels
+    )
+    WHERE irank <= {k}
+    GROUP BY qid
+)
+SELECT a.qid, round(a.ap_num / t.r_total, 6) AS ap,
+       round(a.dcg / i.idcg, 6) AS ndcg
+FROM agg a JOIN rtot t ON a.qid = t.qid JOIN ideal i ON a.qid = i.qid
+ORDER BY a.qid
 """
 
 
@@ -206,6 +263,13 @@ ORDER BY a.term
         "tfidf_topk": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_topk_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         "tfidf_topk_conjunctive": _topk_sql(CONJ_QUERY_SET, "tfidf", True, TOPK_K),
+        # alternate execution paths, same semantics -> same oracle:
+        # compressed block-store scan and driver-side MaxScore pruning
+        "bm25_topk_compressed": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "tfidf_topk_compressed": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        "bm25_topk_maxscore": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
+        "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
     }
     out.update(pipeline_oracles())
     return out

@@ -30,3 +30,32 @@ for parse in true false; do
   cp "$d"/qres_*.txt "$OUT/"
 done
 echo "fixtures refreshed in $OUT"
+
+# conjunctive REPL fixture (parsed index, '+' queries via stdin)
+d="$WORK/run_true"
+python - <<PYEOF
+import sys; sys.path.insert(0, "$REPO")
+from mircv_project_spark.oracle import CONJ_QUERY_SET
+with open("$d/conj_input.txt","w") as f:
+    for qid, text in CONJ_QUERY_SET:
+        f.write("+" + text + "\n")
+    f.write("q\n")
+PYEOF
+(cd "$d" && java -jar "$REF/query_processor.jar" true true BM25 false 10 \
+    < conj_input.txt > conj_raw_out.txt)
+python - <<PYEOF
+import re, sys; sys.path.insert(0, "$REPO")
+from mircv_project_spark.oracle import CONJ_QUERY_SET
+raw = open("$d/conj_raw_out.txt").read()
+parts = raw.split("Insert new query")[1:]
+results = []
+for part in parts:
+    rows = re.findall(r"^(\d+)\t([0-9.Ee+-]+)\$", part, re.M)
+    if rows or "No results found" in part:
+        results.append(rows)
+results = results[: len(CONJ_QUERY_SET)]
+with open("$OUT/conj_BM25_parsed.txt", "w") as f:
+    for (qid, _), rows in zip(CONJ_QUERY_SET, results):
+        for rank, (pid, score) in enumerate(rows, 1):
+            f.write(f"{qid} Q0 {pid} {rank} {score} BM25\n")
+PYEOF

@@ -125,6 +125,43 @@ def test_topk_matches_reference_binary(spark, built, standard):
     assert checked_queries >= 10
 
 
+def test_conjunctive_matches_reference_repl(spark, built):
+    """'+'-prefixed conjunctive queries driven through the reference's
+    interactive REPL (fixtures/refrun/conj_BM25_parsed.txt; harness in
+    scripts/gen_reference_parity_fixtures.sh).  Also covers the
+    missing-term case: '+warpcore spark' degrades to the existing terms
+    only (PostingList.loadFromDisk -> null -> dropped)."""
+    from mircv_project_spark.oracle import CONJ_QUERY_SET
+
+    parse, idx, reader = built
+    if not parse:
+        pytest.skip("REPL fixture generated against the parsed index")
+    golden: dict[str, list[tuple[str, float]]] = {}
+    for line in (REFRUN / "conj_BM25_parsed.txt").open(encoding="utf-8"):
+        qid, _q0, docno, _rank, score, _std = line.split()
+        golden.setdefault(qid, []).append((docno, float(score)))
+
+    qtokens = {qid: tokenize(text, True) for qid, text in CONJ_QUERY_SET}
+    tp = reader.fetch(sorted({t for toks in qtokens.values() for t in toks}))
+    for qid, toks in qtokens.items():
+        ours = maxscore_topk(
+            tp, toks, reader.codec, scoring.BM25, reader.n_docs, reader.avgdl,
+            K, conjunctive=True,
+        )
+        want = golden.get(qid, [])
+        assert len(ours) == len(want), (qid, len(ours), len(want))
+        for (d, s), (_wd, ws) in zip(ours, want):
+            assert _close(s, ws), (qid, s, ws)
+        if not want:
+            continue
+        # docno sets must match for scores strictly above the k-th
+        # (boundary ties: reference heap may keep any tie member)
+        kth = want[-1][1]
+        ours_top = {str(d - 1) for d, s in ours if not _close(s, kth)}
+        want_top = {d for d, s in want if not _close(s, kth)}
+        assert ours_top == want_top, (qid, ours_top ^ want_top)
+
+
 def test_collection_stats_match_reference_binary(spark, built):
     """Indexer printed: documentsLen 18202, numberOfTokens 21 for the
     parsed build; 31 terms for not-parsed (both on sf0.01)."""
