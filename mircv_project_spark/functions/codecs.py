@@ -159,6 +159,69 @@ def gamma_decode(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
+# -------------------------------- Elias-Fano --------------------------------
+# The reference's docId codec (model/EliasFano.java), byte-layout
+# compatible: l = max(0, ceil(log2(u/n))) low bits per value packed
+# MSB-first (section padded to a byte), then the high parts as unary
+# cluster counts per bucket ("count ones then a zero", MSB-first,
+# padded to a byte).  Verified against the reference's JUnit golden
+# byte arrays (EliasFanoTest.java:33-126 — see tests/test_codecs.py).
+
+def ef_l(u: int, n: int) -> int:
+    """model/EliasFano.java:31-33."""
+    if n == 0:
+        return 0
+    return max(0, math.ceil(math.log2(u / n)) if u > 0 else 0)
+
+
+def ef_encode(values, u: int | None = None) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    if u is None:
+        u = int(v[-1])
+    l = ef_l(u, n)
+    # low bits, MSB-first within each l-bit group
+    if l > 0:
+        shifts = np.arange(l - 1, -1, -1, dtype=np.uint64)
+        lowbits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        low_packed = np.packbits(lowbits.reshape(-1))
+    else:
+        low_packed = np.zeros(0, dtype=np.uint8)
+    # high parts -> per-bucket counts -> unary "count ones then a zero"
+    highs = (v >> np.uint64(l)).astype(np.int64)
+    n_buckets = int(highs[-1]) + 1
+    counts = np.bincount(highs, minlength=n_buckets)
+    total_bits = int(counts.sum()) + n_buckets
+    bits = np.ones(total_bits, dtype=np.uint8)
+    zero_pos = np.cumsum(counts + 1) - 1
+    bits[zero_pos] = 0
+    high_packed = np.packbits(bits)
+    return low_packed.tobytes() + high_packed.tobytes()
+
+
+def ef_decode(buf: bytes, n: int, u: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    l = ef_l(u, n)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    low_bytes = (l * n + 7) // 8
+    if l > 0:
+        lowbits = np.unpackbits(b[:low_bytes])[: n * l].reshape(n, l)
+        weights = (np.uint64(1) << np.arange(l - 1, -1, -1, dtype=np.uint64))
+        lows = (lowbits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    else:
+        lows = np.zeros(n, dtype=np.uint64)
+    high_bits = np.unpackbits(b[low_bytes:])
+    ones = np.flatnonzero(high_bits == 1)[:n]
+    highs = (ones - np.arange(n)).astype(np.uint64)
+    return (highs << np.uint64(l)) | lows
+
+
+EF = "ef"
+
+
 # ------------------------------- block layout -------------------------------
 
 def block_size_for(n: int) -> int:
@@ -192,6 +255,10 @@ def encode_posting_blocks(docids, tfs, dls, codec: str = VB) -> list[dict]:
             id_bytes = vb_encode(gaps)
         elif codec == GAMMA:
             id_bytes = gamma_encode(gaps)  # gaps >= 1 (ids strictly increasing)
+        elif codec == EF:
+            # reference codec: absolute ids, u = block max (block-local
+            # decode needs only the block's max_doc_id + n metadata)
+            id_bytes = ef_encode(bids, u=int(bids[-1]))
         elif codec == RAW:
             id_bytes = bids.tobytes()
         else:
@@ -217,12 +284,13 @@ def decode_block(block, codec: str = VB):
         dls = np.frombuffer(block["dls"], dtype=np.int64)
         return ids, tfs, dls
     if codec == VB:
-        gaps = vb_decode(block["docids"], n)
+        ids = np.cumsum(vb_decode(block["docids"], n), dtype=np.uint64)
     elif codec == GAMMA:
-        gaps = gamma_decode(block["docids"], n)
+        ids = np.cumsum(gamma_decode(block["docids"], n), dtype=np.uint64)
+    elif codec == EF:
+        ids = ef_decode(block["docids"], n, block["max_doc_id"])
     else:
         raise ValueError(f"unknown codec {codec!r}")
-    ids = np.cumsum(gaps, dtype=np.uint64)
     tfs = unary_decode(block["tfs"], n)
     dls = vb_decode(block["dls"], n).astype(np.int64)
     return ids, tfs, dls

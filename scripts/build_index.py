@@ -38,7 +38,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="stage-checkpoint dir (enables resumable build)")
     p.add_argument("--parse", action="store_true",
                    help="stopword removal + Porter stemming (reference parse=true)")
-    p.add_argument("--codec", default="vb", choices=["vb", "gamma", "raw"])
+    p.add_argument(
+        "--codec", default="vb", choices=["vb", "gamma", "ef", "raw"],
+        help="posting docId codec: variable-byte d-gaps (default), "
+        "Elias-gamma d-gaps, reference-compatible Elias-Fano, or raw",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)

@@ -48,13 +48,47 @@ def test_vb_known_values():
     assert C.vb_decode(bytes([0x00, 0x81]), 1).tolist() == [128]
 
 
+def test_elias_fano_reference_golden_bytes():
+    """The reference's own JUnit golden vectors (EliasFanoTest.java:33-126)
+    — our EF implementation is byte-layout compatible."""
+    cases = [
+        ([16, 18, 24, 25, 26, 30, 32], 32, [8, 21, 0x80, 0x37, 0xA0]),
+        ([1024, 1025, 10000, 10001], 10001, [64, 4, 1, 113, 7, 17, 0xCC]),
+        (
+            [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 512],
+            512,
+            [4, 32, 0xC4, 20, 97, 0xC8, 36, 0xA0, 0, 0xFF, 0xC0, 32],
+        ),
+    ]
+    for vals, u, want in cases:
+        got = C.ef_encode(vals, u=u)
+        assert got == bytes(want), (vals, list(got), want)
+        assert C.ef_decode(got, len(vals), u).tolist() == vals
+
+
+def test_elias_fano_l():
+    # model/EliasFano.java getL: l = max(0, ceil(log2(u/n)))
+    assert C.ef_l(32, 7) == 3
+    assert C.ef_l(10001, 4) == 12
+    assert C.ef_l(512, 11) == 6
+    assert C.ef_l(4, 8) == 0
+
+
+@given(st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_ef_roundtrip(gaps):
+    vals = list(np.cumsum(gaps))
+    u = vals[-1]
+    assert C.ef_decode(C.ef_encode(vals, u=u), len(vals), u).tolist() == vals
+
+
 def test_gamma_known_values():
     # 1 -> '1'; 2 -> '010'; 5 -> '00101'
     assert C.gamma_encode([1]) == np.packbits([1]).tobytes()
     assert C.gamma_encode([2, 5]) == np.packbits([0, 1, 0, 0, 0, 1, 0, 1]).tobytes()
 
 
-@pytest.mark.parametrize("codec", [C.VB, C.GAMMA, C.RAW])
+@pytest.mark.parametrize("codec", [C.VB, C.GAMMA, C.EF, C.RAW])
 @pytest.mark.parametrize("n", [1, 10, 100, 1000, 10000])
 def test_block_roundtrip_and_skip_walk(codec, n):
     """Mirror of CompressedPostingListTest.java:16-60: compress ->

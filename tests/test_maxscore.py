@@ -42,7 +42,7 @@ def test_maxscore_equals_exhaustive(spark, standard, conjunctive):
     _cmp(ex, ms)
 
 
-@pytest.mark.parametrize("codec", [codecs.GAMMA, codecs.RAW])
+@pytest.mark.parametrize("codec", [codecs.GAMMA, codecs.EF, codecs.RAW])
 def test_codecs_rank_identical(spark, codec):
     idx = _build(spark, parse=False, codec=codec)
     reader = IndexReader.from_memory(idx)
