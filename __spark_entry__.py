@@ -195,6 +195,37 @@ def _topk_maxscore(standard: str):
     return run
 
 
+def _q_lexicon_streaming(spark, sf_dir):
+    """Streaming-ingestion path under the oracle gate: the transcripts
+    arrive as two Structured-Streaming micro-batches (arrival order ==
+    the reference's read order), deltas are compacted, and the
+    resulting lexicon must match the same DuckDB oracle as the batch
+    build's lexicon."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.streaming import incremental as S
+
+    base = tempfile.mkdtemp(prefix="mircv_stream_gate_")
+    inp, delta, ckpt = f"{base}/in", f"{base}/delta", f"{base}/ckpt"
+    t = filter_indexable(load_transcripts(spark, sf_dir))
+    split = "conv-00000032"
+    t.where(F.col("conv_id") < split).coalesce(1).write.mode("overwrite").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
+    t.where(F.col("conv_id") >= split).coalesce(1).write.mode("append").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
+    idx = S.compact_index(spark, delta, parse=False)
+    return idx.lexicon.select(
+        "term",
+        "df",
+        "cf",
+        F.round("idf", 6).alias("idf"),
+        F.round("bm25_ub", 6).alias("bm25_ub"),
+        F.round("tfidf_ub", 6).alias("tfidf_ub"),
+    )
+
+
 def _q_eval_metrics(spark, sf_dir):
     """trec_eval stage: per-query MAP@10 / nDCG@10 of the BM25 run
     against deterministic synthetic qrels (SURVEY §5.1)."""
@@ -225,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_compressed": _topk_compressed(scoring.TFIDF),
         "bm25_topk_maxscore": _topk_maxscore(scoring.BM25),
         "bm25_eval_metrics": _q_eval_metrics,
+        "lexicon_streaming": _q_lexicon_streaming,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
         # docstring); driver records rows-only check, pytest covers parity.
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),

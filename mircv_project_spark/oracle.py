@@ -271,6 +271,8 @@ ORDER BY a.term
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
     }
+    # streaming-ingestion compaction must yield the batch lexicon
+    out["lexicon_streaming"] = out["lexicon"]
     out.update(pipeline_oracles())
     return out
 

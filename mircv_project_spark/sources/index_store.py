@@ -17,7 +17,7 @@ spec + column stats; plain parquet keeps identical layout/behavior.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +36,12 @@ class IndexReader:
     parse: bool
     codec: str
     term_buckets: int | None = None  # set when reading a bucketed store
+    # driver-side term cache — the columnar analog of the reference's
+    # lexicon-entry singleton cache (model/Lexicon.java:137-146), except
+    # bounded instead of cleared per query; absent terms cache as None
+    # so repeated misses don't re-scan.
+    cache_size: int = 50_000
+    _cache: dict = field(default_factory=dict, repr=False)
 
     @property
     def avgdl(self) -> float:
@@ -86,10 +92,26 @@ class IndexReader:
         """Collect lexicon entries + posting runs for the given terms
         (driver-side MaxScore input).  Bucket + term predicates push
         down to both scans; a term's runs concatenate in run order
-        (disjoint, increasing docId ranges by construction)."""
-        terms = sorted(set(terms))
+        (disjoint, increasing docId ranges by construction).  Cached
+        terms (including negative lookups) skip Spark entirely."""
+        wanted = sorted(set(terms))
+        out = {
+            t: self._cache[t]
+            for t in wanted
+            if t in self._cache and self._cache[t] is not None
+        }
+        terms = [t for t in wanted if t not in self._cache]
         if not terms:
-            return {}
+            return out
+        fetched = self._fetch_uncached(terms)
+        if len(self._cache) + len(terms) > self.cache_size:
+            self._cache.clear()  # simple bound; reference clears per query
+        for t in terms:
+            self._cache[t] = fetched.get(t)
+        out.update(fetched)
+        return out
+
+    def _fetch_uncached(self, terms: list[str]) -> dict[str, TermPostings]:
         lex = {
             r["term"]: r
             for r in self._prune(self.lexicon, terms)
