@@ -152,6 +152,14 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    from mircv_project_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), oracle.COSINE_DUP_THRESHOLD
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     from mircv_project_spark.operators.similarity import cosine_topk
 
@@ -271,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
         # approximate ANN (IVF) — no SQL oracle by construction; recall
         # floor vs the exact path asserted in tests/test_pipeline_ops.py.
         "ivf_cosine_topk": _q_ivf_cosine_topk,

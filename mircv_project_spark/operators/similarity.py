@@ -70,6 +70,37 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >= t).
+
+    Exact all-pairs form (oracle-checkable).  The scale path bounds the
+    candidate set first — IVF cell equality or hyperplane-signature
+    Hamming radius (see ivf_cosine_topk / lsh_cosine_topk) — and runs
+    this exact cosine only on candidates, same verify-after-blocking
+    pattern as dedup.minhash_lsh_pairs."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 # ------------------------- LSH (random hyperplanes) -------------------------
 
 LSH_BITS = 16

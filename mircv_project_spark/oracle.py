@@ -285,6 +285,7 @@ ORDER BY a.term
 JACCARD_THRESHOLD = 0.8
 PROBE_IDS = list(range(10))
 ANN_K = 5
+COSINE_DUP_THRESHOLD = 0.42
 
 _DOC_TOKENS = f"""
 doctoks AS (
@@ -448,6 +449,25 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+_EMBED_NEAR_DUP_SQL = f"""WITH base AS (
+    SELECT vec_id AS id, embedding AS v,
+           sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+    FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(
+         list_sum(list_transform(range(1, len(a.v) + 1),
+             i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+         / (a.n * b.n), 6) AS cos
+FROM base a JOIN base b ON a.id < b.id
+WHERE round(
+          list_sum(list_transform(range(1, len(a.v) + 1),
+              i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+          / (a.n * b.n), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
         "exact_dedup": _EXACT_DEDUP_SQL,
@@ -462,4 +482,5 @@ def pipeline_oracles() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
+        "embedding_near_dup": _EMBED_NEAR_DUP_SQL,
     }

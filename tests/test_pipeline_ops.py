@@ -20,6 +20,7 @@ PIPELINE_KEYS = [
     "token_counts",
     "fingerprint",
     "cosine_topk",
+    "embedding_near_dup",
 ]
 
 
