@@ -153,10 +153,33 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    from mircv_project_spark.operators.similarity import embedding_near_dup_pairs
+    """Exact near-dup pairs with the distributed chunk-matmul execution
+    shape (no cartesian row explosion) — recall 1.0 by construction,
+    verified against the exhaustive SQL oracle."""
+    from mircv_project_spark.operators.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
 
-    return embedding_near_dup_pairs(
+    return embedding_near_dup_pairs_exact(
         _emb(spark, sf_dir), oracle.COSINE_DUP_THRESHOLD
+    )
+
+
+def _q_embedding_near_dup_blocked(spark, sf_dir):
+    """LSH-banded candidate blocking + exact verify (the 10^9-row scale
+    path).  Band params pinned to the combination whose measured recall
+    on this corpus is 1.0 at sf0.01 and sf0.1 — same oracle as the
+    exact path."""
+    from mircv_project_spark.operators.similarity import (
+        embedding_near_dup_pairs_blocked,
+    )
+
+    return embedding_near_dup_pairs_blocked(
+        _emb(spark, sf_dir),
+        oracle.COSINE_DUP_THRESHOLD,
+        rows_per_band=7,
+        bands=160,
+        seed=1234,
     )
 
 
@@ -188,19 +211,53 @@ def _topk_compressed(standard: str):
     return run
 
 
-def _topk_maxscore(standard: str):
-    """Driver-side MaxScore dynamic pruning under the oracle gate."""
+def _topk_maxscore(standard: str, conjunctive: bool = False):
+    """Driver-side MaxScore dynamic pruning under the oracle gate
+    (both scoring standards and both modes — Scorer.java:85-162)."""
 
     def run(spark, sf_dir):
         from mircv_project_spark.operators.maxscore import maxscore_topk_df
         from mircv_project_spark.sources.index_store import IndexReader
 
         idx = _index(spark, sf_dir, parse=False)
+        qset = oracle.CONJ_QUERY_SET if conjunctive else oracle.QUERY_SET
         return maxscore_topk_df(
-            IndexReader.from_memory(idx), oracle.QUERY_SET, standard, k=oracle.TOPK_K
+            IndexReader.from_memory(idx), qset, standard, k=oracle.TOPK_K,
+            conjunctive=conjunctive,
         )
 
     return run
+
+
+def _q_topk_stored(spark, sf_dir):
+    """On-disk store end-to-end under the oracle gate: write_index to a
+    bucketed parquet layout, reopen with IndexReader.from_dir, answer
+    from the compressed blocks — the persisted layout production
+    queries (reference merged-index files, model/InvertedIndex.java:129-205)."""
+    import tempfile
+
+    from mircv_project_spark.operators.topk import topk_from_blocks
+    from mircv_project_spark.sources.index_store import IndexReader, write_index
+
+    idx = _index(spark, sf_dir, parse=False)
+    store = tempfile.mkdtemp(prefix="mircv_gate_store_")
+    write_index(idx, store)
+    reader = IndexReader.from_dir(spark, store)
+    return topk_from_blocks(reader, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+
+
+def _q_topk_pruned(spark, sf_dir):
+    """Distributed block-max pruned top-k (operators/topk.py
+    topk_from_blocks_pruned): non-essential-term blocks whose docid
+    range holds no candidate are never decoded; must still be
+    rank-identical to the exhaustive oracle."""
+    from mircv_project_spark.operators.topk import topk_from_blocks_pruned
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    idx = _index(spark, sf_dir, parse=False)
+    return topk_from_blocks_pruned(
+        IndexReader.from_memory(idx), oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K
+    )
 
 
 def _q_lexicon_streaming(spark, sf_dir):
@@ -218,7 +275,7 @@ def _q_lexicon_streaming(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="mircv_stream_gate_")
     inp, delta, ckpt = f"{base}/in", f"{base}/delta", f"{base}/ckpt"
     t = filter_indexable(load_transcripts(spark, sf_dir))
-    split = "conv-00000032"
+    split = "conv-000000000032"
     t.where(F.col("conv_id") < split).coalesce(1).write.mode("overwrite").parquet(inp)
     S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
     t.where(F.col("conv_id") >= split).coalesce(1).write.mode("append").parquet(inp)
@@ -263,6 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed": _topk_compressed(scoring.BM25),
         "tfidf_topk_compressed": _topk_compressed(scoring.TFIDF),
         "bm25_topk_maxscore": _topk_maxscore(scoring.BM25),
+        "tfidf_topk_maxscore": _topk_maxscore(scoring.TFIDF),
+        "bm25_maxscore_conjunctive": _topk_maxscore(scoring.BM25, conjunctive=True),
+        "bm25_topk_stored": _q_topk_stored,
+        "bm25_topk_pruned": _q_topk_pruned,
         "bm25_eval_metrics": _q_eval_metrics,
         "lexicon_streaming": _q_lexicon_streaming,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
@@ -280,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
         # approximate ANN (IVF) — no SQL oracle by construction; recall
         # floor vs the exact path asserted in tests/test_pipeline_ops.py.
         "ivf_cosine_topk": _q_ivf_cosine_topk,

@@ -166,6 +166,17 @@ def gamma_decode(buf: bytes, n: int) -> np.ndarray:
 # cluster counts per bucket ("count ones then a zero", MSB-first,
 # padded to a byte).  Verified against the reference's JUnit golden
 # byte arrays (EliasFanoTest.java:33-126 — see tests/test_codecs.py).
+#
+# l == 0 edge (u == n, a dense block of docids starting at 1): the
+# reference pads the empty low-bits section to one byte
+# (EliasFano.roundUp(0) == 8) and we mirror that — but the reference
+# then SIZES the buffer with getL(u+1, n) while ENCODING with
+# getL(u, n) (CompressedPostingList.java:52-58), truncating the last
+# high bit; its own decompress crashes on that output (verified by
+# running the class — tests/test_codecs.py::test_elias_fano_l0_layout).
+# We keep the padding convention but size the high section correctly,
+# so compatibility holds wherever the reference is well-defined (l>=1)
+# and the l==0 case round-trips instead of corrupting.
 
 def ef_l(u: int, n: int) -> int:
     """model/EliasFano.java:31-33."""
@@ -182,13 +193,16 @@ def ef_encode(values, u: int | None = None) -> bytes:
     if u is None:
         u = int(v[-1])
     l = ef_l(u, n)
-    # low bits, MSB-first within each l-bit group
+    # low bits, MSB-first within each l-bit group.  When l == 0 the
+    # reference still pads the empty low-bits section to ONE byte
+    # (EliasFano.roundUp(0) == Byte.SIZE — model/EliasFano.java:13-21),
+    # so the high bits always start at a byte boundary > 0.
     if l > 0:
         shifts = np.arange(l - 1, -1, -1, dtype=np.uint64)
         lowbits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
         low_packed = np.packbits(lowbits.reshape(-1))
     else:
-        low_packed = np.zeros(0, dtype=np.uint8)
+        low_packed = np.zeros(1, dtype=np.uint8)
     # high parts -> per-bucket counts -> unary "count ones then a zero"
     highs = (v >> np.uint64(l)).astype(np.int64)
     n_buckets = int(highs[-1]) + 1
@@ -206,7 +220,8 @@ def ef_decode(buf: bytes, n: int, u: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     l = ef_l(u, n)
     b = np.frombuffer(buf, dtype=np.uint8)
-    low_bytes = (l * n + 7) // 8
+    # reference roundUp: an empty low section still occupies one byte
+    low_bytes = (l * n + 7) // 8 if l > 0 else 1
     if l > 0:
         lowbits = np.unpackbits(b[:low_bytes])[: n * l].reshape(n, l)
         weights = (np.uint64(1) << np.arange(l - 1, -1, -1, dtype=np.uint64))

@@ -139,22 +139,34 @@ def aggregate_postings(
     metrics = metrics if metrics is not None else {}
 
     # --- head-term skew detection (north rule: explicit skew splitting) ---
+    # Stays a DataFrame end-to-end: the heavy set broadcast-joins onto
+    # the postings instead of becoming driver-side isin()/create_map
+    # literal expression trees — with a 10^7-term vocabulary and
+    # thousands of heavy terms the literal form is a giant driver-built
+    # plan; the broadcast join is O(heavy_terms) bytes shipped once.
+    # Bounded by construction: at most total_postings/threshold rows.
     t1 = time.monotonic()
-    heavy_rows = (
+    heavy = (
         flat.groupBy("term")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > heavy_df_threshold)
-        .collect()
-    )
-    # per-term fanout scales with df so run payloads stay bounded
-    # (~heavy_df_threshold postings per run, capped at heavy_fanout)
-    heavy_fan = {
-        r["term"]: min(
-            heavy_fanout, max(2, -(-r["df"] // heavy_df_threshold))
+        .select(
+            "term",
+            # per-term fanout scales with df so run payloads stay
+            # bounded (~heavy_df_threshold postings per run, capped)
+            F.least(
+                F.lit(heavy_fanout),
+                F.greatest(
+                    F.lit(2),
+                    F.ceil(F.col("df") / F.lit(float(heavy_df_threshold))),
+                ),
+            )
+            .cast("int")
+            .alias("fan"),
         )
-        for r in heavy_rows
-    }
-    metrics["heavy_terms"] = len(heavy_fan)
+        .persist()
+    )
+    metrics["heavy_terms"] = heavy.count()
     metrics["heavy_detect_sec"] = time.monotonic() - t1
 
     scored = flat.withColumn(
@@ -188,31 +200,16 @@ def aggregate_postings(
         ),
     ]
 
-    if heavy_fan:
-        heavy_terms = list(heavy_fan)
-        fan_map = F.create_map(
-            *[F.lit(x) for kv in heavy_fan.items() for x in kv]
-        )
-        tail = scored.where(~F.col("term").isin(heavy_terms))
-        head = scored.where(F.col("term").isin(heavy_terms))
-        tail_runs = _encode_runs(
-            tail.groupBy("term").agg(*run_agg).withColumn("run", F.lit(0))
-        )
-        head_runs = _encode_runs(
-            head.withColumn(
-                "run",
-                F.floor(
-                    F.col("docid") * fan_map[F.col("term")] / F.lit(n_docs + 1)
-                ).cast("int"),
-            )
-            .groupBy("term", "run")
-            .agg(*run_agg)
-        )
-        runs = tail_runs.unionByName(head_runs)
-    else:
-        runs = _encode_runs(
-            scored.groupBy("term").agg(*run_agg).withColumn("run", F.lit(0))
-        )
+    # one unified path: tail terms miss the broadcast join (fan null ->
+    # run 0, a single run), heavy terms salt into range-partitioned
+    # docId sub-runs; the shuffle key is (term, run) either way.
+    salted = scored.join(F.broadcast(heavy), "term", "left").withColumn(
+        "run",
+        F.when(F.col("fan").isNull(), F.lit(0))
+        .otherwise(F.floor(F.col("docid") * F.col("fan") / F.lit(n_docs + 1)))
+        .cast("int"),
+    )
+    runs = _encode_runs(salted.groupBy("term", "run").agg(*run_agg))
 
     bucket = F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
     return runs.select(

@@ -125,9 +125,33 @@ class PostingCursor:
         self._pos = pos
 
 
+# Half the rounding quantum of the final 6-decimal rank comparison: a
+# doc whose score bound is below theta - ROUND_EPS can never round into
+# a tie with the current k-th entry, so pruning with this margin keeps
+# the pruned path provably rank-identical to the exhaustive/oracle path
+# (which ranks by round(score, 6) desc, docid asc).
+ROUND_EPS = 0.5e-6
+
+
 def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool) -> list[tuple[int, float]]:
-    """Reference Scorer.maxScore, line-for-line semantics.  Returns
-    [(docid, score)] sorted by (-score, docid), length <= k."""
+    """Reference Scorer.maxScore semantics (``Scorer.java:85-162``) with
+    two deliberate, documented divergences that pin the undefined /
+    buggy edges of the reference to the exhaustive rounding rule:
+
+    - the reference heap compares raw score only, so boundary
+      membership between two docs whose raw scores differ past the 6th
+      decimal is undefined; we keep the heap ordered by
+      (round(score, 6), -docid) and prune with a ROUND_EPS margin, so
+      the kept k-set equals exhaustive_topk's (rounded score desc,
+      docid asc) exactly;
+    - in conjunctive mode the reference heap-adds a doc missing from a
+      NON-essential list with a partial score (Scorer.java breaks out
+      of the non-essential loop and still adds); we require every
+      cursor to contain the doc (matched == n), matching the SQL
+      oracle's strict nmatch == n_required semantics.
+
+    Returns [(docid, raw_score)] sorted by (-round(score,6), docid),
+    length <= k."""
     import heapq
 
     if not cursors:
@@ -139,7 +163,9 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool) -> list[t
         acc += c.ub
         upper.append(acc)
 
-    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap
+    # (rounded_score, -docid, raw_score) min-heap: evicts the lowest
+    # rounded score, largest docid first — the exhaustive boundary rule.
+    heap: list[tuple[float, int, float]] = []
     theta = 0.0
     pivot = 0
     id_to_skip = -1
@@ -148,10 +174,12 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool) -> list[t
     n = len(cursors)
     while pivot < n and current != MAX_DOCID:
         score = 0.0
+        matched = 0
         nxt = MAX_DOCID
         for i in range(pivot, n):
             if cursors[i].docid() == current:
                 score += cursors[i].score()
+                matched += 1
                 cursors[i].next()
             elif conjunctive:
                 if current != -1:
@@ -163,26 +191,31 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool) -> list[t
                         cursors[i].next()
             nxt = min(nxt, cursors[i].docid())
         if current > 0:
+            complete = True
             for i in range(pivot - 1, -1, -1):
-                if score + upper[i] <= theta:
+                if score + upper[i] < theta - ROUND_EPS:
+                    complete = False
                     break
                 cursors[i].next_geq(current)
                 if cursors[i].docid() == current:
                     score += cursors[i].score()
+                    matched += 1
                 elif conjunctive:
+                    complete = False
                     break
-            # add to heap (reference: add, poll if > k, theta = kth)
-            heapq.heappush(heap, (score, -current))
-            if len(heap) > k:
-                heapq.heappop(heap)
-            if len(heap) == k:
-                theta = heap[0][0]
-                while pivot < n and upper[pivot] <= theta:
-                    pivot += 1
+            if not conjunctive or (complete and matched == n):
+                # add to heap (reference: add, poll if > k, theta = kth)
+                heapq.heappush(heap, (round(score, 6), -current, score))
+                if len(heap) > k:
+                    heapq.heappop(heap)
+                if len(heap) == k:
+                    theta = heap[0][0]
+                    while pivot < n and upper[pivot] < theta - ROUND_EPS:
+                        pivot += 1
         current = nxt
 
-    out = [(-negid, s) for s, negid in heap]
-    out.sort(key=lambda t: (-t[1], t[0]))
+    out = [(-negid, raw) for rounded, negid, raw in heap]
+    out.sort(key=lambda t: (-round(t[1], 6), t[0]))
     return out
 
 

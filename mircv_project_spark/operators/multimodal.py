@@ -90,6 +90,7 @@ def extract_features(
                 "this environment; pass decoder=None for the deterministic "
                 "fake or a callable(bytes, kind) -> np.ndarray"
             ) from e
+        decoder = pil_image_features
     decode = decoder if callable(decoder) else _fake_features_by_kind
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,6 +114,24 @@ def extract_features(
 
 def _fake_features_by_kind(payload: bytes, kind: str) -> np.ndarray:
     return _fake_features(payload)
+
+
+def pil_image_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL image decode kernel (used by ``decoder="real"`` when PIL is
+    importable): decode the image bytes, grayscale, resize to a dim x 1
+    thumbnail, features = pixel intensities / 255.  Audio/video kinds
+    still fall back to the deterministic fake (their codecs — ffmpeg /
+    librosa — are heavier deps than this container carries); the
+    conditional test in tests/test_multimodal.py runs the image path
+    end-to-end wherever PIL exists and skips otherwise."""
+    if kind != "image":
+        return _fake_features(payload, dim)
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return (np.asarray(img, dtype=np.float64).reshape(-1) / 255.0).astype(np.float32)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 16384) -> DataFrame:

@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+LSH_BITS = 16
+LSH_SEED = 1234
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -78,11 +82,12 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >= t).
 
-    Exact all-pairs form (oracle-checkable).  The scale path bounds the
-    candidate set first — IVF cell equality or hyperplane-signature
-    Hamming radius (see ivf_cosine_topk / lsh_cosine_topk) — and runs
-    this exact cosine only on candidates, same verify-after-blocking
-    pattern as dedup.minhash_lsh_pairs."""
+    Exact ALL-PAIRS form: ``a.join(b, id_a < id_b)`` is a
+    BroadcastNestedLoop cartesian — O(n^2) rows THROUGH the join.  This
+    is the tiny-scale verifier/oracle restatement only; the production
+    paths are ``embedding_near_dup_pairs_exact`` (exact, chunk-matmul
+    execution shape) and ``embedding_near_dup_pairs_blocked`` (LSH
+    candidates + exact verify)."""
     base = embeddings.select(
         F.col(id_col).cast("long").alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("n", _norm(F.col("v")))
@@ -101,10 +106,210 @@ def embedding_near_dup_pairs(
     )
 
 
-# ------------------------- LSH (random hyperplanes) -------------------------
+def _verify_pairs(
+    embeddings: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine verification of candidate (id_a, id_b) pairs.
 
-LSH_BITS = 16
-LSH_SEED = 1234
+    Two hash equi-joins on id + the SAME JVM column expression (same
+    float64 op order, rounded to 6) as the all-pairs form — so every
+    blocked path is value-identical to the exhaustive computation on
+    the pairs it emits.  The verify-after-blocking shape of
+    dedup.minhash_lsh_pairs."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_size: int = 4096,
+    margin: float = 1e-4,
+) -> DataFrame:
+    """EXACT near-dup pairs with a distributed block-matrix execution
+    shape (recall 1.0 by construction, no cartesian row explosion).
+
+    Vectors hash into G = ceil(n / chunk_size) chunks; every chunk PAIR
+    (i <= j) becomes one task whose ~2*chunk_size rows arrive via two
+    broadcast joins on the tiny (i, j) key table, and one Arrow
+    ``applyInPandas`` computes the chunk-x-chunk cosine as a single
+    float64 BLAS matmul, emitting only candidate ids above
+    ``threshold - margin``.  The exact column-expression verify then
+    recomputes the oracle-rounded cosine for those few survivors.
+
+    Scale: shuffle volume is n * (G+1) rows (each vector replicated
+    once per partner chunk) and compute is n^2/2 multiply-adds spread
+    over G^2/2 independent BLAS tasks — the honest cost of an EXACT
+    all-pairs join, organized so executors stream chunk pairs instead
+    of a BroadcastNestedLoopJoin materializing n^2 joined rows.  For
+    n where n^2 FLOPs is unaffordable, use
+    ``embedding_near_dup_pairs_blocked`` (approximate candidates,
+    recall tunable via band params).
+    """
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    g = max(1, -(-n // chunk_size))
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(g)).cast("int").alias("chunk"),
+    )
+    pair_keys = spark.createDataFrame(
+        [(i, j) for i in range(g) for j in range(i, g)], "ci int, cj int"
+    )
+    left = base.join(F.broadcast(pair_keys), base.chunk == pair_keys.ci).select(
+        "ci", "cj", "id", "v", F.lit("L").alias("side")
+    )
+    right = base.join(
+        F.broadcast(pair_keys.where(F.col("ci") != F.col("cj"))),
+        base.chunk == pair_keys.cj,
+    ).select("ci", "cj", "id", "v", F.lit("R").alias("side"))
+    tagged = left.unionByName(right)
+
+    lo = threshold - margin
+
+    def chunk_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lmask = pdf["side"].to_numpy() == "L"
+        lids = pdf["id"].to_numpy()[lmask]
+        X = np.stack(pdf["v"].to_numpy()[lmask]).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        if key[0] == key[1]:
+            S = Xn @ Xn.T
+            ii, jj = np.nonzero(np.triu(S >= lo, k=1))
+            ia, ib = lids[ii], lids[jj]
+        else:
+            rids = pdf["id"].to_numpy()[~lmask]
+            Y = np.stack(pdf["v"].to_numpy()[~lmask]).astype(np.float64)
+            Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+            ii, jj = np.nonzero(Xn @ Yn.T >= lo)
+            ia, ib = lids[ii], rids[jj]
+        swap = ia > ib
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        return pd.DataFrame({"id_a": ia2.astype("int64"), "id_b": ib2.astype("int64")})
+
+    cand = tagged.groupBy("ci", "cj").applyInPandas(chunk_pairs, "id_a long, id_b long")
+    return _verify_pairs(embeddings, cand, threshold, id_col, vec_col)
+
+
+def lsh_band_params(
+    threshold: float, target_miss: float = 1e-3, max_bands: int = 160, max_rows: int = 16
+) -> tuple[int, int]:
+    """(rows_per_band, bands) for random-hyperplane LSH banding at a
+    cosine threshold: p_bit = 1 - arccos(t)/pi, per-pair miss prob
+    (1 - p_bit^r)^b <= target_miss.  Picks the largest r (best
+    background selectivity) whose required band count fits max_bands.
+    Realistic dedup thresholds (>= 0.8) land around r=16, b<=100 with
+    per-cent candidate fractions; adversarially low thresholds (~0.4,
+    barely above background) degrade toward candidate-fraction ~0.7 —
+    there the exact chunked path is the better tool."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    for r in range(max_rows, 0, -1):
+        pr = p**r
+        if pr >= 1.0:
+            return r, 1
+        b = math.ceil(math.log(target_miss) / math.log(1.0 - pr))
+        if b <= max_bands:
+            return r, b
+    return 1, max_bands
+
+
+def embedding_near_dup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_band: int | None = None,
+    bands: int | None = None,
+    seed: int = LSH_SEED,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Near-dup pairs via banded hyperplane-LSH blocking + exact verify
+    — the 10^9-row scale path (same shape as dedup.minhash_lsh_pairs):
+
+    1. signature: one float64 BLAS matmul per Arrow batch -> per-band
+       r-bit keys (array<int>), no Python per row;
+    2. candidates: posexplode bands -> equi-join on (band, key) with a
+       bucket-size cap guarding degenerate buckets -> distinct pairs.
+       Key cardinality ~ n * bands, uniformly hash-distributed;
+    3. exact cosine verification of candidates only (_verify_pairs,
+       value-identical to the all-pairs computation).
+
+    Probabilistic recall: per-pair miss prob (1 - p^r)^b; defaults come
+    from lsh_band_params(threshold).  The gate entry pins
+    (r=7, b=160, seed=1234), measured recall 1.0 on the driver corpus
+    at sf0.01 AND sf0.1 (tests/test_pipeline_ops.py) — note the driver
+    corpus is the adversarial regime (threshold 0.42 sits in the tail
+    of the background cos distribution, so candidate fraction is ~0.7);
+    at realistic near-dup thresholds (>= 0.8) the same operator prunes
+    >95% of pairs (asserted in tests on planted duplicates)."""
+    if rows_per_band is None or bands is None:
+        rows_per_band, bands = lsh_band_params(threshold)
+    cand = lsh_candidate_pairs(
+        embeddings, rows_per_band, bands, seed, max_bucket, id_col, vec_col
+    )
+    return _verify_pairs(embeddings, cand, threshold, id_col, vec_col)
+
+
+def lsh_candidate_pairs(
+    embeddings: DataFrame,
+    rows_per_band: int,
+    bands: int,
+    seed: int = LSH_SEED,
+    max_bucket: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded-LSH candidate (id_a < id_b) pairs — the blocking stage of
+    embedding_near_dup_pairs_blocked, exposed so tests can measure the
+    candidate fraction and recall independently of the verify."""
+    dims = len(embeddings.select(vec_col).first()[0])
+    keys_udf = band_keys_udf(dims, rows_per_band, bands, seed)
+    sig = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        keys_udf(F.col(vec_col)).alias("keys"),
+    )
+    band_rows = sig.select("id", F.posexplode("keys").alias("band", "key"))
+    # band_rows feeds the bucket-size agg and both join sides: persist
+    band_rows = band_rows.persist()
+    sizes = band_rows.groupBy("band", "key").agg(F.count("*").alias("bs"))
+    pruned = band_rows.join(sizes.where(F.col("bs") <= max_bucket), ["band", "key"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------- LSH (random hyperplanes) -------------------------
 
 
 def _hyperplanes(dims: int, bits: int = LSH_BITS, seed: int = LSH_SEED) -> np.ndarray:
@@ -127,6 +332,24 @@ def signature_udf(dims: int, bits: int = LSH_BITS, seed: int = LSH_SEED):
         return pd.Series(bitsmat @ weights)
 
     return _sig
+
+
+def band_keys_udf(dims: int, rows_per_band: int, bands: int, seed: int = LSH_SEED):
+    """pandas UDF: embedding -> array<int>[bands] of r-bit band keys.
+    One (rows*bands)-hyperplane matmul per Arrow batch; band i's key is
+    the integer value of its r sign bits."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _keys(vecs: pd.Series) -> pd.Series:
+        H = _hyperplanes(dims, rows_per_band * bands, seed)
+        X = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dims)
+        bits = (X @ H.T > 0).reshape(len(X), bands, rows_per_band)
+        w = (1 << np.arange(rows_per_band, dtype=np.int64))
+        keys = (bits * w).sum(axis=2).astype(np.int32)  # (n, bands)
+        return pd.Series(list(keys))
+
+    return _keys
 
 
 # ------------------------------ IVF (coarse quantizer) ------------------------------

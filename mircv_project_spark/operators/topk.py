@@ -120,12 +120,14 @@ def exhaustive_topk(
     if not qt_rows:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
 
-    # resolve df for each query term driver-side (tiny); missing terms drop
+    # resolve df for each query term driver-side (tiny) from the lexicon
+    # (never a re-aggregation of the full postings: the lexicon is the
+    # bucket-pruned term-level table, exactly like the reference's
+    # lexicon.dat lookup — model/Lexicon.java:154-195)
     terms = sorted({t for _, t, _ in qt_rows})
     lex = (
-        index.flat.where(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "df")
         .collect()
     )
     qt, n_required = _resolve_query_terms(
@@ -203,6 +205,219 @@ def topk_from_blocks(
     matched = flat.join(F.broadcast(qt), "term")
     return _score_and_rank(
         matched, standard, reader.n_docs, reader.avgdl, k, conjunctive, n_required
+    )
+
+
+def _decode_blocks_df(blocks: DataFrame, codec: str) -> DataFrame:
+    """(term, b struct) rows -> (term, docid, tf, doc_len) via one
+    Arrow-batched numpy decode per block (shared by the compressed-store
+    query paths)."""
+    import pandas as pd
+
+    from ..functions import codecs as C
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for term, b in zip(pdf["term"], pdf["b"]):
+                ids, tfs, dls = C.decode_block(b, codec=codec)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "docid": ids.astype("int64"),
+                            "tf": tfs.astype("int32"),
+                            "doc_len": dls.astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return blocks.mapInPandas(decode, "term string, docid long, tf int, doc_len int")
+
+
+# Pruning guard: theta is rounded to the 6-decimal ranking grid, so any
+# doc whose score bound falls strictly below theta - ROUND_EPS rounds
+# strictly below theta and can neither displace nor tie the k-th doc.
+_PRUNE_EPS = 0.5e-6
+
+
+def topk_from_blocks_pruned(
+    reader,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Distributed top-k over the compressed store WITH block-max
+    pruning — Q4's skipping benefit on the distributed path (the
+    driver-side analog is operators/maxscore.py nextGEQ).  Rank-safe:
+    provably identical output to topk_from_blocks / exhaustive_topk
+    (same oracle; disjunctive mode only).
+
+    Three passes, all metadata-driven before any payload decode:
+
+    1. theta: decode ONLY the highest-upper-bound term per query; the
+       k-th best single-term contribution is a lower bound on the final
+       k-th score (scores are additive and non-negative).
+    2. essential split (driver-side, per query): terms whose suffix of
+       cumulative upper bounds stays below theta - eps are
+       NON-essential — a doc appearing only in them cannot reach the
+       top k.  All essential-term blocks decode; the docs they contain
+       are the only possible top-k candidates.
+    3. non-essential terms contribute to candidate docs only: the
+       needed block INDEX per (candidate docid, run) comes from the
+       run's block-max array via a pure Catalyst
+       size(filter(maxes, m -> m < docid)) searchsorted — blocks whose
+       docid range contains no candidate are NEVER decoded (nor their
+       payload bytes materialized past the parquet column reader).
+
+    At scale this is the difference between decoding a stopword's 10^9
+    postings and decoding the handful of its blocks that overlap the
+    few thousand candidates from the selective terms.
+    """
+    spark = reader.postings.sparkSession
+    collect_metrics = metrics is not None  # extra count jobs only on request
+    metrics = metrics if metrics is not None else {}
+    qt_rows = query_terms(queries, reader.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    terms = sorted({t for _, t, _ in qt_rows})
+
+    ub_col = "bm25_ub" if standard == scoring.BM25 else "tfidf_ub"
+    lex = {
+        r["term"]: (r["df"], r[ub_col])
+        for r in reader._prune(reader.lexicon, terms)
+        .select("term", "df", ub_col)
+        .collect()
+    }
+    qt_rows = [(q, t, c, lex[t][0]) for q, t, c in qt_rows if t in lex]
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    # per-query term list with contribution upper bounds (qtf * term UB)
+    by_qid: dict[str, list[tuple[str, int, int, float]]] = {}
+    for q, t, c, df in qt_rows:
+        by_qid.setdefault(q, []).append((t, c, df, c * lex[t][1]))
+
+    # --- pass 1: theta from the top-UB term of each query ---
+    t1_pairs = {
+        (q, max(lst, key=lambda x: x[3])[0]) for q, lst in by_qid.items()
+    }
+    t1_terms = sorted({t for _, t in t1_pairs})
+    rows1 = _decode_blocks_df(
+        reader._prune(reader.postings, t1_terms).select(
+            "term", F.explode("blocks").alias("b")
+        ),
+        reader.codec,
+    ).persist()
+    qt1 = spark.createDataFrame(
+        [(q, t, c, df) for q, lst in by_qid.items() for t, c, df, _ in lst
+         if (q, t) in t1_pairs],
+        "qid string, term string, qtf int, df long",
+    )
+    s1 = scoring.bm25_col(
+        F.col("tf"), F.col("doc_len"), F.col("df"), reader.n_docs, reader.avgdl
+    ) if standard == scoring.BM25 else scoring.tfidf_col(F.col("tf"), F.col("df"), reader.n_docs)
+    w = Window.partitionBy("qid").orderBy(F.col("contrib").desc())
+    kth = (
+        rows1.join(F.broadcast(qt1), "term")
+        .select("qid", (F.col("qtf") * s1).alias("contrib"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .select("qid", F.round("contrib", ROUND_DECIMALS).alias("theta"))
+        .collect()
+    )
+    theta = {r["qid"]: r["theta"] for r in kth}  # absent -> <k docs -> 0
+
+    # --- pass 2: essential split + candidates ---
+    ess_pairs, ne_pairs = [], []
+    for q, lst in by_qid.items():
+        th = theta.get(q, 0.0)
+        lst_sorted = sorted(lst, key=lambda x: -x[3])  # ub desc
+        acc = 0.0
+        cut = len(lst_sorted)  # first index (from the end) kept essential
+        for i in range(len(lst_sorted) - 1, 0, -1):  # t1 (index 0) always essential
+            acc += lst_sorted[i][3]
+            if acc < th - _PRUNE_EPS:
+                cut = i
+            else:
+                break
+        for i, (t, c, df, _) in enumerate(lst_sorted):
+            (ess_pairs if i < cut else ne_pairs).append((q, t, c, df))
+
+    ess_terms = sorted({t for _, t, _, _ in ess_pairs})
+    qt_e = spark.createDataFrame(ess_pairs, "qid string, term string, qtf int, df long")
+    rest_e = [t for t in ess_terms if t not in set(t1_terms)]
+    rows_e = rows1
+    if rest_e:
+        rows_e = rows1.unionByName(
+            _decode_blocks_df(
+                reader._prune(reader.postings, rest_e).select(
+                    "term", F.explode("blocks").alias("b")
+                ),
+                reader.codec,
+            )
+        )
+    matched_e = rows_e.join(F.broadcast(qt_e), "term").persist()
+    matched = matched_e
+
+    ne_terms = sorted({t for _, t, _, _ in ne_pairs})
+    if ne_terms:
+        candidates = matched_e.select("qid", "docid").distinct()
+        ne_qt = spark.createDataFrame(
+            ne_pairs, "qid string, term string, qtf int, df long"
+        )
+        # which (term, docid) lookups do we owe the non-essential lists?
+        sel = (
+            candidates.join(F.broadcast(ne_qt.select("qid", "term")), "qid")
+            .select("term", "docid")
+            .distinct()
+        )
+        # searchsorted over run block-max arrays, pure Catalyst
+        run_meta = reader._prune(reader.postings, ne_terms).select(
+            "term",
+            "run",
+            F.transform("blocks", lambda b: b["max_doc_id"]).alias("maxes"),
+        )
+        needed = (
+            sel.join(run_meta, "term")
+            .select(
+                "term",
+                "run",
+                F.size(F.filter("maxes", lambda m: m < F.col("docid"))).alias("bi"),
+                F.size("maxes").alias("nb"),
+            )
+            .where(F.col("bi") < F.col("nb"))
+            .select("term", "run", "bi")
+            .distinct()
+        )
+        ne_blocks = (
+            reader._prune(reader.postings, ne_terms)
+            .select("term", "run", F.posexplode("blocks").alias("bi", "b"))
+            .join(needed, ["term", "run", "bi"])
+            .select("term", "b")
+        )
+        if collect_metrics:
+            metrics["ne_blocks_total"] = (
+                reader._prune(reader.postings, ne_terms)
+                .select(F.explode("blocks"))
+                .count()
+            )
+            metrics["ne_blocks_decoded"] = needed.count()
+        rows_ne = _decode_blocks_df(ne_blocks, reader.codec)
+        matched_ne = rows_ne.join(F.broadcast(ne_qt), "term").join(
+            candidates, ["qid", "docid"], "left_semi"
+        )
+        matched = matched_e.unionByName(matched_ne)
+    metrics["essential_terms"] = len(ess_terms)
+    metrics["non_essential_pairs"] = len(ne_pairs)
+
+    n_req = {q: len(lst) for q, lst in by_qid.items()}
+    return _score_and_rank(
+        matched, standard, reader.n_docs, reader.avgdl, k, False, n_req
     )
 
 

@@ -68,7 +68,7 @@ _TOKENS_EXPR = (
 _PREFIX = f"""
 WITH transcripts AS (
     SELECT doc_id,
-           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 8, '0') AS conv_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
            CAST(doc_id % 8 AS INTEGER) AS turn_idx,
            text
     FROM documents
@@ -268,6 +268,12 @@ ORDER BY a.term
         "bm25_topk_compressed": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_compressed": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_topk_maxscore": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "tfidf_topk_maxscore": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        "bm25_maxscore_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
+        # persisted bucketed store read back via IndexReader.from_dir
+        "bm25_topk_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        # block-max pruned distributed scan (skips never-candidate blocks)
+        "bm25_topk_pruned": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
     }
@@ -483,4 +489,8 @@ def pipeline_oracles() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "embedding_near_dup": _EMBED_NEAR_DUP_SQL,
+        # LSH-blocked + exact-verify path must reproduce the exhaustive
+        # pairs (band params pinned with measured recall 1.0 on this
+        # corpus at sf0.01 and sf0.1 — tests/test_pipeline_ops.py)
+        "embedding_near_dup_blocked": _EMBED_NEAR_DUP_SQL,
     }

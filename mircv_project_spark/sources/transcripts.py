@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 # Deterministic documents -> transcripts mapping.  Chosen so the
 # lexicographic order of (conv_id, turn_idx) equals doc_id order, which
 # makes docid == doc_id + 1 and keeps the DuckDB oracle trivial to state.
+# conv ids zero-pad to 12 digits (same width as generate_transcripts and
+# the oracle SQL) so lexicographic == numeric order holds through 10^12
+# conversations (8 * 10^12 turns) — not just 10^8.
 TURNS_PER_CONV = 8
 _ROLES = ["user", "assistant", "system", "tool"]
 
@@ -36,7 +39,7 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.concat(
             F.lit("conv-"),
-            F.lpad(F.floor(F.col("doc_id") / TURNS_PER_CONV).cast("string"), 8, "0"),
+            F.lpad(F.floor(F.col("doc_id") / TURNS_PER_CONV).cast("string"), 12, "0"),
         ).alias("conv_id"),
         (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
         role.alias("role"),

@@ -47,10 +47,19 @@ def transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def _next_doc_offset(spark: SparkSession, delta_dir: str) -> int:
+def _next_doc_offset(spark: SparkSession, delta_dir: str, epoch_id: int) -> int:
+    """Running docId offset for epoch `epoch_id`.
+
+    Crash-replay idempotence: the scan EXCLUDES the current epoch's own
+    partition (batch >= epoch_id) — a replayed epoch that already wrote
+    rows before the checkpoint committed must recompute the SAME offset
+    it used the first time, so the overwrite reproduces identical
+    docids (no gap, docno mapping equal to the batch build's).
+    """
     try:
         row = (
             spark.read.parquet(f"{delta_dir}/doc_index")
+            .where(F.col("batch") < epoch_id)
             .agg(F.max("docid"))
             .collect()[0]
         )
@@ -73,16 +82,17 @@ def index_delta_query(
         batch_df = filter_indexable(batch_df)
         if batch_df.isEmpty():
             return
-        offset = _next_doc_offset(spark, delta_dir)
+        offset = _next_doc_offset(spark, delta_dir, epoch_id)
         # arrival-order docIds within the batch (reference read-order
         # semantics); (conv_id, turn_idx) orders rows of one batch.
-        from pyspark.sql import Window
+        # Scalable two-pass numbering (range repartition + per-partition
+        # offsets, sources/transcripts.py:52) — a backfill-sized batch
+        # never funnels through a single-task global Window sort.
+        from ..sources.transcripts import assign_doc_ids
 
-        w = Window.orderBy("conv_id", "turn_idx")
         with_ids = (
-            batch_df.withColumn(
-                "docid", (F.row_number().over(w) + F.lit(offset)).cast("long")
-            )
+            assign_doc_ids(batch_df, scalable=True)
+            .withColumn("docid", (F.col("docid") + F.lit(offset)).cast("long"))
             .withColumn("docno", (F.col("docid") - 1).cast("string"))
         )
         tok = tokenize_stage(with_ids, parse)

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Query CLI — the engine's ``query_processor.jar`` equivalent
 (reference: ``queryProcessor/QueryProcessorMain.java``): batch TREC
-evaluation over a query TSV, or single ad-hoc queries; '+'-prefixed
-queries run conjunctive (QueryProcessorMain.java:60-61).
+evaluation over a
+query TSV, single ad-hoc queries, or — with neither flag — the
+reference's interactive stdin REPL (QueryProcessorMain.java:49-84);
+'+'-prefixed queries run conjunctive (QueryProcessorMain.java:60-61).
 
     spark-submit --py-files dist/mircv_project_spark.zip scripts/query.py \
         --index /path/to/index --queries queries.tsv --standard bm25 -k 10
@@ -56,7 +58,9 @@ def main(argv: list[str] | None = None) -> int:
             conjunctive, text = True, text[1:]
         queries = [("0", text)]
     else:
-        p.error("one of --queries / --query is required")
+        repl(reader, args.standard, args.k, stdin=sys.stdin, stdout=sys.stdout)
+        spark.stop()
+        return 0
 
     out = maxscore_topk_df(reader, queries, args.standard, k=args.k,
                            conjunctive=conjunctive)
@@ -64,6 +68,44 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{r['qid']} Q0 {r['docno']} {r['rank']} {r['score']} {r['standard']}")
     spark.stop()
     return 0
+
+
+def repl(reader, standard: str, k: int, stdin=None, stdout=None) -> None:
+    """Interactive stdin loop — the reference's primary UX
+    (``QueryProcessorMain.java:49-84``): empty line -> reprompt, ``q``
+    -> exit, leading ``+`` -> conjunctive; results print as
+    ``docno\\tscore`` lines with the elapsed milliseconds, served by the
+    same driver-side MaxScore DAAT + term cache per query."""
+    import time
+
+    from mircv_project_spark.operators.maxscore import maxscore_topk_df
+
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    print('To perform conjuctive query, start it with "+" character\n', file=stdout)
+    while True:
+        print("Insert new query\n", file=stdout, flush=True)
+        line = stdin.readline()
+        if not line:  # EOF
+            break
+        query = line.rstrip("\n")
+        if not query:
+            continue
+        if query == "q":
+            break
+        conj = query.strip().startswith("+")
+        text = query.strip()[1:] if conj else query
+        t0 = time.monotonic()
+        rows = maxscore_topk_df(
+            reader, [("0", text)], standard, k=k, conjunctive=conj
+        ).collect()
+        ms = int((time.monotonic() - t0) * 1000)
+        if not rows:
+            print("No results found! \n", file=stdout)
+        else:
+            for r in sorted(rows, key=lambda r: r["rank"]):
+                print(f"{r['docno']}\t{r['score']}", file=stdout)
+        print(f"({ms} milliseconds )", file=stdout, flush=True)
 
 
 if __name__ == "__main__":

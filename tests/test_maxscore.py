@@ -73,3 +73,35 @@ def test_store_roundtrip(spark, tmp_path):
     # pruned fetch returns only requested terms
     tp = reader.fetch(["spark", "join", "warpcore"])
     assert set(tp) == {"spark", "join"}
+
+
+def test_query_repl_loop(spark):
+    """The reference's interactive stdin loop (QueryProcessorMain.java:
+    49-84): empty line reprompts, '+' runs conjunctive, 'q' exits;
+    results are docno<TAB>score lines + elapsed ms."""
+    import io
+
+    from scripts.query import repl
+
+    idx = _build(spark, parse=False, codec=codecs.VB)
+    reader = IndexReader.from_memory(idx)
+    out = io.StringIO()
+    repl(
+        reader, scoring.BM25, 3,
+        stdin=io.StringIO("\nspark join\n+warpcore flibbet\nq\n"),
+        stdout=out,
+    )
+    text = out.getvalue()
+    assert text.count("Insert new query") == 4  # prompt, blank, 2 queries, exit
+    assert "milliseconds" in text
+    # disjunctive query yields ranked docno\tscore lines
+    body = [l for l in text.splitlines() if "\t" in l]
+    assert len(body) == 3
+    want = {
+        (r["docno"], r["score"])
+        for r in topk.exhaustive_topk(idx, [("0", "spark join")], scoring.BM25, k=3).collect()
+    }
+    assert {(l.split("\t")[0], float(l.split("\t")[1])) for l in body} == want
+    # '+warpcore flibbet': neither term exists -> all dropped -> no results
+    # (missing terms drop silently, QueryProcessorMain.java:139-154)
+    assert "No results found" in text

@@ -34,10 +34,62 @@ def test_extract_features_schema_and_determinism(spark):
     assert all(rows[m].features == rows2[m].features for m in rows)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL present: real path active")
 def test_real_decoder_gated(spark):
     media = M.generate_media(spark, 3)
     with pytest.raises(NotImplementedError):
         M.extract_features(media, decoder="real")
+
+
+def test_custom_callable_decoder(spark):
+    """The pluggable kernel path: any callable(bytes, kind) -> ndarray
+    swaps in unchanged — this is how a real embed model rides the same
+    Arrow plumbing."""
+    import numpy as np
+
+    def kernel(payload: bytes, kind: str) -> np.ndarray:
+        return np.full(M.FEATURE_DIM, float(len(payload) % 7), dtype=np.float32)
+
+    media = M.generate_media(spark, 9)
+    rows = {r.media_id: r for r in M.extract_features(media, decoder=kernel).collect()}
+    assert len(rows) == 9
+    for r in rows.values():
+        assert r.features == [float(r.n_bytes % 7)] * M.FEATURE_DIM
+
+
+def test_real_image_decoder_with_pil(spark):
+    """End-to-end REAL image decode — runs wherever PIL is importable
+    (skips in containers without it): a genuine PNG goes through the
+    same mapInPandas plumbing and yields pixel-derived features."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rows = []
+    for i in range(4):
+        img = Image.new("L", (16, 16), color=16 * i + 3)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append((i, "image", bytearray(buf.getvalue()), {"codec": "png"}))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in M.extract_features(media, decoder="real").collect()}
+    assert len(out) == 4
+    for i in range(4):
+        want = M.pil_image_features(bytes(rows[i][2]), "image")
+        assert np.allclose(out[i].features, want)
+        # constant-color image -> constant features == color/255
+        assert np.allclose(out[i].features, (16 * i + 3) / 255.0, atol=1e-6)
 
 
 def test_sample_frames(spark):

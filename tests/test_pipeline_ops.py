@@ -21,6 +21,7 @@ PIPELINE_KEYS = [
     "fingerprint",
     "cosine_topk",
     "embedding_near_dup",
+    "embedding_near_dup_blocked",
 ]
 
 
@@ -47,6 +48,94 @@ def test_lsh_banding_recall_is_total_here(spark):
     }
     assert exact, "corpus should contain near-duplicate pairs"
     assert lsh == exact
+
+
+def _allpairs_set(spark, sf_dir, threshold):
+    from mircv_project_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dup_pairs(emb, threshold).collect()
+    }
+
+
+def test_near_dup_exact_chunked_matches_allpairs(spark):
+    """embedding_near_dup_pairs_exact (chunk-matmul execution shape)
+    must equal the all-pairs verifier with MULTIPLE chunks in play, so
+    the within-chunk, cross-chunk and id-ordering paths all exercise."""
+    from mircv_project_spark.operators.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dup_pairs_exact(
+            emb, oracle.COSINE_DUP_THRESHOLD, chunk_size=64
+        ).collect()
+    }
+    want = _allpairs_set(spark, SF_SMALL, oracle.COSINE_DUP_THRESHOLD)
+    assert want, "corpus should contain near-dup pairs"
+    assert got == want
+
+
+def test_near_dup_blocked_recall_and_candidate_fraction(spark):
+    """The gate's pinned band params (r=7, b=160, seed=1234): candidate
+    recall must be total on this corpus (what lets the blocked entry
+    share the exhaustive oracle) and the candidate set must be a real
+    subset of all pairs.  NOTE this corpus is the adversarial regime —
+    threshold 0.42 sits in the tail of the background cos distribution
+    (no planted duplicates), so ~0.7 candidate fraction is expected;
+    see test_near_dup_blocked_realistic_regime for the planted case."""
+    from mircv_project_spark.operators.similarity import lsh_candidate_pairs
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = emb.count()
+    cand = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(emb, 7, 160, seed=1234).collect()
+    }
+    want = {(a, b) for a, b, _ in _allpairs_set(spark, SF_SMALL, oracle.COSINE_DUP_THRESHOLD)}
+    assert want <= cand, f"blocking missed true pairs: {want - cand}"
+    total = n * (n - 1) // 2
+    assert len(cand) < total, "candidate set must prune something"
+    assert len(cand) / total < 0.85  # measured ~0.69 on this corpus
+
+
+def test_near_dup_blocked_realistic_regime(spark):
+    """Planted near-duplicates at cos >= ~0.95 with auto band params
+    (lsh_band_params(0.9) -> long bands): recall 1.0 AND >95% of pairs
+    pruned — the regime a real dedup pipeline runs in."""
+    import numpy as np
+
+    from mircv_project_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+        lsh_band_params,
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((120, 32))
+    dup = base[:30] + 0.05 * rng.standard_normal((30, 32))  # planted dups
+    X = np.vstack([base, dup])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    t = 0.9
+    r, b = lsh_band_params(t)
+    assert r >= 10, (r, b)  # long bands at realistic thresholds
+    got = {
+        (x.id_a, x.id_b, x.cos)
+        for x in embedding_near_dup_pairs_blocked(emb, t).collect()
+    }
+    want = {(x.id_a, x.id_b, x.cos) for x in embedding_near_dup_pairs(emb, t).collect()}
+    assert len(want) >= 25
+    assert got == want
+    n = len(rows)
+    cand = lsh_candidate_pairs(emb, r, b).count()
+    assert cand / (n * (n - 1) / 2) < 0.05, cand
 
 
 def test_ivf_cosine_recall_and_saving(spark):

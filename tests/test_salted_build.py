@@ -53,6 +53,57 @@ def test_salted_build_rank_identical(spark):
         _cmp(ex, ms)
 
 
+def test_salted_many_heavy_terms_broadcast_join(spark):
+    """5k heavy terms at once: the heavy set rides a broadcast JOIN, not
+    driver-built isin()/create_map literal trees, so a large heavy
+    vocabulary must neither blow up the plan nor change results."""
+    from mircv_project_spark.functions import codecs as C
+    from mircv_project_spark.operators.index_build import (
+        aggregate_postings,
+        lexicon_from_runs,
+    )
+
+    n_terms, df_each, n_docs = 5000, 12, 12
+    flat = (
+        spark.range(n_terms)
+        .selectExpr("concat('t', id) as term")
+        .crossJoin(spark.range(1, n_docs + 1).selectExpr("id as docid"))
+        .selectExpr("term", "docid", "cast(1 as int) as tf", "cast(10 as int) as doc_len")
+    )
+    metrics: dict = {}
+    salted = aggregate_postings(
+        flat, n_docs=n_docs, avgdl=10.0, heavy_df_threshold=8, heavy_fanout=4,
+        metrics=metrics,
+    ).persist()
+    assert metrics["heavy_terms"] == n_terms
+    plain = aggregate_postings(flat, n_docs=n_docs, avgdl=10.0).persist()
+
+    lp = lexicon_from_runs(plain, n_docs).select(
+        "term", "df", "cf", "idf", "bm25_ub", "tfidf_ub"
+    )
+    ls = lexicon_from_runs(salted, n_docs).select(
+        "term", "df", "cf", "idf", "bm25_ub", "tfidf_ub"
+    )
+    assert lp.exceptAll(ls).count() == 0 and ls.exceptAll(lp).count() == 0
+
+    # every term splits into >1 run; decoded run-concatenated postings
+    # equal the single-run build for a sample of terms
+    per_term = salted.groupBy("term").agg(F.count("*").alias("n_runs"))
+    assert per_term.where(F.col("n_runs") <= 1).count() == 0
+
+    def decoded(runs_df, term):
+        out = []
+        rows = runs_df.where(F.col("term") == term).select("run", "blocks").collect()
+        for _, blocks in sorted((r["run"], r["blocks"]) for r in rows):
+            for b in blocks:
+                i, t, d = C.decode_block(b.asDict(), codec=C.VB)
+                out.extend(zip(i.tolist(), t.tolist(), d.tolist()))
+        return out
+
+    for term in ["t0", "t42", "t4999"]:
+        assert decoded(salted, term) == decoded(plain, term)
+
+
 def test_run_docid_ranges_disjoint(spark):
     from mircv_project_spark.functions import codecs as C
 

@@ -53,6 +53,22 @@ def test_streaming_deltas_match_batch(spark, tmp_path):
     assert streamed.n_docs == batch.n_docs
     assert streamed.sum_doc_len == batch.sum_doc_len
     assert _topk_rows(streamed) == _topk_rows(batch)
+    # per-batch scalable numbering must reproduce the batch build's
+    # docid/docno mapping exactly (arrival order == conv order here)
+    s_rows = streamed.doc_index.select("docid", "docno", "conv_id", "turn_idx")
+    b_rows = batch.doc_index.select("docid", "docno", "conv_id", "turn_idx")
+    assert s_rows.exceptAll(b_rows).count() == 0
+    assert b_rows.exceptAll(s_rows).count() == 0
+
+    # crash-replay idempotence: the offset for an epoch must EXCLUDE the
+    # epoch's own (possibly pre-crash) rows, so a replay reuses the same
+    # offset and overwrites with identical docids.
+    n_b0 = (
+        spark.read.parquet(f"{delta}/doc_index").where(F.col("batch") == 0).count()
+    )
+    assert S._next_doc_offset(spark, delta, epoch_id=0) == 0
+    assert S._next_doc_offset(spark, delta, epoch_id=1) == n_b0
+    assert S._next_doc_offset(spark, delta, epoch_id=99) == streamed.n_docs
 
 
 def test_watermarked_window_agg(spark, tmp_path):
