@@ -195,6 +195,15 @@ def _q_ivf_cosine_topk(spark, sf_dir):
     return ivf_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _q_lsh_cosine_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (radius-limited candidates + exact
+    cosine).  Approximate by construction -> no SQL oracle (rows-only
+    driver check); recall vs the exact path pinned in pytest."""
+    from mircv_project_spark.operators.similarity import lsh_cosine_topk
+
+    return lsh_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
 def _topk_compressed(standard: str):
     """Distributed top-k over the compressed block store (codecs + the
     run-grained layout inside the oracle-checked path)."""
@@ -342,9 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
-        # approximate ANN (IVF) — no SQL oracle by construction; recall
-        # floor vs the exact path asserted in tests/test_pipeline_ops.py.
+        # approximate ANN (IVF / LSH) — no SQL oracle by construction;
+        # recall floors vs the exact path asserted in tests/test_pipeline_ops.py.
         "ivf_cosine_topk": _q_ivf_cosine_topk,
+        "lsh_cosine_topk": _q_lsh_cosine_topk,
     }
 
 

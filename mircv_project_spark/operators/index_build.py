@@ -92,16 +92,32 @@ def tokenize_stage(transcripts_with_docid: DataFrame, parse: bool) -> DataFrame:
 
 
 def _encode_blocks_udf(codec_name: str):
+    """Block encoder over one term-run's postings arrays.
+
+    docId ordering happens HERE (numpy argsort per run) rather than as
+    a JVM sort_array over collect_list structs: the array sort of
+    millions of short-lived struct objects was measurable GC/alloc
+    churn in the postings stage, while an int64 argsort over the same
+    data is a few ms per run and keeps the whole ordering step inside
+    the Arrow batch."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BLOCKS_SCHEMA)
     def _enc(docids: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                codecs.encode_posting_blocks(i, t, d, codec=codec_name)
-                for i, t, d in zip(docids, tfs, dls)
-            ]
-        )
+        out = []
+        for i, t, d in zip(docids, tfs, dls):
+            ids = np.asarray(i, dtype=np.int64)
+            order = np.argsort(ids, kind="stable")  # docids unique per run
+            out.append(
+                codecs.encode_posting_blocks(
+                    ids[order],
+                    np.asarray(t, dtype=np.int64)[order],
+                    np.asarray(d, dtype=np.int64)[order],
+                    codec=codec_name,
+                )
+            )
+        return pd.Series(out)
 
     return _enc
 
@@ -190,14 +206,15 @@ def aggregate_postings(
             ).alias("blocks"),
         )
 
+    # rundata arrives UNSORTED from collect_list; the encode UDF sorts
+    # by docid numpy-side (see _encode_blocks_udf) — cheaper than a JVM
+    # sort_array over the struct arrays.
     run_agg = [
         F.count("*").alias("pdf"),
         F.sum("tf").alias("pcf"),
         F.max("bm25_coeff").alias("pbm"),
         F.max("tfidf_coeff").alias("ptf"),
-        F.sort_array(F.collect_list(F.struct("docid", "tf", "doc_len"))).alias(
-            "rundata"
-        ),
+        F.collect_list(F.struct("docid", "tf", "doc_len")).alias("rundata"),
     ]
 
     # one unified path: tail terms miss the broadcast join (fan null ->

@@ -68,3 +68,14 @@ def assert_whole_stage_codegen(df: DataFrame) -> str:
         f"no WholeStageCodegen:\n{text}"
     )
     return text
+
+
+def assert_no_broadcast_nested_loop(df: DataFrame) -> str:
+    """Cartesian guard: BroadcastNestedLoopJoin materializes O(n*m)
+    joined rows — the execution shape the blocked/chunked similarity
+    paths exist to avoid."""
+    text = plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in text and "CartesianProduct" not in text, (
+        f"unexpected nested-loop/cartesian join:\n{text}"
+    )
+    return text

@@ -19,11 +19,29 @@ def get_spark(
       second line of defense after our explicit head-term salting.
     - shuffle partitions default to 2x cores locally; on a real cluster
       pass an explicit value sized to the input (see operators/index_build).
+    - window/object-agg in-memory thresholds raised: the defaults spill
+      any window partition over 4096 rows and fall back to sort-based
+      aggregation past 128 hash keys — both pessimal for the docid
+      window and the per-term collect_list agg on a machine with RAM to
+      spare.  Memory-pressure-based spilling still applies.
+    - Arrow memory pool pinned to the system allocator: pyarrow's
+      bundled jemalloc madvise(MADV_HUGEPAGE)s its arenas, and on this
+      sandbox kernel that feeds khugepaged collapse storms (measured
+      >11 cores of pure kernel time + TLB-shootdown stalls across all
+      JVM threads during wide pandas-UDF stages).  Same reason local
+      dirs stay on disk rather than tmpfs: RAM-backed shuffle files
+      wake khugepaged/compaction the same way.  Overridable via the
+      standard ARROW_DEFAULT_MEMORY_POOL / SPARK_GRAFT_LOCAL_DIR envs.
     """
     cpus = os.cpu_count() or 4
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", cpus)) * 2
+
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -33,7 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.windowExec.buffer.in.memory.threshold", "4194304")
+        .config("spark.sql.windowExec.buffer.spill.threshold", "4194304")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

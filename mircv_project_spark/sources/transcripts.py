@@ -52,7 +52,9 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def assign_doc_ids(transcripts: DataFrame, scalable: bool = True) -> DataFrame:
+def assign_doc_ids(
+    transcripts: DataFrame, scalable: bool = True, assume_sorted: bool = False
+) -> DataFrame:
     """Add ``docid`` (1-based dense rank over ORDER BY conv_id, turn_idx)
     and ``docno`` (= docid - 1, the external id).
 
@@ -63,6 +65,14 @@ def assign_doc_ids(transcripts: DataFrame, scalable: bool = True) -> DataFrame:
     of a global window.  This is the only global sort in the build
     (SURVEY.md §7 step 2); at 10^12 rows it is checkpointed right after.
 
+    assume_sorted=True: the input's partitions are already contiguous,
+    sorted ranges of the key (e.g. generate_transcripts — spark.range
+    partitions are ordered id ranges, and conv order == id order by
+    construction).  Skips the range-partitioner's sampling pass, the
+    shuffle, and the sort — docids come from per-partition counts +
+    offsets alone.  Only valid for such sources; parquet-scanned tables
+    keep the default full path.
+
     scalable=False: plain row_number() over a global window (oracle
     semantics, used in tests to cross-check the scalable path).
     """
@@ -71,11 +81,14 @@ def assign_doc_ids(transcripts: DataFrame, scalable: bool = True) -> DataFrame:
         out = transcripts.withColumn("docid", F.row_number().over(w).cast("long"))
         return out.withColumn("docno", (F.col("docid") - 1).cast("string"))
 
-    n_part = max(transcripts.sparkSession.sparkContext.defaultParallelism, 8)
-    ranged = transcripts.repartitionByRange(n_part, "conv_id", "turn_idx")
-    ranged = ranged.sortWithinPartitions("conv_id", "turn_idx").withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    if assume_sorted:
+        ranged = transcripts.withColumn("_pid", F.spark_partition_id())
+    else:
+        n_part = max(transcripts.sparkSession.sparkContext.defaultParallelism, 8)
+        ranged = transcripts.repartitionByRange(n_part, "conv_id", "turn_idx")
+        ranged = ranged.sortWithinPartitions("conv_id", "turn_idx").withColumn(
+            "_pid", F.spark_partition_id()
+        )
     # persisted: consumed twice (per-partition counts, then numbering) —
     # without this the upstream (possibly generator/tokenizer) pipeline
     # runs twice; at cluster scale this is the checkpointed stage

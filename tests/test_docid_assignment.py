@@ -28,6 +28,20 @@ def test_docid_equals_docid_plus_one(spark):
     assert t.where(F.col("docid") != F.col("docno").cast("long") + 1).count() == 0
 
 
+def test_assume_sorted_path_agrees(spark):
+    """assume_sorted=True (no sampling pass / shuffle / sort) must equal
+    the window oracle on a source whose partitions are contiguous sorted
+    key ranges — the generator is exactly that."""
+    t = filter_indexable(generate_transcripts(spark, 5000, seed=13))
+    a = assign_doc_ids(t, scalable=True, assume_sorted=True).select(
+        "conv_id", "turn_idx", "docid", "docno"
+    )
+    b = assign_doc_ids(t, scalable=False).select(
+        "conv_id", "turn_idx", "docid", "docno"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_generator_deterministic(spark):
     a = generate_transcripts(spark, 200, seed=7).orderBy("conv_id", "turn_idx")
     b = generate_transcripts(spark, 200, seed=7).orderBy("conv_id", "turn_idx")

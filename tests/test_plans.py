@@ -60,3 +60,31 @@ def test_doc_index_scan_prunes_columns(spark, stored_index):
     read_schema = text.split("ReadSchema:")[1].splitlines()[0]
     assert "docid" in read_schema and "doc_len" in read_schema
     assert "conv_id" not in read_schema, text
+
+
+def test_near_dup_exact_chunked_plan_no_cartesian(spark):
+    """The chunk-matmul exact path must join via hash equi-joins on the
+    chunk keys — never the BroadcastNestedLoopJoin the all-pairs form
+    degenerates to (that form is the negative control here)."""
+    from mircv_project_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    good = embedding_near_dup_pairs_exact(emb, 0.42, chunk_size=64)
+    checks.assert_no_broadcast_nested_loop(good)
+    checks.assert_broadcast_join(good)  # chunk-key broadcasts
+    # negative control: the all-pairs verifier IS a nested-loop join
+    bad = embedding_near_dup_pairs(emb, 0.42)
+    assert "BroadcastNestedLoopJoin" in checks.plan_text(bad)
+
+
+def test_near_dup_blocked_plan_no_cartesian(spark):
+    from mircv_project_spark.operators.similarity import (
+        embedding_near_dup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    df = embedding_near_dup_pairs_blocked(emb, 0.42, rows_per_band=7, bands=160, seed=1234)
+    checks.assert_no_broadcast_nested_loop(df)
