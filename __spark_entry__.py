@@ -122,6 +122,21 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), oracle.JACCARD_THRESHOLD)
 
 
+def _q_dedup_keep_list(spark, sf_dir):
+    """End-to-end near-dup removal decision: MinHash-LSH pairs ->
+    connected components (join-based min-label propagation) -> keep =
+    cluster-minimum id.  Oracle: recursive-CTE transitive closure over
+    the exhaustive pair graph."""
+    from mircv_project_spark.operators.dedup import (
+        dedup_keep_list,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, oracle.JACCARD_THRESHOLD)
+    return dedup_keep_list(docs, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     from mircv_project_spark.operators.dedup import simhash
 
@@ -269,6 +284,16 @@ def _q_topk_pruned(spark, sf_dir):
     )
 
 
+def _q_topk_pruned_tfidf(spark, sf_dir):
+    from mircv_project_spark.operators.topk import topk_from_blocks_pruned
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    idx = _index(spark, sf_dir, parse=False)
+    return topk_from_blocks_pruned(
+        IndexReader.from_memory(idx), oracle.QUERY_SET, scoring.TFIDF, k=oracle.TOPK_K
+    )
+
+
 def _q_lexicon_streaming(spark, sf_dir):
     """Streaming-ingestion path under the oracle gate: the transcripts
     arrive as two Structured-Streaming micro-batches (arrival order ==
@@ -333,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_maxscore_conjunctive": _topk_maxscore(scoring.BM25, conjunctive=True),
         "bm25_topk_stored": _q_topk_stored,
         "bm25_topk_pruned": _q_topk_pruned,
+        "tfidf_topk_pruned": _q_topk_pruned_tfidf,
         "bm25_eval_metrics": _q_eval_metrics,
         "lexicon_streaming": _q_lexicon_streaming,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
@@ -343,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dedup_keep_list": _q_dedup_keep_list,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,

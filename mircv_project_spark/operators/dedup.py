@@ -230,6 +230,99 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> canonical
+    cluster labels: (id long, component long) where component = the
+    MINIMUM id reachable through the pair graph (the survivor a dedup
+    pipeline keeps).  Only ids that appear in pairs are returned —
+    singletons are trivially their own component.
+
+    Iterative min-label propagation (Pregel-lite as DataFrame joins):
+    each round every node takes min(own label, neighbors' labels); the
+    loop stops when a round changes nothing (checked via an aggregate,
+    not a collect of the data).  Rounds needed = graph diameter; dedup
+    clusters are shallow (near-cliques), so convergence is 2-3 rounds
+    in practice.  Each round is one shuffle on id; labels persist per
+    round and unpersist after the next materializes, so lineage stays
+    shallow at 10^9 edges.  max_iterations caps pathological chains; an
+    incomplete propagation raises rather than returning wrong labels.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iterations} rounds"
+        )
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup removal decision: (id long, keep boolean,
+    component long) for EVERY doc — keep = the doc is its cluster's
+    minimum id (singletons keep themselves, component = own id).  This
+    is the operator a training-data pipeline actually applies after
+    pair generation; feed it minhash_lsh_pairs / embedding near-dup
+    pairs."""
+    comp = dup_components(pairs)
+    ids = docs.select(F.col(id_col).cast("long").alias("id"))
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+        .withColumn("keep", F.col("id") == F.col("component"))
+        .select("id", "keep", "component")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
     """-> (id, simhash long): tf-weighted sign-sum over md5-derived
     token hash bits (60 bits so the value stays oracle-computable in

@@ -274,6 +274,7 @@ ORDER BY a.term
         "bm25_topk_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # block-max pruned distributed scan (skips never-candidate blocks)
         "bm25_topk_pruned": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "tfidf_topk_pruned": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
     }
@@ -322,6 +323,42 @@ FROM inter i
 JOIN shsizes sa ON i.id_a = sa.id
 JOIN shsizes sb ON i.id_b = sb.id
 WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# end-to-end dedup decision: connected components over the (exhaustive)
+# jaccard pair graph via recursive transitive closure, survivor = min id
+_DEDUP_KEEP_SQL = f"""WITH RECURSIVE {_DOC_TOKENS}, {_SHINGLES},
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+),
+dup_pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN shsizes sa ON i.id_a = sa.id
+    JOIN shsizes sb ON i.id_b = sb.id
+    WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM dup_pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM dup_pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+    SELECT src AS id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
@@ -482,6 +519,8 @@ def pipeline_oracles() -> dict[str, str]:
         # banding recall is 1 at the threshold (asserted in tests) —
         # the oracle is the exhaustive computation.
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        # connected-components survivor selection over the same pairs
+        "dedup_keep_list": _DEDUP_KEEP_SQL,
         "simhash": _simhash_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": _QUALITY_SQL,

@@ -14,6 +14,7 @@ PIPELINE_KEYS = [
     "exact_dedup",
     "jaccard_pairs",
     "minhash_lsh_pairs",
+    "dedup_keep_list",
     "simhash",
     "lang_id",
     "quality_score",
@@ -48,6 +49,39 @@ def test_lsh_banding_recall_is_total_here(spark):
     }
     assert exact, "corpus should contain near-duplicate pairs"
     assert lsh == exact
+
+
+def test_dup_components_chain_and_star(spark):
+    """Label propagation must traverse multi-hop structure: a 6-node
+    chain (diameter 5 -> several rounds), a star, and a singleton pair,
+    all labeled by their minimum member."""
+    from mircv_project_spark.operators.dedup import dedup_keep_list, dup_components
+
+    chain = [(i, i + 1) for i in range(10, 15)]  # 10-11-...-15
+    star = [(3, 20), (3, 21), (3, 22)]
+    lone = [(30, 31)]
+    pairs = spark.createDataFrame(chain + star + lone, "id_a long, id_b long")
+    comp = {r.id: r.component for r in dup_components(pairs).collect()}
+    assert all(comp[i] == 10 for i in range(10, 16))
+    assert comp[3] == comp[20] == comp[21] == comp[22] == 3
+    assert comp[30] == comp[31] == 30
+
+    docs = spark.createDataFrame([(i,) for i in [3, 10, 13, 20, 30, 31, 99]], "doc_id long")
+    keep = {r.id: (r.keep, r.component) for r in dedup_keep_list(docs, pairs).collect()}
+    assert keep[99] == (True, 99)  # singleton not in any pair
+    assert keep[3] == (True, 3) and keep[20] == (False, 3)
+    assert keep[10] == (True, 10) and keep[13] == (False, 10)
+    assert keep[30] == (True, 30) and keep[31] == (False, 30)
+
+
+def test_dup_components_nonconvergence_guard(spark):
+    import pytest as _pytest
+
+    from mircv_project_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(5)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError):
+        dup_components(pairs, max_iterations=1)
 
 
 def _allpairs_set(spark, sf_dir, threshold):
