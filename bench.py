@@ -51,8 +51,13 @@ BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 500_000))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 2))
 # interleaved (high, low) subprocess rounds for the scaling pair; the
 # host throttles in bursts measured 2.6x apart on identical back-to-back
-# runs, so each level keeps its best-of-N across time-spread samples
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS", 3))
+# runs, so each level keeps its best-of-N across time-spread samples.
+# Rounds after the first run only while the whole bench stays inside
+# SPARK_GRAFT_BENCH_BUDGET seconds — a throttled host phase degrades to
+# fewer samples instead of a timed-out bench with no JSON at all.
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS", 5))
+BENCH_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", 1020))
+_BENCH_T0 = time.monotonic()
 
 
 def _session(cores: int):
@@ -149,11 +154,19 @@ def _scaling(queries: dict[str, float]) -> dict:
     """Interleaved two-level scaling measurement (see module docstring)."""
     high = max(2, min(CPUS, CPUS // 2))
     low = max(1, high // 4)
-    n_large = max(10_000, (BENCH_TURNS * 3) // 5)
+    # shorter samples x more rounds: the host throttles in multi-minute
+    # phases, so best-of-N across MORE time-spread windows beats fewer
+    # long samples (a single bad phase ate every round of a 3x300k run)
+    n_large = max(10_000, (BENCH_TURNS * 3) // 10)
     n_small = max(2_000, n_large // 5)
 
     best: dict[int, dict[str, float]] = {}
+    samples: dict[int, list] = {}
+    rounds_run = 0
     for i, cores in enumerate([high, low] * SCALE_ROUNDS):
+        if i >= 2 and i % 2 == 0 and time.monotonic() - _BENCH_T0 > BENCH_BUDGET_SEC:
+            break  # keep whole rounds so both levels get equal samples
+        rounds_run = i // 2 + 1
         out = subprocess.run(
             [
                 sys.executable, __file__, "--scale-run", str(cores),
@@ -169,19 +182,33 @@ def _scaling(queries: dict[str, float]) -> dict:
         b["t_small"] = min(b["t_small"], r["t_small"])
         b["t_large"] = min(b["t_large"], r["t_large"])
         b["t_sub"] = min(b["t_sub"], r["t_sub"])
+        samples.setdefault(cores, []).append(
+            [round(r["t_small"], 2), round(r["t_large"], 2), round(r["t_sub"], 2)]
+        )
 
     for cores, b in best.items():
         queries[f"build_synthetic_{n_large}_local{cores}"] = b["t_large"]
         queries[f"build_synthetic_{n_small}_local{cores}"] = b["t_small"]
 
     dn = n_large - n_small
-    thru_marg = {
-        c: dn / max(1e-9, b["t_large"] - b["t_small"]) for c, b in best.items()
-    }
+    # marginal throughput PER ROUND (small+large of one subprocess share
+    # a host phase), then best round per level — mixing the best small
+    # and best large from different phases would understate the marginal
+    # time and inflate efficiency.  Rounds where t_large barely exceeds
+    # t_small are overhead-dominated noise (possible only at toy input
+    # sizes) and are skipped; with no valid round the marginal figure
+    # falls back to raw and says so.
+    thru_marg = {}
+    for c, ss in samples.items():
+        vals = [dn / (tl - ts) for ts, tl, _ in ss if tl > ts * 1.1]
+        thru_marg[c] = max(vals) if vals else None
     thru_raw = {c: n_large / b["t_large"] for c, b in best.items()}
     ratio = high / low
-    eff_marginal = (thru_marg[high] / thru_marg[low]) / ratio
     eff_raw = (thru_raw[high] / thru_raw[low]) / ratio
+    marginal_valid = bool(thru_marg.get(high) and thru_marg.get(low))
+    eff_marginal = (
+        (thru_marg[high] / thru_marg[low]) / ratio if marginal_valid else eff_raw
+    )
     eff_substrate = (best[low]["t_sub"] / best[high]["t_sub"]) / ratio
     return {
         "cores_low": low,
@@ -192,8 +219,9 @@ def _scaling(queries: dict[str, float]) -> dict:
         "t_large_low": round(best[low]["t_large"], 3),
         "t_small_high": round(best[high]["t_small"], 3),
         "t_large_high": round(best[high]["t_large"], 3),
-        "throughput_low": round(thru_marg[low], 1),
-        "throughput_high": round(thru_marg[high], 1),
+        "throughput_low": round(thru_marg[low], 1) if marginal_valid else None,
+        "throughput_high": round(thru_marg[high], 1) if marginal_valid else None,
+        "marginal_valid": marginal_valid,
         "throughput_raw_low": round(thru_raw[low], 1),
         "throughput_raw_high": round(thru_raw[high], 1),
         "core_ratio": ratio,
@@ -211,6 +239,10 @@ def _scaling(queries: dict[str, float]) -> dict:
         ),
         "t_substrate_low": round(best[low]["t_sub"], 3),
         "t_substrate_high": round(best[high]["t_sub"], 3),
+        "rounds_run": rounds_run,
+        # every raw sample [t_small, t_large, t_substrate] per level, in
+        # run order — the host-phase variance is visible, nothing hidden
+        "samples": {str(c): s for c, s in samples.items()},
         "method": "interleaved fresh-JVM runs at cores/8 and cores/2; "
         "marginal throughput between two input sizes cancels fixed "
         "per-run overhead; raw numbers reported unadjusted; pure-JVM "
