@@ -323,7 +323,18 @@ def main() -> None:
     _build_synthetic(spark, max(2_000, BENCH_TURNS // 100), seed=1)  # warmup
     sec_full = _best_build(spark, BENCH_TURNS, seed_base=100)
     queries[f"build_synthetic_{BENCH_TURNS}_local{CPUS}"] = sec_full
+    # tear the main JVM down COMPLETELY before the scaling subprocesses:
+    # spark.stop() alone leaves a 12g idle JVM attached to this process,
+    # and the in-bench scale runs measured consistently slower than
+    # identical standalone invocations while it lingered
+    gw = spark.sparkContext._gateway
     spark.stop()
+    try:
+        gw.shutdown()
+        if getattr(gw, "proc", None) is not None:
+            gw.proc.terminate()
+    except Exception:
+        pass
 
     # --- 4. scaling: interleaved fresh-JVM two-size runs at 4x ratio ---
     scaling = _scaling(queries)
