@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 LSH_BITS = 16
 LSH_SEED = 1234
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 6
+IVF_SEED = 77
+IVF_SAMPLE = 100_000
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -244,6 +249,7 @@ def embedding_near_dup_pairs_blocked(
     bands: int | None = None,
     seed: int = LSH_SEED,
     max_bucket: int = 4096,
+    blocker: str = "lsh",
 ) -> DataFrame:
     """Near-dup pairs via banded hyperplane-LSH blocking + exact verify
     — the 10^9-row scale path (same shape as dedup.minhash_lsh_pairs):
@@ -263,13 +269,68 @@ def embedding_near_dup_pairs_blocked(
     corpus is the adversarial regime (threshold 0.42 sits in the tail
     of the background cos distribution, so candidate fraction is ~0.7);
     at realistic near-dup thresholds (>= 0.8) the same operator prunes
-    >95% of pairs (asserted in tests on planted duplicates)."""
-    if rows_per_band is None or bands is None:
-        rows_per_band, bands = lsh_band_params(threshold)
-    cand = lsh_candidate_pairs(
-        embeddings, rows_per_band, bands, seed, max_bucket, id_col, vec_col
-    )
+    >95% of pairs (asserted in tests on planted duplicates).
+
+    ``blocker="ivf"`` swaps the candidate source for an IVF-cell
+    equi-join (ivf_candidate_pairs) — on CLUSTERED corpora it prunes
+    harder than hyperplane bands because candidates collapse to
+    same-cell pairs; the exact verify is identical either way."""
+    if blocker == "ivf":
+        cand = ivf_candidate_pairs(
+            embeddings, seed=seed, max_bucket=max_bucket,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        if rows_per_band is None or bands is None:
+            rows_per_band, bands = lsh_band_params(threshold)
+        cand = lsh_candidate_pairs(
+            embeddings, rows_per_band, bands, seed, max_bucket, id_col, vec_col
+        )
     return _verify_pairs(embeddings, cand, threshold, id_col, vec_col)
+
+
+def ivf_candidate_pairs(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_assign: int = 2,
+    seed: int = IVF_SEED,
+    max_bucket: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-cell blocking for near-dup: every vector multi-assigns to
+    its `n_assign` nearest spherical-kmeans cells (one BLAS matmul per
+    Arrow batch), candidates = distinct (id_a < id_b) pairs sharing a
+    cell — the same capped bucket equi-join shape as
+    lsh_candidate_pairs, with cells instead of band keys.  Near-dup
+    vectors sit next to each other, so their top-cell sets overlap;
+    multi-assignment covers centroid-boundary splits.  Probabilistic
+    recall (cluster-structure dependent) — always pair with the exact
+    verify."""
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in embeddings.select(vec_col).limit(IVF_SAMPLE).collect()
+        ]
+    )
+    C = _kmeans_cosine(sample, n_centroids, seed=seed)
+    cells_udf = _assign_multi_udf(C, n_assign)
+    rows = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(cells_udf(F.col(vec_col))).alias("cell"),
+    ).persist()
+    sizes = rows.groupBy("cell").agg(F.count("*").alias("bs"))
+    pruned = rows.join(sizes.where(F.col("bs") <= max_bucket), "cell")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(
@@ -354,11 +415,6 @@ def band_keys_udf(dims: int, rows_per_band: int, bands: int, seed: int = LSH_SEE
 
 # ------------------------------ IVF (coarse quantizer) ------------------------------
 
-IVF_CENTROIDS = 16
-IVF_NPROBE = 6
-IVF_SEED = 77
-IVF_SAMPLE = 100_000
-
 
 def _kmeans_cosine(X: np.ndarray, k: int, iters: int = 15, seed: int = IVF_SEED) -> np.ndarray:
     """Spherical k-means on the driver over a bounded sample (numpy).
@@ -375,6 +431,21 @@ def _kmeans_cosine(X: np.ndarray, k: int, iters: int = 15, seed: int = IVF_SEED)
                 v = Xn[m].mean(axis=0)
                 C[j] = v / max(np.linalg.norm(v), 1e-12)
     return C
+
+
+def _assign_multi_udf(centroids: np.ndarray, n_assign: int):
+    """pandas UDF: embedding -> its n_assign nearest cell ids (one BLAS
+    matmul per Arrow batch) — IVF multi-assignment for blocking."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(Xn @ centroids.T), axis=1)[:, :n_assign].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _cells
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -440,7 +511,9 @@ def ivf_cosine_topk(
         .where(F.col("nid") != F.col("pid"))
     )
     cos = F.round(_dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v"))), 6)
-    scored = cand.select("pid", "nid", cos.alias("cos")).distinct()
+    # (pid, cell) rows are unique and each vector lives in exactly one
+    # cell, so (pid, nid) pairs are already distinct — no dedup shuffle
+    scored = cand.select("pid", "nid", cos.alias("cos"))
     w = Window.partitionBy("pid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -452,6 +525,21 @@ def ivf_cosine_topk(
             "cos",
         )
     )
+
+
+def _hamming_ball_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks of popcount <= radius over `bits` bits
+    (sum_{i<=r} C(bits, i) masks — 137 at bits=16, r=2)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, min(radius, bits) + 1):
+        for combo in combinations(range(bits), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
 
 
 def lsh_cosine_topk(
@@ -467,7 +555,20 @@ def lsh_cosine_topk(
     """Approximate cosine top-k: candidates limited to vectors whose
     hyperplane signature is within `hamming_radius` of the probe's,
     then exact cosine on candidates.  Recall vs cosine_topk is asserted
-    in tests (no SQL oracle — ANN is approximate by construction)."""
+    in tests (no SQL oracle — ANN is approximate by construction).
+
+    Bucketed multi-probe execution (the serve-path shape at 10^9
+    vectors): each probe's signature expands DRIVER-side to its full
+    Hamming ball (|ball| = sum_{i<=r} C(bits, i) keys, 137 at r=2),
+    and candidates come from ONE hash equi-join of base.sig against the
+    broadcast (ball key -> probe) table.  A vector's signature equals
+    exactly one value, so it matches at most one ball key per probe —
+    the candidate set is exactly the radius-limited set, but the scan
+    cost is a broadcast-hash probe per vector instead of the
+    all-(vector, probe)-pairs BroadcastNestedLoopJoin that a
+    `bit_count(sig ^ psig) <= r` predicate join degenerates to
+    (asserted in tests/test_plans.py)."""
+    spark = embeddings.sparkSession
     dims = len(embeddings.select(vec_col).first()[0])
     sig = signature_udf(dims, bits, seed)
     base = embeddings.select(
@@ -475,13 +576,25 @@ def lsh_cosine_topk(
         _as_double(F.col(vec_col)).alias("v"),
         sig(F.col(vec_col)).alias("sig"),
     )
-    probes = base.where(F.col("nid").isin(probe_ids)).select(
-        F.col("nid").alias("pid"), F.col("v").alias("pv"), F.col("sig").alias("psig")
-    )
-    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("psig")))
+    # probe set is bounded/broadcastable by contract (same as cosine_topk)
+    probe_rows = base.where(F.col("nid").isin(probe_ids)).select("nid", "v").collect()
+    H = _hyperplanes(dims, bits, seed)
+    w = 1 << np.arange(bits, dtype=np.int64)
+    masks = _hamming_ball_masks(bits, hamming_radius)
+    ball_rows: list[tuple[int, int]] = []
+    probe_vecs: list[tuple[int, list[float]]] = []
+    for r in probe_rows:
+        pv = np.asarray(r["v"], dtype=np.float64)
+        # same sign rule as signature_udf: proj > 0 (float32->64 exact)
+        psig = int(((H @ pv > 0).astype(np.int64) * w).sum())
+        probe_vecs.append((int(r["nid"]), [float(x) for x in r["v"]]))
+        ball_rows.extend((int(r["nid"]), psig ^ m) for m in masks)
+    ball = spark.createDataFrame(ball_rows, "pid long, sig long")
+    probes = spark.createDataFrame(probe_vecs, "pid long, pv array<double>")
     cos = F.round(_dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v"))), 6)
     cand = (
-        base.join(F.broadcast(probes), ham <= hamming_radius)
+        base.join(F.broadcast(ball), "sig")
+        .join(F.broadcast(probes), "pid")
         .where(F.col("nid") != F.col("pid"))
         .select("pid", "nid", cos.alias("cos"))
     )

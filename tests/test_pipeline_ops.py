@@ -172,6 +172,56 @@ def test_near_dup_blocked_realistic_regime(spark):
     assert cand / (n * (n - 1) / 2) < 0.05, cand
 
 
+def test_near_dup_ivf_blocker_planted_regime(spark):
+    """Alternative candidate family: IVF-cell equi-join blocking must
+    reproduce the exhaustive pairs on the planted-duplicate regime, and
+    on this clustered corpus prune at least as hard as the LSH bands
+    (candidate fractions recorded side by side)."""
+    import numpy as np
+
+    from mircv_project_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+        ivf_candidate_pairs,
+        lsh_band_params,
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    # exactness on the planted regime (same corpus as the LSH test):
+    # planted dups are directionally near-identical, so their top-2
+    # cell assignments overlap and the exact verify restores equality
+    base = rng.standard_normal((120, 32))
+    dup = base[:30] + 0.05 * rng.standard_normal((30, 32))
+    X = np.vstack([base, dup])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t = 0.9
+    got = {
+        (x.id_a, x.id_b, x.cos)
+        for x in embedding_near_dup_pairs_blocked(emb, t, blocker="ivf").collect()
+    }
+    want = {(x.id_a, x.id_b, x.cos) for x in embedding_near_dup_pairs(emb, t).collect()}
+    assert len(want) >= 25
+    assert got == want
+
+    # candidate-fraction comparison on a CLUSTERED corpus, against the
+    # adversarial-regime band params the gate pins (r=7, b=160 — the
+    # low-threshold regime where banding candidates approach ~0.7 of
+    # all pairs): cell blocking collapses candidates to same-cluster
+    # neighborhoods and must prune much harder there
+    centers = 8.0 * rng.standard_normal((6, 32))
+    cbase = np.vstack([c + 0.5 * rng.standard_normal((25, 32)) for c in centers])
+    crows = [(i, [float(x) for x in v]) for i, v in enumerate(cbase)]
+    cemb = spark.createDataFrame(crows, "vec_id long, embedding array<float>")
+    n = len(crows)
+    all_pairs = n * (n - 1) / 2
+    frac_ivf = ivf_candidate_pairs(cemb).count() / all_pairs
+    frac_lsh = lsh_candidate_pairs(cemb, 7, 160, seed=1234).count() / all_pairs
+    assert frac_ivf < 0.5, frac_ivf
+    assert frac_ivf < frac_lsh, (frac_ivf, frac_lsh)
+
+
 def test_ivf_cosine_recall_and_saving(spark):
     """IVF ANN: recall floor vs brute force AND a real candidate-set
     saving.  These embeddings are near-random (top-5 cos ~0.3), the

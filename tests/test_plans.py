@@ -80,6 +80,19 @@ def test_near_dup_exact_chunked_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in checks.plan_text(bad)
 
 
+def test_lsh_cosine_topk_plan_is_bucket_equi_join(spark):
+    """Multi-probe ANN: the candidate join must be a broadcast HASH
+    equi-join on the expanded Hamming-ball keys — not the
+    BroadcastNestedLoopJoin a bit_count(sig ^ psig) <= r predicate
+    join degenerates to (VERDICT r02 'What's wrong' #1)."""
+    from mircv_project_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    df = lsh_cosine_topk(emb, list(range(5)), k=3)
+    checks.assert_no_broadcast_nested_loop(df)
+    checks.assert_broadcast_join(df)
+
+
 def test_near_dup_blocked_plan_no_cartesian(spark):
     from mircv_project_spark.operators.similarity import (
         embedding_near_dup_pairs_blocked,
