@@ -253,21 +253,70 @@ def _topk_maxscore(standard: str, conjunctive: bool = False):
     return run
 
 
+_TMP_DIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp registered for atexit cleanup — gate entries return LAZY
+    DataFrames that the driver collects after the entry returns, so the
+    backing files must outlive the call but not the process."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _TMP_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _TMP_DIRS]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(d)
+    return d
+
+
+_STORE_CACHE: dict = {}
+
+
+def _stored_reader(spark, sf_dir):
+    """write_index once per (session, sf_dir) to a cleanup-registered
+    temp dir, reopen with IndexReader.from_dir — shared by every
+    stored-index gate entry (the reference's merged on-disk files serve
+    both standards and the DAAT path, model/InvertedIndex.java:129-205)."""
+    from mircv_project_spark.sources.index_store import IndexReader, write_index
+
+    key = (id(spark), sf_dir)
+    if key not in _STORE_CACHE:
+        idx = _index(spark, sf_dir, parse=False)
+        store = _tmpdir("mircv_gate_store_")
+        write_index(idx, store)
+        _STORE_CACHE[key] = store
+    return IndexReader.from_dir(spark, _STORE_CACHE[key])
+
+
 def _q_topk_stored(spark, sf_dir):
     """On-disk store end-to-end under the oracle gate: write_index to a
     bucketed parquet layout, reopen with IndexReader.from_dir, answer
     from the compressed blocks — the persisted layout production
     queries (reference merged-index files, model/InvertedIndex.java:129-205)."""
-    import tempfile
-
     from mircv_project_spark.operators.topk import topk_from_blocks
-    from mircv_project_spark.sources.index_store import IndexReader, write_index
 
-    idx = _index(spark, sf_dir, parse=False)
-    store = tempfile.mkdtemp(prefix="mircv_gate_store_")
-    write_index(idx, store)
-    reader = IndexReader.from_dir(spark, store)
+    reader = _stored_reader(spark, sf_dir)
     return topk_from_blocks(reader, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+
+
+def _q_topk_stored_tfidf(spark, sf_dir):
+    from mircv_project_spark.operators.topk import topk_from_blocks
+
+    reader = _stored_reader(spark, sf_dir)
+    return topk_from_blocks(reader, oracle.QUERY_SET, scoring.TFIDF, k=oracle.TOPK_K)
+
+
+def _q_maxscore_stored(spark, sf_dir):
+    """Driver-side MaxScore DAAT fed from the PERSISTED bucketed store
+    (bench.py's warm query path) under the oracle gate."""
+    from mircv_project_spark.operators.maxscore import maxscore_topk_df
+
+    reader = _stored_reader(spark, sf_dir)
+    return maxscore_topk_df(reader, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
 
 
 def _q_topk_pruned(spark, sf_dir):
@@ -294,19 +343,35 @@ def _q_topk_pruned_tfidf(spark, sf_dir):
     )
 
 
+def _q_topk_pruned_conjunctive(spark, sf_dir):
+    """Conjunctive mode on the distributed pruned path: candidates from
+    the rarest term's list only, block lookups for the rest
+    (Scorer.java:98-137 analog) — same oracle as the exhaustive
+    conjunctive ranking."""
+    from mircv_project_spark.operators.topk import topk_from_blocks_pruned
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    idx = _index(spark, sf_dir, parse=False)
+    return topk_from_blocks_pruned(
+        IndexReader.from_memory(idx),
+        oracle.CONJ_QUERY_SET,
+        scoring.BM25,
+        k=oracle.TOPK_K,
+        conjunctive=True,
+    )
+
+
 def _q_lexicon_streaming(spark, sf_dir):
     """Streaming-ingestion path under the oracle gate: the transcripts
     arrive as two Structured-Streaming micro-batches (arrival order ==
     the reference's read order), deltas are compacted, and the
     resulting lexicon must match the same DuckDB oracle as the batch
     build's lexicon."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from mircv_project_spark.streaming import incremental as S
 
-    base = tempfile.mkdtemp(prefix="mircv_stream_gate_")
+    base = _tmpdir("mircv_stream_gate_")
     inp, delta, ckpt = f"{base}/in", f"{base}/delta", f"{base}/ckpt"
     t = filter_indexable(load_transcripts(spark, sf_dir))
     split = "conv-000000000032"
@@ -357,8 +422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_maxscore": _topk_maxscore(scoring.TFIDF),
         "bm25_maxscore_conjunctive": _topk_maxscore(scoring.BM25, conjunctive=True),
         "bm25_topk_stored": _q_topk_stored,
+        "tfidf_topk_stored": _q_topk_stored_tfidf,
+        "bm25_maxscore_stored": _q_maxscore_stored,
         "bm25_topk_pruned": _q_topk_pruned,
         "tfidf_topk_pruned": _q_topk_pruned_tfidf,
+        "bm25_pruned_conjunctive": _q_topk_pruned_conjunctive,
         "bm25_eval_metrics": _q_eval_metrics,
         "lexicon_streaming": _q_lexicon_streaming,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module

@@ -249,13 +249,22 @@ def topk_from_blocks_pruned(
     queries: list[tuple[str, str]],
     standard: str = scoring.BM25,
     k: int = 10,
+    conjunctive: bool = False,
     metrics: dict | None = None,
 ) -> DataFrame:
     """Distributed top-k over the compressed store WITH block-max
     pruning — Q4's skipping benefit on the distributed path (the
     driver-side analog is operators/maxscore.py nextGEQ).  Rank-safe:
     provably identical output to topk_from_blocks / exhaustive_topk
-    (same oracle; disjunctive mode only).
+    (same oracle; both modes).
+
+    Conjunctive mode prunes harder and needs no theta: only docs
+    present in EVERY query-term list qualify, so the rarest (min-df)
+    term's list alone is a complete candidate source — it decodes
+    fully, every other term becomes candidate-driven block lookups, and
+    the final nmatch == n_required filter enforces exactness.  This is
+    the distributed analog of the reference's conjunctive DAAT driven
+    by nextGEQ on the shortest list (queryProcessor/Scorer.java:98-137).
 
     Three passes, all metadata-driven before any payload decode:
 
@@ -302,65 +311,78 @@ def topk_from_blocks_pruned(
     for q, t, c, df in qt_rows:
         by_qid.setdefault(q, []).append((t, c, df, c * lex[t][1]))
 
-    # --- pass 1: theta from the top-UB term of each query ---
-    t1_pairs = {
-        (q, max(lst, key=lambda x: x[3])[0]) for q, lst in by_qid.items()
-    }
-    t1_terms = sorted({t for _, t in t1_pairs})
-    rows1 = _decode_blocks_df(
-        reader._prune(reader.postings, t1_terms).select(
-            "term", F.explode("blocks").alias("b")
-        ),
-        reader.codec,
-    ).persist()
-    qt1 = spark.createDataFrame(
-        [(q, t, c, df) for q, lst in by_qid.items() for t, c, df, _ in lst
-         if (q, t) in t1_pairs],
-        "qid string, term string, qtf int, df long",
-    )
-    s1 = scoring.bm25_col(
-        F.col("tf"), F.col("doc_len"), F.col("df"), reader.n_docs, reader.avgdl
-    ) if standard == scoring.BM25 else scoring.tfidf_col(F.col("tf"), F.col("df"), reader.n_docs)
-    w = Window.partitionBy("qid").orderBy(F.col("contrib").desc())
-    kth = (
-        rows1.join(F.broadcast(qt1), "term")
-        .select("qid", (F.col("qtf") * s1).alias("contrib"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == k)
-        .select("qid", F.round("contrib", ROUND_DECIMALS).alias("theta"))
-        .collect()
-    )
-    theta = {r["qid"]: r["theta"] for r in kth}  # absent -> <k docs -> 0
+    if conjunctive:
+        # rarest term per query is the (complete) candidate source; a
+        # theta lower bound from single-term contributions would NOT be
+        # rank-safe here (the k-th conjunctive score can sit below it),
+        # and isn't needed — intersection is the prune.
+        ess_pairs, ne_pairs = [], []
+        for q, lst in by_qid.items():
+            for i, (t, c, df, _) in enumerate(
+                sorted(lst, key=lambda x: (x[2], x[0]))
+            ):
+                (ess_pairs if i == 0 else ne_pairs).append((q, t, c, df))
+        t1_terms: list[str] = []
+        rows1 = None
+    else:
+        # --- pass 1: theta from the top-UB term of each query ---
+        t1_pairs = {
+            (q, max(lst, key=lambda x: x[3])[0]) for q, lst in by_qid.items()
+        }
+        t1_terms = sorted({t for _, t in t1_pairs})
+        rows1 = _decode_blocks_df(
+            reader._prune(reader.postings, t1_terms).select(
+                "term", F.explode("blocks").alias("b")
+            ),
+            reader.codec,
+        ).persist()
+        qt1 = spark.createDataFrame(
+            [(q, t, c, df) for q, lst in by_qid.items() for t, c, df, _ in lst
+             if (q, t) in t1_pairs],
+            "qid string, term string, qtf int, df long",
+        )
+        s1 = scoring.bm25_col(
+            F.col("tf"), F.col("doc_len"), F.col("df"), reader.n_docs, reader.avgdl
+        ) if standard == scoring.BM25 else scoring.tfidf_col(F.col("tf"), F.col("df"), reader.n_docs)
+        w = Window.partitionBy("qid").orderBy(F.col("contrib").desc())
+        kth = (
+            rows1.join(F.broadcast(qt1), "term")
+            .select("qid", (F.col("qtf") * s1).alias("contrib"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == k)
+            .select("qid", F.round("contrib", ROUND_DECIMALS).alias("theta"))
+            .collect()
+        )
+        theta = {r["qid"]: r["theta"] for r in kth}  # absent -> <k docs -> 0
 
-    # --- pass 2: essential split + candidates ---
-    ess_pairs, ne_pairs = [], []
-    for q, lst in by_qid.items():
-        th = theta.get(q, 0.0)
-        lst_sorted = sorted(lst, key=lambda x: -x[3])  # ub desc
-        acc = 0.0
-        cut = len(lst_sorted)  # first index (from the end) kept essential
-        for i in range(len(lst_sorted) - 1, 0, -1):  # t1 (index 0) always essential
-            acc += lst_sorted[i][3]
-            if acc < th - _PRUNE_EPS:
-                cut = i
-            else:
-                break
-        for i, (t, c, df, _) in enumerate(lst_sorted):
-            (ess_pairs if i < cut else ne_pairs).append((q, t, c, df))
+        # --- pass 2: essential split + candidates ---
+        ess_pairs, ne_pairs = [], []
+        for q, lst in by_qid.items():
+            th = theta.get(q, 0.0)
+            lst_sorted = sorted(lst, key=lambda x: -x[3])  # ub desc
+            acc = 0.0
+            cut = len(lst_sorted)  # first index (from the end) kept essential
+            for i in range(len(lst_sorted) - 1, 0, -1):  # t1 (index 0) always essential
+                acc += lst_sorted[i][3]
+                if acc < th - _PRUNE_EPS:
+                    cut = i
+                else:
+                    break
+            for i, (t, c, df, _) in enumerate(lst_sorted):
+                (ess_pairs if i < cut else ne_pairs).append((q, t, c, df))
 
     ess_terms = sorted({t for _, t, _, _ in ess_pairs})
     qt_e = spark.createDataFrame(ess_pairs, "qid string, term string, qtf int, df long")
     rest_e = [t for t in ess_terms if t not in set(t1_terms)]
     rows_e = rows1
     if rest_e:
-        rows_e = rows1.unionByName(
-            _decode_blocks_df(
-                reader._prune(reader.postings, rest_e).select(
-                    "term", F.explode("blocks").alias("b")
-                ),
-                reader.codec,
-            )
+        rows_new = _decode_blocks_df(
+            reader._prune(reader.postings, rest_e).select(
+                "term", F.explode("blocks").alias("b")
+            ),
+            reader.codec,
         )
+        rows_e = rows1.unionByName(rows_new) if rows1 is not None else rows_new
     matched_e = rows_e.join(F.broadcast(qt_e), "term").persist()
     matched = matched_e
 
@@ -417,7 +439,7 @@ def topk_from_blocks_pruned(
 
     n_req = {q: len(lst) for q, lst in by_qid.items()}
     return _score_and_rank(
-        matched, standard, reader.n_docs, reader.avgdl, k, False, n_req
+        matched, standard, reader.n_docs, reader.avgdl, k, conjunctive, n_req
     )
 
 

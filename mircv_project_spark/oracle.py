@@ -271,10 +271,15 @@ ORDER BY a.term
         "tfidf_topk_maxscore": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_maxscore_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         # persisted bucketed store read back via IndexReader.from_dir
+        # (both standards + the driver-side MaxScore DAAT over the store)
         "bm25_topk_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "tfidf_topk_stored": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        "bm25_maxscore_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # block-max pruned distributed scan (skips never-candidate blocks)
         "bm25_topk_pruned": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_pruned": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        # conjunctive mode on the pruned path: rarest-list candidates
+        "bm25_pruned_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
     }

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F  # noqa: F401 (plan debugging)
 
 from mircv_project_spark.operators import scoring, topk
 from mircv_project_spark.operators.index_build import build_index, filter_indexable
-from mircv_project_spark.oracle import QUERY_SET
+from mircv_project_spark.oracle import CONJ_QUERY_SET, QUERY_SET
 from mircv_project_spark.sources.index_store import IndexReader
 from mircv_project_spark.sources.transcripts import assign_doc_ids, load_transcripts
 from tests.conftest import SF_SMALL
@@ -29,6 +29,39 @@ def test_pruned_rank_identical_driver_corpus(spark):
         ex = topk.exhaustive_topk(idx, QUERY_SET, standard, k=10)
         pr = topk.topk_from_blocks_pruned(reader, QUERY_SET, standard, k=10)
         _cmp(ex, pr)
+
+
+def test_pruned_conjunctive_rank_identical(spark):
+    """Conjunctive pruned path == exhaustive conjunctive ranking; the
+    rarest-term candidate source must also SKIP most blocks of the
+    other (denser) terms (intersection-driven lookups)."""
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    idx = build_index(spark, t, parse=False)
+    reader = IndexReader.from_memory(idx)
+    for standard in [scoring.BM25, scoring.TFIDF]:
+        ex = topk.exhaustive_topk(idx, CONJ_QUERY_SET, standard, k=10, conjunctive=True)
+        pr = topk.topk_from_blocks_pruned(
+            reader, CONJ_QUERY_SET, standard, k=10, conjunctive=True
+        )
+        _cmp(ex, pr)
+
+
+def test_pruned_conjunctive_skips_dense_blocks(spark):
+    t = assign_doc_ids(filter_indexable(_skewed_transcripts(spark)))
+    idx = build_index(spark, t, parse=False)
+    reader = IndexReader.from_memory(idx)
+    queries = [("c1", "rare common")]
+    metrics: dict = {}
+    pr = topk.topk_from_blocks_pruned(
+        reader, queries, scoring.BM25, k=5, conjunctive=True, metrics=metrics
+    )
+    ex = topk.exhaustive_topk(idx, queries, scoring.BM25, k=5, conjunctive=True)
+    _cmp(ex, pr)
+    # 'rare' (df ~ 10) is the candidate source; 'common' (df ~ 1800,
+    # ~40+ blocks) contributes via candidate-driven lookups only
+    assert metrics["essential_terms"] == 1, metrics
+    assert metrics["ne_blocks_total"] > 20, metrics
+    assert metrics["ne_blocks_decoded"] < metrics["ne_blocks_total"] / 2, metrics
 
 
 def _skewed_transcripts(spark, n=2000, rare_every=200):
