@@ -122,6 +122,32 @@ def _encode_blocks_udf(codec_name: str):
     return _enc
 
 
+def _bm_frontier_udf():
+    """Per-run (tf -> min doc_len) frontier: bm25_coeff is strictly
+    decreasing in dl for fixed tf, so max(coeff) over a run's postings
+    equals max over this frontier for ANY avgdl — it lets incremental
+    compaction recompute exact term upper bounds as the corpus avgdl
+    drifts, without re-reading posting payloads (streaming/incremental.py)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<tf:int, dl:int>>")
+    def _front(tfs: pd.Series, dls: pd.Series) -> pd.Series:
+        out = []
+        for t, d in zip(tfs, dls):
+            ta = np.asarray(t, dtype=np.int64)
+            da = np.asarray(d, dtype=np.int64)
+            uniq, inv = np.unique(ta, return_inverse=True)
+            mind = np.full(len(uniq), np.iinfo(np.int64).max)
+            np.minimum.at(mind, inv, da)
+            out.append(
+                [{"tf": int(u), "dl": int(m)} for u, m in zip(uniq, mind)]
+            )
+        return pd.Series(out)
+
+    return _front
+
+
 def aggregate_postings(
     flat: DataFrame,
     n_docs: int,
@@ -131,6 +157,7 @@ def aggregate_postings(
     heavy_fanout: int = config.HEAVY_TERM_FANOUT,
     term_buckets: int = config.POSTINGS_TERM_BUCKETS,
     metrics: dict | None = None,
+    bm_frontier: bool = False,
 ) -> DataFrame:
     """flat (term, docid, tf, doc_len) -> run-grained postings table:
 
@@ -190,21 +217,30 @@ def aggregate_postings(
     ).withColumn("tfidf_coeff", scoring.tfidf_coeff_col(F.col("tf")))
 
     enc = _encode_blocks_udf(codec)
+    front = _bm_frontier_udf() if bm_frontier else None
 
     def _encode_runs(grouped: DataFrame) -> DataFrame:
-        return grouped.select(
-            "term",
-            "run",
+        cols = [
+            F.col("term"),
+            F.col("run"),
             F.col("pdf").alias("run_df"),
-            "pcf",
-            "pbm",
-            "ptf",
+            F.col("pcf"),
+            F.col("pbm"),
+            F.col("ptf"),
             enc(
                 F.transform("rundata", lambda p: p["docid"]),
                 F.transform("rundata", lambda p: p["tf"]),
                 F.transform("rundata", lambda p: p["doc_len"]),
             ).alias("blocks"),
-        )
+        ]
+        if front is not None:
+            cols.append(
+                front(
+                    F.transform("rundata", lambda p: p["tf"]),
+                    F.transform("rundata", lambda p: p["doc_len"]),
+                ).alias("bmfront")
+            )
+        return grouped.select(*cols)
 
     # rundata arrives UNSORTED from collect_list; the encode UDF sorts
     # by docid numpy-side (see _encode_blocks_udf) — cheaper than a JVM
@@ -229,10 +265,10 @@ def aggregate_postings(
     runs = _encode_runs(salted.groupBy("term", "run").agg(*run_agg))
 
     bucket = F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
-    return runs.select(
-        "term", "run", "run_df", "pcf", "pbm", "ptf", "blocks",
-        bucket.alias("bucket"),
-    )
+    out_cols = ["term", "run", "run_df", "pcf", "pbm", "ptf", "blocks"]
+    if bm_frontier:
+        out_cols.append("bmfront")
+    return runs.select(*out_cols, bucket.alias("bucket"))
 
 
 def lexicon_from_runs(postings_runs: DataFrame, n_docs: int) -> DataFrame:

@@ -116,21 +116,109 @@ def index_delta_query(
     return writer.start()
 
 
+# run-id stride per compaction generation: generation g's runs get ids
+# g*RUN_STRIDE + local_run, so a term's runs across generations sort in
+# generation order — and within a generation in docId-range order — which
+# is exactly ascending docId (new epochs only ever append larger docIds).
+# int32-safe for >2000 generations at the config fanout cap.
+RUN_STRIDE = 1_000_000
+
+
+def _read_meta(spark: SparkSession, state_dir: str) -> dict | None:
+    try:
+        r = spark.read.parquet(f"{state_dir}/meta").collect()[0]
+        return {
+            "gen": int(r["gen"]),
+            "watermark": int(r["watermark"]),
+            "n_docs": int(r["n_docs"]),
+            "sum_doc_len": int(r["sum_doc_len"]),
+        }
+    except Exception:  # first compaction: no state yet
+        return None
+
+
 def compact_index(
     spark: SparkSession, delta_dir: str, parse: bool, codec: str = "vb"
 ) -> InvertedIndex:
-    """Merge all accumulated deltas into queryable index tables."""
+    """INCREMENTAL compaction of accumulated deltas into queryable index
+    tables — cost O(new epochs), not O(corpus).
+
+    Only epochs newer than the persisted watermark aggregate (one
+    shuffle over the NEW rows only) into a fresh generation of runs
+    appended under ``delta_dir/compacted/runs/gen=G``; prior
+    generations' run files are reused untouched.  Runs are the merge
+    unit by design (operators/index_build.py:135-151): a term's posting
+    list is its runs' blocks concatenated in run order, and generation-
+    strided run ids keep that order == ascending docId because new
+    epochs only ever append larger docIds.
+
+    Exactness across avgdl drift: each run stores a (tf -> min doc_len)
+    frontier (bm_frontier) and the BM25 upper bound is recomputed from
+    it LAZILY at the current corpus avgdl — bit-identical to a batch
+    build's max-over-postings (coeff is monotone in dl for fixed tf),
+    with no posting-payload reads.  TFIDF bounds don't depend on avgdl.
+
+    Crash-safety: the runs generation writes first, meta (watermark,
+    gen, running doc stats) commits last; a replayed compaction
+    recomputes the SAME generation directory via overwrite.  On a
+    cluster this state maps to an Iceberg table with snapshot commits.
+    """
+    import shutil
+
+    from ..operators.index_build import lexicon_from_runs
+    from ..operators import scoring
+
+    state = f"{delta_dir}/compacted"
+    meta = _read_meta(spark, state)
+    if meta is None:
+        # no committed meta: clear any orphan run generation from a
+        # crashed first compaction so gen 0 re-covers everything
+        shutil.rmtree(f"{state}/runs", ignore_errors=True)
+        meta = {"gen": 0, "watermark": -1, "n_docs": 0, "sum_doc_len": 0}
+
     doc_index = spark.read.parquet(f"{delta_dir}/doc_index")
+    new_docs = doc_index.where(F.col("batch") > meta["watermark"])
+    row = new_docs.agg(
+        F.count("*"), F.sum("doc_len"), F.max("batch")
+    ).collect()[0]
+    n_new, s_new = int(row[0]), int(row[1] or 0)
+    n_docs = meta["n_docs"] + n_new
+    sum_dl = meta["sum_doc_len"] + s_new
+
+    if n_new:
+        gen = meta["gen"]
+        flat_new = (
+            spark.read.parquet(f"{delta_dir}/flat")
+            .where(F.col("batch") > meta["watermark"])
+            .select("term", "docid", "tf", "doc_len")
+        )
+        runs_new = aggregate_postings(
+            flat_new,
+            n_docs=n_docs,
+            avgdl=sum_dl / float(n_docs),
+            codec=codec,
+            bm_frontier=True,
+        ).withColumn("run", (F.col("run") + gen * RUN_STRIDE).cast("int"))
+        runs_new.write.mode("overwrite").parquet(f"{state}/runs/gen={gen}")
+        spark.createDataFrame(
+            [(gen + 1, int(row[2]), n_docs, sum_dl)],
+            "gen int, watermark long, n_docs long, sum_doc_len long",
+        ).write.mode("overwrite").parquet(f"{state}/meta")
+
+    # lazy pbm recompute from the per-run frontier at the CURRENT avgdl
+    avgdl = sum_dl / float(n_docs)
+
+    def _coeff(p):
+        return scoring.bm25_coeff_col(p["tf"], p["dl"], avgdl)
+
+    postings = (
+        spark.read.parquet(f"{state}/runs")
+        .withColumn("pbm", F.array_max(F.transform("bmfront", _coeff)))
+        .drop("gen", "bmfront")
+    )
     flat = spark.read.parquet(f"{delta_dir}/flat").select(
         "term", "docid", "tf", "doc_len"
     )
-    row = doc_index.agg(F.count("*"), F.sum("doc_len")).collect()[0]
-    n_docs, sum_dl = int(row[0]), int(row[1] or 0)
-    postings = aggregate_postings(
-        flat, n_docs=n_docs, avgdl=sum_dl / float(n_docs), codec=codec
-    ).persist()
-    from ..operators.index_build import lexicon_from_runs
-
     return InvertedIndex(
         tokenized=doc_index,
         lexicon=lexicon_from_runs(postings, n_docs),

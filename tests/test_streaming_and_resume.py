@@ -71,6 +71,84 @@ def test_streaming_deltas_match_batch(spark, tmp_path):
     assert S._next_doc_offset(spark, delta, epoch_id=99) == streamed.n_docs
 
 
+def test_compaction_is_incremental(spark, tmp_path):
+    """A second compaction must (a) reuse the first generation's run
+    files untouched, aggregating ONLY the not-yet-compacted epochs, and
+    (b) still produce a lexicon bit-identical to a batch build over all
+    rows — including BM25 upper bounds, which drift with avgdl and are
+    recomputed exactly from the per-run (tf -> min dl) frontier."""
+    import os
+
+    inp = str(tmp_path / "in")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_t = generate_transcripts(spark, 600, seed=17).orderBy("conv_id", "turn_idx")
+    part1 = all_t.where(F.col("conv_id") < "conv-000000000025")
+    part2 = all_t.where(
+        (F.col("conv_id") >= "conv-000000000025")
+        & (F.col("conv_id") < "conv-000000000050")
+    )
+    part3 = all_t.where(F.col("conv_id") >= "conv-000000000050")
+
+    part1.coalesce(1).write.mode("overwrite").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+    part2.coalesce(1).write.mode("append").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+    idx1 = S.compact_index(spark, delta, parse=False)
+    n1 = idx1.n_docs
+
+    state = f"{delta}/compacted"
+    gen0_files = {
+        f: os.path.getmtime(f"{state}/runs/gen=0/{f}")
+        for f in os.listdir(f"{state}/runs/gen=0")
+        if f.endswith(".parquet")
+    }
+    assert gen0_files
+
+    part3.coalesce(1).write.mode("append").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+    idx2 = S.compact_index(spark, delta, parse=False)
+    assert idx2.n_docs > n1
+
+    # (a) gen 0 untouched, new generation holds only the new epochs
+    for f, mtime in gen0_files.items():
+        assert os.path.getmtime(f"{state}/runs/gen=0/{f}") == mtime, f
+    gens = sorted(d for d in os.listdir(f"{state}/runs") if d.startswith("gen="))
+    assert len(gens) == 2, gens
+    # the delta scan for the new generation partition-prunes compacted
+    # epochs: the predicate lands in PartitionFilters and every row the
+    # scan produces comes from a batch=2 file
+    from mircv_project_spark.plans import checks
+
+    meta1 = S._read_meta(spark, state)
+    assert meta1 is not None and meta1["gen"] == 2
+    w0 = 1  # watermark after the first compaction (epochs 0 and 1)
+    pruned = spark.read.parquet(f"{delta}/flat").where(F.col("batch") > w0)
+    checks.assert_partition_pruned(pruned, "batch")
+    files = [
+        r[0]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all("batch=2" in f for f in files), files
+
+    # (b) exact lexicon parity with a batch build over the same rows
+    batch = build_index(
+        spark, assign_doc_ids(filter_indexable(all_t)), parse=False
+    )
+    cols = ["term", "df", "cf", "idf", "bm25_ub", "tfidf_ub"]
+    s_rows = sorted(map(tuple, idx2.lexicon.select(*cols).collect()))
+    b_rows = sorted(map(tuple, batch.lexicon.select(*cols).collect()))
+    assert s_rows == b_rows
+    assert _topk_rows(idx2) == _topk_rows(batch)
+    # a third compaction with nothing new is a no-op on state
+    idx3 = S.compact_index(spark, delta, parse=False)
+    assert idx3.n_docs == idx2.n_docs
+    assert sorted(
+        d for d in os.listdir(f"{state}/runs") if d.startswith("gen=")
+    ) == gens
+
+
 def test_watermarked_window_agg(spark, tmp_path):
     inp = str(tmp_path / "win_in")
     generate_transcripts(spark, 300, seed=3).coalesce(1).write.mode(
