@@ -13,13 +13,19 @@ Design (the part that must be right at 100 TB):
   multi-GB videos can't skew a partition (repartitionByRange on
   media_id before heavy stages).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-the decode kernel is pluggable: `decoder=None` uses a clearly-marked
+The heavyweight codecs (PIL/ffmpeg/librosa) are NOT in this container,
+so the decode kernel is pluggable: `decoder=None` uses a clearly-marked
 DETERMINISTIC FAKE (features derived from the payload's md5) so the
 Spark-side plumbing — schema, batching, partitioning, UDF signature —
 is real and tested; passing a real decoder callable swaps it in
 unchanged.  Attempting `decoder="real"` without the libs raises
 NotImplementedError.
+
+REAL decode IS exercised in-sandbox via `decoder="ppm"`: a
+dependency-free binary-PPM (P6) kernel — header parse, raw pixel
+`np.frombuffer`, grayscale strip means — over genuine image bytes
+produced by `generate_ppm_media` (a pure-Catalyst P6 writer).  Same
+mapInPandas plumbing, no stub anywhere in that path.
 """
 
 from __future__ import annotations
@@ -66,6 +72,67 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+PPM_W, PPM_H = 16, 16
+
+
+def generate_ppm_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic table of GENUINE binary-PPM (P6) images, built with
+    pure Catalyst expressions: ASCII header + w*h*3 raw RGB bytes from
+    an md5 byte stream keyed by (id, seed).  Any P6-compliant reader
+    (PIL included) decodes these — they feed the real-decode kernel
+    `ppm_image_features` end-to-end without optional dependencies."""
+    header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n").cast("binary")
+    reps = (PPM_W * PPM_H * 3) // 16  # md5 emits 16 bytes per rep
+    pixels = F.unhex(
+        F.repeat(F.md5(F.concat_ws("-", F.lit("ppm"), F.col("id"), F.lit(seed))), reps)
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, pixels).alias("payload"),
+        F.create_map(
+            F.lit("seed"), F.lit(str(seed)), F.lit("codec"), F.lit("image/x-portable-pixmap")
+        ).alias("meta"),
+    )
+
+
+def ppm_image_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL dependency-free image decode kernel (``decoder="ppm"``):
+    parse the binary-PPM (P6) header, read the raw RGB pixel matrix,
+    grayscale it, and emit `dim` horizontal-strip mean intensities in
+    [0, 1].  Raises ValueError on malformed input (it is a real parser,
+    not a fingerprint of the bytes).  Non-image kinds fall back to the
+    deterministic fake, like the PIL kernel."""
+    if kind != "image":
+        return _fake_features(payload, dim)
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raster
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    gray = raster.reshape(h, w, 3).astype(np.float64).mean(axis=2)  # (h, w)
+    strips = np.array_split(gray, dim, axis=0)
+    # images shorter than `dim` rows yield empty strips -> 0, not NaN
+    return np.asarray(
+        [s.mean() / maxval if s.size else 0.0 for s in strips], dtype=np.float32
+    )
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """DETERMINISTIC FAKE decode: md5(payload) -> dim float32 in [0,1).
     Stands in for image-embed / audio-fingerprint; NOT a real decoder."""
@@ -86,11 +153,14 @@ def extract_features(
             import PIL  # noqa: F401
         except ImportError as e:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg, not present in "
-                "this environment; pass decoder=None for the deterministic "
-                "fake or a callable(bytes, kind) -> np.ndarray"
+                "decoder='real' (PIL multi-format) requires PIL, not present "
+                "in this environment; use decoder='ppm' for the dependency-"
+                "free real binary-PPM kernel, decoder=None for the "
+                "deterministic fake, or a callable(bytes, kind) -> np.ndarray"
             ) from e
         decoder = pil_image_features
+    elif decoder == "ppm":
+        decoder = ppm_image_features
     decode = decoder if callable(decoder) else _fake_features_by_kind
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -66,6 +66,45 @@ def test_custom_callable_decoder(spark):
         assert r.features == [float(r.n_bytes % 7)] * M.FEATURE_DIM
 
 
+def test_real_ppm_decoder_end_to_end(spark):
+    """REAL image decode with zero optional deps, runs in THIS sandbox:
+    genuine binary-PPM images (Catalyst-generated and hand-built) go
+    through the same mapInPandas plumbing; features must equal the
+    independently computed pixel strip means."""
+    import numpy as np
+
+    # hand-built constant-color P6 images: strips of color c -> c/255
+    rows = []
+    for i in range(4):
+        c = 16 * i + 3
+        payload = b"P6\n16 16\n255\n" + bytes([c, c, c] * (16 * 16))
+        rows.append((i, "image", bytearray(payload), {"codec": "ppm"}))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in M.extract_features(media, decoder="ppm").collect()}
+    assert len(out) == 4
+    for i in range(4):
+        assert np.allclose(out[i].features, (16 * i + 3) / 255.0, atol=1e-6)
+
+    # Catalyst-generated PPMs: parser output == independent numpy decode
+    gen = M.generate_ppm_media(spark, 8)
+    feats = {r.media_id: r for r in M.extract_features(gen, decoder="ppm").collect()}
+    for r in gen.collect():
+        payload = bytes(r.payload)
+        hdr = len(b"P6\n16 16\n255\n")  # 13 bytes
+        assert payload[:2] == b"P6" and len(payload) == hdr + 16 * 16 * 3
+        raster = np.frombuffer(payload[hdr:], dtype=np.uint8)
+        gray = raster.reshape(16, 16, 3).astype(np.float64).mean(axis=2)
+        want = [s.mean() / 255 for s in np.array_split(gray, M.FEATURE_DIM, axis=0)]
+        assert np.allclose(feats[r.media_id].features, want, atol=1e-6)
+    # comments + non-square headers parse too
+    odd = b"P6\n# a comment\n4 2\n255\n" + bytes(range(24))
+    f = M.ppm_image_features(odd, "image")
+    assert len(f) == M.FEATURE_DIM
+    # malformed input raises (it is a real parser)
+    with pytest.raises(ValueError):
+        M.ppm_image_features(b"GIF89a....", "image")
+
+
 def test_real_image_decoder_with_pil(spark):
     """End-to-end REAL image decode — runs wherever PIL is importable
     (skips in containers without it): a genuine PNG goes through the
