@@ -140,11 +140,18 @@ def _substrate_probe(spark, salt: int, rows: int = 100_000_000) -> float:
     return time.monotonic() - t0
 
 
+SUB_ROWS_LARGE = 100_000_000
+SUB_ROWS_SMALL = 25_000_000
+
+
 def scale_run(cores: int, n_small: int, n_large: int, seed_base: int) -> None:
     """Subprocess entry: warmup + ONE build at each input size at the
     given parallelism (the caller interleaves subprocesses per level and
     keeps the best, so each level gets best-of-N across time), plus the
-    pure-JVM substrate probe; prints one JSON line."""
+    pure-JVM substrate probe at TWO sizes — the probe's ratio needs the
+    same marginal correction as the build (its raw time carries ~0.3-0.5
+    s of job-scheduling overhead that reads as anti-scaling at the wide
+    level); prints one JSON line."""
     spark = _session(cores)
     # warmup sized to actually exercise the wide level: the first build
     # in a fresh JVM measures ~2x slower at local[32] (JIT + python
@@ -153,10 +160,21 @@ def scale_run(cores: int, n_small: int, n_large: int, seed_base: int) -> None:
     t_small = _build_synthetic(spark, n_small, seed=seed_base + 10)
     t_large = _build_synthetic(spark, n_large, seed=seed_base + 20)
     _substrate_probe(spark, seed_base, rows=10_000_000)  # warmup
-    t_sub = min(_substrate_probe(spark, seed_base + i) for i in (1, 2))
+    t_sub_small = min(
+        _substrate_probe(spark, seed_base + i, rows=SUB_ROWS_SMALL) for i in (1, 2)
+    )
+    t_sub = min(
+        _substrate_probe(spark, seed_base + i, rows=SUB_ROWS_LARGE) for i in (3, 4)
+    )
     print(
         json.dumps(
-            {"cores": cores, "t_small": t_small, "t_large": t_large, "t_sub": t_sub}
+            {
+                "cores": cores,
+                "t_small": t_small,
+                "t_large": t_large,
+                "t_sub_small": t_sub_small,
+                "t_sub": t_sub,
+            }
         )
     )
     spark.stop()
@@ -190,13 +208,24 @@ def _scaling(queries: dict[str, float]) -> dict:
         r = json.loads(out.stdout.strip().splitlines()[-1])
         b = best.setdefault(
             cores,
-            {"t_small": float("inf"), "t_large": float("inf"), "t_sub": float("inf")},
+            {
+                "t_small": float("inf"),
+                "t_large": float("inf"),
+                "t_sub": float("inf"),
+                "t_sub_small": float("inf"),
+            },
         )
         b["t_small"] = min(b["t_small"], r["t_small"])
         b["t_large"] = min(b["t_large"], r["t_large"])
         b["t_sub"] = min(b["t_sub"], r["t_sub"])
+        b["t_sub_small"] = min(b["t_sub_small"], r["t_sub_small"])
         samples.setdefault(cores, []).append(
-            [round(r["t_small"], 2), round(r["t_large"], 2), round(r["t_sub"], 2)]
+            [
+                round(r["t_small"], 2),
+                round(r["t_large"], 2),
+                round(r["t_sub_small"], 2),
+                round(r["t_sub"], 2),
+            ]
         )
         return r
 
@@ -204,6 +233,18 @@ def _scaling(queries: dict[str, float]) -> dict:
         # marginal throughput of ONE subprocess (its two input sizes
         # share a host phase); overhead-dominated samples are invalid
         return dn / (r["t_large"] - r["t_small"]) if r["t_large"] > r["t_small"] * 1.1 else None
+
+    d_sub = SUB_ROWS_LARGE - SUB_ROWS_SMALL
+
+    def _sub_marg(r: dict) -> float | None:
+        # substrate marginal: same fixed-overhead cancellation as the
+        # build — the probe's raw time carries job-scheduling overhead
+        # that reads as anti-scaling at the wide level
+        return (
+            d_sub / (r["t_sub"] - r["t_sub_small"])
+            if r["t_sub"] > r["t_sub_small"] * 1.2
+            else None
+        )
 
     def _qualified(rd: dict) -> bool:
         """A round's efficiency is OF-RECORD material only if the host
@@ -228,12 +269,17 @@ def _scaling(queries: dict[str, float]) -> dict:
         rh = _one(high, 1000 + i * 100)
         rl = _one(low, 1050 + i * 100)
         mh, ml = _marg(rh), _marg(rl)
+        sh, sl = _sub_marg(rh), _sub_marg(rl)
+        sub_eff = (
+            (sh / sl) / ratio if sh and sl else (rl["t_sub"] / rh["t_sub"]) / ratio
+        )
         rounds.append(
             {
                 "marg_high": mh,
                 "marg_low": ml,
                 "eff": round((mh / ml) / ratio, 3) if mh and ml else None,
-                "sub_eff": round((rl["t_sub"] / rh["t_sub"]) / ratio, 3),
+                "sub_eff": round(sub_eff, 3),
+                "sub_eff_raw": round((rl["t_sub"] / rh["t_sub"]) / ratio, 3),
                 "t_sub_high": rh["t_sub"],
                 "t_sub_low": rl["t_sub"],
             }
@@ -257,7 +303,7 @@ def _scaling(queries: dict[str, float]) -> dict:
 
     thru_marg = {}
     for c, ss in samples.items():
-        vals = [dn / (tl - ts) for ts, tl, _ in ss if tl > ts * 1.1]
+        vals = [dn / (tl - ts) for ts, tl, *_ in ss if tl > ts * 1.1]
         thru_marg[c] = max(vals) if vals else None
     thru_raw = {c: n_large / b["t_large"] for c, b in best.items()}
     eff_raw = (thru_raw[high] / thru_raw[low]) / ratio
@@ -265,14 +311,21 @@ def _scaling(queries: dict[str, float]) -> dict:
     eff_allround = (
         (thru_marg[high] / thru_marg[low]) / ratio if marginal_valid else eff_raw
     )
-    eff_substrate_best = (best[low]["t_sub"] / best[high]["t_sub"]) / ratio
+    eff_substrate_raw = (best[low]["t_sub"] / best[high]["t_sub"]) / ratio
+    eff_substrate_best = max(
+        [rd["sub_eff"] for rd in rounds] or [eff_substrate_raw]
+    )
 
     if qualified:
-        # OF RECORD: the best phase-consistent round — its high and low
-        # subprocesses ran back-to-back in a host phase whose own
-        # substrate probe met PHASE_MIN, so the number measures the
-        # ENGINE's scaling, not the shared host's throttle pattern
-        rec = max(qualified, key=lambda rd: rd["eff"])
+        # OF RECORD: the LOWER-MEDIAN phase-consistent round — its high
+        # and low subprocesses ran back-to-back in a host phase whose
+        # own substrate probe met PHASE_MIN, so the number measures the
+        # ENGINE's scaling, not the shared host's throttle pattern.
+        # Median (not max) so one optimistically-noisy round can't set
+        # the record; capped at 1.0 (per-round marginals routinely read
+        # slightly super-linear on this host — all rounds published).
+        qsorted = sorted(qualified, key=lambda rd: rd["eff"])
+        rec = qsorted[(len(qsorted) - 1) // 2]
         eff_record = min(1.0, rec["eff"])
         sub_record = rec["sub_eff"]
         phase_limited = False
@@ -315,6 +368,7 @@ def _scaling(queries: dict[str, float]) -> dict:
         # shows how much of the loss is engine vs shared-host substrate
         "substrate_efficiency": round(sub_record, 3),
         "substrate_efficiency_best": round(eff_substrate_best, 3),
+        "substrate_efficiency_raw": round(eff_substrate_raw, 3),
         "efficiency_vs_substrate": round(
             min(1.0, eff_record / max(1e-9, sub_record)), 3
         ),
@@ -322,8 +376,9 @@ def _scaling(queries: dict[str, float]) -> dict:
         "t_substrate_high": round(best[high]["t_sub"], 3),
         "rounds_run": len(rounds),
         "per_round": rounds,
-        # every raw sample [t_small, t_large, t_substrate] per level, in
-        # run order — the host-phase variance is visible, nothing hidden
+        # every raw sample [t_small, t_large, t_sub_small, t_sub_large]
+        # per level, in run order — the host-phase variance is visible,
+        # nothing hidden
         "samples": {str(c): s for c, s in samples.items()},
         "method": "interleaved fresh-JVM runs at cores/8 and cores/2; "
         "marginal throughput between two input sizes cancels fixed "
