@@ -56,14 +56,16 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 2))
 # SPARK_GRAFT_BENCH_BUDGET seconds — a throttled host phase degrades to
 # fewer samples instead of a timed-out bench with no JSON at all.
 #
-# PHASE QUALIFICATION (round 3): the efficiency OF RECORD comes only
-# from rounds whose own pure-JVM substrate probe shows the HOST scaling
-# (round substrate efficiency >= PHASE_MIN and both subprocesses inside
-# an absolute-healthy phase); sampling extends past SCALE_ROUNDS up to
-# SCALE_ROUNDS_MAX while no qualified round has appeared and budget
-# remains.  If the whole budget passes inside a throttled host phase,
-# the scaling block records phase_limited=true and the substrate-
-# normalized number instead of letting the host read as the engine.
+# PHASE QUALIFICATION (round 3): the efficiency OF RECORD is the
+# LOWER-MEDIAN (capped at 1.0) of rounds whose own pure-JVM substrate
+# probe shows the HOST scaling (round substrate marginal >= PHASE_MIN
+# and both subprocesses inside an absolute-healthy phase); sampling
+# extends past SCALE_ROUNDS up to SCALE_ROUNDS_MAX while no round has
+# qualified and budget remains.  If the whole budget passes inside a
+# throttled host phase, the block records phase_limited=true, the
+# unqualified all-round best-of number as the efficiency, and the
+# substrate ratio + efficiency_vs_substrate beside it so the host
+# ceiling is explicit.
 SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS", 4))
 SCALE_ROUNDS_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS_MAX", 10))
 PHASE_MIN = float(os.environ.get("SPARK_GRAFT_BENCH_PHASE_MIN", 0.7))
@@ -352,9 +354,9 @@ def _scaling(queries: dict[str, float]) -> dict:
         "throughput_raw_low": round(thru_raw[low], 1),
         "throughput_raw_high": round(thru_raw[high], 1),
         "core_ratio": ratio,
-        # of record: best phase-qualified per-round marginal efficiency
-        # (host substrate healthy in that same round); all-round best-of
-        # and raw numbers reported beside it, nothing hidden
+        # of record: lower-median phase-qualified per-round marginal
+        # efficiency, capped at 1.0 (host substrate healthy in that same
+        # round); all-round best-of and raw numbers beside it
         "efficiency": round(eff_record, 3),
         "efficiency_allround": round(eff_allround, 3),
         "efficiency_raw": round(eff_raw, 3),
@@ -382,10 +384,12 @@ def _scaling(queries: dict[str, float]) -> dict:
         "samples": {str(c): s for c, s in samples.items()},
         "method": "interleaved fresh-JVM runs at cores/8 and cores/2; "
         "marginal throughput between two input sizes cancels fixed "
-        "per-run overhead; efficiency of record taken from the best "
-        "round whose own pure-JVM substrate probe met the phase-health "
-        "floor (sampling extends while no round qualifies); raw and "
-        "all-round numbers reported unadjusted beside it",
+        "per-run overhead (for the build AND the substrate probe); "
+        "efficiency of record = lower-median of rounds whose own probe "
+        "met the phase-health floor, capped at 1.0 (sampling extends "
+        "while no round qualifies; phase_limited falls back to the "
+        "all-round best-of, substrate ratio published beside); raw and "
+        "all-round numbers reported unadjusted",
     }
 
 

@@ -158,6 +158,7 @@ def aggregate_postings(
     term_buckets: int = config.POSTINGS_TERM_BUCKETS,
     metrics: dict | None = None,
     bm_frontier: bool = False,
+    docid_lo: int = 0,
 ) -> DataFrame:
     """flat (term, docid, tf, doc_len) -> run-grained postings table:
 
@@ -256,10 +257,19 @@ def aggregate_postings(
     # one unified path: tail terms miss the broadcast join (fan null ->
     # run 0, a single run), heavy terms salt into range-partitioned
     # docId sub-runs; the shuffle key is (term, run) either way.
+    # The range partitioning spans the SEGMENT actually present in
+    # `flat` — (docid_lo, n_docs] — not the full cumulative domain:
+    # incremental compaction feeds only the new tail segment, and
+    # salting over the whole corpus range would collapse a heavy term's
+    # fanout to ~fan * (segment/corpus) runs, unbounding run payloads
+    # (docid_lo=0 reproduces the batch expression exactly).
+    extent = n_docs - docid_lo + 1
     salted = scored.join(F.broadcast(heavy), "term", "left").withColumn(
         "run",
         F.when(F.col("fan").isNull(), F.lit(0))
-        .otherwise(F.floor(F.col("docid") * F.col("fan") / F.lit(n_docs + 1)))
+        .otherwise(
+            F.floor((F.col("docid") - F.lit(docid_lo)) * F.col("fan") / F.lit(extent))
+        )
         .cast("int"),
     )
     runs = _encode_runs(salted.groupBy("term", "run").agg(*run_agg))

@@ -82,9 +82,16 @@ def generate_ppm_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
     (PIL included) decodes these — they feed the real-decode kernel
     `ppm_image_features` end-to-end without optional dependencies."""
     header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n").cast("binary")
-    reps = (PPM_W * PPM_H * 3) // 16  # md5 emits 16 bytes per rep
+    reps = (PPM_W * PPM_H * 3) // 16  # md5 emits 16 bytes per chunk
+    # chunk index feeds each md5 so the raster is NOT one repeated
+    # 16-byte block: rows/strips differ, and a decoder that mixed up
+    # the strip axis or order would produce different features
+
+    def _chunk(r):
+        return F.md5(F.concat_ws("-", F.lit("ppm"), F.col("id"), F.lit(seed), r))
+
     pixels = F.unhex(
-        F.repeat(F.md5(F.concat_ws("-", F.lit("ppm"), F.col("id"), F.lit(seed))), reps)
+        F.array_join(F.transform(F.sequence(F.lit(0), F.lit(reps - 1)), _chunk), "")
     )
     return spark.range(n).select(
         F.col("id").alias("media_id"),
@@ -124,6 +131,10 @@ def ppm_image_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> np.
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if not 0 < maxval <= 255:
+        # 2-byte-sample PPMs (maxval > 255) would silently misdecode
+        # under a uint8 read; maxval 0 would divide by zero
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 1..255)")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     gray = raster.reshape(h, w, 3).astype(np.float64).mean(axis=2)  # (h, w)
     strips = np.array_split(gray, dim, axis=0)

@@ -307,14 +307,11 @@ def ivf_candidate_pairs(
     multi-assignment covers centroid-boundary splits.  Probabilistic
     recall (cluster-structure dependent) — always pair with the exact
     verify."""
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in embeddings.select(vec_col).limit(IVF_SAMPLE).collect()
-        ]
-    )
-    C = _kmeans_cosine(sample, n_centroids, seed=seed)
-    cells_udf = _assign_multi_udf(C, n_assign)
+    spark = embeddings.sparkSession
+    C = _fit_centroids(embeddings, vec_col, n_centroids, seed)
+    if C is None:  # empty table -> no pairs
+        return spark.createDataFrame([], "id_a long, id_b long")
+    cells_udf = _assign_multi_udf(C, min(n_assign, len(C)))
     rows = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(cells_udf(F.col(vec_col))).alias("cell"),
@@ -433,6 +430,19 @@ def _kmeans_cosine(X: np.ndarray, k: int, iters: int = 15, seed: int = IVF_SEED)
     return C
 
 
+def _fit_centroids(
+    embeddings: DataFrame, vec_col: str, n_centroids: int, seed: int
+) -> np.ndarray | None:
+    """Bounded-sample spherical-kmeans fit shared by the IVF top-k and
+    the IVF near-dup blocker.  None on an empty table; k clamps to the
+    sample size so corpora smaller than n_centroids don't crash."""
+    rows = embeddings.select(vec_col).limit(IVF_SAMPLE).collect()
+    if not rows:
+        return None
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return _kmeans_cosine(sample, min(n_centroids, len(sample)), seed=seed)
+
+
 def _assign_multi_udf(centroids: np.ndarray, n_assign: int):
     """pandas UDF: embedding -> its n_assign nearest cell ids (one BLAS
     matmul per Arrow batch) — IVF multi-assignment for blocking."""
@@ -479,13 +489,12 @@ def ivf_cosine_topk(
     synthetic vectors are the worst case — tests pin a recall floor and
     the candidate-fraction saving rather than exactness), hence no SQL
     oracle."""
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in embeddings.select(vec_col).limit(IVF_SAMPLE).collect()
-        ]
-    )
-    C = _kmeans_cosine(sample, n_centroids, seed=seed)
+    spark = embeddings.sparkSession
+    C = _fit_centroids(embeddings, vec_col, n_centroids, seed)
+    if C is None:  # empty table -> empty result
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank long, cos double"
+        )
     cell = _assign_udf(C)
     base = embeddings.select(
         F.col(id_col).cast("long").alias("nid"),
@@ -493,7 +502,6 @@ def ivf_cosine_topk(
         cell(F.col(vec_col)).alias("cell"),
     )
     probes_rows = base.where(F.col("nid").isin(probe_ids)).select("nid", "v").collect()
-    spark = embeddings.sparkSession
     pc = []
     for r in probes_rows:
         pv = np.asarray(r["v"], dtype=np.float64)

@@ -125,16 +125,23 @@ RUN_STRIDE = 1_000_000
 
 
 def _read_meta(spark: SparkSession, state_dir: str) -> dict | None:
-    try:
-        r = spark.read.parquet(f"{state_dir}/meta").collect()[0]
-        return {
-            "gen": int(r["gen"]),
-            "watermark": int(r["watermark"]),
-            "n_docs": int(r["n_docs"]),
-            "sum_doc_len": int(r["sum_doc_len"]),
-        }
-    except Exception:  # first compaction: no state yet
+    """None ONLY when no committed meta exists (first compaction).
+    A meta that exists but fails to read must RAISE — treating a
+    transient read error as 'no state' would make compact_index wipe
+    and rebuild every generation, silently masking corruption.  Local
+    FS existence check here; on a cluster this state is an Iceberg
+    table and 'missing' is a catalog lookup, not an exception guess."""
+    import os
+
+    if not os.path.exists(f"{state_dir}/meta/_SUCCESS"):
         return None
+    r = spark.read.parquet(f"{state_dir}/meta").collect()[0]
+    return {
+        "gen": int(r["gen"]),
+        "watermark": int(r["watermark"]),
+        "n_docs": int(r["n_docs"]),
+        "sum_doc_len": int(r["sum_doc_len"]),
+    }
 
 
 def compact_index(
@@ -198,6 +205,10 @@ def compact_index(
             avgdl=sum_dl / float(n_docs),
             codec=codec,
             bm_frontier=True,
+            # heavy-term salting must range-partition over THIS
+            # segment's docid extent, not the cumulative corpus domain
+            # (otherwise run payloads grow unbounded as the corpus does)
+            docid_lo=meta["n_docs"],
         ).withColumn("run", (F.col("run") + gen * RUN_STRIDE).cast("int"))
         runs_new.write.mode("overwrite").parquet(f"{state}/runs/gen={gen}")
         spark.createDataFrame(

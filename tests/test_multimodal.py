@@ -96,6 +96,9 @@ def test_real_ppm_decoder_end_to_end(spark):
         gray = raster.reshape(16, 16, 3).astype(np.float64).mean(axis=2)
         want = [s.mean() / 255 for s in np.array_split(gray, M.FEATURE_DIM, axis=0)]
         assert np.allclose(feats[r.media_id].features, want, atol=1e-6)
+        # non-degenerate raster: strips must actually differ, so an
+        # axis/order/off-by-one decode bug could not pass this test
+        assert len(set(feats[r.media_id].features)) > 1
     # comments + non-square headers parse too
     odd = b"P6\n# a comment\n4 2\n255\n" + bytes(range(24))
     f = M.ppm_image_features(odd, "image")
@@ -103,6 +106,9 @@ def test_real_ppm_decoder_end_to_end(spark):
     # malformed input raises (it is a real parser)
     with pytest.raises(ValueError):
         M.ppm_image_features(b"GIF89a....", "image")
+    # 2-byte-sample PPMs (maxval > 255) are rejected, not misdecoded
+    with pytest.raises(ValueError):
+        M.ppm_image_features(b"P6\n2 2\n65535\n" + bytes(24), "image")
 
 
 def test_real_image_decoder_with_pil(spark):

@@ -130,3 +130,29 @@ def test_run_docid_ranges_disjoint(spark):
             prev_max = ids[-1]
         checked += 1
     assert checked > 0
+
+
+def test_segment_salting_keeps_run_fanout(spark):
+    """Heavy-term salting over a compaction SEGMENT must range-partition
+    the segment's own docid extent (docid_lo): with the cumulative
+    domain a late small segment's docids all land in the top sliver of
+    the range and a heavy term collapses to ~1 run of unbounded size —
+    the exact failure the run-grained layout exists to prevent."""
+    from mircv_project_spark.operators.index_build import aggregate_postings
+
+    n_prev, n_new = 1_000_000, 4000
+    flat = spark.range(1, n_new + 1).select(
+        F.lit("hot").alias("term"),
+        (F.col("id") + n_prev).cast("long").alias("docid"),
+        F.lit(1).alias("tf"),
+        F.lit(5).alias("doc_len"),
+    )
+    runs = aggregate_postings(
+        flat,
+        n_docs=n_prev + n_new,
+        avgdl=5.0,
+        heavy_df_threshold=1000,
+        docid_lo=n_prev,
+    ).select("run", "run_df").collect()
+    assert len(runs) >= 4, runs  # fan = ceil(4000/1000) = 4
+    assert max(r["run_df"] for r in runs) <= 2000, runs
