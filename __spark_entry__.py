@@ -35,12 +35,14 @@ from mircv_project_spark.sources.transcripts import assign_doc_ids, load_transcr
 _INDEX_CACHE: dict = {}
 
 
-def _index(spark: SparkSession, sf_dir: str, parse: bool) -> InvertedIndex:
-    key = (id(spark), sf_dir, parse)
+def _index(
+    spark: SparkSession, sf_dir: str, parse: bool, codec: str = "vb"
+) -> InvertedIndex:
+    key = (id(spark), sf_dir, parse, codec)
     if key not in _INDEX_CACHE:
         t = load_transcripts(spark, sf_dir)
         t = assign_doc_ids(filter_indexable(t), scalable=True)
-        _INDEX_CACHE[key] = build_index(spark, t, parse=parse)
+        _INDEX_CACHE[key] = build_index(spark, t, parse=parse, codec=codec)
     return _INDEX_CACHE[key]
 
 
@@ -235,6 +237,21 @@ def _topk_compressed(standard: str):
     return run
 
 
+def _q_topk_compressed_ef(spark, sf_dir):
+    """Elias-Fano-coded block store under the oracle gate end-to-end:
+    the reference's EF byte layout (model/EliasFano.java, byte-parity
+    pinned by golden fixtures) encodes the posting blocks, the
+    distributed compressed-store scan decodes them, and the ranking
+    must still match the exhaustive oracle."""
+    from mircv_project_spark.operators.topk import topk_from_blocks
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    idx = _index(spark, sf_dir, parse=False, codec="ef")
+    return topk_from_blocks(
+        IndexReader.from_memory(idx), oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K
+    )
+
+
 def _topk_maxscore(standard: str, conjunctive: bool = False):
     """Driver-side MaxScore dynamic pruning under the oracle gate
     (both scoring standards and both modes — Scorer.java:85-162)."""
@@ -343,22 +360,26 @@ def _q_topk_pruned_tfidf(spark, sf_dir):
     )
 
 
-def _q_topk_pruned_conjunctive(spark, sf_dir):
+def _pruned_conjunctive(standard: str):
     """Conjunctive mode on the distributed pruned path: candidates from
     the rarest term's list only, block lookups for the rest
     (Scorer.java:98-137 analog) — same oracle as the exhaustive
     conjunctive ranking."""
-    from mircv_project_spark.operators.topk import topk_from_blocks_pruned
-    from mircv_project_spark.sources.index_store import IndexReader
 
-    idx = _index(spark, sf_dir, parse=False)
-    return topk_from_blocks_pruned(
-        IndexReader.from_memory(idx),
-        oracle.CONJ_QUERY_SET,
-        scoring.BM25,
-        k=oracle.TOPK_K,
-        conjunctive=True,
-    )
+    def run(spark, sf_dir):
+        from mircv_project_spark.operators.topk import topk_from_blocks_pruned
+        from mircv_project_spark.sources.index_store import IndexReader
+
+        idx = _index(spark, sf_dir, parse=False)
+        return topk_from_blocks_pruned(
+            IndexReader.from_memory(idx),
+            oracle.CONJ_QUERY_SET,
+            standard,
+            k=oracle.TOPK_K,
+            conjunctive=True,
+        )
+
+    return run
 
 
 def _q_lexicon_streaming(spark, sf_dir):
@@ -426,7 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_maxscore_stored": _q_maxscore_stored,
         "bm25_topk_pruned": _q_topk_pruned,
         "tfidf_topk_pruned": _q_topk_pruned_tfidf,
-        "bm25_pruned_conjunctive": _q_topk_pruned_conjunctive,
+        "bm25_pruned_conjunctive": _pruned_conjunctive(scoring.BM25),
+        "tfidf_pruned_conjunctive": _pruned_conjunctive(scoring.TFIDF),
+        "bm25_topk_compressed_ef": _q_topk_compressed_ef,
         "bm25_eval_metrics": _q_eval_metrics,
         "lexicon_streaming": _q_lexicon_streaming,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module

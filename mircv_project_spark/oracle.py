@@ -280,6 +280,9 @@ ORDER BY a.term
         "tfidf_topk_pruned": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         # conjunctive mode on the pruned path: rarest-list candidates
         "bm25_pruned_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
+        "tfidf_pruned_conjunctive": _topk_sql(CONJ_QUERY_SET, "tfidf", True, TOPK_K),
+        # Elias-Fano-coded store (reference byte layout) end-to-end
+        "bm25_topk_compressed_ef": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
     }
