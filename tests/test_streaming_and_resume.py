@@ -149,6 +149,35 @@ def test_compaction_is_incremental(spark, tmp_path):
     ) == gens
 
 
+def test_compaction_crash_replay(spark, tmp_path):
+    """Crash between the runs write and the meta commit: meta's
+    _SUCCESS is the commit point, so a recompaction must treat the
+    orphan generation as uncommitted, rebuild it, and still produce the
+    batch-identical lexicon."""
+    import os
+    import shutil
+
+    inp = str(tmp_path / "in")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    all_t = generate_transcripts(spark, 300, seed=23).orderBy("conv_id", "turn_idx")
+    all_t.coalesce(1).write.mode("overwrite").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+
+    idx1 = S.compact_index(spark, delta, parse=False)
+    rows1 = sorted(map(tuple, idx1.lexicon.select("term", "df", "cf").collect()))
+    state = f"{delta}/compacted"
+    # simulate the crash: runs (gen 0) exist, meta never committed
+    shutil.rmtree(f"{state}/meta")
+    assert os.path.exists(f"{state}/runs/gen=0")
+
+    idx2 = S.compact_index(spark, delta, parse=False)
+    assert idx2.n_docs == idx1.n_docs
+    rows2 = sorted(map(tuple, idx2.lexicon.select("term", "df", "cf").collect()))
+    assert rows2 == rows1
+    assert S._read_meta(spark, state) is not None  # committed this time
+
+
 def test_watermarked_window_agg(spark, tmp_path):
     inp = str(tmp_path / "win_in")
     generate_transcripts(spark, 300, seed=3).coalesce(1).write.mode(
