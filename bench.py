@@ -482,6 +482,11 @@ def main() -> None:
     # --- 4. scaling: interleaved fresh-JVM two-size runs at 4x ratio ---
     scaling = _scaling(queries)
 
+    # all measurements that read the store are collected by now
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+
     thru_full = BENCH_TURNS / sec_full
     extras["throughput"] = {
         f"build_turns_per_sec_local{CPUS}": round(thru_full, 1),
