@@ -149,6 +149,26 @@ def test_compaction_is_incremental(spark, tmp_path):
     ) == gens
 
 
+def test_compacted_lexicon_never_reads_payload(spark, tmp_path):
+    """The lazy pbm recompute (bmfront frontier) must keep the `blocks`
+    payload OUT of the lexicon scan — the whole point of the frontier
+    is exact UBs across avgdl drift without posting-payload reads."""
+    from mircv_project_spark.plans import checks
+
+    inp = str(tmp_path / "in")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    generate_transcripts(spark, 200, seed=29).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+    idx = S.compact_index(spark, delta, parse=False)
+    text = checks.plan_text(idx.lexicon)
+    read_schemas = [seg.splitlines()[0] for seg in text.split("ReadSchema:")[1:]]
+    assert read_schemas
+    assert all("blocks" not in rs for rs in read_schemas), read_schemas
+
+
 def test_compaction_crash_replay(spark, tmp_path):
     """Crash between the runs write and the meta commit: meta's
     _SUCCESS is the commit point, so a recompaction must treat the
