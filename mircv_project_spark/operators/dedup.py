@@ -116,6 +116,23 @@ def jaccard_pairs(
     )
 
 
+def _signatures_from_shingles(sh: DataFrame, perms: int) -> DataFrame:
+    """(id, shingle) rows -> (id, sig array<long>[perms]).  The ONE
+    copy of the pinned permutation arithmetic (28-bit md5 shingle hash,
+    (a*h % p + b) % p, p = 2^31-1 — must stay within signed 64-bit, see
+    MERSENNE_P note) shared by minhash_signatures and
+    minhash_lsh_pairs so the two cannot drift from the oracle SQL."""
+    hashed = sh.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") % MERSENNE_P + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(i) for i in range(perms))
+    ]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -126,15 +143,7 @@ def minhash_signatures(
     """-> (id, sig array<long>[perms]): minhash over md5-derived 28-bit
     shingle hashes with (a*h % p + b) % p permutations, p = 2^31-1.
     Docs with zero shingles are dropped (no signature)."""
-    sh = shingle_sets(docs, id_col, text_col, n).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
-    )
-    mins = [
-        F.min((F.lit(a) * F.col("h") % MERSENNE_P + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(i) for i in range(perms))
-    ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig"))
+    return _signatures_from_shingles(shingle_sets(docs, id_col, text_col, n), perms)
 
 
 def minhash_lsh_pairs(
@@ -146,6 +155,7 @@ def minhash_lsh_pairs(
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
     max_bucket: int = MAX_BUCKET,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -155,23 +165,15 @@ def minhash_lsh_pairs(
     corpora whose near-dups sit at j>=0.8 the verified output equals
     exact jaccard_pairs (tests assert this; the oracle uses the exact
     computation).  Buckets larger than max_bucket are dropped before
-    pair expansion (boilerplate guard) and logged via the `dropped`
-    accumulator pattern at scale.
+    pair expansion (boilerplate guard); pass ``metrics={}`` to record
+    how many buckets/rows that cap discarded (no-silent-caps rule) —
+    the count costs one extra aggregate job, so it is on request only.
     """
     r = perms // bands
     # one shingle derivation reused by signature, candidate-verify and
     # size branches (persisted; see jaccard_pairs note)
     sh = shingle_sets(docs, id_col, text_col, n).persist()
-    hashed = sh.withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
-    )
-    mins = [
-        F.min((F.lit(a) * F.col("h") % MERSENNE_P + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(i) for i in range(perms))
-    ]
-    sig = hashed.groupBy("id").agg(*mins).select(
-        "id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig")
-    )
+    sig = _signatures_from_shingles(sh, perms)
     band_rows = sig.select(
         "id",
         F.explode(
@@ -195,6 +197,14 @@ def minhash_lsh_pairs(
     # candidate self-join: persist (n_docs x bands small rows).
     band_rows = band_rows.persist()
     sizes = band_rows.groupBy("band", "bkey").agg(F.count("*").alias("bs"))
+    if metrics is not None:
+        row = (
+            sizes.where(F.col("bs") > max_bucket)
+            .agg(F.count("*"), F.sum("bs"))
+            .collect()[0]
+        )
+        metrics["dropped_buckets"] = int(row[0] or 0)
+        metrics["dropped_rows"] = int(row[1] or 0)
     pruned = band_rows.join(
         sizes.where(F.col("bs") <= max_bucket), ["band", "bkey"]
     ).persist()
@@ -292,6 +302,10 @@ def dup_components(
         if changed == 0:
             break
     else:
+        # release pinned storage before raising — a caller looping over
+        # corpora must not accumulate orphaned cached partitions
+        edges.unpersist()
+        labels.unpersist()
         raise RuntimeError(
             f"dup_components did not converge in {max_iterations} rounds"
         )

@@ -493,6 +493,10 @@ def staged_build(
         sum_doc_len=sum_dl,
         parse=parse,
         codec=codec,
+        # MUST mirror what aggregate_postings hashed the bucket column
+        # with — a mismatched default here makes IndexReader._prune
+        # filter on the wrong bucket ids and silently drop terms
+        term_buckets=agg_kwargs.get("term_buckets", config.POSTINGS_TERM_BUCKETS),
         metrics=metrics,
     )
 

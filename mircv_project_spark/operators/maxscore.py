@@ -32,13 +32,29 @@ from __future__ import annotations
 
 import sys
 from dataclasses import dataclass
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 
+from .. import config
 from ..functions import codecs
 from . import scoring
 
 MAX_DOCID = sys.maxsize
+
+_Q6 = Decimal("0.000001")
+
+
+def round6(x: float) -> float:
+    """round(x, 6) with the SAME semantics as Spark's F.round (HALF_UP
+    over the shortest decimal representation — java BigDecimal.valueOf
+    goes through Double.toString, and Python's repr() produces the same
+    shortest round-trip digits).  Python's built-in round() is
+    half-to-EVEN over the exact binary value and diverges on exact
+    6-decimal midpoints (round(2**-7, 6) = 0.007812 vs F.round's
+    0.007813) — using it for heap membership would reintroduce the
+    boundary-tie divergence ROUND_EPS exists to exclude."""
+    return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
 
 
 @dataclass
@@ -89,11 +105,13 @@ class PostingCursor:
         return int(self._ids[self._pos])
 
     def score(self) -> float:
+        # same constants AND op order as operators/scoring.py (rank-
+        # identity critical — a config change must move every path)
         tf = int(self._tfs[self._pos])
         if self.standard == scoring.BM25:
             dl = int(self._dls[self._pos])
-            bj = 0.3 + (0.7 * (dl / self.avgdl))
-            return (tf / ((1.5 * bj) + tf)) * self.tp.idf
+            bj = config.BM25_ONE_MINUS_B + (config.BM25_B * (dl / self.avgdl))
+            return (tf / ((config.BM25_K1 * bj) + tf)) * self.tp.idf
         return (1 + np.log10(tf).item()) * self.tp.idf
 
     def next(self) -> None:
@@ -154,7 +172,7 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool) -> list[t
     length <= k."""
     import heapq
 
-    if not cursors:
+    if not cursors or k <= 0:
         return []
     cursors = sorted(cursors, key=lambda c: c.ub)  # ascending term UB
     upper = []
@@ -205,7 +223,7 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool) -> list[t
                     break
             if not conjunctive or (complete and matched == n):
                 # add to heap (reference: add, poll if > k, theta = kth)
-                heapq.heappush(heap, (round(score, 6), -current, score))
+                heapq.heappush(heap, (round6(score), -current, score))
                 if len(heap) > k:
                     heapq.heappop(heap)
                 if len(heap) == k:
@@ -215,7 +233,7 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool) -> list[t
         current = nxt
 
     out = [(-negid, raw) for rounded, negid, raw in heap]
-    out.sort(key=lambda t: (-round(t[1], 6), t[0]))
+    out.sort(key=lambda t: (-round6(t[1]), t[0]))
     return out
 
 

@@ -42,6 +42,10 @@ class IndexReader:
     # so repeated misses don't re-scan.
     cache_size: int = 50_000
     _cache: dict = field(default_factory=dict, repr=False)
+    # term -> bucket id memo: bucket hashing needs a (tiny) Spark job,
+    # and one query batch calls _prune several times over overlapping
+    # term sets — pay the job once per new term, not per call
+    _bucket_cache: dict = field(default_factory=dict, repr=False)
 
     @property
     def avgdl(self) -> float:
@@ -74,18 +78,29 @@ class IndexReader:
             term_buckets=int(stats["term_buckets"]),
         )
 
-    def _prune(self, df: DataFrame, terms: list[str]) -> DataFrame:
-        if self.term_buckets and "bucket" in df.columns:
-            spark = df.sparkSession
-            brows = (
-                spark.createDataFrame([(t,) for t in terms], "term string")
+    def _buckets_of(self, spark, terms: list[str]) -> list[int]:
+        missing = sorted(t for t in terms if t not in self._bucket_cache)
+        if missing:
+            if len(self._bucket_cache) + len(missing) > self.cache_size:
+                self._bucket_cache.clear()
+            rows = (
+                spark.createDataFrame([(t,) for t in missing], "term string")
                 .select(
-                    F.pmod(F.xxhash64("term"), F.lit(self.term_buckets)).cast("int")
+                    "term",
+                    F.pmod(F.xxhash64("term"), F.lit(self.term_buckets))
+                    .cast("int")
+                    .alias("b"),
                 )
-                .distinct()
                 .collect()
             )
-            df = df.where(F.col("bucket").isin([r[0] for r in brows]))
+            for r in rows:
+                self._bucket_cache[r["term"]] = r["b"]
+        return sorted({self._bucket_cache[t] for t in terms})
+
+    def _prune(self, df: DataFrame, terms: list[str]) -> DataFrame:
+        if self.term_buckets and "bucket" in df.columns:
+            buckets = self._buckets_of(df.sparkSession, terms)
+            df = df.where(F.col("bucket").isin(buckets))
         return df.where(F.col("term").isin(terms))
 
     def fetch(self, terms: list[str]) -> dict[str, TermPostings]:

@@ -218,6 +218,32 @@ def test_watermarked_window_agg(spark, tmp_path):
     assert {r["role"] for r in rows} <= {"user", "assistant", "system", "tool"}
 
 
+def test_staged_build_custom_buckets_queryable(spark, tmp_path):
+    """staged_build(term_buckets=16) must carry the SAME bucket count
+    into the returned handle that aggregate_postings hashed the bucket
+    column with — a mismatch makes IndexReader._prune filter on wrong
+    bucket ids and silently drop query terms."""
+    from mircv_project_spark.sources.transcripts import load_transcripts
+    from mircv_project_spark.sources.index_store import IndexReader
+    from mircv_project_spark.operators.maxscore import maxscore_topk_df
+
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    idx16 = staged_build(spark, t, str(tmp_path / "b16"), parse=False, term_buckets=16)
+    assert idx16.term_buckets == 16
+    mem = build_index(spark, t, parse=False)
+    got = sorted(
+        map(tuple, maxscore_topk_df(
+            IndexReader.from_memory(idx16), QUERY_SET[:4], scoring.BM25, k=10
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, maxscore_topk_df(
+            IndexReader.from_memory(mem), QUERY_SET[:4], scoring.BM25, k=10
+        ).collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_staged_build_resumes(spark, tmp_path):
     from mircv_project_spark.sources.transcripts import load_transcripts
 
