@@ -252,10 +252,12 @@ def _scaling(queries: dict[str, float]) -> dict:
         """A round's efficiency is OF-RECORD material only if the host
         itself scaled during it: the round's own substrate ratio meets
         PHASE_MIN, both subprocesses ran in an absolute-healthy phase
-        (t_sub within SUB_TOL of the best seen at that level), both
-        marginals are valid, and the implied efficiency is physically
-        sane (<= 1.05 — above that the LOW level was throttled between
-        its build and its probe)."""
+        (t_sub within SUB_TOL of the best seen at that level), and both
+        marginals are valid.  Super-linear readings are NOT excluded —
+        they clamp to 1.0 in the record instead: phase noise deflates
+        and inflates rounds symmetrically (a throttle burst on the low
+        level inflates, on the high level deflates), so discarding only
+        the inflated side would bias the median downward."""
         if rd["marg_high"] is None or rd["marg_low"] is None:
             return False
         if rd["sub_eff"] < PHASE_MIN:
@@ -264,7 +266,7 @@ def _scaling(queries: dict[str, float]) -> dict:
             return False
         if rd["t_sub_low"] > best[low]["t_sub"] * SUB_TOL:
             return False
-        return rd["eff"] is not None and rd["eff"] <= 1.05
+        return rd["eff"] is not None
 
     i = 0
     while True:
@@ -319,23 +321,27 @@ def _scaling(queries: dict[str, float]) -> dict:
     )
 
     if qualified:
-        # OF RECORD: the LOWER-MEDIAN phase-consistent round — its high
-        # and low subprocesses ran back-to-back in a host phase whose
-        # own substrate probe met PHASE_MIN, so the number measures the
-        # ENGINE's scaling, not the shared host's throttle pattern.
-        # Median (not max) so one optimistically-noisy round can't set
-        # the record; capped at 1.0 (per-round marginals routinely read
-        # slightly super-linear on this host — all rounds published).
-        qsorted = sorted(qualified, key=lambda rd: rd["eff"])
+        # OF RECORD: the LOWER-MEDIAN phase-consistent round over
+        # CLAMPED per-round efficiencies (min(eff, 1.0)) — each
+        # qualified round's high and low subprocesses ran back-to-back
+        # in a host phase whose own substrate probe met PHASE_MIN, so
+        # the number measures the ENGINE's scaling, not the shared
+        # host's throttle pattern.  Median (not max) so one noisy round
+        # can't set the record; clamping (not excluding) super-linear
+        # rounds keeps the noise treatment symmetric — all raw rounds
+        # published in per_round either way.
+        qsorted = sorted(qualified, key=lambda rd: min(1.0, rd["eff"]))
         rec = qsorted[(len(qsorted) - 1) // 2]
         eff_record = min(1.0, rec["eff"])
         sub_record = rec["sub_eff"]
         phase_limited = False
     else:
         # no healthy host phase inside the budget: record the all-round
-        # number AND say so explicitly — the substrate row documents the
-        # ceiling the machine itself imposed during this bench
-        eff_record = eff_allround
+        # number (clamped to 1.0 — an 'efficiency' above 1 is noise, the
+        # raw value stays in efficiency_allround) AND say so explicitly;
+        # the substrate row documents the ceiling the machine itself
+        # imposed during this bench
+        eff_record = min(1.0, eff_allround)
         sub_record = eff_substrate_best
         phase_limited = True
 
