@@ -270,6 +270,27 @@ def _topk_maxscore(standard: str, conjunctive: bool = False):
     return run
 
 
+def _topk_bmw(standard: str, conjunctive: bool = False):
+    """Driver-side Block-Max WAND (Ding & Suel 2011) under the oracle
+    gate — the second dynamic-pruning family next to the reference's
+    MaxScore; must reproduce the exhaustive ranking exactly
+    (operators/bmw.py: shallow per-block (max_tf, min_dl) score bounds
+    decide skips before any payload decodes)."""
+
+    def run(spark, sf_dir):
+        from mircv_project_spark.operators.bmw import bmw_topk_df
+        from mircv_project_spark.sources.index_store import IndexReader
+
+        idx = _index(spark, sf_dir, parse=False)
+        qset = oracle.CONJ_QUERY_SET if conjunctive else oracle.QUERY_SET
+        return bmw_topk_df(
+            IndexReader.from_memory(idx), qset, standard, k=oracle.TOPK_K,
+            conjunctive=conjunctive,
+        )
+
+    return run
+
+
 _TMP_DIRS: list[str] = []
 
 
@@ -442,6 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": _topk_maxscore(scoring.BM25),
         "tfidf_topk_maxscore": _topk_maxscore(scoring.TFIDF),
         "bm25_maxscore_conjunctive": _topk_maxscore(scoring.BM25, conjunctive=True),
+        "bm25_topk_bmw": _topk_bmw(scoring.BM25),
+        "tfidf_topk_bmw": _topk_bmw(scoring.TFIDF),
+        "bm25_bmw_conjunctive": _topk_bmw(scoring.BM25, conjunctive=True),
         "bm25_topk_stored": _q_topk_stored,
         "tfidf_topk_stored": _q_topk_stored_tfidf,
         "bm25_maxscore_stored": _q_maxscore_stored,

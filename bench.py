@@ -6,8 +6,9 @@ Headline workload (mirrors the reference's two executables):
      sf documents-derived transcripts AND a larger synthetic transcript
      table (deterministic generator, no external data);
   2. batch query evaluation: MaxScore top-10 BM25/TFIDF over the fixed
-     query set (driver-side DAAT over the pruned posting fetch), plus
-     the exhaustive distributed scorer.
+     query set (driver-side DAAT over the pruned posting fetch), a
+     Block-Max WAND warm batch (the second pruning family,
+     operators/bmw.py), plus the exhaustive distributed scorer.
 
 Scaling evidence for the north rule (no real cluster in this sandbox):
 the same synthetic input builds at two parallelism levels with a 4x
@@ -463,6 +464,13 @@ def main() -> None:
     t0 = time.monotonic()
     maxscore_topk_df(reader, qset, scoring.BM25, k=10).collect()
     queries["maxscore_bm25_top10_warm"] = time.monotonic() - t0
+    # the second pruning family (Block-Max WAND) over the same warm
+    # cache — comparable number beside maxscore_bm25_top10_warm
+    from mircv_project_spark.operators.bmw import bmw_topk_df
+
+    t0 = time.monotonic()
+    bmw_topk_df(reader, qset, scoring.BM25, k=10).collect()
+    queries["bmw_bm25_top10_warm"] = time.monotonic() - t0
 
     t0 = time.monotonic()
     topk.exhaustive_topk(idx, qset, scoring.BM25, k=10).collect()

@@ -250,7 +250,14 @@ def block_size_for(n: int) -> int:
 def encode_posting_blocks(docids, tfs, dls, codec: str = VB) -> list[dict]:
     """Split one term's postings (docId-ascending) into blocks and encode.
 
-    Returns [{max_doc_id, n, docids: bytes, tfs: bytes, dls: bytes}, ...]
+    Returns [{max_doc_id, n, max_tf, min_dl, docids: bytes, tfs: bytes,
+    dls: bytes}, ...].  ``max_doc_id`` is the reference's per-block skip
+    pointer (``model/BlockDescriptor.java:70-76``); ``max_tf``/``min_dl``
+    are the block-max SCORE metadata (Ding & Suel, "Faster top-k document
+    retrieval using block-max indexes", SIGIR 2011): the BM25 coefficient
+    is increasing in tf and decreasing in dl, so score(max_tf, min_dl) is
+    a per-block upper bound for ANY avgdl — avgdl-invariant raw ints, so
+    incremental compaction never has to rewrite them.
     """
     ids = np.ascontiguousarray(docids, dtype=np.uint64)
     tf = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -282,6 +289,8 @@ def encode_posting_blocks(docids, tfs, dls, codec: str = VB) -> list[dict]:
             {
                 "max_doc_id": int(bids[-1]),
                 "n": int(e - s),
+                "max_tf": int(tf[s:e].max()),
+                "min_dl": int(dl[s:e].min()),
                 "docids": id_bytes,
                 "tfs": tf[s:e].tobytes() if codec == RAW else unary_encode(tf[s:e]),
                 "dls": dl[s:e].tobytes() if codec == RAW else vb_encode(dl[s:e]),

@@ -43,7 +43,8 @@ from ..functions.tokenizer import doc_terms_udf
 from . import scoring
 
 BLOCKS_SCHEMA = (
-    "array<struct<max_doc_id:long, n:int, docids:binary, tfs:binary, dls:binary>>"
+    "array<struct<max_doc_id:long, n:int, max_tf:int, min_dl:int,"
+    " docids:binary, tfs:binary, dls:binary>>"
 )
 
 

@@ -267,11 +267,16 @@ def maxscore_topk_df(
     standard: str = scoring.BM25,
     k: int = 10,
     conjunctive: bool = False,
+    _topk_fn=None,
 ):
     """Batch query evaluation over an IndexReader ->
     DataFrame(qid, docno, rank, score) with the same rounding/tie rules
     as operators/topk.exhaustive_topk (rank over rounded score, docid
-    ties ascending), so the two paths are row-identical."""
+    ties ascending), so the two paths are row-identical.
+
+    ``_topk_fn`` swaps the per-query DAAT scorer (same signature as
+    ``maxscore_topk``) — operators/bmw.py reuses this batch plumbing for
+    Block-Max WAND."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -283,9 +288,10 @@ def maxscore_topk_df(
     all_terms = sorted({t for toks in qtokens.values() for t in toks})
     tp = reader.fetch(all_terms)  # one pruned scan for the whole batch
 
+    topk_fn = _topk_fn if _topk_fn is not None else maxscore_topk
     rows = []
     for qid, toks in qtokens.items():
-        for docid, raw in maxscore_topk(
+        for docid, raw in topk_fn(
             tp, toks, reader.codec, standard, reader.n_docs, reader.avgdl,
             k, conjunctive,
         ):

@@ -270,6 +270,11 @@ ORDER BY a.term
         "bm25_topk_maxscore": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_maxscore": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_maxscore_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
+        # Block-Max WAND (operators/bmw.py) — rank-safe pruning, so the
+        # exhaustive ranking is its oracle too
+        "bm25_topk_bmw": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "tfidf_topk_bmw": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        "bm25_bmw_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         # persisted bucketed store read back via IndexReader.from_dir
         # (both standards + the driver-side MaxScore DAAT over the store)
         "bm25_topk_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),

@@ -33,16 +33,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--exhaustive", action="store_true",
                    help="distributed exhaustive scorer instead of MaxScore")
+    p.add_argument("--algo", default="maxscore", choices=["maxscore", "bmw"],
+                   help="driver-side DAAT pruner: the reference's MaxScore "
+                        "or Block-Max WAND (operators/bmw.py); rank-identical")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    from mircv_project_spark.operators.bmw import bmw_topk_df
     from mircv_project_spark.operators.maxscore import maxscore_topk_df
-    from mircv_project_spark.operators.topk import trec_format
+    from mircv_project_spark.operators.topk import topk_from_blocks, trec_format
     from mircv_project_spark.session import get_spark
     from mircv_project_spark.sources.index_store import IndexReader
 
     spark = get_spark("mircv-query", master=args.master)
     reader = IndexReader.from_dir(spark, args.index)
+    if args.exhaustive:  # distributed scan of the block store, no pruning
+        topk_df = topk_from_blocks
+    else:
+        topk_df = bmw_topk_df if args.algo == "bmw" else maxscore_topk_df
 
     queries: list[tuple[str, str]] = []
     conjunctive = False
@@ -62,8 +70,8 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
-    out = maxscore_topk_df(reader, queries, args.standard, k=args.k,
-                           conjunctive=conjunctive)
+    out = topk_df(reader, queries, args.standard, k=args.k,
+                  conjunctive=conjunctive)
     for r in trec_format(out, args.standard).collect():
         print(f"{r['qid']} Q0 {r['docno']} {r['rank']} {r['score']} {r['standard']}")
     spark.stop()
