@@ -71,6 +71,12 @@ SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS", 4))
 SCALE_ROUNDS_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS_MAX", 10))
 PHASE_MIN = float(os.environ.get("SPARK_GRAFT_BENCH_PHASE_MIN", 0.7))
 SUB_TOL = 1.35  # a subprocess is absolute-healthy if t_sub <= min*tol
+# the BUILD samples need the same absolute-health guard as the probe:
+# a throttle burst can hit one build while that round's probe (run
+# seconds later) reads healthy — observed: a 6x-throttled t_large
+# qualified a 0.012 'efficiency' because only t_sub was checked.
+# Looser than SUB_TOL: build times legitimately swing more.
+BUILD_TOL = 1.5
 BENCH_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", 1020))
 _BENCH_T0 = time.monotonic()
 
@@ -253,8 +259,9 @@ def _scaling(queries: dict[str, float]) -> dict:
         """A round's efficiency is OF-RECORD material only if the host
         itself scaled during it: the round's own substrate ratio meets
         PHASE_MIN, both subprocesses ran in an absolute-healthy phase
-        (t_sub within SUB_TOL of the best seen at that level), and both
-        marginals are valid.  Super-linear readings are NOT excluded —
+        (t_sub within SUB_TOL of the best seen at that level; build
+        samples within BUILD_TOL likewise), and both marginals are
+        valid.  Super-linear readings are NOT excluded —
         they clamp to 1.0 in the record instead: phase noise deflates
         and inflates rounds symmetrically (a throttle burst on the low
         level inflates, on the high level deflates), so discarding only
@@ -267,6 +274,16 @@ def _scaling(queries: dict[str, float]) -> dict:
             return False
         if rd["t_sub_low"] > best[low]["t_sub"] * SUB_TOL:
             return False
+        # the round's OWN build samples must be absolute-healthy too:
+        # a burst that throttles one build but misses the probe would
+        # otherwise qualify a nonsense marginal (either direction —
+        # checked symmetrically at both levels and both sizes)
+        for cores, key in ((high, "t_build_high"), (low, "t_build_low")):
+            b = best[cores]
+            if rd[key][0] > b["t_small"] * BUILD_TOL:
+                return False
+            if rd[key][1] > b["t_large"] * BUILD_TOL:
+                return False
         return rd["eff"] is not None
 
     i = 0
@@ -287,6 +304,8 @@ def _scaling(queries: dict[str, float]) -> dict:
                 "sub_eff_raw": round((rl["t_sub"] / rh["t_sub"]) / ratio, 3),
                 "t_sub_high": rh["t_sub"],
                 "t_sub_low": rl["t_sub"],
+                "t_build_high": [rh["t_small"], rh["t_large"]],
+                "t_build_low": [rl["t_small"], rl["t_large"]],
             }
         )
         i += 1
