@@ -8,7 +8,8 @@ Headline workload (mirrors the reference's two executables):
   2. batch query evaluation: MaxScore top-10 BM25/TFIDF over the fixed
      query set (driver-side DAAT over the pruned posting fetch), a
      Block-Max WAND warm batch (the second pruning family,
-     operators/bmw.py), plus the exhaustive distributed scorer.
+     operators/bmw.py), the fully-distributed block-max pruned path,
+     plus the exhaustive distributed scorer.
 
 Scaling evidence for the north rule (no real cluster in this sandbox):
 the same synthetic input builds at two parallelism levels with a 4x
@@ -490,6 +491,12 @@ def main() -> None:
     t0 = time.monotonic()
     bmw_topk_df(reader, qset, scoring.BM25, k=10).collect()
     queries["bmw_bm25_top10_warm"] = time.monotonic() - t0
+    # fully-distributed pruned path (the big-list fallback when posting
+    # lists exceed the driver): block-max theta bootstrap + candidate-
+    # driven lookups, executors end-to-end
+    t0 = time.monotonic()
+    topk.topk_from_blocks_pruned(reader, qset, scoring.BM25, k=10).collect()
+    queries["pruned_dist_bm25_top10"] = time.monotonic() - t0
 
     t0 = time.monotonic()
     topk.exhaustive_topk(idx, qset, scoring.BM25, k=10).collect()

@@ -244,6 +244,53 @@ def _decode_blocks_df(blocks: DataFrame, codec: str) -> DataFrame:
 _PRUNE_EPS = 0.5e-6
 
 
+def _block_ub_col(standard: str, n_docs: int, avgdl: float):
+    """Per-block score upper bound from (max_tf, min_dl, df) columns —
+    the same expressions (and op order) as the real scorer, evaluated at
+    the block-max point: the BM25 coefficient is increasing in tf and
+    decreasing in dl, so score(max_tf, min_dl) bounds every posting."""
+    if standard == scoring.BM25:
+        return scoring.bm25_col(
+            F.col("max_tf"), F.col("min_dl"), F.col("df"), n_docs, avgdl
+        )
+    return scoring.tfidf_col(F.col("max_tf"), F.col("df"), n_docs)
+
+
+def _block_meta_df(reader, terms: list[str], dfs: dict[str, int], standard: str):
+    """(term, run, bi, bn, max_tf, min_dl, bub) block-metadata frame for
+    the given terms — metadata ONLY: the payload binaries are projected
+    away before any window/shuffle, and nested-schema pruning keeps them
+    out of the parquet read entirely (asserted in tests/test_plans.py)."""
+    spark = reader.postings.sparkSession
+    dfmap = spark.createDataFrame(
+        [(t, dfs[t]) for t in terms], "term string, df long"
+    )
+    # DIRECT field references (col("blocks.n") -> array<int>) are what
+    # nested-schema pruning understands: a posexplode of the full block
+    # struct — or any transform(...) lambda — makes the scan read the
+    # payload binaries too, while arrays_zip over field refs prunes the
+    # ReadSchema to exactly struct<n, max_tf, min_dl>
+    return (
+        reader._prune(reader.postings, terms)
+        .select(
+            "term", "run",
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("blocks.n"), F.col("blocks.max_tf"), F.col("blocks.min_dl")
+                )
+            ).alias("bi", "m"),
+        )
+        .select(
+            "term", "run", "bi",
+            F.col("m.n").alias("bn"),
+            F.col("m.max_tf").alias("max_tf"),
+            F.col("m.min_dl").alias("min_dl"),
+        )
+        .join(F.broadcast(dfmap), "term")
+        .withColumn("bub", _block_ub_col(standard, reader.n_docs, reader.avgdl))
+    )
+
+
 def topk_from_blocks_pruned(
     reader,
     queries: list[tuple[str, str]],
@@ -266,26 +313,38 @@ def topk_from_blocks_pruned(
     the distributed analog of the reference's conjunctive DAAT driven
     by nextGEQ on the shortest list (queryProcessor/Scorer.java:98-137).
 
-    Three passes, all metadata-driven before any payload decode:
+    Four passes, all metadata-driven before any payload decode:
 
-    1. theta: decode ONLY the highest-upper-bound term per query; the
-       k-th best single-term contribution is a lower bound on the final
-       k-th score (scores are additive and non-negative).
+    1. theta bootstrap, block-max guided: only the highest-upper-bound
+       term per query decodes, and only its top blocks by per-block
+       score bound (score(max_tf, min_dl) bounds every posting in the
+       block) covering ~max(4k, 256) postings — NOT the whole list.
+       The k-th best decoded single-term contribution lower-bounds the
+       final k-th score (scores are additive and non-negative; any
+       decoded subset yields a valid, merely possibly weaker, theta).
     2. essential split (driver-side, per query): terms whose suffix of
        cumulative upper bounds stays below theta - eps are
        NON-essential — a doc appearing only in them cannot reach the
-       top k.  All essential-term blocks decode; the docs they contain
-       are the only possible top-k candidates.
+       top k.  Essential blocks decode eagerly EXCEPT the cold blocks
+       of terms with a positive hot cut: a block can source a top-k
+       candidate only if qtf*block_ub + sum(other terms' qtf*UB) >=
+       theta - eps, and only a query's top-UB term can have a positive
+       cut — exactly the head-term lists, where the decode cost lives.
     3. non-essential terms contribute to candidate docs only: the
        needed block INDEX per (candidate docid, run) comes from the
        run's block-max array via a pure Catalyst
        size(filter(maxes, m -> m < docid)) searchsorted — blocks whose
        docid range contains no candidate are NEVER decoded (nor their
        payload bytes materialized past the parquet column reader).
+    4. partial (hot-cut) terms' cold blocks complete candidate scores
+       through the same candidate-driven lookup, excluding the blocks
+       already decoded eagerly.
 
     At scale this is the difference between decoding a stopword's 10^9
     postings and decoding the handful of its blocks that overlap the
-    few thousand candidates from the selective terms.
+    few thousand candidates from the selective terms — including when
+    the stopword is the query's own top-UB term (head-term queries),
+    which previously decoded in full for theta.
     """
     spark = reader.postings.sparkSession
     collect_metrics = metrics is not None  # extra count jobs only on request
@@ -325,15 +384,40 @@ def topk_from_blocks_pruned(
         t1_terms: list[str] = []
         rows1 = None
     else:
-        # --- pass 1: theta from the top-UB term of each query ---
+        # --- pass 1: block-max-guided theta bootstrap ---
+        # theta only needs to LOWER-bound the final k-th score, and any
+        # subset of the top-UB term's postings yields a valid bound — so
+        # instead of decoding t1's ENTIRE list (the dominant cost when
+        # the top-UB term is a head term), rank its blocks by their
+        # per-block score bound (metadata only: score(max_tf, min_dl) is
+        # an upper bound for any posting in the block) and decode just
+        # enough top blocks to cover ~theta_target postings.  A weaker
+        # theta can only cost extra decode downstream, never rank
+        # correctness — every later prune re-checks against theta.
         t1_pairs = {
             (q, max(lst, key=lambda x: x[3])[0]) for q, lst in by_qid.items()
         }
         t1_terms = sorted({t for _, t in t1_pairs})
+        theta_target = max(4 * k, 256)
+        wsel = Window.partitionBy("term").orderBy(
+            F.col("bub").desc(), F.col("run").asc(), F.col("bi").asc()
+        )
+        sel_rows = (
+            _block_meta_df(reader, t1_terms, {t: lex[t][0] for t in t1_terms}, standard)
+            .withColumn("cum", F.sum("bn").over(wsel))
+            .where(F.col("cum") - F.col("bn") < theta_target)
+            .select("term", "run", "bi")
+            .collect()
+        )
+        sel_df = spark.createDataFrame(
+            [(r["term"], r["run"], r["bi"]) for r in sel_rows],
+            "term string, run long, bi int",
+        )
         rows1 = _decode_blocks_df(
-            reader._prune(reader.postings, t1_terms).select(
-                "term", F.explode("blocks").alias("b")
-            ),
+            reader._prune(reader.postings, t1_terms)
+            .select("term", "run", F.posexplode("blocks").alias("bi", "b"))
+            .join(F.broadcast(sel_df), ["term", "run", "bi"])
+            .select("term", "b"),
             reader.codec,
         ).persist()
         qt1 = spark.createDataFrame(
@@ -373,39 +457,91 @@ def topk_from_blocks_pruned(
 
     ess_terms = sorted({t for _, t, _, _ in ess_pairs})
     qt_e = spark.createDataFrame(ess_pairs, "qid string, term string, qtf int, df long")
-    rest_e = [t for t in ess_terms if t not in set(t1_terms)]
-    rows_e = rows1
-    if rest_e:
-        rows_new = _decode_blocks_df(
-            reader._prune(reader.postings, rest_e).select(
-                "term", F.explode("blocks").alias("b")
-            ),
-            reader.codec,
+
+    # per-essential-term hot cut (disjunctive only): a block of
+    # essential term t can SOURCE a top-k candidate only if
+    #   qtf*block_ub + sum(other terms' qtf*global_UB) >= theta - eps;
+    # colder blocks cannot hold a doc that both reaches theta and is
+    # invisible to every other essential term's hot blocks, so they
+    # defer to candidate-driven lookups exactly like non-essential
+    # blocks.  Only a query's top-UB term can have a positive cut (for
+    # any other term the "others" sum already contains that top UB,
+    # which is >= theta by construction) — so this prunes exactly the
+    # HEAD-term lists, which is where the decode cost lives at scale.
+    hot_cut: dict[str, float] = {}
+    if not conjunctive:
+        totals = {q: sum(x[3] for x in lst) for q, lst in by_qid.items()}
+        for q, t, c, _df in ess_pairs:
+            own = c * lex[t][1]
+            cq = (theta.get(q, 0.0) - _PRUNE_EPS - (totals[q] - own)) / c
+            hot_cut[t] = min(hot_cut.get(t, float("inf")), cq)
+    partial_terms = sorted(t for t, v in hot_cut.items() if v > 0)
+
+    # eager essential decode: every block EXCEPT partial terms' cold
+    # blocks and the already-decoded theta selection
+    eager = reader._prune(reader.postings, ess_terms).select(
+        "term", "run", F.posexplode("blocks").alias("bi", "b")
+    )
+    if partial_terms:
+        cut_df = spark.createDataFrame(
+            [(t, hot_cut[t]) for t in partial_terms], "term string, cut double"
         )
-        rows_e = rows1.unionByName(rows_new) if rows1 is not None else rows_new
+        dfmap_e = spark.createDataFrame(
+            [(t, lex[t][0]) for t in ess_terms], "term string, df long"
+        )
+        eager = (
+            eager.join(F.broadcast(dfmap_e), "term")
+            .join(F.broadcast(cut_df), "term", "left")
+            .withColumn("max_tf", F.col("b.max_tf"))
+            .withColumn("min_dl", F.col("b.min_dl"))
+            .where(
+                F.col("cut").isNull()
+                | (_block_ub_col(standard, reader.n_docs, reader.avgdl)
+                   >= F.col("cut"))
+            )
+            .select("term", "run", "bi", "b")
+        )
+        if collect_metrics:
+            metrics["ess_blocks_total"] = (
+                reader._prune(reader.postings, ess_terms)
+                .select(F.explode("blocks"))
+                .count()
+            )
+            metrics["ess_blocks_eager"] = eager.count()
+    if rows1 is not None:
+        eager = eager.join(F.broadcast(sel_df), ["term", "run", "bi"], "left_anti")
+    rows_new = _decode_blocks_df(eager.select("term", "b"), reader.codec)
+    rows_e = rows1.unionByName(rows_new) if rows1 is not None else rows_new
     matched_e = rows_e.join(F.broadcast(qt_e), "term").persist()
     matched = matched_e
+    candidates = matched_e.select("qid", "docid").distinct()
 
-    ne_terms = sorted({t for _, t, _, _ in ne_pairs})
-    if ne_terms:
-        candidates = matched_e.select("qid", "docid").distinct()
-        ne_qt = spark.createDataFrame(
-            ne_pairs, "qid string, term string, qtf int, df long"
+    def _candidate_lookup(pairs, exclude_keys=None, metric_prefix=None):
+        """Candidate-driven block lookups for (qid, term) pairs whose
+        contributions aren't (fully) in matched_e: the needed block
+        INDEX per (candidate docid, run) comes from the run's block-max
+        array via a pure Catalyst size(filter(maxes, m < docid))
+        searchsorted — blocks whose docid range holds no candidate are
+        NEVER decoded.  ``exclude_keys`` drops blocks already decoded
+        eagerly (their rows are counted through matched_e)."""
+        lterms = sorted({t for _, t, _, _ in pairs})
+        lqt = spark.createDataFrame(
+            pairs, "qid string, term string, qtf int, df long"
         )
-        # which (term, docid) lookups do we owe the non-essential lists?
-        sel = (
-            candidates.join(F.broadcast(ne_qt.select("qid", "term")), "qid")
+        want = (
+            candidates.join(F.broadcast(lqt.select("qid", "term")), "qid")
             .select("term", "docid")
             .distinct()
         )
-        # searchsorted over run block-max arrays, pure Catalyst
-        run_meta = reader._prune(reader.postings, ne_terms).select(
+        run_meta = reader._prune(reader.postings, lterms).select(
             "term",
             "run",
-            F.transform("blocks", lambda b: b["max_doc_id"]).alias("maxes"),
+            # direct field ref (NOT a transform lambda): prunes the scan
+            # to struct<max_doc_id> — payload binaries never read here
+            F.col("blocks.max_doc_id").alias("maxes"),
         )
         needed = (
-            sel.join(run_meta, "term")
+            want.join(run_meta, "term")
             .select(
                 "term",
                 "run",
@@ -416,26 +552,49 @@ def topk_from_blocks_pruned(
             .select("term", "run", "bi")
             .distinct()
         )
-        ne_blocks = (
-            reader._prune(reader.postings, ne_terms)
+        if exclude_keys is not None:
+            needed = needed.join(
+                F.broadcast(exclude_keys), ["term", "run", "bi"], "left_anti"
+            )
+        blocks_l = (
+            reader._prune(reader.postings, lterms)
             .select("term", "run", F.posexplode("blocks").alias("bi", "b"))
             .join(needed, ["term", "run", "bi"])
             .select("term", "b")
         )
-        if collect_metrics:
-            metrics["ne_blocks_total"] = (
-                reader._prune(reader.postings, ne_terms)
+        if collect_metrics and metric_prefix:
+            metrics[f"{metric_prefix}_blocks_total"] = (
+                reader._prune(reader.postings, lterms)
                 .select(F.explode("blocks"))
                 .count()
             )
-            metrics["ne_blocks_decoded"] = needed.count()
-        rows_ne = _decode_blocks_df(ne_blocks, reader.codec)
-        matched_ne = rows_ne.join(F.broadcast(ne_qt), "term").join(
+            metrics[f"{metric_prefix}_blocks_decoded"] = needed.count()
+        rows_l = _decode_blocks_df(blocks_l, reader.codec)
+        return rows_l.join(F.broadcast(lqt), "term").join(
             candidates, ["qid", "docid"], "left_semi"
         )
-        matched = matched_e.unionByName(matched_ne)
+
+    if ne_pairs:
+        matched = matched.unionByName(
+            _candidate_lookup(ne_pairs, metric_prefix="ne")
+        )
+
+    # partial terms owe their COLD blocks' contributions to candidate
+    # docs (the eager/hot rows are already in matched_e for these same
+    # (qid, term) pairs, so decoded blocks are excluded)
+    b_pairs = [(q, t, c, df) for q, t, c, df in ess_pairs if t in partial_terms]
+    if b_pairs:
+        decoded_keys = eager.select("term", "run", "bi")
+        if rows1 is not None:
+            decoded_keys = decoded_keys.unionByName(sel_df)
+        matched = matched.unionByName(
+            _candidate_lookup(
+                b_pairs, exclude_keys=decoded_keys, metric_prefix="cold"
+            )
+        )
     metrics["essential_terms"] = len(ess_terms)
     metrics["non_essential_pairs"] = len(ne_pairs)
+    metrics["partial_terms"] = len(partial_terms)
 
     n_req = {q: len(lst) for q, lst in by_qid.items()}
     return _score_and_rank(

@@ -36,6 +36,13 @@ def _build(spark, parse, codec):
     return build_index(spark, t, parse=parse, codec=codec)
 
 
+@pytest.fixture(scope="module")
+def vb_index(spark):
+    """One parse=False/VB build shared by every same-config test here."""
+    idx = _build(spark, parse=False, codec=codecs.VB)
+    return idx, IndexReader.from_memory(idx)
+
+
 def _cmp(df_a, df_b):
     a = df_a.toPandas().sort_values(["qid", "rank"], ignore_index=True)
     b = df_b.toPandas().sort_values(["qid", "rank"], ignore_index=True)
@@ -44,9 +51,8 @@ def _cmp(df_a, df_b):
 
 @pytest.mark.parametrize("standard", [scoring.BM25, scoring.TFIDF])
 @pytest.mark.parametrize("conjunctive", [False, True])
-def test_bmw_equals_exhaustive(spark, standard, conjunctive):
-    idx = _build(spark, parse=False, codec=codecs.VB)
-    reader = IndexReader.from_memory(idx)
+def test_bmw_equals_exhaustive(spark, vb_index, standard, conjunctive):
+    idx, reader = vb_index
     ex = topk.exhaustive_topk(idx, ALL_QUERIES, standard, k=10, conjunctive=conjunctive)
     bw = bmw_topk_df(reader, ALL_QUERIES, standard, k=10, conjunctive=conjunctive)
     _cmp(ex, bw)

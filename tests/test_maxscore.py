@@ -26,6 +26,13 @@ def _build(spark, parse, codec):
     return build_index(spark, t, parse=parse, codec=codec)
 
 
+@pytest.fixture(scope="module")
+def vb_index(spark):
+    """One parse=False/VB build shared by every same-config test here."""
+    idx = _build(spark, parse=False, codec=codecs.VB)
+    return idx, IndexReader.from_memory(idx)
+
+
 def _cmp(df_a, df_b):
     a = df_a.toPandas().sort_values(["qid", "rank"], ignore_index=True)
     b = df_b.toPandas().sort_values(["qid", "rank"], ignore_index=True)
@@ -34,9 +41,8 @@ def _cmp(df_a, df_b):
 
 @pytest.mark.parametrize("standard", [scoring.BM25, scoring.TFIDF])
 @pytest.mark.parametrize("conjunctive", [False, True])
-def test_maxscore_equals_exhaustive(spark, standard, conjunctive):
-    idx = _build(spark, parse=False, codec=codecs.VB)
-    reader = IndexReader.from_memory(idx)
+def test_maxscore_equals_exhaustive(spark, vb_index, standard, conjunctive):
+    idx, reader = vb_index
     ex = topk.exhaustive_topk(idx, ALL_QUERIES, standard, k=10, conjunctive=conjunctive)
     ms = maxscore_topk_df(reader, ALL_QUERIES, standard, k=10, conjunctive=conjunctive)
     _cmp(ex, ms)
@@ -59,8 +65,8 @@ def test_parsed_mode_maxscore(spark):
     _cmp(ex, ms)
 
 
-def test_store_roundtrip(spark, tmp_path):
-    idx = _build(spark, parse=False, codec=codecs.VB)
+def test_store_roundtrip(spark, vb_index, tmp_path):
+    idx, _ = vb_index
     out = str(tmp_path / "index")
     write_index(idx, out)
     reader = IndexReader.from_dir(spark, out)
@@ -75,7 +81,7 @@ def test_store_roundtrip(spark, tmp_path):
     assert set(tp) == {"spark", "join"}
 
 
-def test_query_repl_loop(spark):
+def test_query_repl_loop(spark, vb_index):
     """The reference's interactive stdin loop (QueryProcessorMain.java:
     49-84): empty line reprompts, '+' runs conjunctive, 'q' exits;
     results are docno<TAB>score lines + elapsed ms."""
@@ -83,8 +89,7 @@ def test_query_repl_loop(spark):
 
     from scripts.query import repl
 
-    idx = _build(spark, parse=False, codec=codecs.VB)
-    reader = IndexReader.from_memory(idx)
+    idx, reader = vb_index
     out = io.StringIO()
     repl(
         reader, scoring.BM25, 3,

@@ -62,6 +62,21 @@ def test_doc_index_scan_prunes_columns(spark, stored_index):
     assert "conv_id" not in read_schema, text
 
 
+def test_block_meta_scan_excludes_payload(spark, stored_index):
+    """The theta-bootstrap / hot-cut block-metadata frame must never
+    read the posting payload binaries: nested-schema pruning has to
+    reach through the posexplode so the parquet scan carries only
+    (max_doc_id, n, max_tf, min_dl) per block."""
+    _, out = stored_index
+    reader = IndexReader.from_dir(spark, out)
+    meta = topk._block_meta_df(reader, ["spark", "join"], {"spark": 3, "join": 3}, scoring.BM25)
+    text = checks.plan_text(meta)
+    read_schema = text.split("ReadSchema:")[1].splitlines()[0]
+    assert "max_tf" in read_schema and "min_dl" in read_schema, text
+    for payload in ("docids", "tfs", "dls"):
+        assert payload not in read_schema, (payload, text)
+
+
 def test_near_dup_exact_chunked_plan_no_cartesian(spark):
     """The chunk-matmul exact path must join via hash equi-joins on the
     chunk keys — never the BroadcastNestedLoopJoin the all-pairs form
