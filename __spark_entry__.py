@@ -432,6 +432,49 @@ def _q_lexicon_streaming(spark, sf_dir):
     )
 
 
+def _q_conversation_sessions(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState)
+    under the oracle gate: the transcript stream — thinned
+    deterministically (epoch%5==3 turns dropped) so real inactivity
+    gaps exist — arrives as two micro-batches; per-conversation session
+    state persists across batches and trailing sessions close via
+    event-time timeout after sentinel batches advance the watermark.
+    The DuckDB oracle is an independent gaps-and-islands restatement."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.streaming.sessions import run_sessions
+
+    base = _tmpdir("mircv_sessions_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t = filter_indexable(load_transcripts(spark, sf_dir)).where(
+        (F.unix_timestamp(F.col("ts")) % 5) != 3
+    )
+    split = "conv-000000000032"
+    t.where(F.col("conv_id") < split).coalesce(1).write.mode("overwrite").parquet(inp)
+    run_sessions(spark, inp, out, ckpt).awaitTermination(300)
+    t.where(F.col("conv_id") >= split).coalesce(1).write.mode("append").parquet(inp)
+    run_sessions(spark, inp, out, ckpt).awaitTermination(300)
+    # trailing sessions close by event-time timeout, which fires one
+    # batch AFTER the watermark passes their deadline -> two sentinel
+    # batches (separate runs so each is its own micro-batch)
+    for flush_ts in ("2030-01-01 00:00:00", "2030-01-01 00:00:10"):
+        sent = spark.range(1).select(
+            F.lit("zzzz-sentinel").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("flush").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.to_timestamp(F.lit(flush_ts)).alias("ts"),
+        )
+        sent.coalesce(1).write.mode("append").parquet(inp)
+        run_sessions(spark, inp, out, ckpt).awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("conv_id") != "zzzz-sentinel")
+        .select("conv_id", "session_idx", "n_turns", "start_s", "end_s", "chars")
+    )
+
+
 def _q_eval_metrics(spark, sf_dir):
     """trec_eval stage: per-query MAP@10 / nDCG@10 of the BM25 run
     against deterministic synthetic qrels (SURVEY §5.1)."""
@@ -476,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed_ef": _q_topk_compressed_ef,
         "bm25_eval_metrics": _q_eval_metrics,
         "lexicon_streaming": _q_lexicon_streaming,
+        "conversation_sessions": _q_conversation_sessions,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
         # docstring); driver records rows-only check, pytest covers parity.
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),

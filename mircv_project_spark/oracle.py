@@ -293,8 +293,49 @@ ORDER BY a.term
     }
     # streaming-ingestion compaction must yield the batch lexicon
     out["lexicon_streaming"] = out["lexicon"]
+    # custom stateful streaming operator (applyInPandasWithState
+    # sessionization) vs an independent gaps-and-islands restatement;
+    # the gate entry thins turns where epoch%5==3 so real gaps exist,
+    # and emits epoch-second longs (UTC session tz) — restated here
+    out["conversation_sessions"] = _SESSIONS_SQL
     out.update(pipeline_oracles())
     return out
+
+
+_SESSIONS_SQL = """
+WITH turns AS (
+    SELECT 'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)
+               + CAST(doc_id AS BIGINT) AS ts_s,
+           length(text) AS chars
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+thinned AS (
+    SELECT * FROM turns WHERE ts_s % 5 <> 3
+),
+g AS (
+    SELECT conv_id, ts_s, chars,
+           CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY conv_id ORDER BY ts_s) > 1
+                THEN 1 ELSE 0 END AS brk
+    FROM thinned
+),
+s AS (
+    SELECT conv_id, ts_s, chars,
+           SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM g
+)
+SELECT conv_id,
+       CAST(session_idx AS INTEGER) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(ts_s) AS BIGINT) AS start_s,
+       CAST(max(ts_s) AS BIGINT) AS end_s,
+       CAST(sum(chars) AS BIGINT) AS chars
+FROM s
+GROUP BY conv_id, session_idx
+ORDER BY conv_id, session_idx
+"""
 
 
 # ===========================================================================

@@ -272,3 +272,70 @@ def test_staged_build_resumes(spark, tmp_path):
     lines = [json.loads(x) for x in open(f"{work}/lineage.jsonl")]
     assert [x for x in lines if x["stage"] == "tokenized"][-1]["skipped"] is True
     assert [x for x in lines if x["stage"] == "postings"][-1]["skipped"] is False
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """conversation_sessions (applyInPandasWithState): in-batch gap
+    splits emit immediately, a session SPANNING the micro-batch
+    boundary continues through the state store, and trailing sessions
+    close by event-time timeout once sentinel batches advance the
+    watermark."""
+    from datetime import datetime, timedelta
+
+    from mircv_project_spark.streaming import sessions as SS
+
+    inp = str(tmp_path / "sess_in")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(inp)
+
+    def turn(conv, i, sec, text):
+        ts = datetime(2024, 1, 1) + timedelta(seconds=sec)
+        return (conv, i, "user", text, None, ts)
+
+    base = 1704067200  # epoch of 2024-01-01 UTC (session tz pinned UTC)
+    # batch 1: conv A sessions [0..2] then (gap 8 > 5) [10, 11] open
+    write(
+        [turn("A", 0, 0, "aa"), turn("A", 1, 1, "bbb"), turn("A", 2, 2, "c"),
+         turn("A", 3, 10, "dd"), turn("A", 4, 11, "e"),
+         turn("B", 0, 4, "zz")],
+        "overwrite",
+    )
+    SS.run_sessions(spark, inp, out, ckpt, gap_seconds=5).awaitTermination(120)
+    got1 = {tuple(r) for r in spark.read.parquet(out).collect()}
+    # A's FIRST session splits in-batch; B's times out in the no-data
+    # batch availableNow appends once the watermark reaches 11s (B's
+    # deadline is 4+5s); A's open [10, 11] session survives
+    assert got1 == {
+        ("A", 0, 3, base + 0, base + 2, 6),
+        ("B", 0, 1, base + 4, base + 4, 2),
+    }, got1
+
+    # batch 2: sec 12 CONTINUES A's open [10, 11] session across the
+    # batch boundary (gap 1 <= 5); sec 30 opens a new one
+    write([turn("A", 5, 12, "ff"), turn("A", 6, 30, "g")], "append")
+    SS.run_sessions(spark, inp, out, ckpt, gap_seconds=5).awaitTermination(120)
+
+    # two sentinel batches close the trailing sessions via timeout
+    for s in (100, 200):
+        write([turn("zzzz-sentinel", 0, s, "flush")], "append")
+        SS.run_sessions(spark, inp, out, ckpt, gap_seconds=5).awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .where(F.col("conv_id") != "zzzz-sentinel")
+        .collect()
+    }
+    assert got == {
+        ("A", 0, 3, base + 0, base + 2, 6),     # split in batch 1
+        ("A", 1, 3, base + 10, base + 12, 5),   # spans batches 1+2
+        ("A", 2, 1, base + 30, base + 30, 1),   # opened in batch 2, timed out
+        ("B", 0, 1, base + 4, base + 4, 2),     # timed out
+    }, got
