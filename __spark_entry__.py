@@ -357,6 +357,16 @@ def _q_maxscore_stored(spark, sf_dir):
     return maxscore_topk_df(reader, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
 
 
+def _q_bmw_stored(spark, sf_dir):
+    """Block-Max WAND fed from the PERSISTED bucketed store: the block
+    (max_tf, min_dl) metadata round-trips through write_index /
+    IndexReader.from_dir and must still prune rank-identically."""
+    from mircv_project_spark.operators.bmw import bmw_topk_df
+
+    reader = _stored_reader(spark, sf_dir)
+    return bmw_topk_df(reader, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+
+
 def _q_topk_pruned(spark, sf_dir):
     """Distributed block-max pruned top-k (operators/topk.py
     topk_from_blocks_pruned): non-essential-term blocks whose docid
@@ -509,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_bmw": _topk_bmw(scoring.BM25),
         "tfidf_topk_bmw": _topk_bmw(scoring.TFIDF),
         "bm25_bmw_conjunctive": _topk_bmw(scoring.BM25, conjunctive=True),
+        "tfidf_bmw_conjunctive": _topk_bmw(scoring.TFIDF, conjunctive=True),
+        "bm25_bmw_stored": _q_bmw_stored,
         "bm25_topk_stored": _q_topk_stored,
         "tfidf_topk_stored": _q_topk_stored_tfidf,
         "bm25_maxscore_stored": _q_maxscore_stored,

@@ -275,6 +275,10 @@ ORDER BY a.term
         "bm25_topk_bmw": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_bmw": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_bmw_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
+        "tfidf_bmw_conjunctive": _topk_sql(CONJ_QUERY_SET, "tfidf", True, TOPK_K),
+        # BMW over the PERSISTED store: block metadata round-trips through
+        # write_index / from_dir and must still prune rank-identically
+        "bm25_bmw_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # persisted bucketed store read back via IndexReader.from_dir
         # (both standards + the driver-side MaxScore DAAT over the store)
         "bm25_topk_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
