@@ -485,6 +485,32 @@ def _q_conversation_sessions(spark, sf_dir):
     )
 
 
+def _q_turns_per_window(spark, sf_dir):
+    """Watermarked tumbling-window aggregation (streaming/incremental.py
+    turns_per_window) under the oracle gate: the transcript stream
+    arrives as two time-ordered micro-batches; append mode emits each
+    (30 s window, role) count exactly once, after the watermark (max
+    event time − 10 s) passes the window end, so the trailing windows
+    stay in state and never reach the sink.  The DuckDB oracle restates
+    the epoch-aligned window arithmetic and the emission cutoff."""
+    from mircv_project_spark.streaming.incremental import run_turns_per_window
+
+    base = _tmpdir("mircv_winagg_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t = load_transcripts(spark, sf_dir)
+    split = f"conv-{(t.count() // 2) // 8:012d}"
+    t.where(F.col("conv_id") < split).coalesce(1).write.mode("overwrite").parquet(inp)
+    run_turns_per_window(spark, inp, out, ckpt).awaitTermination(300)
+    t.where(F.col("conv_id") >= split).coalesce(1).write.mode("append").parquet(inp)
+    run_turns_per_window(spark, inp, out, ckpt).awaitTermination(300)
+    return spark.read.parquet(out).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        F.unix_timestamp("window_end").alias("window_end_s"),
+        "role",
+        "turns",
+    )
+
+
 def _q_eval_metrics(spark, sf_dir):
     """trec_eval stage: per-query MAP@10 / nDCG@10 of the BM25 run
     against deterministic synthetic qrels (SURVEY §5.1)."""
@@ -532,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_eval_metrics": _q_eval_metrics,
         "lexicon_streaming": _q_lexicon_streaming,
         "conversation_sessions": _q_conversation_sessions,
+        "turns_per_window": _q_turns_per_window,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
         # docstring); driver records rows-only check, pytest covers parity.
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),

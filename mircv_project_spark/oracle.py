@@ -302,6 +302,10 @@ ORDER BY a.term
     # the gate entry thins turns where epoch%5==3 so real gaps exist,
     # and emits epoch-second longs (UTC session tz) — restated here
     out["conversation_sessions"] = _SESSIONS_SQL
+    # watermarked tumbling-window aggregation (append mode): a window
+    # emits exactly once, after the watermark (max event time − 10 s)
+    # passes its end — the cutoff is restated as a plain predicate
+    out["turns_per_window"] = _WINDOW_AGG_SQL
     out.update(pipeline_oracles())
     return out
 
@@ -339,6 +343,35 @@ SELECT conv_id,
 FROM s
 GROUP BY conv_id, session_idx
 ORDER BY conv_id, session_idx
+"""
+
+
+# Tumbling 30 s windows align to the unix epoch (Spark's F.window
+# convention; epoch('2024-01-01') is a multiple of 30), so window
+# arithmetic is integer division on epoch seconds.  The 10 s watermark
+# cutoff never lands on a window boundary for the driver corpora
+# (max offsets 499/4999), so <= vs < emission is unambiguous.
+_WINDOW_AGG_SQL = """
+WITH turns AS (
+    SELECT CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)
+               + CAST(doc_id AS BIGINT) AS ts_s,
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                WHEN 2 THEN 'system' ELSE 'tool' END AS role
+    FROM documents
+),
+agg AS (
+    SELECT CAST((ts_s // 30) * 30 AS BIGINT) AS window_start_s,
+           CAST((ts_s // 30) * 30 + 30 AS BIGINT) AS window_end_s,
+           role,
+           CAST(count(*) AS BIGINT) AS turns
+    FROM turns
+    GROUP BY 1, 2, 3
+)
+SELECT a.window_start_s, a.window_end_s, a.role, a.turns
+FROM agg a, (SELECT max(ts_s) - 10 AS wm FROM turns) w
+WHERE a.window_end_s <= w.wm
+ORDER BY a.window_start_s, a.role
 """
 
 

@@ -264,3 +264,30 @@ def turns_per_window(
             "approx_convs",
         )
     )
+
+
+def run_turns_per_window(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "30 seconds",
+    watermark: str = "10 seconds",
+):
+    """One availableNow pass of the watermarked window aggregation over
+    new files in ``input_dir``, appending FINALIZED windows to
+    ``out_dir`` parquet.  Append mode emits a window exactly once, when
+    the watermark (max event time − delay, updated at micro-batch
+    boundaries) passes its end — windows still inside the watermark
+    horizon stay in state and never reach the sink, which is what bounds
+    state at an unbounded stream.  availableNow's trailing no-data batch
+    flushes windows the final data batch closed."""
+    return (
+        turns_per_window(transcript_stream(spark, input_dir), window, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -218,6 +218,39 @@ def test_watermarked_window_agg(spark, tmp_path):
     assert {r["role"] for r in rows} <= {"user", "assistant", "system", "tool"}
 
 
+def test_window_agg_append_cross_batch_exactly_once(spark, tmp_path):
+    """run_turns_per_window (append mode): a window emits exactly once,
+    only after the watermark (max event time − 10 s) passes its end, and
+    a window fed by TWO micro-batches emits the combined count (state
+    carries across batches).  130 turns at 1 turn/s, split at t=65."""
+    inp = str(tmp_path / "win_in")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    epoch = 1704067200  # 2024-01-01 00:00:00 UTC
+    t = generate_transcripts(spark, 130, seed=7)
+    off = F.unix_timestamp("ts") - epoch
+    t.where(off < 65).coalesce(1).write.mode("overwrite").parquet(inp)
+    S.run_turns_per_window(spark, inp, out, ckpt).awaitTermination(120)
+    first = spark.read.parquet(out).collect()
+    # watermark after the 65-turn batch: 64 − 10 = 54 → only [0,30)
+    # has end ≤ 54; [30,60) stays in state
+    assert sum(r["turns"] for r in first) == 30
+    assert max(r["window_end"].timestamp() for r in first) - epoch == 30
+
+    t.where(off >= 65).coalesce(1).write.mode("append").parquet(inp)
+    S.run_turns_per_window(spark, inp, out, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    # watermark 129 − 10 = 119 → [30,60) and [60,90) now emitted;
+    # [90,120) (end 120 > 119) and [120,150) stay in state
+    assert sum(r["turns"] for r in rows) == 90
+    # exactly-once: no (window, role) appears twice across the appends
+    keys = [(r["window_start"], r["role"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # cross-batch state: [60,90) spans the split (60..64 | 65..89)
+    spanning = [r for r in rows if r["window_start"].timestamp() - epoch == 60]
+    assert sum(r["turns"] for r in spanning) == 30
+
+
 def test_staged_build_custom_buckets_queryable(spark, tmp_path):
     """staged_build(term_buckets=16) must carry the SAME bucket count
     into the returned handle that aggregate_postings hashed the bucket
