@@ -63,7 +63,10 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 2))
 # probe shows the HOST scaling (round substrate marginal >= PHASE_MIN
 # and both subprocesses inside an absolute-healthy phase); sampling
 # extends past SCALE_ROUNDS up to SCALE_ROUNDS_MAX while no round has
-# qualified and budget remains.  If the whole budget passes inside a
+# qualified and budget remains (the sampler is additionally guaranteed
+# SCALE_MIN_SEC of its own wall time when the headline phases consumed
+# the budget before any round qualified).  If the whole budget passes
+# inside a
 # throttled host phase, the block records phase_limited=true, the
 # unqualified all-round best-of number as the efficiency, and the
 # substrate ratio + efficiency_vs_substrate beside it so the host
@@ -79,6 +82,14 @@ SUB_TOL = 1.35  # a subprocess is absolute-healthy if t_sub <= min*tol
 # Looser than SUB_TOL: build times legitimately swing more.
 BUILD_TOL = 1.5
 BENCH_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", 1020))
+# the headline phases run before scaling and share _BENCH_T0's budget;
+# in a throttled phase they can eat most of it and leave the sampler 2-3
+# rounds — too few to catch a healthy window (observed: 0 qualified of 3
+# while an idle-host run minutes later qualified immediately).  When the
+# budget is gone and NOTHING has qualified, the sampler is still
+# guaranteed this much of its own wall time (it stops early the moment
+# one round qualifies).  Qualification semantics are untouched.
+SCALE_MIN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MIN", 600))
 _BENCH_T0 = time.monotonic()
 
 
@@ -288,6 +299,7 @@ def _scaling(queries: dict[str, float]) -> dict:
         return rd["eff"] is not None
 
     i = 0
+    t_scale0 = time.monotonic()
     while True:
         rh = _one(high, 1000 + i * 100)
         rl = _one(low, 1050 + i * 100)
@@ -314,7 +326,12 @@ def _scaling(queries: dict[str, float]) -> dict:
         if i >= SCALE_ROUNDS_MAX:
             break
         if time.monotonic() - _BENCH_T0 > BENCH_BUDGET_SEC:
-            break
+            # grace window: with ZERO qualified rounds the sampler keeps
+            # hunting for one healthy phase until it has had
+            # SCALE_MIN_SEC of its own wall time — the first qualified
+            # round (or SCALE_ROUNDS_MAX) ends the grace immediately
+            if n_q >= 1 or time.monotonic() - t_scale0 > SCALE_MIN_SEC:
+                break
         if i >= SCALE_ROUNDS and n_q >= 2:
             break  # enough qualified evidence
 
