@@ -31,7 +31,8 @@ MaxScore is rank-safe: both paths return the same top-k.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass
+import math
+from dataclasses import dataclass, field
 from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
@@ -53,7 +54,20 @@ def round6(x: float) -> float:
     half-to-EVEN over the exact binary value and diverges on exact
     6-decimal midpoints (round(2**-7, 6) = 0.007812 vs F.round's
     0.007813) — using it for heap membership would reintroduce the
-    boundary-tie divergence ROUND_EPS exists to exclude."""
+    boundary-tie divergence ROUND_EPS exists to exclude.
+
+    Fast path: when x*1e6 sits more than 1e-6 away from an exact .5
+    midpoint, HALF_UP over the shortest-decimal repr and plain
+    floor(x*1e6 + 0.5) agree — the binary value and its repr differ by
+    < 1 ulp (< 1e-8 absolute for scaled < 1e8), far inside the guard —
+    so the Decimal walk only runs for genuine midpoint neighborhoods,
+    negatives, and out-of-range magnitudes (property-tested against the
+    Decimal path in tests/test_maxscore.py)."""
+    scaled = x * 1e6
+    if 0.0 <= scaled < 1e8:
+        d = scaled - math.floor(scaled)
+        if abs(d - 0.5) > 1e-6:
+            return math.floor(scaled + 0.5) / 1e6
     return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
 
 
@@ -65,6 +79,13 @@ class TermPostings:
     bm25_ub: float
     tfidf_ub: float
     blocks: list  # [{max_doc_id, n, docids, tfs, dls}]
+    # decoded-block memo, keyed (codec, block index) — the vectorized
+    # analog of the reference's per-list decode cache
+    # (model/EliasFano.java:138-167 memoizes cursor state; here whole
+    # blocks memoize instead, matching the block-at-a-time layout).
+    # Lifetime is bounded by IndexReader's 50k-entry term cache, which
+    # owns these objects; cursors only ever read the cached arrays.
+    _decoded: dict = field(default_factory=dict, repr=False, compare=False)
 
 
 class PostingCursor:
@@ -75,7 +96,7 @@ class PostingCursor:
     """
 
     __slots__ = ("tp", "codec", "standard", "n_docs", "avgdl", "ub",
-                 "_bi", "_ids", "_tfs", "_dls", "_pos", "_exhausted")
+                 "_bi", "_ids", "_idlist", "_scores", "_pos", "_exhausted")
 
     def __init__(self, tp: TermPostings, codec: str, standard: str,
                  n_docs: int, avgdl: float):
@@ -93,26 +114,47 @@ class PostingCursor:
 
     def _load(self, bi: int) -> None:
         self._bi = bi
-        ids, tfs, dls = codecs.decode_block(self.tp.blocks[bi], codec=self.codec)
-        self._ids = ids.astype(np.int64)
-        self._tfs = tfs
-        self._dls = dls
+        key = (self.codec, bi)
+        dec = self.tp._decoded.get(key)
+        if dec is None:
+            ids, tfs, dls = codecs.decode_block(
+                self.tp.blocks[bi], codec=self.codec
+            )
+            ids = ids.astype(np.int64)
+            # ids twice: numpy for searchsorted, plain list so the
+            # per-posting docid() read is a list index, not a numpy
+            # scalar extraction (3-5x slower in the DAAT inner loop)
+            dec = (ids, ids.tolist(), tfs, dls)
+            self.tp._decoded[key] = dec
+        self._ids, self._idlist, tfs, dls = dec
+        # whole-block score vector, memoized per (codec, block,
+        # standard, avgdl): identical constants AND op order as the
+        # scalar form / operators/scoring.py (rank-identity critical —
+        # numpy float64 elementwise ops are IEEE-double identical to
+        # the Python-scalar evaluation at the same parenthesization)
+        skey = (self.codec, bi, self.standard, self.avgdl)
+        sc = self.tp._decoded.get(skey)
+        if sc is None:
+            if self.standard == scoring.BM25:
+                bj = config.BM25_ONE_MINUS_B + (
+                    config.BM25_B * (dls.astype(np.float64) / self.avgdl)
+                )
+                sc = (
+                    (tfs / ((config.BM25_K1 * bj) + tfs)) * self.tp.idf
+                ).tolist()
+            else:
+                sc = ((1 + np.log10(tfs)) * self.tp.idf).tolist()
+            self.tp._decoded[skey] = sc
+        self._scores = sc
         self._pos = 0
 
     def docid(self) -> int:
         if self._exhausted:
             return MAX_DOCID
-        return int(self._ids[self._pos])
+        return self._idlist[self._pos]
 
     def score(self) -> float:
-        # same constants AND op order as operators/scoring.py (rank-
-        # identity critical — a config change must move every path)
-        tf = int(self._tfs[self._pos])
-        if self.standard == scoring.BM25:
-            dl = int(self._dls[self._pos])
-            bj = config.BM25_ONE_MINUS_B + (config.BM25_B * (dl / self.avgdl))
-            return (tf / ((config.BM25_K1 * bj) + tf)) * self.tp.idf
-        return (1 + np.log10(tf).item()) * self.tp.idf
+        return self._scores[self._pos]
 
     def next(self) -> None:
         if self._exhausted:
@@ -276,12 +318,15 @@ def maxscore_topk_df(
 
     ``_topk_fn`` swaps the per-query DAAT scorer (same signature as
     ``maxscore_topk``) — operators/bmw.py reuses this batch plumbing for
-    Block-Max WAND."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    Block-Max WAND.
 
+    Ranks and rounding are computed driver-side: the DAAT scorers
+    already return rows sorted by exactly the ranking key
+    (-round6(raw), docid), and round6 is pinned to F.round's HALF_UP
+    semantics (see its docstring), so rank is the enumeration order and
+    the result needs no window exchange — a warm batch's only Spark job
+    is a narrow createDataFrame of ~k rows per query."""
     from ..functions.tokenizer import tokenize
-    from .topk import ROUND_DECIMALS
 
     spark = reader.postings.sparkSession
     qtokens = {qid: tokenize(text, reader.parse) for qid, text in queries}
@@ -291,20 +336,12 @@ def maxscore_topk_df(
     topk_fn = _topk_fn if _topk_fn is not None else maxscore_topk
     rows = []
     for qid, toks in qtokens.items():
-        for docid, raw in topk_fn(
+        ranked = topk_fn(
             tp, toks, reader.codec, standard, reader.n_docs, reader.avgdl,
             k, conjunctive,
-        ):
-            rows.append((qid, docid, raw))
-    out = spark.createDataFrame(rows, "qid string, docid long, raw_score double")
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("docid").asc())
-    return (
-        out.withColumn("score", F.round("raw_score", ROUND_DECIMALS))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select(
-            "qid",
-            (F.col("docid") - 1).cast("string").alias("docno"),
-            "rank",
-            "score",
         )
+        for rank, (docid, raw) in enumerate(ranked, start=1):
+            rows.append((qid, str(docid - 1), rank, round6(raw)))
+    return spark.createDataFrame(
+        rows, "qid string, docno string, rank long, score double"
     )

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import term_bucket
 from ..operators.index_build import InvertedIndex, write_index  # noqa: F401 (re-export)
 from ..operators.maxscore import TermPostings
 
@@ -42,10 +43,6 @@ class IndexReader:
     # so repeated misses don't re-scan.
     cache_size: int = 50_000
     _cache: dict = field(default_factory=dict, repr=False)
-    # term -> bucket id memo: bucket hashing needs a (tiny) Spark job,
-    # and one query batch calls _prune several times over overlapping
-    # term sets — pay the job once per new term, not per call
-    _bucket_cache: dict = field(default_factory=dict, repr=False)
 
     @property
     def avgdl(self) -> float:
@@ -79,23 +76,10 @@ class IndexReader:
         )
 
     def _buckets_of(self, spark, terms: list[str]) -> list[int]:
-        missing = sorted(t for t in terms if t not in self._bucket_cache)
-        if missing:
-            if len(self._bucket_cache) + len(missing) > self.cache_size:
-                self._bucket_cache.clear()
-            rows = (
-                spark.createDataFrame([(t,) for t in missing], "term string")
-                .select(
-                    "term",
-                    F.pmod(F.xxhash64("term"), F.lit(self.term_buckets))
-                    .cast("int")
-                    .alias("b"),
-                )
-                .collect()
-            )
-            for r in rows:
-                self._bucket_cache[r["term"]] = r["b"]
-        return sorted({self._bucket_cache[t] for t in terms})
+        # driver-local hash, bit-identical to the F.xxhash64 that wrote
+        # the bucket column (functions/hashing.py parity test) — a cold
+        # query batch pays zero Spark jobs for bucket resolution
+        return sorted({term_bucket(t, self.term_buckets) for t in terms})
 
     def _prune(self, df: DataFrame, terms: list[str]) -> DataFrame:
         if self.term_buckets and "bucket" in df.columns:
@@ -127,18 +111,32 @@ class IndexReader:
         return out
 
     def _fetch_uncached(self, terms: list[str]) -> dict[str, TermPostings]:
-        lex = {
-            r["term"]: r
-            for r in self._prune(self.lexicon, terms)
-            .select("term", "df", "idf", "bm25_ub", "tfidf_ub")
-            .collect()
-        }
+        # the lexicon and postings scans are independent pruned reads —
+        # submit both Spark jobs concurrently (a cold batch's wall time
+        # is job overhead, not data volume; the scheduler interleaves
+        # their tasks across the same executors)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _lex_rows():
+            return (
+                self._prune(self.lexicon, terms)
+                .select("term", "df", "idf", "bm25_ub", "tfidf_ub")
+                .collect()
+            )
+
+        def _post_rows():
+            return (
+                self._prune(self.postings, terms)
+                .select("term", "run", "blocks")
+                .collect()
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            lex_f = pool.submit(_lex_rows)
+            post_rows = _post_rows()
+            lex = {r["term"]: r for r in lex_f.result()}
         runs: dict[str, list] = {}
-        for r in (
-            self._prune(self.postings, terms)
-            .select("term", "run", "blocks")
-            .collect()
-        ):
+        for r in post_rows:
             runs.setdefault(r["term"], []).append((r["run"], r["blocks"]))
         out = {}
         for term, lrow in lex.items():

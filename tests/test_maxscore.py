@@ -110,3 +110,39 @@ def test_query_repl_loop(spark, vb_index):
     # '+warpcore flibbet': neither term exists -> all dropped -> no results
     # (missing terms drop silently, QueryProcessorMain.java:139-154)
     assert "No results found" in text
+
+
+def test_round6_fast_path_matches_decimal_reference():
+    """round6's guarded fast path must agree with the pinned
+    HALF_UP-over-shortest-repr Decimal semantics on every input class:
+    random magnitudes across the score range, exact decimal midpoints
+    (where Python's round() half-to-even diverges), near-midpoint
+    binary neighbors, and negatives/out-of-range (Decimal fallback)."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mircv_project_spark.operators.maxscore import _Q6, round6
+
+    def ref(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+    rng = random.Random(20260817)
+    cases = []
+    for _ in range(200_000):
+        mag = 10 ** rng.uniform(-8, 4)
+        cases.append(rng.random() * mag)
+    # exact decimal midpoints and their float neighbors
+    for n in range(0, 3000):
+        mid = (2 * n + 1) / 2e6  # n.5 at the 6th decimal
+        cases += [
+            mid,
+            math.nextafter(mid, 0.0),
+            math.nextafter(mid, math.inf),
+        ]
+    # binary midpoints whose repr is exact (the documented round() trap)
+    cases += [2**-7, 2**-9, 0.0078125, 0.1234565, 1.0000005, 0.0000005]
+    # fallback classes
+    cases += [-1.2345675, -0.0000005, 1e9, 4.5e15, 0.0]
+    for x in cases:
+        assert round6(x) == ref(x), repr(x)

@@ -116,3 +116,40 @@ def test_near_dup_blocked_plan_no_cartesian(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     df = embedding_near_dup_pairs_blocked(emb, 0.42, rows_per_band=7, bands=160, seed=1234)
     checks.assert_no_broadcast_nested_loop(df)
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """functions/hashing.py must be bit-identical to the F.xxhash64
+    that writes the postings bucket column — a divergence makes the
+    bucket-pruned term lookup silently drop terms (CLAUDE.md invariant).
+    Checked over the real indexed vocabulary plus randomized strings
+    covering every XXH64 length class (0, <4, <8, <32, >=32, unicode)."""
+    import random
+    import string
+
+    from mircv_project_spark.functions.hashing import term_bucket, xxhash64
+    from mircv_project_spark.functions.tokenizer import tokenize
+
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    vocab = sorted(
+        {tok for r in t.select("text").collect() for tok in tokenize(r["text"], False)}
+    )
+    rng = random.Random(20260817)
+    cases = list(vocab)
+    cases += ["", "a", "ab", "abc", "abcd", "x" * 31, "x" * 32, "x" * 100]
+    for _ in range(400):
+        n = rng.randint(0, 80)
+        cases.append("".join(rng.choice(string.printable) for _ in range(n)))
+    for _ in range(100):
+        n = rng.randint(1, 40)
+        cases.append(
+            "".join(chr(rng.randint(1, 0xFFF)) for _ in range(n))
+        )
+    df = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        "s",
+        F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(128)).cast("int").alias("b"),
+    )
+    for r in df.collect():
+        assert xxhash64(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
+        assert term_bucket(r["s"], 128) == r["b"], repr(r["s"])
