@@ -221,6 +221,70 @@ def _q_lsh_cosine_topk(spark, sf_dir):
     return lsh_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _q_ivf_cosine_topk_exact(spark, sf_dir):
+    """IVF with nprobe == n_centroids scans every cell, so the candidate
+    set is the full corpus and the ranking must equal the exhaustive
+    cosine oracle — pins the IVF machinery (assignment matmul, cell
+    equi-join, window ranking) end-to-end under the hash gate.  The
+    approximate regime (nprobe < cells) keeps its recall floor in
+    tests/test_pipeline_ops.py."""
+    from mircv_project_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        ivf_cosine_topk,
+    )
+
+    return ivf_cosine_topk(
+        _emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K, nprobe=IVF_CENTROIDS
+    )
+
+
+def _q_lsh_cosine_topk_exact(spark, sf_dir):
+    """Multi-probe LSH with hamming_radius == bits expands each probe to
+    the FULL Hamming ball (2^16 keys), so every signature matches and the
+    candidate set is the whole corpus — the bucketed equi-join plumbing
+    must reproduce the exhaustive cosine oracle exactly.  The radius-2
+    approximate regime keeps its recall floor in pytest."""
+    from mircv_project_spark.operators.similarity import LSH_BITS, lsh_cosine_topk
+
+    return lsh_cosine_topk(
+        _emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K, hamming_radius=LSH_BITS
+    )
+
+
+def _q_ppm_image_features(spark, sf_dir):
+    """REAL (dependency-free) image decode under the oracle gate: a
+    pure-Catalyst P6 writer synthesizes genuine binary-PPM images, the
+    mapInPandas kernel parses header + raster and emits grayscale
+    horizontal-strip means, and each float32 strip mean maps back to its
+    exact integer byte sum (sum = feature * 96 * 255 is injective at
+    float32 precision over 16x16 RGB strips), which DuckDB recomputes
+    from the same md5 byte stream.  sf_dir is unused — the media table
+    is synthesized deterministically, per the multimodal brief."""
+    from mircv_project_spark.operators.multimodal import (
+        FEATURE_DIM,
+        PPM_H,
+        PPM_W,
+        extract_features,
+        generate_ppm_media,
+    )
+
+    media = generate_ppm_media(spark, oracle.N_PPM_MEDIA, seed=42)
+    feats = extract_features(media, decoder="ppm")
+    strip_bytes = (PPM_W * PPM_H * 3) // FEATURE_DIM  # 96 raster bytes/strip
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("features").alias("strip", "feature"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("strip").cast("int").alias("strip"),
+        F.round(F.col("feature").cast("double") * F.lit(float(strip_bytes * 255)))
+        .cast("long")
+        .alias("strip_sum"),
+    )
+
+
 def _topk_compressed(standard: str):
     """Distributed top-k over the compressed block store (codecs + the
     run-grained layout inside the oracle-checked path)."""
@@ -580,6 +644,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall floors vs the exact path asserted in tests/test_pipeline_ops.py.
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
+        # the SAME machinery at exactness-recovering params IS oracle-
+        # gated (full-probe / full-Hamming-ball -> must equal exhaustive)
+        "ivf_cosine_topk_exact": _q_ivf_cosine_topk_exact,
+        "lsh_cosine_topk_exact": _q_lsh_cosine_topk_exact,
+        # real binary image decode (P6) through mapInPandas, hash-gated
+        "ppm_image_features": _q_ppm_image_features,
     }
 
 

@@ -384,6 +384,7 @@ JACCARD_THRESHOLD = 0.8
 PROBE_IDS = list(range(10))
 ANN_K = 5
 COSINE_DUP_THRESHOLD = 0.42
+N_PPM_MEDIA = 64  # rows in the ppm_image_features gate table
 
 _DOC_TOKENS = f"""
 doctoks AS (
@@ -602,6 +603,37 @@ WHERE round(
 """
 
 
+# Real-decode multimodal gate: restate generate_ppm_media's md5 byte
+# stream (48 chunks of 16 bytes keyed 'ppm-<id>-<seed>-<chunk>') and
+# recompute each 8th-strip byte sum directly from the hex digits.  The
+# Spark side decodes the SAME bytes through the binary P6 parser in
+# mapInPandas and maps each float32 strip mean back to its integer sum
+# (sum = feature * 96 * 255 is injective at float32 precision), so a
+# header mis-parse, strip-axis mixup, or channel reorder breaks the
+# hash.  Constants pinned to multimodal.py: 16x16 RGB -> 768 raster
+# bytes, 13-byte header, FEATURE_DIM=8 strips of 96 bytes.
+_PPM_FEATURES_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, r.range AS r,
+           md5('ppm-' || ids.range || '-42-' || r.range) AS hx
+    FROM range({N_PPM_MEDIA}) ids CROSS JOIN range(48) r
+),
+bytes AS (
+    SELECT id, (r * 16 + b.range) AS pos,
+           16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * b.range + 1 AS INTEGER), 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, CAST(2 * b.range + 2 AS INTEGER), 1)) - 1)
+           AS val
+    FROM chunks CROSS JOIN range(16) b
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(781 AS BIGINT) AS n_bytes,
+       CAST(pos // 96 AS INTEGER) AS strip,
+       CAST(sum(val) AS BIGINT) AS strip_sum
+FROM bytes
+GROUP BY id, pos // 96
+ORDER BY media_id, strip
+"""
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
         "exact_dedup": _EXACT_DEDUP_SQL,
@@ -623,4 +655,15 @@ def pipeline_oracles() -> dict[str, str]:
         # pairs (band params pinned with measured recall 1.0 on this
         # corpus at sf0.01 and sf0.1 — tests/test_pipeline_ops.py)
         "embedding_near_dup_blocked": _EMBED_NEAR_DUP_SQL,
+        # ANN machinery at exactness-recovering parameters: nprobe ==
+        # n_cells (IVF) / hamming_radius == bits (LSH) make the
+        # candidate set the full corpus, so the distributed plumbing
+        # (assignment matmul, cell/signature equi-join, ranking) must
+        # reproduce the exhaustive cosine oracle bit-for-bit; the
+        # approximate regimes keep their recall floors in pytest.
+        "ivf_cosine_topk_exact": _COSINE_TOPK_SQL,
+        "lsh_cosine_topk_exact": _COSINE_TOPK_SQL,
+        # real binary decode (PPM P6) through mapInPandas vs the md5
+        # byte stream restated in SQL
+        "ppm_image_features": _PPM_FEATURES_SQL,
     }
