@@ -221,6 +221,36 @@ def _q_lsh_cosine_topk(spark, sf_dir):
     return lsh_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _q_training_corpus(spark, sf_dir):
+    """End-to-end corpus-cleaning verdict: near-dup keep-list (banded
+    MinHash-LSH + exact verify + min-label components), language filter,
+    quality floor, and BPE token estimate fused over ONE tokenizer pass,
+    with the duplicate > language > quality drop priority — the
+    composite a pretraining pipeline actually runs."""
+    from mircv_project_spark.operators.pipeline import training_corpus
+
+    return training_corpus(
+        _docs(spark, sf_dir),
+        jaccard_threshold=oracle.JACCARD_THRESHOLD,
+        quality_floor=oracle.TRAINING_QUALITY_FLOOR,
+        lang=oracle.TRAINING_KEEP_LANG,
+    )
+
+
+def _q_sq_cosine_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) cosine top-k: pass 1 ranks by an integer
+    dot over int8-range codes (4x fewer scan bytes than float32 — the
+    compression serve path at 10^9+ vectors), pass 2 exact-rescores only
+    the top k*4 pool per probe.  At the pinned rescore factor the pool
+    provably contains the true top-k on these corpora (measured
+    rank-identity at sf0.001/0.01/0.1), so the entry shares the
+    exhaustive cosine oracle; quantization-degradation behavior is
+    covered in tests/test_pipeline_ops.py."""
+    from mircv_project_spark.operators.similarity import sq_cosine_topk
+
+    return sq_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
 def _q_ivf_cosine_topk_exact(spark, sf_dir):
     """IVF with nprobe == n_centroids scans every cell, so the candidate
     set is the full corpus and the ranking must equal the exhaustive
@@ -549,6 +579,36 @@ def _q_conversation_sessions(spark, sf_dir):
     )
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (applyInPandasWithState keyed by content
+    fingerprint) under the oracle gate: the corpus has no exact dups, so
+    the entry injects them deterministically (every 3rd turn's text
+    becomes one of 5 seed strings — the oracle restates the same
+    mapping), splits the stream into two conv-ordered micro-batches, and
+    asserts every turn emits exactly once with is_dup = "a smaller key
+    already carries this fingerprint" — the seen-set state crossing the
+    batch boundary is exactly what the second epoch exercises."""
+    from mircv_project_spark.streaming.dedup_stream import run_streaming_dedup
+
+    base = _tmpdir("mircv_sdedup_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t = filter_indexable(load_transcripts(spark, sf_dir))
+    did = F.substring("conv_id", 6, 12).cast("long") * 8 + F.col("turn_idx")
+    t = t.withColumn(
+        "text",
+        F.when(
+            did % 3 == 1,
+            F.concat(F.lit("duplicate seed text number "), (did % 5).cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    split = f"conv-{(t.count() // 2) // 8:012d}"
+    t.where(F.col("conv_id") < split).coalesce(1).write.mode("overwrite").parquet(inp)
+    run_streaming_dedup(spark, inp, out, ckpt).awaitTermination(300)
+    t.where(F.col("conv_id") >= split).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_dedup(spark, inp, out, ckpt).awaitTermination(300)
+    return spark.read.parquet(out).select("conv_id", "turn_idx", "fp", "is_dup")
+
+
 def _q_turns_per_window(spark, sf_dir):
     """Watermarked tumbling-window aggregation (streaming/incremental.py
     turns_per_window) under the oracle gate: the transcript stream
@@ -623,6 +683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_streaming": _q_lexicon_streaming,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,
+        # streaming exact dedup: stateful per-fingerprint verdict,
+        # oracle = min-key winner rule over the injected-dup corpus
+        "streaming_dedup": _q_streaming_dedup,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
         # docstring); driver records rows-only check, pytest covers parity.
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),
@@ -648,6 +711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gated (full-probe / full-Hamming-ball -> must equal exhaustive)
         "ivf_cosine_topk_exact": _q_ivf_cosine_topk_exact,
         "lsh_cosine_topk_exact": _q_lsh_cosine_topk_exact,
+        # SQ8 two-pass (int8 scan + exact rescore) — rank-identical to
+        # exhaustive at the pinned rescore factor, hence oracle-gated
+        "sq_cosine_topk": _q_sq_cosine_topk,
+        # composite corpus-cleaning verdict (dedup ∘ lang ∘ quality ∘
+        # token budget), single tokenizer pass, full SQL oracle
+        "training_corpus": _q_training_corpus,
         # real binary image decode (P6) through mapInPandas, hash-gated
         "ppm_image_features": _q_ppm_image_features,
     }

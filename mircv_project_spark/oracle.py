@@ -603,6 +603,131 @@ WHERE round(
 """
 
 
+# Streaming exact dedup: restate the gate entry's deterministic dup
+# injection (every 3rd non-blank turn -> one of 5 seed strings), the
+# normalized-md5 fingerprint, and the winner rule (minimum doc key per
+# fingerprint — batch-boundary-invariant because the harness feeds
+# conv-ordered epochs; see streaming/dedup_stream.py determinism
+# contract).
+_STREAMING_DEDUP_SQL = f"""WITH base AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           CASE WHEN doc_id % 3 = 1
+                THEN 'duplicate seed text number ' || CAST(doc_id % 5 AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+f AS (
+    SELECT doc_id, conv_id, turn_idx,
+           md5(array_to_string({_TOKENS_EXPR.format(col='text')}, ' ')) AS fp
+    FROM base
+)
+SELECT conv_id, turn_idx, fp,
+       doc_id > min(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM f
+"""
+
+
+TRAINING_QUALITY_FLOOR = 0.8
+TRAINING_KEEP_LANG = "en"
+
+
+def _training_corpus_sql() -> str:
+    """Composite pipeline verdict: dedup keep-list (recursive-CTE
+    closure over the exhaustive jaccard pair graph — the same
+    exhaustive restatement the minhash/keep-list entries use), language
+    pred, quality score, and BPE estimate joined per doc, with the
+    duplicate > language > quality drop priority."""
+    hits = ",\n           ".join(
+        "CAST(len(list_filter(tokens, t -> t IN ({}))) AS BIGINT) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in _LANGS[lg]), lg
+        )
+        for lg in _LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in _LANG_ORDER) + ")"
+    pred = "CASE WHEN {b} = 0 THEN 'unknown' ".format(b=best) + " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in _LANG_ORDER
+    ) + " END"
+    return f"""WITH RECURSIVE {_DOC_TOKENS}, {_SHINGLES},
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+),
+dup_pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN shsizes sa ON i.id_a = sa.id
+    JOIN shsizes sb ON i.id_b = sb.id
+    WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM dup_pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM dup_pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+    SELECT src AS id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+),
+keepl AS (
+    SELECT CAST(d.doc_id AS BIGINT) AS id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+           coalesce(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+langp AS (
+    SELECT id, {pred} AS lang_pred
+    FROM (SELECT doc_id AS id, {hits} FROM doctoks)
+),
+qm AS (
+    SELECT doc_id AS id,
+           CAST(len(tokens) AS BIGINT) AS n,
+           coalesce(list_sum(list_transform(tokens, t -> length(t))), 0) AS tok_chars,
+           coalesce(list_sum(list_transform(tokens,
+               t -> length(regexp_replace(t, '[^0-9]', '', 'g')))), 0) AS digit_chars,
+           len(list_filter(tokens, t -> t IN ({_QS_STOPS_SQL}))) AS stop_hits,
+           CAST(coalesce(list_sum(list_transform(tokens,
+               x -> CAST(ceil(length(x) / 4) AS INTEGER))), 0) AS BIGINT) AS bpe_est
+    FROM doctoks
+),
+qr AS (
+    SELECT id, bpe_est,
+           CASE WHEN n > 0 THEN tok_chars / CAST(n AS DOUBLE) ELSE 0.0 END AS mean_len,
+           CASE WHEN tok_chars > 0 THEN digit_chars / CAST(tok_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+           n
+    FROM qm
+),
+qs AS (
+    SELECT id, bpe_est,
+           round(0.4 * least(CAST(n AS DOUBLE) / 20.0, 1.0)
+               + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (1.0 - digit_ratio)
+               + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+    FROM qr
+),
+verdict AS (
+    SELECT k.id, k.component, l.lang_pred, q.quality, q.bpe_est,
+           CASE WHEN NOT k.keep THEN 'duplicate'
+                WHEN l.lang_pred <> '{TRAINING_KEEP_LANG}' THEN 'language'
+                WHEN q.quality < {TRAINING_QUALITY_FLOOR} THEN 'quality'
+                ELSE 'ok' END AS status
+    FROM keepl k JOIN langp l ON k.id = l.id JOIN qs q ON k.id = q.id
+)
+SELECT id, component, lang_pred, quality, bpe_est, status,
+       status = 'ok' AS kept
+FROM verdict
+"""
+
+
 # Real-decode multimodal gate: restate generate_ppm_media's md5 byte
 # stream (48 chunks of 16 bytes keyed 'ppm-<id>-<seed>-<chunk>') and
 # recompute each 8th-strip byte sum directly from the hex digits.  The
@@ -663,7 +788,21 @@ def pipeline_oracles() -> dict[str, str]:
         # approximate regimes keep their recall floors in pytest.
         "ivf_cosine_topk_exact": _COSINE_TOPK_SQL,
         "lsh_cosine_topk_exact": _COSINE_TOPK_SQL,
+        # SQ8 two-pass top-k: the int8 pass only PRE-RANKS — the final
+        # ranking comes from exact float64 cosine over the rescore pool,
+        # and at the pinned rescore factor the pool contains the true
+        # top-k on these corpora (rank-identity measured at
+        # sf0.001/0.01/0.1), so the exhaustive oracle applies verbatim.
+        "sq_cosine_topk": _COSINE_TOPK_SQL,
         # real binary decode (PPM P6) through mapInPandas vs the md5
         # byte stream restated in SQL
         "ppm_image_features": _PPM_FEATURES_SQL,
+        # composite corpus-cleaning verdict (dedup + lang + quality +
+        # token budget in one pass); the dedup leg shares the banding-
+        # recall-1.0 assumption guarded by
+        # tests/test_pipeline_ops.py::test_lsh_banding_recall_is_total_here
+        "training_corpus": _training_corpus_sql(),
+        # streaming exact dedup: per-turn verdict, winner = min key per
+        # fingerprint (batch-invariant under conv-ordered epochs)
+        "streaming_dedup": _STREAMING_DEDUP_SQL,
     }

@@ -23,6 +23,8 @@ PIPELINE_KEYS = [
     "cosine_topk",
     "embedding_near_dup",
     "embedding_near_dup_blocked",
+    "sq_cosine_topk",
+    "training_corpus",
 ]
 
 
@@ -275,6 +277,80 @@ def test_lsh_signatures_mechanical(spark):
     ).collect()
     exact = cosine_topk(emb, oracle.PROBE_IDS[:3], k=3).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_training_corpus_status_priority(spark):
+    """Drop-reason priority is duplicate > language > quality: a doc
+    that is simultaneously a near-dup, non-English, and low-quality
+    reports 'duplicate'; the cluster survivor falls through to its own
+    language/quality verdict; and kept == (status == 'ok')."""
+    from mircv_project_spark.operators.pipeline import training_corpus
+
+    good = (
+        "the cat sat on the mat and it was a good day for all of the "
+        "animals in the big house by the sea"
+    )
+    german = "der hund und die katze sind nicht mit dem mann zu den"
+    docs = spark.createDataFrame(
+        [
+            (1, german + " eins zwei drei vier funf sechs sieben acht"),
+            (2, german + " eins zwei drei vier funf sechs sieben acht"),  # dup of 1
+            (3, good),
+            # English (the stopword pins lang='en') but digit-heavy and
+            # short -> fails the quality floor, not the language filter
+            (4, "the 1234567890 9876543210 0001112223 4445556667"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in training_corpus(docs, quality_floor=0.8).collect()}
+    assert rows[2]["status"] == "duplicate" and rows[2]["component"] == 1
+    assert rows[1]["status"] == "language"  # survivor judged on its own
+    assert rows[3]["status"] == "ok" and rows[3]["kept"]
+    assert rows[4]["status"] == "quality" and not rows[4]["kept"]
+    assert all((r["status"] == "ok") == r["kept"] for r in rows.values())
+
+
+def test_sq_quantization_mechanics(spark):
+    """SQ8 plumbing: codes bounded to the int8 range, exact rescore means
+    any returned cos equals the exhaustive value, and the pool window
+    really caps pass-1 candidates at k*factor per probe (the pinned
+    factor's full rank-identity is the shared-oracle parametrized test)."""
+    import pyspark.sql.functions as F
+
+    from mircv_project_spark.operators.similarity import (
+        SQ_LEVELS,
+        _norm,
+        _sq_codes,
+        cosine_topk,
+        sq_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    codes = emb.select(
+        _sq_codes(
+            F.transform("embedding", lambda x: x.cast("double")),
+            _norm(F.transform("embedding", lambda x: x.cast("double"))),
+        ).alias("q")
+    )
+    mx = codes.select(
+        F.max(F.aggregate("q", F.lit(0), lambda s, x: F.greatest(s, F.abs(x))))
+    ).collect()[0][0]
+    assert 0 < mx <= SQ_LEVELS
+    # a starved pool (factor=1) still returns k rows with EXACT cos values
+    exact = cosine_topk(emb, oracle.PROBE_IDS, k=oracle.ANN_K).collect()
+    exact_by_pair = {(r.probe_id, r.neighbor_id): r.cos for r in exact}
+    starved = sq_cosine_topk(
+        emb, oracle.PROBE_IDS, k=oracle.ANN_K, rescore_factor=1
+    ).collect()
+    assert len(starved) == len(oracle.PROBE_IDS) * oracle.ANN_K
+    ex = set(exact_by_pair)
+    ap = {(r.probe_id, r.neighbor_id) for r in starved}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"starved-pool recall {recall:.2f}"
+    for r in starved:
+        key = (r.probe_id, r.neighbor_id)
+        if key in exact_by_pair:
+            assert r.cos == exact_by_pair[key]
 
 
 def test_exact_dedup_groups(spark):

@@ -372,3 +372,54 @@ def test_stateful_sessionization(spark, tmp_path):
         ("A", 2, 1, base + 30, base + 30, 1),   # opened in batch 2, timed out
         ("B", 0, 1, base + 4, base + 4, 2),     # timed out
     }, got
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """streaming_exact_dedup: within a batch only the minimum key of a
+    fingerprint group is kept; the seen-set state crosses the
+    micro-batch boundary (a batch-2 re-occurrence is flagged dup even
+    though it is batch 2's first sighting); unique texts never flag;
+    every input turn emits exactly once."""
+    from datetime import datetime, timedelta
+
+    from mircv_project_spark.streaming.dedup_stream import run_streaming_dedup
+
+    inp = str(tmp_path / "sd_in")
+    out = str(tmp_path / "sd_out")
+    ckpt = str(tmp_path / "sd_ckpt")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(inp)
+
+    def turn(conv, i, text):
+        ts = datetime(2024, 1, 1) + timedelta(seconds=i)
+        return (conv, i, "user", text, None, ts)
+
+    # batch 1: "same text" twice (keys A0 < A1), one unique
+    write(
+        [turn("A", 0, "same text"), turn("A", 1, "Same  TEXT!"),
+         turn("A", 2, "something unique")],
+        "overwrite",
+    )
+    run_streaming_dedup(spark, inp, out, ckpt).awaitTermination(120)
+    got1 = {(r.conv_id, r.turn_idx): r.is_dup for r in spark.read.parquet(out).collect()}
+    # normalization makes "Same  TEXT!" an exact dup of "same text"
+    assert got1 == {("A", 0): False, ("A", 1): True, ("A", 2): False}, got1
+
+    # batch 2: re-occurrence of batch 1's text -> dup via STATE; new text kept
+    write([turn("B", 0, "same text"), turn("B", 1, "fresh words")], "append")
+    run_streaming_dedup(spark, inp, out, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.conv_id, r.turn_idx): r.is_dup for r in rows}
+    assert got == {
+        ("A", 0): False, ("A", 1): True, ("A", 2): False,
+        ("B", 0): True, ("B", 1): False,
+    }, got
+    assert len(rows) == 5  # exactly-once emission per input turn
+    fps = {(r.conv_id, r.turn_idx): r.fp for r in rows}
+    assert fps[("A", 0)] == fps[("A", 1)] == fps[("B", 0)]
+    assert len({fps[("A", 0)], fps[("A", 2)], fps[("B", 1)]}) == 3
