@@ -145,6 +145,85 @@ def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the probe set is the 12-token slice
+    [11..22] of every doc with doc_id % 29 == 5 (restated verbatim in
+    the oracle), so its source docs MUST flag contaminated via a shared
+    8-gram; candidates come from one broadcast hash equi-join on the
+    n-gram key — no corpus-side cartesian."""
+    from mircv_project_spark.functions.textnorm import tokens_col
+    from mircv_project_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(
+        F.col("doc_id") % oracle.DECON_BENCH_MOD == oracle.DECON_BENCH_SEL
+    ).select(
+        F.concat_ws(
+            " ",
+            F.slice(
+                tokens_col(F.col("text")),
+                oracle.DECON_SLICE_START,
+                oracle.DECON_SLICE_LEN,
+            ),
+        ).alias("text")
+    )
+    return decontaminate(docs, bench)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    from mircv_project_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII detect + redact over a corpus with deterministically injected
+    PII (emails / E.164 phones / dotted-quad IPs keyed on doc_id mod
+    7/11/13 — the oracle restates the same mapping; change both sides
+    or neither)."""
+    from mircv_project_spark.operators.curation import pii_scrub
+
+    did = F.col("doc_id")
+    injected = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 2,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 3,
+                F.concat(F.lit(" call +1415555"), (did % 1000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 4,
+                F.concat(
+                    F.lit(" host 10."), (did % 256).cast("string"), F.lit(".0.1 up")
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(injected)
+
+
+def _q_domain_mix_sample(spark, sf_dir):
+    """Deterministic stratified corpus-mix sampling: per-source keep
+    rates derived from the source name (rate(srcK) = (K % 5)/4, same
+    formula in the oracle), decision = md5-keyed coin — reproducible
+    across runs, cluster sizes, and partitionings."""
+    from mircv_project_spark.operators.curation import domain_mix_sample
+
+    docs = _docs(spark, sf_dir)
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    rates = {s: (int(s[3:]) % 5) / 4.0 for s in sources}
+    return domain_mix_sample(docs, rates)
+
+
 def _q_lang_id(spark, sf_dir):
     from mircv_project_spark.operators.textstats import lang_id
 
@@ -700,6 +779,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
+        # curation family: benchmark decontamination (broadcast n-gram
+        # semi-join), Gopher repetition filters, PII scrub (injected-PII
+        # corpus), deterministic domain-mix sampling — all full-oracle
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
+        "domain_mix_sample": _q_domain_mix_sample,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,

@@ -37,17 +37,30 @@ def tokens_col(text: Column) -> Column:
     )
 
 
-def shingles_col(tokens: Column, n: int = 3) -> Column:
-    """tokens -> array<string> of distinct word n-gram shingles.
-    Docs with fewer than n tokens produce no shingles."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
-    gram = F.transform(
+def grams_col(tokens: Column, n: int) -> Column:
+    """tokens -> array<string> of word n-grams IN ORDER, duplicates
+    kept (the occurrence stream; `shingles_col` is its distinct set).
+    Docs with fewer than n tokens produce an empty array.
+
+    The short-doc branch must be explicit: sequence(1, 0) DESCENDS
+    ([1, 0]), it is not empty, and element_at past the array end is an
+    ANSI error — so the gram expression only ever evaluates when
+    size(tokens) >= n."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(gram)
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(tokens) >= n, grams).otherwise(empty)
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """tokens -> array<string> of distinct word n-gram shingles.
+    Docs with fewer than n tokens produce no shingles."""
+    return F.array_distinct(grams_col(tokens, n))
 
 
 def hash60_col(s: Column) -> Column:

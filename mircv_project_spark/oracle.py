@@ -728,6 +728,135 @@ FROM verdict
 """
 
 
+# ---------------------------------------------------------------------------
+# curation operators (operators/curation.py): decontamination,
+# repetition stats, PII scrubbing, domain-mix sampling
+# ---------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 29  # benchmark docs: doc_id % 29 == 5
+DECON_BENCH_SEL = 5
+DECON_SLICE_START = 11  # 1-based token slice [11..22] feeds the benchmark
+DECON_SLICE_LEN = 12
+
+
+def _grams_expr(tokens: str, n: int) -> str:
+    """DuckDB expression for the ORDERED word n-gram list over a token
+    list column (duplicates kept) — mirrors textnorm.grams_col."""
+    parts = " || ' ' || ".join(f"{tokens}[i+{j + 1}]" for j in range(n))
+    return (
+        f"list_transform(range(0, greatest(len({tokens}) - {n - 1}, 0)), "
+        f"i -> {parts})"
+    )
+
+
+# decontamination: benchmark = token slice [11..22] of every doc with
+# doc_id % 29 == 5 (the gate entry derives the same probe set);
+# contaminated = any shared distinct 8-gram with any benchmark text
+_DECONTAMINATE_SQL = f"""WITH {_DOC_TOKENS},
+bench AS (
+    SELECT tokens[{DECON_SLICE_START}:{DECON_SLICE_START + DECON_SLICE_LEN - 1}] AS btoks
+    FROM doctoks WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_SEL}
+),
+bsh AS (
+    SELECT DISTINCT unnest({_grams_expr('btoks', 8)}) AS gram FROM bench
+),
+dsh AS (
+    SELECT doc_id AS id, unnest(list_distinct({_grams_expr('tokens', 8)})) AS gram
+    FROM doctoks
+),
+hits AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS contam_hits
+    FROM dsh JOIN bsh USING (gram) GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       coalesce(h.contam_hits, 0) AS contam_hits,
+       coalesce(h.contam_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+"""
+
+
+# Gopher repetition filters: top-bigram occupancy + repeated-trigram
+# fraction; zero-gram docs report 0.0 (same guards as the Spark op)
+_REPETITION_SQL = f"""WITH {_DOC_TOKENS},
+g2 AS (
+    SELECT doc_id, unnest({_grams_expr('tokens', 2)}) AS gram FROM doctoks
+),
+cnt2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+agg2 AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2, max(c) AS top2
+    FROM cnt2 GROUP BY doc_id
+),
+t3 AS (
+    SELECT doc_id,
+           len({_grams_expr('tokens', 3)}) AS total3,
+           len(list_distinct({_grams_expr('tokens', 3)})) AS d3
+    FROM doctoks
+)
+SELECT CAST(t.doc_id AS BIGINT) AS id,
+       coalesce(a.total2, 0) AS n_2grams,
+       round(CASE WHEN coalesce(a.total2, 0) > 0
+                  THEN a.top2 / CAST(a.total2 AS DOUBLE) ELSE 0.0 END, 6) AS top_2gram_frac,
+       round(CASE WHEN t3.total3 > 0
+                  THEN 1.0 - t3.d3 / CAST(t3.total3 AS DOUBLE) ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM doctoks t
+LEFT JOIN agg2 a ON t.doc_id = a.doc_id
+JOIN t3 ON t.doc_id = t3.doc_id
+"""
+
+
+# PII scrub: the gate entry injects deterministic PII (restated verbatim
+# below — change both sides or neither); patterns are RE2-safe and
+# applied in the same order (email -> IP -> phone), counts measured on
+# the pre-scrub text.  Pattern strings MUST stay identical to
+# operators/curation.PII_STAGES.
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+_PII_PHONE_SQL = "\\+[0-9]{8,15}"
+
+_PII_SCRUB_SQL = f"""WITH injected AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 2
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 3
+                   THEN ' call +1415555' || CAST(doc_id % 1000 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 4
+                   THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
+                   ELSE '' END AS text
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4_SQL}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4_SQL}', '<IP>', 'g'),
+           '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+FROM injected
+"""
+
+
+# domain-mix sampling: rate(srcK) = (K % 5) / 4 — the gate entry derives
+# the same dict from the distinct sources; keep iff the md5-derived
+# 60-bit key mod 1e6 clears the per-domain bar
+_DOMAIN_MIX_SQL = """SELECT
+    CAST(doc_id AS BIGINT) AS id,
+    source AS domain,
+    round((CAST(substr(source, 4) AS INT) % 5) / 4.0, 6) AS rate,
+    CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+         AS BIGINT) % 1000000 AS sample_key,
+    CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+         AS BIGINT) % 1000000
+      < CAST(round(((CAST(substr(source, 4) AS INT) % 5) / 4.0) * 1000000) AS BIGINT)
+      AS kept
+FROM documents
+"""
+
+
 # Real-decode multimodal gate: restate generate_ppm_media's md5 byte
 # stream (48 chunks of 16 bytes keyed 'ppm-<id>-<seed>-<chunk>') and
 # recompute each 8th-strip byte sum directly from the hex digits.  The
@@ -805,4 +934,11 @@ def pipeline_oracles() -> dict[str, str]:
         # streaming exact dedup: per-turn verdict, winner = min key per
         # fingerprint (batch-invariant under conv-ordered epochs)
         "streaming_dedup": _STREAMING_DEDUP_SQL,
+        # curation family: benchmark 8-gram decontamination (broadcast
+        # semi-join shape), Gopher repetition filters, PII scrub over
+        # the injected-PII corpus, deterministic domain-mix sampling
+        "decontaminate": _DECONTAMINATE_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
+        "domain_mix_sample": _DOMAIN_MIX_SQL,
     }

@@ -1,0 +1,184 @@
+"""Unit semantics for the curation operators (operators/curation.py):
+benchmark decontamination, Gopher repetition stats, PII scrubbing,
+deterministic domain-mix sampling.  End-to-end oracle equality is
+covered by test_correctness_gate (entries decontaminate /
+repetition_stats / pii_scrub / domain_mix_sample); these tests pin the
+edge semantics the gate corpus can't reach (short docs, zero-gram docs,
+rate-0/1 strata, scrub idempotence) and the plan shapes the 100-TB
+story depends on (broadcast candidate join, no corpus-side BNLJ)."""
+
+import pytest
+
+from mircv_project_spark.operators.curation import (
+    decontaminate,
+    domain_mix_sample,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_quoting_docs_only(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally unrelated words here nothing shared at all today friend"),
+        ],
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], "text string"
+    )
+    got = {r["id"]: (r["contam_hits"], r["contaminated"]) for r in
+           decontaminate(docs, bench, n=8).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_decontaminate_short_docs_and_bench_are_safe(spark):
+    # docs / bench texts below the n-gram order produce no grams (and no
+    # crash): the sequence(1,0)-descends pitfall is guarded in grams_col
+    docs = _docs(spark, [(1, "too short"), (2, ""), (3, "a b c d e f g h")])
+    bench = spark.createDataFrame([("tiny",), ("a b c d e f g h",)], "text string")
+    got = {r["id"]: r["contaminated"] for r in
+           decontaminate(docs, bench, n=8).collect()}
+    assert got == {1: False, 2: False, 3: True}
+
+
+def test_decontaminate_counts_distinct_shared_grams(spark):
+    # doc repeats the quoted span twice -> still counted once (distinct)
+    span = "q w e r t y u i"
+    docs = _docs(spark, [(7, f"{span} {span}")])
+    bench = spark.createDataFrame([(span,)], "text string")
+    [row] = decontaminate(docs, bench, n=8).collect()
+    assert row["contam_hits"] == 1 and row["contaminated"]
+
+
+def test_decontaminate_candidate_join_is_broadcast(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h i j")])
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -------------------------------------------------------------- repetition_stats
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [
+            # bigrams: [a a, a a, a b] -> top 'a a' 2/3; trigrams
+            # [a a a, a a b] distinct 2/2 -> dup 0.0
+            (1, "a a a b"),
+            # bigrams: [x y, y x, x y] -> top 2/3; trigrams
+            # [x y x, y x y] -> dup 0.0
+            (2, "x y x y"),
+            # all same token: bigrams [z z]*4 top 4/4=1.0; trigrams
+            # [z z z]*3 distinct 1 -> dup 1 - 1/3
+            (3, "z z z z z"),
+        ],
+    )
+    got = {r["id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["n_2grams"] == 3
+    assert got[1]["top_2gram_frac"] == pytest.approx(round(2 / 3, 6))
+    assert got[1]["dup_3gram_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] == pytest.approx(round(2 / 3, 6))
+    assert got[3]["top_2gram_frac"] == 1.0
+    assert got[3]["dup_3gram_frac"] == pytest.approx(round(1 - 1 / 3, 6))
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "two words")])
+    got = {r["id"]: r for r in repetition_stats(docs).collect()}
+    # every doc reports, zero-gram docs report zeros (not NULL, not missing)
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_2grams"] == 0 and got[1]["top_2gram_frac"] == 0.0
+    assert got[2]["dup_3gram_frac"] == 0.0
+    assert got[3]["n_2grams"] == 1 and got[3]["top_2gram_frac"] == 1.0
+    assert got[3]["dup_3gram_frac"] == 0.0  # one trigram? no — only 2 tokens
+    # 2 tokens -> zero trigrams -> 0.0 by the zero guard
+
+
+# ------------------------------------------------------------------- pii_scrub
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail a.b-c_d@ex-ample.co.uk and other@x.io please"),
+            (2, "call +12345678 or +123456789012345 now"),
+            (3, "hosts 10.0.0.1 and 192.168.255.254 up"),
+            (4, "clean text with no pii at all"),
+        ],
+    )
+    got = {r["id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["clean_text"] == "mail <EMAIL> and <EMAIL> please"
+    assert got[2]["n_phones"] == 2 and got[2]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert got[3]["n_ips"] == 2 and got[3]["clean_text"] == "hosts <IP> and <IP> up"
+    assert got[4]["n_emails"] == got[4]["n_ips"] == got[4]["n_phones"] == 0
+    assert got[4]["clean_text"] == "clean text with no pii at all"
+
+
+def test_pii_scrub_is_idempotent(spark):
+    docs = _docs(spark, [(1, "reach me at who@where.org or +4915112345678 or 10.1.2.3")])
+    once = pii_scrub(docs).select("id", "clean_text")
+    twice = pii_scrub(once, id_col="id", text_col="clean_text").collect()[0]
+    assert twice["clean_text"] == once.collect()[0]["clean_text"]
+    assert twice["n_emails"] == twice["n_phones"] == twice["n_ips"] == 0
+
+
+def test_pii_scrub_phone_needs_plus_and_length(spark):
+    # bare digit runs and short +runs are NOT phones (years, ids stay)
+    docs = _docs(spark, [(1, "in 2024 order 123456789 ref +1234567 ok")])
+    [row] = pii_scrub(docs).collect()
+    assert row["n_phones"] == 0
+    assert row["clean_text"].endswith("ref +1234567 ok")
+
+
+# ----------------------------------------------------------- domain_mix_sample
+
+
+def _mix_docs(spark):
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_domain_mix_rate_bounds_are_exact(spark):
+    out = domain_mix_sample(
+        _mix_docs(spark), {"d0": 0.0, "d1": 1.0, "d2": 0.5}
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert not any(r["kept"] for r in by_dom["d0"])  # rate 0: nothing
+    assert all(r["kept"] for r in by_dom["d1"])  # rate 1: everything
+    kept2 = sum(r["kept"] for r in by_dom["d2"])
+    assert 0 < kept2 < len(by_dom["d2"])  # rate 0.5: a strict subset
+
+
+def test_domain_mix_is_deterministic_and_partitioning_invariant(spark):
+    docs = _mix_docs(spark)
+    rates = {"d0": 0.3, "d1": 0.7, "d2": 0.5}
+    a = sorted((r["id"], r["kept"]) for r in domain_mix_sample(docs, rates).collect())
+    b = sorted(
+        (r["id"], r["kept"])
+        for r in domain_mix_sample(docs.repartition(13), rates).collect()
+    )
+    assert a == b
+
+
+def test_domain_mix_unknown_domain_samples_at_zero(spark):
+    out = domain_mix_sample(_mix_docs(spark), {"d1": 1.0}).collect()
+    assert all(not r["kept"] for r in out if r["domain"] != "d1")
+    assert all(r["rate"] == 0.0 for r in out if r["domain"] != "d1")
