@@ -57,12 +57,12 @@ from .maxscore import (
 
 
 class BMWCursor(PostingCursor):
-    """PostingCursor + shallow (metadata-only) block-max probes.
+    """PostingCursor + per-block score-bound metadata (bmax/bub).
 
-    ``block_at(target)`` never touches payload bytes: it binary-searches
-    the per-list max_doc_id skip array and reads the precomputed
-    per-block score bound — the deep pointer (and its lazily-decoded
-    block) is left where it is.
+    Shallow probes (``_shallow_frontier``) never touch payload bytes:
+    they binary-search the per-list max_doc_id skip array and read the
+    precomputed per-block score bound — the deep pointer (and its
+    lazily-decoded block) is left where it is.
     """
 
     __slots__ = ("bmax", "bub")
@@ -86,16 +86,6 @@ class BMWCursor(PostingCursor):
             ) * tp.idf
         else:
             self.bub = (1 + np.log10(max_tf)) * tp.idf
-
-    def block_at(self, target: int) -> tuple[float, int]:
-        """(score upper bound, last docid) of the first block whose
-        range reaches ``target`` — (0.0, MAX_DOCID) when the list holds
-        no posting >= target.  Metadata only; nothing decodes."""
-        bi = int(np.searchsorted(self.bmax, target, side="left"))
-        if bi >= len(self.bmax):
-            return 0.0, MAX_DOCID
-        return float(self.bub[bi]), int(self.bmax[bi])
-
 
 def _shallow_frontier(
     lists: list[BMWCursor], d: int, cap: int, theta: float,

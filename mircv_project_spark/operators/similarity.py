@@ -583,8 +583,14 @@ def sq_cosine_topk(
     base = embeddings.select(
         F.col(id_col).cast("long").alias("nid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("n", _norm(F.col("v")))
-    # materialize codes as a projection (one evaluation of the transform)
-    coded = base.select("nid", "v", "n", _sq_codes(F.col("v"), F.col("n")).alias("q"))
+    # materialize codes as a projection (one evaluation of the
+    # transform), persisted: three branches consume this lineage (probe
+    # collect, pass-1 code scan, pass-2 rescore join) and the embedding
+    # read + norm/quantize transforms must not run once per branch
+    # (CLAUDE.md Catalyst gotcha; same pattern as dedup.py)
+    coded = base.select(
+        "nid", "v", "n", _sq_codes(F.col("v"), F.col("n")).alias("q")
+    ).persist()
     probe_rows = coded.where(F.col("nid").isin(probe_ids)).collect()
     spark = embeddings.sparkSession
     probes = spark.createDataFrame(

@@ -8,9 +8,12 @@ per-key state until now.  Sessionization is the canonical case: per
 ``conv_id``, turns accumulate into a session until an inactivity gap
 exceeds ``gap_seconds``; the trailing open session lives in the state
 store across micro-batches and closes via EVENT-TIME TIMEOUT once the
-watermark passes its deadline — late-data-safe, state bounded by the
-watermark horizon, scales horizontally because state is partitioned by
-the group key exactly like a shuffle.
+watermark passes its deadline — late-data-safe, scales horizontally
+because state is partitioned by the group key exactly like a shuffle.
+Buffered-turn state is bounded by the watermark horizon; after a
+timeout a 5-int counter tombstone remains per conversation so that a
+conversation resuming later continues its session numbering (the
+gaps-and-islands oracle numbers islands over full history).
 
 Output timestamps are unix epoch SECONDS (longs): the session scalars
 then hash identically between Spark and the DuckDB gaps-and-islands
@@ -52,11 +55,20 @@ def conversation_sessions(
         conv_id = key[0]
         if state.hasTimedOut:
             sidx, n, st, en, ch = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [(conv_id, sidx, n, st // 1_000_000, en // 1_000_000, ch)],
-                columns=_COLS,
-            )
+            # Keep a counter-only tombstone (n == 0) instead of
+            # state.remove(): a conversation that RESUMES after its
+            # trailing session timed out must continue numbering at
+            # sidx+1, not restart at 0 (the gaps-and-islands oracle
+            # numbers islands over the conversation's full history).
+            # No new timeout is registered on the tombstone; the n == 0
+            # guard makes a re-fired timeout a no-op either way.  State
+            # is O(#conversations) small counters.
+            if n > 0:
+                state.update((int(sidx) + 1, 0, 0, 0, 0))
+                yield pd.DataFrame(
+                    [(conv_id, sidx, n, st // 1_000_000, en // 1_000_000, ch)],
+                    columns=_COLS,
+                )
             return
 
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values(

@@ -15,6 +15,41 @@ def spark():
     s.stop()
 
 
+def build_small_index(spark, parse, codec):
+    """In-memory index over the sf0.001 transcripts (shared helper for
+    the DAAT suites)."""
+    from mircv_project_spark.operators.index_build import (
+        build_index,
+        filter_indexable,
+    )
+    from mircv_project_spark.sources.transcripts import (
+        assign_doc_ids,
+        load_transcripts,
+    )
+
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
+    return build_index(spark, t, parse=parse, codec=codec)
+
+
+@pytest.fixture(scope="session")
+def vb_index(spark):
+    """ONE parse=False/VB build shared by every DAAT suite (maxscore,
+    bmw, ...) — session scope so the comparison rule and build defaults
+    live in exactly one place and the build runs once per session."""
+    from mircv_project_spark.functions import codecs
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    idx = build_small_index(spark, parse=False, codec=codecs.VB)
+    return idx, IndexReader.from_memory(idx)
+
+
+def cmp_rank_frames(df_a, df_b):
+    """Rank-identity comparison shared by the DAAT suites."""
+    a = df_a.toPandas().sort_values(["qid", "rank"], ignore_index=True)
+    b = df_b.toPandas().sort_values(["qid", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
 def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
     """Run oracle SQL the way the driver does: tables registered as views."""
     import duckdb

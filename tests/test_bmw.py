@@ -10,14 +10,12 @@ near-stopword's blocks mostly never decode.
 import math
 
 import numpy as np
-import pandas as pd
 import pytest
 
 from mircv_project_spark import config
 from mircv_project_spark.functions import codecs
 from mircv_project_spark.operators import scoring, topk
 from mircv_project_spark.operators.bmw import BMWCursor, block_max_wand, bmw_topk_df
-from mircv_project_spark.operators.index_build import build_index, filter_indexable
 from mircv_project_spark.operators.maxscore import (
     TermPostings,
     maxscore_topk,
@@ -25,28 +23,10 @@ from mircv_project_spark.operators.maxscore import (
 )
 from mircv_project_spark.oracle import CONJ_QUERY_SET, QUERY_SET
 from mircv_project_spark.sources.index_store import IndexReader
-from mircv_project_spark.sources.transcripts import assign_doc_ids, load_transcripts
-from tests.conftest import SF_SMALL
+from tests.conftest import build_small_index as _build
+from tests.conftest import cmp_rank_frames as _cmp
 
 ALL_QUERIES = QUERY_SET + CONJ_QUERY_SET
-
-
-def _build(spark, parse, codec):
-    t = assign_doc_ids(filter_indexable(load_transcripts(spark, SF_SMALL)))
-    return build_index(spark, t, parse=parse, codec=codec)
-
-
-@pytest.fixture(scope="module")
-def vb_index(spark):
-    """One parse=False/VB build shared by every same-config test here."""
-    idx = _build(spark, parse=False, codec=codecs.VB)
-    return idx, IndexReader.from_memory(idx)
-
-
-def _cmp(df_a, df_b):
-    a = df_a.toPandas().sort_values(["qid", "rank"], ignore_index=True)
-    b = df_b.toPandas().sort_values(["qid", "rank"], ignore_index=True)
-    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
 
 
 @pytest.mark.parametrize("standard", [scoring.BM25, scoring.TFIDF])

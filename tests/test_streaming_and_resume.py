@@ -373,6 +373,24 @@ def test_stateful_sessionization(spark, tmp_path):
         ("B", 0, 1, base + 4, base + 4, 2),     # timed out
     }, got
 
+    # conv B RESUMES after its trailing session already timed out: the
+    # counter tombstone makes numbering continue at session_idx 1 (a
+    # state.remove() at timeout would restart it at 0, colliding with
+    # the emitted (B, 0, ...) row and diverging from the oracle's
+    # full-history islands numbering)
+    write([turn("B", 1, 300, "hh")], "append")
+    SS.run_sessions(spark, inp, out, ckpt, gap_seconds=5).awaitTermination(120)
+    for s in (400, 500):
+        write([turn("zzzz-sentinel", 0, s, "flush")], "append")
+        SS.run_sessions(spark, inp, out, ckpt, gap_seconds=5).awaitTermination(120)
+    got_resumed = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .where(F.col("conv_id") != "zzzz-sentinel")
+        .collect()
+    }
+    assert got_resumed == got | {("B", 1, 1, base + 300, base + 300, 2)}, got_resumed
+
 
 def test_streaming_dedup_cross_batch(spark, tmp_path):
     """streaming_exact_dedup: within a batch only the minimum key of a
