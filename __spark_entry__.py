@@ -224,6 +224,26 @@ def _q_domain_mix_sample(spark, sf_dir):
     return domain_mix_sample(docs, rates)
 
 
+def _q_boilerplate_stats(spark, sf_dir):
+    """Cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
+    (params pinned to the oracle); per-doc distinct-gram counts and
+    boiler fraction.  Gram-keyed count with the table filtered to the
+    boilerplate subset before the join back."""
+    from mircv_project_spark.operators.curation import boilerplate_stats
+
+    return boilerplate_stats(_docs(spark, sf_dir))
+
+
+def _q_budget_pack(spark, sf_dir):
+    """Per-domain token-budget packing: (quality desc, id) order,
+    running BPE total <= 1000 kept — computed as a DISTRIBUTED PREFIX
+    SUM (range partition + per-partition subtotal offsets), not a
+    per-domain window; the oracle is the equivalent global window."""
+    from mircv_project_spark.operators.curation import budget_pack
+
+    return budget_pack(_docs(spark, sf_dir))
+
+
 def _q_lang_id(spark, sf_dir):
     from mircv_project_spark.operators.textstats import lang_id
 
@@ -786,6 +806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "domain_mix_sample": _q_domain_mix_sample,
+        # cross-doc boilerplate detection + per-domain token-budget
+        # packing (distributed prefix sum) — both full-oracle
+        "boilerplate_stats": _q_boilerplate_stats,
+        "budget_pack": _q_budget_pack,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,

@@ -22,14 +22,21 @@ the correctness gate, and a 100-TB-shaped plan:
   taken mod 1e6 against a per-domain rate), reproducible across runs,
   cluster sizes, and partitionings — the property that makes corpus
   mixtures re-buildable.
+- ``boilerplate_stats``: cross-doc repeated n-grams (site chrome /
+  license headers) — gram-keyed count with the table filtered to the
+  boilerplate survivors before the join back.
+- ``budget_pack``: per-domain token-budget selection as a DISTRIBUTED
+  PREFIX SUM (range partition + broadcast per-partition offsets), not
+  a per-domain window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textnorm import grams_col, hash60_col, tokens_col
+from .textstats import _QS_STOPS
 
 # decontamination n-gram order: 8-grams are the usual published
 # contamination window (long enough that chance overlap on a natural
@@ -211,5 +218,174 @@ def domain_mix_sample(
         .withColumn("sample_key", key.cast("long"))
         .withColumn(
             "kept", F.col("sample_key") < F.round(F.col("rate") * MIX_MOD).cast("long")
+        )
+    )
+
+
+# cross-doc boilerplate: a word n-gram is "boilerplate" when it occurs
+# in at least BOILER_MIN_DOCS distinct documents (site chrome, license
+# headers, navigation text — the repeated-across-docs counterpart of
+# repetition_stats' within-doc filters)
+BOILER_NGRAM = 3
+BOILER_MIN_DOCS = 3
+
+# per-domain token budget for budget_pack (BPE-estimate tokens)
+PACK_BUDGET = 1000
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = BOILER_NGRAM,
+    min_docs: int = BOILER_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_grams, boiler_grams, boiler_frac) for EVERY input doc:
+    n_grams = the doc's DISTINCT word n-gram count, boiler_grams = how
+    many of those occur in >= ``min_docs`` distinct docs corpus-wide,
+    boiler_frac = their ratio (0.0 for gram-less docs).
+
+    Scale shape: one (id, gram) explode of per-doc DISTINCT grams
+    (persisted — three consumers), a gram-keyed count with map-side
+    partial aggregation, the count table FILTERED to the boilerplate
+    subset before the join back (the corpus-wide gram table is huge;
+    the >= min_docs survivors are a small fraction), and an id-grained
+    rollup.  Heavy-hitter grams (the very thing this detects) skew the
+    gram shuffle — AQE skew-join handles the join-back side.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    dg = toks.select(
+        "id", F.explode(F.array_distinct(grams_col(F.col("toks"), n))).alias("gram")
+    ).persist()
+    totals = dg.groupBy("id").agg(F.count("*").alias("n_grams"))
+    boiler = (
+        dg.groupBy("gram")
+        .agg(F.count("*").alias("nd"))  # (id, gram) rows are distinct
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = dg.join(boiler, "gram").groupBy("id").agg(
+        F.count("*").alias("boiler_grams")
+    )
+    out = (
+        docs.select(F.col(id_col).cast("long").alias("id"))
+        .join(totals, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("boiler_grams", F.lit(0)).cast("long").alias("boiler_grams"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("boiler_grams") / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("boiler_frac", F.round(frac, 6))
+
+
+def budget_pack(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    num_partitions: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """-> (id, domain, quality, bpe_est, cum_bpe, kept) for EVERY input
+    doc: within each domain, docs are ordered (quality desc, id asc)
+    and kept while the running BPE-token total stays <= ``budget`` —
+    the deterministic "fill each domain's token budget with its best
+    docs" mixing step.  quality and bpe_est restate the
+    textstats.quality_score / token_counts formulas verbatim (same op
+    order, round 6).
+
+    Scale shape — a distributed prefix sum, NOT a per-domain window: a
+    naive Window.partitionBy(domain) materializes every row of a domain
+    in ONE task (a deal-breaker for a domain holding billions of docs).
+    Instead: range-partition on the exact sort key (domain, quality
+    desc, id), collect per-(domain, partition) subtotals (#domains x
+    #partitions tiny rows — the operator's only driver-side state),
+    broadcast the running offsets back, and cumsum inside each
+    partition under Window.partitionBy(domain, pid) — every window
+    group is bounded by the partition size, so the plan scales with
+    partition count, not domain size.  Range partitioning guarantees
+    in-partition order is a contiguous slice of the global order, which
+    makes offset + local cumsum == global cumsum.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(domain_col).alias("domain"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    # same counts AND op order as textstats.quality_score/token_counts
+    nn = F.size("toks")
+    tok_chars = F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x))
+    digit_chars = F.aggregate(
+        "toks", F.lit(0), lambda a, x: a + F.length(F.regexp_replace(x, "[^0-9]", ""))
+    )
+    stop_hits = F.size(F.filter("toks", lambda x: x.isin(*_QS_STOPS)))
+    bpe = F.aggregate(
+        "toks", F.lit(0), lambda a, x: a + F.ceil(F.length(x) / F.lit(4)).cast("int")
+    )
+    stage1 = toks.select(
+        "id", "domain",
+        nn.alias("n"), tok_chars.alias("tok_chars"),
+        digit_chars.alias("digit_chars"), stop_hits.alias("stop_hits"),
+        bpe.cast("long").alias("bpe_est"),
+    )
+    nf = F.col("n").cast("double")
+    mean_len = F.when(F.col("n") > 0, F.col("tok_chars") / nf).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        F.col("tok_chars") > 0,
+        F.col("digit_chars") / F.col("tok_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(F.col("n") > 0, F.col("stop_hits") / nf).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.lit(0.4) * F.least(nf / F.lit(20.0), F.lit(1.0))
+        + F.lit(0.2)
+        * F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
+        + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0)),
+        6,
+    )
+    stats = stage1.select("id", "domain", quality.alias("quality"), "bpe_est")
+
+    ordered = (
+        stats.repartitionByRange(
+            num_partitions, F.col("domain"), F.col("quality").desc(), F.col("id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()  # two jobs consume this exact partitioning
+    )
+    subtotals = ordered.groupBy("domain", "pid").agg(
+        F.sum("bpe_est").alias("s")
+    ).collect()
+    by_dom: dict[str, list] = {}
+    for r in subtotals:
+        by_dom.setdefault(r["domain"], []).append((int(r["pid"]), int(r["s"])))
+    off_rows = []
+    for dom, lst in by_dom.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            off_rows.append((dom, pid, acc))
+            acc += s
+    offsets = docs.sparkSession.createDataFrame(
+        off_rows, "domain string, pid int, off long"
+    )
+    w = (
+        Window.partitionBy("domain", "pid")
+        .orderBy(F.col("quality").desc(), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ordered.join(F.broadcast(offsets), ["domain", "pid"])
+        .withColumn("cum_bpe", (F.col("off") + F.sum("bpe_est").over(w)).cast("long"))
+        .select(
+            "id", "domain", "quality", "bpe_est", "cum_bpe",
+            (F.col("cum_bpe") <= F.lit(int(budget))).alias("kept"),
         )
     )

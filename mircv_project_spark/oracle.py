@@ -888,6 +888,89 @@ ORDER BY media_id, strip
 """
 
 
+# cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
+# (params pinned to curation.BOILER_NGRAM / BOILER_MIN_DOCS — change
+# both sides or neither); per-doc distinct-gram counts + boiler ratio
+_BOILER_NGRAM = 3
+_BOILER_MIN_DOCS = 3
+
+
+def _boilerplate_sql() -> str:
+    g = _grams_expr("tokens", _BOILER_NGRAM)
+    return f"""WITH {_DOC_TOKENS},
+dg AS (
+    SELECT doc_id AS id, unnest(list_distinct({g})) AS gram FROM doctoks
+),
+c AS (SELECT gram, count(*) AS nd FROM dg GROUP BY 1),
+per AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c.nd >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS boiler_grams
+    FROM dg JOIN c USING (gram) GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.boiler_grams, 0) AS boiler_grams,
+       round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                  THEN coalesce(p.boiler_grams, 0) / CAST(p.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS boiler_frac
+FROM documents d LEFT JOIN per p ON d.doc_id = p.id
+"""
+
+
+# budget_pack: per-domain cumulative BPE-token budget in (quality desc,
+# id asc) order; quality/bpe CTEs restate textstats verbatim (same
+# qm/qr/qs chain as _training_corpus_sql); budget pinned to
+# curation.PACK_BUDGET
+_PACK_BUDGET = 1000
+
+
+def _budget_pack_sql() -> str:
+    return f"""WITH {_DOC_TOKENS},
+qm AS (
+    SELECT doc_id AS id,
+           CAST(len(tokens) AS BIGINT) AS n,
+           coalesce(list_sum(list_transform(tokens, t -> length(t))), 0) AS tok_chars,
+           coalesce(list_sum(list_transform(tokens,
+               t -> length(regexp_replace(t, '[^0-9]', '', 'g')))), 0) AS digit_chars,
+           len(list_filter(tokens, t -> t IN ({_QS_STOPS_SQL}))) AS stop_hits,
+           CAST(coalesce(list_sum(list_transform(tokens,
+               x -> CAST(ceil(length(x) / 4) AS INTEGER))), 0) AS BIGINT) AS bpe_est
+    FROM doctoks
+),
+qr AS (
+    SELECT id, bpe_est,
+           CASE WHEN n > 0 THEN tok_chars / CAST(n AS DOUBLE) ELSE 0.0 END AS mean_len,
+           CASE WHEN tok_chars > 0 THEN digit_chars / CAST(tok_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+           n
+    FROM qm
+),
+qs AS (
+    SELECT id, bpe_est,
+           round(0.4 * least(CAST(n AS DOUBLE) / 20.0, 1.0)
+               + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (1.0 - digit_ratio)
+               + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+    FROM qr
+),
+j AS (
+    SELECT q.id, d.source AS domain, q.quality, q.bpe_est
+    FROM qs q JOIN documents d ON q.id = d.doc_id
+),
+c AS (
+    SELECT id, domain, quality, bpe_est,
+           CAST(sum(bpe_est) OVER (
+               PARTITION BY domain ORDER BY quality DESC, id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bpe
+    FROM j
+)
+SELECT id, domain, quality, bpe_est, cum_bpe,
+       cum_bpe <= {_PACK_BUDGET} AS kept
+FROM c
+"""
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
         "exact_dedup": _EXACT_DEDUP_SQL,
@@ -941,4 +1024,8 @@ def pipeline_oracles() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "domain_mix_sample": _DOMAIN_MIX_SQL,
+        # cross-doc boilerplate n-grams + per-domain token-budget
+        # packing (distributed prefix sum on the Spark side)
+        "boilerplate_stats": _boilerplate_sql(),
+        "budget_pack": _budget_pack_sql(),
     }

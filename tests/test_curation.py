@@ -182,3 +182,113 @@ def test_domain_mix_unknown_domain_samples_at_zero(spark):
     out = domain_mix_sample(_mix_docs(spark), {"d1": 1.0}).collect()
     assert all(not r["kept"] for r in out if r["domain"] != "d1")
     assert all(r["rate"] == 0.0 for r in out if r["domain"] != "d1")
+
+
+# --------------------------------------------------------------- boilerplate
+
+
+def test_boilerplate_threshold_is_exact(spark):
+    from mircv_project_spark.operators.curation import boilerplate_stats
+
+    # 'x y z' occurs in 3 docs (>= min_docs -> boiler); 'p q r' in only
+    # 2 (not boiler); doc 4 has no grams at all (short) -> all zeros
+    docs = _docs(
+        spark,
+        [
+            (1, "x y z tail one"),
+            (2, "x y z tail two"),
+            (3, "x y z p q r"),
+            (4, "p q r something else"),
+            (5, "so short"),
+        ],
+    )
+    got = {r["id"]: (r["n_grams"], r["boiler_grams"], r["boiler_frac"])
+           for r in boilerplate_stats(docs, n=3, min_docs=3).collect()}
+    assert got[5] == (0, 0, 0.0)
+    # doc 1: grams {x y z, y z tail, z tail one} -> only 'x y z' boiler
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[3][1] == 1  # 'x y z' yes, 'p q r' (2 docs) no
+    assert got[4][1] == 0
+
+
+def test_boilerplate_counts_docs_not_occurrences(spark):
+    from mircv_project_spark.operators.curation import boilerplate_stats
+
+    # one doc repeating a gram 5 times is ONE distinct-doc occurrence:
+    # corpus-wide count stays below min_docs -> not boilerplate
+    docs = _docs(spark, [(1, "a b c a b c a b c a b c a b c"), (2, "a b c only")])
+    got = {r["id"]: r["boiler_grams"]
+           for r in boilerplate_stats(docs, n=3, min_docs=3).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+# --------------------------------------------------------------- budget_pack
+
+
+def _mix_docs(spark):
+    # 3 domains x 14 docs with repeated texts -> quality TIES inside a
+    # domain (id is the tie-break) and varied bpe costs
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "a b",
+        "payments 12345 67890 order 4242 total 999",
+        "the of and to in is that it for the of and to in is that it for",
+        "short note",
+        "reasonable sentence with several ordinary words inside it for scoring",
+    ]
+    rows = []
+    did = 0
+    for dom in ("d0", "d1", "d2"):
+        for i in range(14):
+            rows.append((did, texts[i % len(texts)], dom))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_budget_pack_prefix_sum_is_partitioning_invariant(spark):
+    """The distributed prefix sum must equal the naive global cumsum in
+    (domain, quality desc, id) order — at EVERY partition count, ties
+    included."""
+    import pandas as pd
+
+    from mircv_project_spark.operators.curation import budget_pack
+
+    docs = _mix_docs(spark)
+    outs = {}
+    for p in (1, 3, 16):
+        pdf = (
+            budget_pack(docs, budget=30, num_partitions=p)
+            .toPandas()
+            .sort_values("id", ignore_index=True)
+        )
+        outs[p] = pdf
+    for p in (3, 16):
+        pd.testing.assert_frame_equal(outs[p], outs[1])
+    chk = outs[1].sort_values(
+        ["domain", "quality", "id"], ascending=[True, False, True],
+        ignore_index=True,
+    )
+    expect = chk.groupby("domain")["bpe_est"].cumsum()
+    assert (chk["cum_bpe"].values == expect.values).all()
+    assert (chk["kept"] == (chk["cum_bpe"] <= 30)).all()
+    assert chk["kept"].any() and not chk["kept"].all()
+
+
+def test_budget_pack_plan_has_no_full_domain_window(spark):
+    """The scale claim, pinned on the plan: the exchange is RANGE
+    partitioning on the full sort key and the window operator's
+    partition spec includes the partition id — never a bare
+    Window.partitionBy(domain) that would funnel a whole domain into
+    one task."""
+    from mircv_project_spark.operators.curation import budget_pack
+    from mircv_project_spark.plans import checks
+
+    df = budget_pack(_mix_docs(spark), budget=30, num_partitions=4)
+    text = checks.plan_text(df, "extended")
+    assert "rangepartitioning" in text.lower(), text
+    import re
+
+    windows = [l for l in text.splitlines() if re.search(r"\bWindow\b", l)]
+    assert windows, text
+    for w in windows:
+        assert "pid" in w, w
