@@ -106,6 +106,10 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _q_exact_dedup(spark, sf_dir):
     from mircv_project_spark.operators.dedup import exact_dedup
 
@@ -242,6 +246,79 @@ def _q_budget_pack(spark, sf_dir):
     from mircv_project_spark.operators.curation import budget_pack
 
     return budget_pack(_docs(spark, sf_dir))
+
+
+def _q_top_keywords(spark, sf_dir):
+    """Per-doc TF-IDF keyword extraction: top-3 terms by
+    tf x log10(N/df), ranked on the round-6 score, term-asc ties."""
+    from mircv_project_spark.operators.textstats import top_keywords
+
+    return top_keywords(_docs(spark, sf_dir))
+
+
+def _q_event_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase per user (strictly-
+    after chaining, 1-day conversion horizon), epoch-us timestamps."""
+    from mircv_project_spark.operators.events import event_funnel
+
+    return event_funnel(_events(spark, sf_dir))
+
+
+def _q_event_sessions(spark, sf_dir):
+    """Batch gaps-and-islands sessionization of the events table (8-h
+    inactivity gap, (ts, event_id) order) with per-session rollups."""
+    from mircv_project_spark.operators.events import event_sessions
+
+    return event_sessions(_events(spark, sf_dir))
+
+
+def _q_event_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    click (us <= purchase us, max event_id on timestamp ties) via a
+    tagged-union single-shuffle window — never a range join."""
+    from mircv_project_spark.operators.events import event_asof
+
+    return event_asof(_events(spark, sf_dir))
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Retention matrix: users cohorted by UTC day of first event,
+    counted once per active day offset."""
+    from mircv_project_spark.operators.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def _q_event_props_rollup(spark, sf_dir):
+    """Semi-structured rollup: JSON props '$.k' extracted in codegen,
+    per-type aggregates + exact interpolated median of value."""
+    from mircv_project_spark.operators.events import event_props_rollup
+
+    return event_props_rollup(_events(spark, sf_dir))
+
+
+def _q_event_range_join(spark, sf_dir):
+    """Interval join: every (purchase, click) pair within the prior
+    hour via a bucketized equi-join — no nested-loop range scan."""
+    from mircv_project_spark.operators.events import event_range_join
+
+    return event_range_join(_events(spark, sf_dir))
+
+
+def _q_events_rollup(spark, sf_dir):
+    """OLAP ROLLUP over (event_type, UTC day): cells, per-type
+    subtotals, grand total, grouping-bitmask disambiguated."""
+    from mircv_project_spark.operators.events import events_rollup
+
+    return events_rollup(_events(spark, sf_dir))
+
+
+def _q_events_sliding_counts(spark, sf_dir):
+    """Batch sliding-window counts (1 h window / 15 min slide,
+    epoch-aligned) via Catalyst's window bucketing Expand."""
+    from mircv_project_spark.operators.events import events_sliding_counts
+
+    return events_sliding_counts(_events(spark, sf_dir))
 
 
 def _q_lang_id(spark, sf_dir):
@@ -810,6 +887,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packing (distributed prefix sum) — both full-oracle
         "boilerplate_stats": _q_boilerplate_stats,
         "budget_pack": _q_budget_pack,
+        # TF-IDF keyword extraction + event analytics (ordered funnel,
+        # batch sessionization) — all full-oracle
+        "top_keywords": _q_top_keywords,
+        "event_funnel": _q_event_funnel,
+        "event_sessions": _q_event_sessions,
+        # as-of join, retention matrix, JSON props rollup — full-oracle
+        "event_asof": _q_event_asof,
+        "cohort_retention": _q_cohort_retention,
+        "event_props_rollup": _q_event_props_rollup,
+        # bucketized interval join, OLAP rollup, sliding windows
+        "event_range_join": _q_event_range_join,
+        "events_rollup": _q_events_rollup,
+        "events_sliding_counts": _q_events_sliding_counts,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,

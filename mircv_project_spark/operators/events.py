@@ -1,0 +1,409 @@
+"""Behavioral-analytics operators over the events table: ordered
+funnel analysis and batch gaps-and-islands sessionization.
+
+No analog in the reference (a pure IR engine); these round out the
+pipeline family with the two classic user-event workloads every
+large-scale analytics deployment runs, in the same contract as
+operators/curation.py: pure Catalyst expressions, every semantics
+restatable in DuckDB SQL for the gate, timestamps compared as integer
+epoch MICROSECONDS (``unix_micros`` <-> ``epoch_us``) so no tz/format
+ambiguity exists between engines.
+
+Scale shapes:
+
+- ``event_funnel``: one user-keyed shuffle for the first step's min,
+  then one equi-join per remaining step ON THE SAME KEY — the exchanges
+  reuse the user hash partitioning, so an S-step funnel is one shuffle
+  of the filtered event stream per step, never a per-user collect or a
+  cross-step window.  Conditional-min aggregation keeps state bounded
+  per user per step.
+- ``event_sessions``: the lag/cumsum gaps-and-islands form under a
+  per-user window — bounded by a single user's event count (power
+  users are the skew unit; at 10^9-event users you'd shard by
+  (user, day) first and stitch, the same offset trick budget_pack
+  uses).  One shuffle total.
+- ``event_asof``: the as-of join as a tagged UNION + one per-user
+  window carrying the last-seen right-side row forward — ONE shuffle
+  of both streams together, never a range join (Spark would plan
+  ts-inequality joins as a broadcast nested loop) and never a per-key
+  sort-merge of full histories.
+- ``cohort_retention``: two user-keyed exchanges that reuse the same
+  hash partitioning (first-day agg, join back) + one distinct on the
+  (cohort, offset, user) triple — the matrix is tiny, the work is the
+  distinct's map-side combine.
+- ``event_props_rollup``: pure Catalyst JSON path extraction
+  (``get_json_object`` stays in codegen) + a single event_type rollup;
+  exact percentile is the only O(group) memory piece — at real scale
+  you'd swap ``approx_percentile`` in, which is why the exact form is
+  isolated in one aggregate expression.
+- ``event_range_join``: the interval join as a BUCKETIZED equi-join —
+  right events keyed by their time bucket (bucket width == horizon),
+  left probes exploded to the two buckets its window can span, exact
+  inequality applied as a post-join filter.  Spark plans a raw
+  ts-inequality join as BroadcastNestedLoopJoin (every pair scanned);
+  the bucket key turns it into a shuffled hash join whose candidate
+  set is only same-user events within ±1 bucket.  Each (left, right)
+  pair joins on the right's unique bucket, so no dedup pass is needed.
+- ``events_rollup`` / ``events_sliding_counts``: plain Catalyst
+  rollup/window-bucket aggregations — partial aggregation map-side,
+  one shuffle on the (small) grouping key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_HORIZON_S = 86_400  # first->last step within 1 day
+SESSION_GAP_S = 28_800  # 8 h inactivity closes a session
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    horizon_seconds: int = FUNNEL_HORIZON_S,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """-> (user_id, t_<step> epoch-us per step, converted) for every
+    user with at least one first-step event.
+
+    Step k's time is the MIN event time of that type STRICTLY after
+    step k-1's time (the standard ordered-funnel rule); a missing step
+    nulls every later step.  ``converted`` = all steps present AND
+    last - first <= horizon."""
+    steps = list(FUNNEL_STEPS if steps is None else steps)
+    # parquet stores TIMESTAMP_NTZ; the session tz is pinned UTC, so
+    # the NTZ -> TIMESTAMP cast reads the wall-clock as UTC — the same
+    # interpretation DuckDB's epoch_us applies to the naive value
+    base = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+    cur = (
+        base.where(F.col("etype") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = base.where(F.col("etype") == step).select("user_id", "us")
+        prev_cols = [f"t_{j}" for j in range(i)]
+        cur = (
+            cur.join(nxt, "user_id", "left")
+            .groupBy("user_id", *prev_cols)
+            .agg(
+                F.min(
+                    F.when(F.col("us") > F.col(f"t_{i - 1}"), F.col("us"))
+                ).alias(f"t_{i}")
+            )
+        )
+    last = f"t_{len(steps) - 1}"
+    converted = (
+        F.col(last).isNotNull()
+        & ((F.col(last) - F.col("t_0")) <= int(horizon_seconds) * 1_000_000)
+    )
+    named = [
+        F.col(f"t_{i}").alias(f"t_{step}") for i, step in enumerate(steps)
+    ]
+    return cur.select("user_id", *named, converted.alias("converted"))
+
+
+def event_sessions(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_S,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """-> (user_id, session_idx, n_events, start_us, end_us,
+    total_value): batch gaps-and-islands sessionization — a new session
+    starts when an event arrives STRICTLY more than ``gap_seconds``
+    after its predecessor (same > rule as the streaming sessionizer,
+    streaming/sessions.py).  Order within a user is (ts, event_id) so
+    equal timestamps stay deterministic; total_value rounds to 6
+    decimals on both sides of the gate."""
+    gap_us = int(gap_seconds) * 1_000_000
+    base = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        # NTZ -> TIMESTAMP under the pinned-UTC session (see funnel)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    # explicit NULLS LAST: Spark ASC defaults nulls-first where DuckDB
+    # defaults nulls-last — a null ts would silently place on opposite
+    # ends of the user's partition and shift session boundaries
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc_nulls_last(), F.col("eid").asc_nulls_last()
+    )
+    # two projections: a window function can't nest inside another
+    # window aggregate, so the break flag materializes first
+    prev = F.lag("us").over(w)
+    flagged = base.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((F.col("us") - prev) > gap_us), 1).otherwise(0),
+    )
+    run = (
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1
+    )
+    marked = flagged.withColumn("session_idx", run.cast("long"))
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+ASOF_LEFT = "purchase"
+ASOF_RIGHT = "click"
+
+
+def event_asof(
+    events: DataFrame,
+    left_type: str = ASOF_LEFT,
+    right_type: str = ASOF_RIGHT,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """-> (event_id, user_id, us, matched_eid, matched_us, lag_us):
+    for every ``left_type`` event, the most recent ``right_type`` event
+    by the same user with ``right.us <= left.us`` (an equal-timestamp
+    right event IS visible); ties among right events at the same us
+    resolve to the LARGEST event_id.  Lefts with no prior right keep
+    nulls in the matched columns.
+
+    Implementation: tag both filtered streams (right=0, left=1), union,
+    and run ``last(..., ignorenulls)`` over a per-user (us, side, eid)
+    window — right-before-left at equal us encodes the <= rule, eid-asc
+    makes ``last`` pick the max-eid tie winner.  One shuffle total; no
+    range join."""
+    base = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+    )
+    tagged = base.where(F.col("etype").isin([left_type, right_type])).select(
+        "user_id",
+        "us",
+        "eid",
+        F.when(F.col("etype") == left_type, F.lit(1)).otherwise(F.lit(0)).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("us").asc_nulls_last(),
+            F.col("side").asc(),
+            F.col("eid").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_us = F.when(F.col("side") == 0, F.col("us"))
+    right_eid = F.when(F.col("side") == 0, F.col("eid"))
+    enriched = tagged.withColumn(
+        "matched_us", F.last(right_us, ignorenulls=True).over(w)
+    ).withColumn("matched_eid", F.last(right_eid, ignorenulls=True).over(w))
+    return enriched.where(F.col("side") == 1).select(
+        F.col("eid").alias("event_id"),
+        "user_id",
+        "us",
+        "matched_eid",
+        "matched_us",
+        (F.col("us") - F.col("matched_us")).alias("lag_us"),
+    )
+
+
+US_PER_DAY = 86_400 * 1_000_000
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """-> (cohort_day, day_offset, n_users): the classic retention
+    matrix — users cohorted by the UTC day index (days since epoch) of
+    their first event; a user counts toward (cohort, offset) once if
+    they produced any event ``offset`` days after their cohort day."""
+    base = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(US_PER_DAY)
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    first = base.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        base.join(first, "user_id")  # same user-hash partitioning as the agg
+        .select(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+def event_props_rollup(
+    events: DataFrame,
+    type_col: str = "event_type",
+    props_col: str = "props",
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """-> (event_type, n_events, n_users, sum_k, min_k, max_k, avg_k,
+    p50_value): semi-structured rollup — the ``props`` JSON column's
+    ``$.k`` field extracted via ``get_json_object`` (codegen'd JSON
+    path, no Python), aggregated per event type with an EXACT median of
+    ``value`` (round 6 on both engines; DuckDB ``quantile_cont``
+    matches Spark's linear-interpolating ``percentile``)."""
+    k = F.get_json_object(F.col(props_col), "$.k").cast("long")
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(user_col).cast("long").alias("user_id"),
+        k.alias("k"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return base.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_value"),
+    )
+
+
+RANGE_HORIZON_S = 3_600  # pair each purchase with every click in the prior hour
+
+
+def event_range_join(
+    events: DataFrame,
+    left_type: str = ASOF_LEFT,
+    right_type: str = ASOF_RIGHT,
+    horizon_seconds: int = RANGE_HORIZON_S,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """-> (event_id, user_id, us, right_eid, right_us, lag_us): every
+    (left, right) pair by the same user with
+    ``left.us - horizon <= right.us <= left.us`` (inner-join semantics;
+    both endpoints inclusive — an equal-timestamp right matches, same
+    visibility rule as ``event_asof``).
+
+    Bucketized interval join: rights keyed by ``floor(us / horizon)``,
+    lefts exploded to buckets {b-1, b}; the equi-join on
+    (user_id, bucket) bounds candidates to ±1 bucket per user before
+    the exact inequality filter.  A plan test asserts no
+    BroadcastNestedLoopJoin/CartesianProduct survives."""
+    h_us = int(horizon_seconds) * 1_000_000
+    base = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+    )
+    bucket = F.floor(F.col("us") / F.lit(h_us)).cast("long")
+    rights = base.where(F.col("etype") == right_type).select(
+        "user_id",
+        bucket.alias("bucket"),
+        F.col("us").alias("right_us"),
+        F.col("eid").alias("right_eid"),
+    )
+    lefts = base.where(F.col("etype") == left_type).select(
+        "user_id",
+        "us",
+        "eid",
+        F.explode(F.array(bucket - 1, bucket)).alias("bucket"),
+    )
+    joined = lefts.join(rights, ["user_id", "bucket"])
+    return joined.where(
+        (F.col("right_us") <= F.col("us"))
+        & (F.col("right_us") >= F.col("us") - F.lit(h_us))
+    ).select(
+        F.col("eid").alias("event_id"),
+        "user_id",
+        "us",
+        "right_eid",
+        "right_us",
+        (F.col("us") - F.col("right_us")).alias("lag_us"),
+    )
+
+
+def events_rollup(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """-> (event_type, day, lvl, n_events, total_value): the OLAP
+    ROLLUP over (event_type, UTC day index) — per-(type, day) cells,
+    per-type subtotals, and the grand total, disambiguated by
+    ``lvl`` = grouping bitmask (Spark ``grouping_id`` == DuckDB
+    ``GROUPING(a, b)``)."""
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(US_PER_DAY)
+        )
+        .cast("long")
+        .alias("day"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return base.rollup("event_type", "day").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+SLIDE_WINDOW_S = 3_600
+SLIDE_STEP_S = 900
+
+
+def events_sliding_counts(
+    events: DataFrame,
+    window_seconds: int = SLIDE_WINDOW_S,
+    slide_seconds: int = SLIDE_STEP_S,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """-> (window_start_us, event_type, n_events): batch sliding-window
+    counts via Catalyst's ``F.window`` (epoch-aligned starts, window
+    [start, start + window), window/slide an exact multiple so each
+    event lands in exactly window/slide windows).  The oracle restates
+    the same membership rule by unnesting each event's start indices —
+    the engine never materializes per-event window lists; Spark's
+    Expand node does it stream-side before the one aggregation
+    shuffle."""
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("timestamp").alias("tsc"),
+    )
+    win = F.window("tsc", f"{int(window_seconds)} seconds", f"{int(slide_seconds)} seconds")
+    return (
+        base.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -8,10 +8,11 @@ and each restatable in DuckDB SQL for the correctness gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textnorm import tokens_col
+from .scoring import idf_col
 
 # marker-word profiles for the n-gram/stopword language heuristic —
 # tiny public function-word lists; argmax with deterministic tie order
@@ -144,4 +145,44 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     norm = F.concat_ws(" ", tokens_col(F.col(text_col)))
     return docs.select(
         F.col(id_col).cast("long").alias("id"), F.md5(norm).alias("fp")
+    )
+
+
+KEYWORDS_K = 3
+
+
+def top_keywords(
+    docs: DataFrame, k: int = KEYWORDS_K, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, term, tf, score, krank): each doc's top-k terms by
+    tf x idf (idf = log10(N/df), the engine's reference formula —
+    operators/scoring.py), ranked on the ROUND-6 score with term-asc
+    tie-break so the ordering is reproducible across engines.  Docs
+    with no tokens emit no rows (nothing to rank).
+
+    Scale shape: one (id, term) shuffle with map-side combine for tf,
+    one term-keyed rollup for df (derived from the tf table — no second
+    pass over the raw tokens), a term-keyed equi-join of the two (the
+    vocabulary is far too large to broadcast; stopword-skewed keys are
+    AQE skew-join territory), and a per-doc window bounded by the doc's
+    distinct-term count."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    terms = toks.select("id", F.explode("toks").alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))  # tf rows are per-doc
+    n_docs = docs.count()
+    scored = tf.join(dft, "term").select(
+        "id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("tf") * idf_col(F.col("df"), n_docs), 6).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("krank", F.row_number().over(w).cast("long"))
+        .where(F.col("krank") <= k)
+        .select("id", "term", "tf", "score", "krank")
     )

@@ -971,6 +971,233 @@ FROM c
 """
 
 
+# per-doc TF-IDF keyword extraction: top-3 terms by tf*log10(N/df),
+# ranked on the ROUND-6 score with term-asc tie-break (k pinned to
+# textstats.KEYWORDS_K)
+_KEYWORDS_K = 3
+
+
+def _top_keywords_sql() -> str:
+    return f"""WITH {_DOC_TOKENS},
+tf AS (
+    SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(tokens) AS term FROM doctoks)
+    GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+    SELECT tf.id, tf.term, tf.tf,
+           round(tf.tf * log10(nd.n / dft.df), 6) AS score
+    FROM tf JOIN dft USING (term) CROSS JOIN nd
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY score DESC, term ASC) AS krank
+    FROM scored
+)
+SELECT CAST(id AS BIGINT) AS id, term, tf, score,
+       CAST(krank AS BIGINT) AS krank
+FROM r WHERE krank <= {_KEYWORDS_K}
+"""
+
+
+# ordered funnel over the events table: step k = min event time of its
+# type STRICTLY after step k-1; converted = all steps present within
+# the horizon.  Steps/horizon pinned to operators/events.FUNNEL_STEPS /
+# FUNNEL_HORIZON_S; timestamps compared as epoch MICROSECONDS
+# (epoch_us <-> unix_micros).
+_FUNNEL_HORIZON_US = 86_400 * 1_000_000
+
+_EVENT_FUNNEL_SQL = f"""WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS etype,
+           epoch_us(ts) AS us
+    FROM events
+),
+s0 AS (
+    SELECT user_id, min(us) AS t_view FROM e WHERE etype = 'view' GROUP BY 1
+),
+s1 AS (
+    SELECT s0.user_id, t_view,
+           min(CASE WHEN e.us > t_view THEN e.us END) AS t_click
+    FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.etype = 'click'
+    GROUP BY 1, 2
+),
+s2 AS (
+    SELECT s1.user_id, t_view, t_click,
+           min(CASE WHEN e.us > t_click THEN e.us END) AS t_purchase
+    FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.etype = 'purchase'
+    GROUP BY 1, 2, 3
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       t_purchase IS NOT NULL
+           AND (t_purchase - t_view) <= {_FUNNEL_HORIZON_US} AS converted
+FROM s2
+"""
+
+
+# batch gaps-and-islands sessionization over events: break when the
+# inter-event gap STRICTLY exceeds the threshold; order (ts, event_id);
+# gap pinned to operators/events.SESSION_GAP_S
+_SESSION_GAP_US = 28_800 * 1_000_000
+
+_EVENT_SESSIONS_SQL = f"""WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+           CAST(event_id AS BIGINT) AS eid, CAST(value AS DOUBLE) AS value
+    FROM events
+),
+l AS (
+    SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, eid) AS prev_us
+    FROM e
+),
+f AS (
+    SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM l
+),
+m AS (
+    SELECT *, CAST(sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY us, eid
+        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+    FROM f
+)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       round(sum(value), 6) AS total_value
+FROM m GROUP BY 1, 2
+"""
+
+
+# as-of join (purchase <- most recent click with us <= purchase us, max
+# eid on right-side ts ties): the window restatement of ASOF semantics,
+# identical rule text to operators/events.event_asof — right(side 0)
+# sorts before left(side 1) at equal us so the <= visibility holds
+_EVENT_ASOF_SQL = """WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS etype,
+           epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS eid
+    FROM events
+),
+t AS (
+    SELECT user_id, us, eid,
+           CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END AS side
+    FROM e WHERE etype IN ('purchase', 'click')
+),
+m AS (
+    SELECT *,
+           last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, side, eid
+               ROWS UNBOUNDED PRECEDING) AS matched_us,
+           last_value(CASE WHEN side = 0 THEN eid END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, side, eid
+               ROWS UNBOUNDED PRECEDING) AS matched_eid
+    FROM t
+)
+SELECT eid AS event_id, user_id, us, matched_eid, matched_us,
+       us - matched_us AS lag_us
+FROM m WHERE side = 1
+"""
+
+
+# retention matrix: cohort = UTC day index (days since epoch) of the
+# user's first event; a user counts once per (cohort, offset) they were
+# active in.  Day math restated as floor(us / 86_400e6) on both sides.
+_COHORT_RETENTION_SQL = """WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+    FROM events
+),
+f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+a AS (
+    SELECT DISTINCT f.cohort_day, e.day - f.cohort_day AS day_offset,
+           e.user_id
+    FROM e JOIN f USING (user_id)
+)
+SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
+# interval join (purchase x clicks in the prior hour, both endpoints
+# inclusive): the oracle states the raw inequality join; the engine's
+# bucketized equi-join must produce the identical pair set
+_RANGE_HORIZON_US = 3_600 * 1_000_000
+
+_EVENT_RANGE_JOIN_SQL = f"""WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS etype,
+           epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS eid
+    FROM events
+),
+l AS (SELECT user_id, us, eid FROM e WHERE etype = 'purchase'),
+r AS (SELECT user_id, us AS right_us, eid AS right_eid FROM e
+      WHERE etype = 'click')
+SELECT l.eid AS event_id, l.user_id, l.us, r.right_eid, r.right_us,
+       l.us - r.right_us AS lag_us
+FROM l JOIN r ON r.user_id = l.user_id
+             AND r.right_us <= l.us
+             AND r.right_us >= l.us - {_RANGE_HORIZON_US}
+"""
+
+
+# OLAP ROLLUP over (event_type, UTC day index); lvl = grouping bitmask
+# (Spark grouping_id == DuckDB GROUPING(a, b), first arg most
+# significant — verified 0/1/3 on both engines)
+_EVENTS_ROLLUP_SQL = """WITH e AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+)
+SELECT event_type, day,
+       CAST(grouping(event_type, day) AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM e GROUP BY ROLLUP(event_type, day)
+"""
+
+
+# batch sliding windows (1 h window, 15 min slide, epoch-aligned):
+# event at t belongs to starts slide*i, i in
+# [floor((t - window)/slide) + 1, floor(t/slide)] — the unnest
+# materializes what Spark's Expand node streams
+_SLIDE_W_US = 3_600 * 1_000_000
+_SLIDE_S_US = 900 * 1_000_000
+
+_EVENTS_SLIDING_SQL = f"""WITH e AS (
+    SELECT event_type, epoch_us(ts) AS us FROM events
+),
+x AS (
+    SELECT event_type,
+           unnest(range(
+               CAST(floor((us - {_SLIDE_W_US}) / {_SLIDE_S_US}) AS BIGINT) + 1,
+               CAST(floor(us / {_SLIDE_S_US}) AS BIGINT) + 1)) AS i
+    FROM e
+)
+SELECT CAST(i * {_SLIDE_S_US} AS BIGINT) AS window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM x GROUP BY 1, 2
+"""
+
+
+# semi-structured rollup: props->'$.k' extracted on both engines
+# (get_json_object <-> json_extract_string), exact interpolated median
+# of value (Spark percentile <-> DuckDB quantile_cont), round 6
+_EVENT_PROPS_ROLLUP_SQL = """SELECT
+    event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        AS sum_k,
+    CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        AS min_k,
+    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        AS max_k,
+    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+    round(CAST(quantile_cont(CAST(value AS DOUBLE), 0.5) AS DOUBLE), 6)
+        AS p50_value
+FROM events GROUP BY 1
+"""
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
         "exact_dedup": _EXACT_DEDUP_SQL,
@@ -1028,4 +1255,18 @@ def pipeline_oracles() -> dict[str, str]:
         # packing (distributed prefix sum on the Spark side)
         "boilerplate_stats": _boilerplate_sql(),
         "budget_pack": _budget_pack_sql(),
+        # per-doc TF-IDF keyword extraction + the two classic
+        # event-analytics workloads (ordered funnel, batch
+        # gaps-and-islands sessionization) over the events table
+        "top_keywords": _top_keywords_sql(),
+        "event_funnel": _EVENT_FUNNEL_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
+        # as-of join, retention matrix, semi-structured JSON rollup
+        "event_asof": _EVENT_ASOF_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "event_props_rollup": _EVENT_PROPS_ROLLUP_SQL,
+        # bucketized interval join, OLAP rollup, sliding windows
+        "event_range_join": _EVENT_RANGE_JOIN_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
+        "events_sliding_counts": _EVENTS_SLIDING_SQL,
     }

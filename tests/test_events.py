@@ -1,0 +1,306 @@
+"""Edge semantics for the event-analytics operators
+(operators/events.py).  Oracle equality end-to-end is covered by
+test_correctness_gate (entries event_funnel / event_sessions); these
+pin the boundary rules the gate corpus can't reach: strictly-after
+funnel chaining, equal-timestamp determinism, exact-gap boundaries."""
+
+from datetime import datetime, timedelta, timezone
+
+from mircv_project_spark.operators.events import event_funnel, event_sessions
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+# tz-AWARE base: naive datetimes go through time.mktime (OS-local tz)
+# in createDataFrame, which would break the absolute-epoch assertions
+# on a non-UTC machine regardless of the pinned session tz
+_T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (eid, _T0 + timedelta(seconds=sec), uid, et, val)
+            for eid, sec, uid, et, val in rows
+        ],
+        _SCHEMA,
+    )
+
+
+# ------------------------------------------------------------------- funnel
+
+
+def test_funnel_strictly_after_chaining(spark):
+    # user 1: view(0) -> click(10) -> purchase(20): converted
+    # user 2: purchase BEFORE click -> chain breaks at purchase
+    # user 3: click at the SAME instant as view -> strictly-after fails
+    # user 4: no view at all -> absent from the output
+    ev = _ev(
+        spark,
+        [
+            (0, 0, 1, "view", 1.0), (1, 10, 1, "click", 1.0), (2, 20, 1, "purchase", 1.0),
+            (3, 0, 2, "view", 1.0), (4, 20, 2, "click", 1.0), (5, 10, 2, "purchase", 1.0),
+            (6, 5, 3, "view", 1.0), (7, 5, 3, "click", 1.0),
+            (8, 0, 4, "click", 1.0), (9, 10, 4, "purchase", 1.0),
+        ],
+    )
+    got = {r["user_id"]: r for r in event_funnel(ev).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["converted"] is True
+    us = 1_000_000
+    assert (got[1]["t_view"], got[1]["t_click"], got[1]["t_purchase"]) == (
+        1704067200 * us, 1704067210 * us, 1704067220 * us
+    )
+    # user 2's purchase(10) precedes click(20) -> no qualifying purchase
+    assert got[2]["t_click"] == 1704067220 * us and got[2]["t_purchase"] is None
+    assert got[2]["converted"] is False
+    assert got[3]["t_click"] is None and got[3]["converted"] is False
+
+
+def test_funnel_horizon_bounds_conversion(spark):
+    ev = _ev(
+        spark,
+        [
+            (0, 0, 1, "view", 1.0), (1, 1, 1, "click", 1.0),
+            (2, 86_400, 1, "purchase", 1.0),            # exactly at horizon: in
+            (3, 0, 2, "view", 1.0), (4, 1, 2, "click", 1.0),
+            (5, 86_401, 2, "purchase", 1.0),            # one second past: out
+        ],
+    )
+    got = {r["user_id"]: r["converted"] for r in event_funnel(ev).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_funnel_uses_first_qualifying_occurrence(spark):
+    # multiple candidates per step: min strictly-after wins each time
+    ev = _ev(
+        spark,
+        [
+            (0, 50, 1, "view", 1.0), (1, 5, 1, "view", 1.0),
+            (2, 3, 1, "click", 1.0), (3, 30, 1, "click", 1.0),
+            (4, 40, 1, "click", 1.0), (5, 35, 1, "purchase", 1.0),
+        ],
+    )
+    r = event_funnel(ev).collect()[0]
+    us = 1_000_000
+    base = 1704067200
+    assert r["t_view"] == (base + 5) * us      # min view
+    assert r["t_click"] == (base + 30) * us    # first click after 5
+    assert r["t_purchase"] == (base + 35) * us
+
+
+# ----------------------------------------------------------------- sessions
+
+
+def test_sessions_gap_is_strict_and_ties_are_deterministic(spark):
+    gap = 100
+    ev = _ev(
+        spark,
+        [
+            (0, 0, 1, "view", 1.5),
+            (1, 100, 1, "click", 2.25),    # gap == 100: SAME session (strict >)
+            (2, 201, 1, "view", 3.0),      # gap 101 > 100: breaks
+            # user 2: two events at the SAME ts -> (ts, event_id) order
+            (10, 0, 2, "view", 1.0),
+            (11, 0, 2, "click", 2.0),
+        ],
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): r
+        for r in event_sessions(ev, gap_seconds=gap).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    us = 1_000_000
+    base = 1704067200
+    s0 = got[(1, 0)]
+    assert (s0["n_events"], s0["start_us"], s0["end_us"]) == (
+        2, base * us, (base + 100) * us
+    )
+    assert s0["total_value"] == 3.75
+    s1 = got[(1, 1)]
+    assert (s1["n_events"], s1["start_us"]) == (1, (base + 201) * us)
+    assert got[(2, 0)]["n_events"] == 2
+
+
+# -------------------------------------------------------------- as-of join
+
+
+def test_asof_visibility_and_tie_rules(spark):
+    from mircv_project_spark.operators.events import event_asof
+
+    us = 1_000_000
+    base = 1704067200
+    ev = _ev(
+        spark,
+        [
+            # user 1: click(10) then purchase(20) -> matches click
+            (0, 10, 1, "click", 1.0), (1, 20, 1, "purchase", 1.0),
+            # user 1 second purchase at the SAME us as a click -> the
+            # equal-timestamp click (eid 3) IS visible (<= rule)
+            (2, 30, 1, "purchase", 1.0), (3, 30, 1, "click", 1.0),
+            # user 2: two clicks at the same us -> max eid wins
+            (10, 5, 2, "click", 1.0), (11, 5, 2, "click", 1.0),
+            (12, 9, 2, "purchase", 1.0),
+            # user 3: purchase with no prior click -> nulls
+            (20, 0, 3, "purchase", 1.0), (21, 10, 3, "click", 1.0),
+            # view events never participate
+            (30, 1, 2, "view", 1.0),
+        ],
+    )
+    got = {r["event_id"]: r for r in event_asof(ev).collect()}
+    assert set(got) == {1, 2, 12, 20}
+    assert got[1]["matched_eid"] == 0 and got[1]["lag_us"] == 10 * us
+    assert got[2]["matched_eid"] == 3 and got[2]["lag_us"] == 0
+    assert got[12]["matched_eid"] == 11 and got[12]["matched_us"] == (base + 5) * us
+    assert got[20]["matched_eid"] is None and got[20]["lag_us"] is None
+
+
+# --------------------------------------------------------------- range join
+
+
+def test_range_join_boundaries_and_bucket_crossing(spark):
+    from mircv_project_spark.operators.events import event_range_join
+
+    h = 100
+    ev = _ev(
+        spark,
+        [
+            # user 1: purchase(200) sees clicks at exactly us-h (100, in),
+            # equal ts (200, in), and us-h-1 (99, out); a later click (201)
+            # is out.  click(100) vs purchase(200) CROSSES a bucket edge
+            # (buckets are width h) — the exploded probe must find it.
+            (0, 99, 1, "click", 1.0), (1, 100, 1, "click", 1.0),
+            (2, 200, 1, "click", 1.0), (3, 201, 1, "click", 1.0),
+            (4, 200, 1, "purchase", 1.0),
+            # user 2: click exactly at the horizon edge of a purchase in
+            # the NEXT bucket; user 1's same-time events never cross over
+            (10, 150, 2, "click", 1.0), (11, 250, 2, "purchase", 1.0),
+        ],
+    )
+    out = event_range_join(ev, horizon_seconds=h).collect()
+    pairs = {(r["event_id"], r["right_eid"]): r["lag_us"] for r in out}
+    us = 1_000_000
+    assert pairs == {(4, 1): 100 * us, (4, 2): 0, (11, 10): 100 * us}
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    from mircv_project_spark.operators.events import event_range_join
+    from tests.conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    plan = event_range_join(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ rollup/slide
+
+
+def test_events_rollup_levels(spark):
+    from mircv_project_spark.operators.events import events_rollup
+
+    day = 86_400
+    ev = _ev(
+        spark,
+        [
+            (0, 0, 1, "view", 1.0), (1, 5, 1, "view", 2.0),
+            (2, day, 1, "view", 4.0), (3, 0, 1, "click", 8.0),
+        ],
+    )
+    got = {
+        (r["event_type"], r["day"], r["lvl"]): (r["n_events"], r["total_value"])
+        for r in events_rollup(ev).collect()
+    }
+    d0 = 19723
+    assert got[("view", d0, 0)] == (2, 3.0)
+    assert got[("view", d0 + 1, 0)] == (1, 4.0)
+    assert got[("view", None, 1)] == (3, 7.0)       # per-type subtotal
+    assert got[("click", None, 1)] == (1, 8.0)
+    assert got[(None, None, 3)] == (4, 15.0)        # grand total
+
+
+def test_sliding_counts_membership(spark):
+    from mircv_project_spark.operators.events import events_sliding_counts
+
+    # slide 10 s, window 40 s -> event at t=45 belongs to starts 10..40
+    ev = _ev(spark, [(0, 45, 1, "view", 1.0), (1, 40, 1, "view", 1.0)])
+    out = events_sliding_counts(ev, window_seconds=40, slide_seconds=10).collect()
+    us = 1_000_000
+    base = 1704067200
+    got = {r["window_start_us"]: r["n_events"] for r in out}
+    # t=45 -> starts {10,20,30,40}+base; t=40 -> starts {10,20,30,40}+base
+    # (40 is included in [40, 80); 0 excluded since 0+40 <= 40)
+    assert got == {(base + s) * us: 2 for s in (10, 20, 30, 40)}
+
+
+# ------------------------------------------------------------------ cohorts
+
+
+def test_cohort_retention_day_boundaries(spark):
+    from mircv_project_spark.operators.events import cohort_retention
+
+    day = 86_400
+    # _T0 is 2024-01-01 UTC = day 19723 since epoch
+    d0 = 19723
+    ev = _ev(
+        spark,
+        [
+            # user 1 first event late on day 0, active again day 2
+            (0, day - 1, 1, "view", 1.0),
+            (1, 2 * day, 1, "click", 1.0),
+            (2, 2 * day + 5, 1, "view", 1.0),      # same offset: counted once
+            # user 2 joins day 1, never returns
+            (3, day, 2, "view", 1.0),
+        ],
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {(d0, 0): 1, (d0, 2): 1, (d0 + 1, 0): 1}
+
+
+# -------------------------------------------------------------- props rollup
+
+
+def test_event_props_rollup_json_and_median(spark):
+    from mircv_project_spark.operators.events import event_props_rollup
+
+    rows = [
+        (0, _T0, 1, "view", 1.0, '{"k": 10}'),
+        (1, _T0, 1, "view", 2.0, '{"k": 30}'),
+        (2, _T0, 2, "view", 4.0, '{"k": 20}'),
+        (3, _T0, 2, "click", 7.5, '{"k": 5}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, _SCHEMA + ", props string"
+    )
+    got = {r["event_type"]: r for r in event_props_rollup(ev).collect()}
+    v = got["view"]
+    assert (v["n_events"], v["n_users"], v["sum_k"], v["min_k"], v["max_k"]) == (
+        3, 2, 60, 10, 30
+    )
+    assert v["avg_k"] == 20.0
+    assert v["p50_value"] == 2.0          # exact median of {1,2,4}
+    c = got["click"]
+    assert (c["n_events"], c["p50_value"]) == (1, 7.5)
+
+
+def test_sessions_cover_every_event_exactly_once(spark):
+    from tests.conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    sess = event_sessions(ev)
+    total = sess.groupBy().sum("n_events").collect()[0][0]
+    assert total == ev.count()
+    # session_idx is dense per user starting at 0
+    import pyspark.sql.functions as F
+
+    per_user = sess.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.max("session_idx").alias("mx"),
+        F.min("session_idx").alias("mn"),
+    )
+    bad = per_user.where(
+        (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+    ).count()
+    assert bad == 0

@@ -360,3 +360,34 @@ def test_exact_dedup_groups(spark):
     out = exact_dedup(docs)
     total = out.groupBy().sum("dup_count").collect()[0][0]
     assert total == docs.count()
+
+
+# ------------------------------------------------------------- top_keywords
+
+
+def test_top_keywords_ranking_and_ties(spark):
+    from mircv_project_spark.operators.textstats import top_keywords
+
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana cherry"),
+            (2, "banana banana cherry cherry cherry"),
+            (3, "durian durian durian durian"),
+            (4, ""),  # token-less doc emits no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = top_keywords(docs, k=2).collect()
+    got = {(r["id"], r["krank"]): (r["term"], r["tf"], r["score"]) for r in out}
+    assert not any(i == 4 for i, _ in got)
+    n = 4.0
+    # doc 1: apple tf=3 df=1 beats banana/cherry (tf=1, df=2)
+    assert got[(1, 1)] == ("apple", 3, round(3 * math.log10(n / 1), 6))
+    # doc 1 rank 2: banana vs cherry tie on (tf=1, df=2) -> term asc
+    assert got[(1, 2)][0] == "banana"
+    # doc 2: cherry tf=3 beats banana tf=2, both df=2
+    assert got[(2, 1)][0] == "cherry" and got[(2, 2)][0] == "banana"
+    # doc 3: only one distinct term -> a single row despite k=2
+    assert got[(3, 1)][0] == "durian" and (3, 2) not in got
