@@ -297,6 +297,15 @@ def _q_event_props_rollup(spark, sf_dir):
     return event_props_rollup(_events(spark, sf_dir))
 
 
+def _q_export_shards(spark, sf_dir):
+    """Deterministic shuffled shard export: md5-keyed global shuffle,
+    shard = key mod 16, per-shard rank — reproducible across runs,
+    parallelism, and resume."""
+    from mircv_project_spark.operators.curation import export_shards
+
+    return export_shards(_docs(spark, sf_dir))
+
+
 def _q_event_range_join(spark, sf_dir):
     """Interval join: every (purchase, click) pair within the prior
     hour via a bucketized equi-join — no nested-loop range scan."""
@@ -900,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_range_join": _q_event_range_join,
         "events_rollup": _q_events_rollup,
         "events_sliding_counts": _q_events_sliding_counts,
+        # deterministic shuffled shard export — full-oracle
+        "export_shards": _q_export_shards,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,

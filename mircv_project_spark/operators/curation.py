@@ -389,3 +389,41 @@ def budget_pack(
             (F.col("cum_bpe") <= F.lit(int(budget))).alias("kept"),
         )
     )
+
+
+SHARD_COUNT = 16
+SHARD_SALT = "shard"
+
+
+def export_shards(
+    docs: DataFrame,
+    n_shards: int = SHARD_COUNT,
+    salt: str = SHARD_SALT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (id, shard, pos): the deterministic global shuffle + shard
+    assignment every training-data export runs — key = hash60(salt-id)
+    (functions/textnorm.hash60_col, md5-derived), shard = key mod
+    n_shards, pos = the doc's rank within its shard ordered
+    (key asc, id asc).  A pure function of (salt, id, n_shards):
+    re-running, resuming, or changing parallelism reproduces the
+    identical shard layout, and the md5 key decorrelates neighbors so
+    each shard is an unbiased sample of the corpus (the property batch
+    training needs from "shuffled" data).
+
+    Scale shape: one hash shuffle on ``shard``; ``pos`` is a per-shard
+    window, so a task's work is corpus/n_shards rows — at 100 TB you
+    size n_shards (tens of thousands of shards of ~1-4 GB) exactly so
+    this holds, which is the same knob the downstream trainer wants
+    anyway.  No global sort, no driver traffic."""
+    key = hash60_col(F.concat(F.lit(f"{salt}-"), F.col(id_col).cast("string")))
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        key.alias("skey"),
+    ).withColumn("shard", (F.col("skey") % F.lit(int(n_shards))).cast("long"))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("skey").asc(), F.col("id").asc()
+    )
+    return keyed.select(
+        "id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )

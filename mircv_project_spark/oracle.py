@@ -1178,6 +1178,23 @@ FROM x GROUP BY 1, 2
 """
 
 
+# deterministic shuffled shard export: key = hash60('shard-'||id),
+# shard = key mod 16, pos = rank within shard on (key, id) — salt and
+# shard count pinned to curation.SHARD_SALT / SHARD_COUNT
+_EXPORT_SHARDS_SQL = """WITH k AS (
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CAST(('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                AS BIGINT) AS skey
+    FROM documents
+),
+s AS (SELECT id, skey, CAST(skey % 16 AS BIGINT) AS shard FROM k)
+SELECT id, shard,
+       CAST(row_number() OVER (
+           PARTITION BY shard ORDER BY skey, id) AS BIGINT) AS pos
+FROM s
+"""
+
+
 # semi-structured rollup: props->'$.k' extracted on both engines
 # (get_json_object <-> json_extract_string), exact interpolated median
 # of value (Spark percentile <-> DuckDB quantile_cont), round 6
@@ -1269,4 +1286,6 @@ def pipeline_oracles() -> dict[str, str]:
         "event_range_join": _EVENT_RANGE_JOIN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,
+        # deterministic shuffled shard export
+        "export_shards": _EXPORT_SHARDS_SQL,
     }

@@ -292,3 +292,32 @@ def test_budget_pack_plan_has_no_full_domain_window(spark):
     assert windows, text
     for w in windows:
         assert "pid" in w, w
+
+
+# ------------------------------------------------------------ export_shards
+
+
+def test_export_shards_dense_cover_and_invariance(spark):
+    from mircv_project_spark.operators.curation import export_shards
+    from tests.conftest import SF_SMALL
+
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = export_shards(docs).collect()
+    # every doc exactly once
+    assert len(out) == docs.count()
+    assert len({r["id"] for r in out}) == len(out)
+    # pos is dense 1..n within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic under a different input partitioning
+    out2 = export_shards(docs.repartition(13)).collect()
+    assert {(r["id"], r["shard"], r["pos"]) for r in out2} == {
+        (r["id"], r["shard"], r["pos"]) for r in out
+    }
+    # the md5 key spreads docs across all 16 shards on 500 docs
+    assert len(by_shard) == 16

@@ -304,3 +304,97 @@ def test_sessions_cover_every_event_exactly_once(spark):
         (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------- randomized cross-check
+
+
+def test_random_streams_match_python_reference(spark):
+    """200 seeded random users x ~20 events, ONE Spark pass per
+    operator, each user's expected output computed by an independent
+    pure-Python model — semantics coverage far beyond the driver
+    corpus's timestamp law (bursts, exact-gap collisions, equal-ts
+    piles, empty step types)."""
+    import random
+
+    from mircv_project_spark.operators.events import (
+        event_asof,
+        event_range_join,
+        event_sessions,
+    )
+
+    rng = random.Random(20240818)
+    rows = []
+    eid = 0
+    for uid in range(200):
+        for _ in range(rng.randint(1, 20)):
+            # coarse grid + exact multiples of the gap/horizon to force
+            # boundary collisions often
+            sec = rng.choice([rng.randint(0, 500), rng.randrange(0, 500, 100)])
+            et = rng.choice(["view", "click", "purchase"])
+            rows.append((eid, sec, uid, et, round(rng.random(), 3)))
+            eid += 1
+    ev = _ev(spark, rows)
+    us = 1_000_000
+    gap_s, h_s = 100, 100
+    by_user = {}
+    for e, sec, uid, et, val in rows:
+        by_user.setdefault(uid, []).append((sec * us + 1704067200 * us, e, et, val))
+
+    # --- sessions: order (us, eid), break on gap > 100 s
+    exp_sessions = set()
+    for uid, evs in by_user.items():
+        evs = sorted((u, e, v) for u, e, et, v in evs)
+        sidx, start, vals, n, prev, end = -1, None, 0.0, 0, None, None
+        out = []
+        for u, e, v in evs:
+            if prev is None or u - prev > gap_s * us:
+                if sidx >= 0:
+                    out.append((uid, sidx, n, start, end, round(vals, 6)))
+                sidx, start, vals, n = sidx + 1, u, 0.0, 0
+            n, vals, end, prev = n + 1, vals + v, u, u
+        out.append((uid, sidx, n, start, end, round(vals, 6)))
+        exp_sessions.update(out)
+    got = {
+        (r["user_id"], r["session_idx"], r["n_events"], r["start_us"],
+         r["end_us"], r["total_value"])
+        for r in event_sessions(ev, gap_seconds=gap_s).collect()
+    }
+    assert got == exp_sessions
+
+    # --- as-of: per purchase, latest click us<=us, max eid on tie
+    exp_asof = set()
+    for uid, evs in by_user.items():
+        clicks = sorted((u, e) for u, e, et, _ in evs if et == "click")
+        for u, e, et, _ in evs:
+            if et != "purchase":
+                continue
+            cand = [(cu, ce) for cu, ce in clicks if cu <= u]
+            if cand:
+                mu = max(cu for cu, _ in cand)
+                me = max(ce for cu, ce in cand if cu == mu)
+                exp_asof.add((e, uid, u, me, mu, u - mu))
+            else:
+                exp_asof.add((e, uid, u, None, None, None))
+    got = {
+        (r["event_id"], r["user_id"], r["us"], r["matched_eid"],
+         r["matched_us"], r["lag_us"])
+        for r in event_asof(ev).collect()
+    }
+    assert got == exp_asof
+
+    # --- range join: all (purchase, click) with 0 <= lag <= 100 s
+    exp_rj = set()
+    for uid, evs in by_user.items():
+        for u, e, et, _ in evs:
+            if et != "purchase":
+                continue
+            for cu, ce, cet, _ in evs:
+                if cet == "click" and 0 <= u - cu <= h_s * us:
+                    exp_rj.add((e, uid, u, ce, cu, u - cu))
+    got = {
+        (r["event_id"], r["user_id"], r["us"], r["right_eid"],
+         r["right_us"], r["lag_us"])
+        for r in event_range_join(ev, horizon_seconds=h_s).collect()
+    }
+    assert got == exp_rj
