@@ -794,6 +794,49 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(out).select("conv_id", "turn_idx", "fp", "is_dup")
 
 
+def _q_streaming_funnel(spark, sf_dir):
+    """Streaming ordered funnel (applyInPandasWithState, 3-long state
+    per user) under the SAME oracle as the batch funnel: the events
+    table arrives as two TIME-ordered micro-batches (the contract that
+    makes the greedy scan exact), per-user chain state crosses the
+    batch boundary, and final rows emit via event-time timeout after
+    sentinel batches advance the watermark."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.streaming.funnel import run_streaming_funnel
+
+    base = _tmpdir("mircv_sfunnel_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    split = "2024-01-15 00:00:00"
+    ev.where(F.col("ts") < split).select(cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    ev.where(F.col("ts") >= split).select(cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    # timeouts fire one batch after the watermark passes the deadline
+    for flush_ts in ("2030-01-01 00:00:00", "2030-01-01 00:00:10"):
+        sent = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.to_timestamp(F.lit(flush_ts)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sent.coalesce(1).write.mode("append").parquet(inp)
+        run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "t_view", "t_click", "t_purchase", "converted")
+    )
+
+
 def _q_turns_per_window(spark, sf_dir):
     """Watermarked tumbling-window aggregation (streaming/incremental.py
     turns_per_window) under the oracle gate: the transcript stream
@@ -871,6 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming exact dedup: stateful per-fingerprint verdict,
         # oracle = min-key winner rule over the injected-dup corpus
         "streaming_dedup": _q_streaming_dedup,
+        # streaming ordered funnel: shares the BATCH funnel's SQL
+        # oracle (streaming == batch under time-ordered epochs)
+        "streaming_funnel": _q_streaming_funnel,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
         # docstring); driver records rows-only check, pytest covers parity.
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),

@@ -1,5 +1,7 @@
 """Behavioral-analytics operators over the events table: ordered
-funnel analysis and batch gaps-and-islands sessionization.
+funnel analysis, batch gaps-and-islands sessionization, as-of and
+range (interval) joins, cohort retention, OLAP rollup, sliding-window
+aggregation, and a semi-structured JSON-props rollup.
 
 No analog in the reference (a pure IR engine); these round out the
 pipeline family with the two classic user-event workloads every
@@ -51,12 +53,29 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_HORIZON_S = 86_400  # first->last step within 1 day
 SESSION_GAP_S = 28_800  # 8 h inactivity closes a session
+
+US_PER_DAY = 86_400 * 1_000_000
+
+
+def _us_col(ts_col: str) -> Column:
+    """Event time as integer epoch MICROSECONDS — the one
+    semantics-critical projection every operator here shares: parquet
+    stores TIMESTAMP_NTZ; the session tz is pinned UTC, so the NTZ ->
+    TIMESTAMP cast reads the wall-clock as UTC, the same interpretation
+    DuckDB's epoch_us applies to the naive value."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def _day_col(ts_col: str) -> Column:
+    """UTC day index (days since epoch) — tz-free integer math, NOT
+    date_trunc, so the oracle's floor(epoch_us/86400e6) matches."""
+    return F.floor(_us_col(ts_col) / F.lit(US_PER_DAY)).cast("long")
 
 
 def event_funnel(
@@ -75,13 +94,10 @@ def event_funnel(
     nulls every later step.  ``converted`` = all steps present AND
     last - first <= horizon."""
     steps = list(FUNNEL_STEPS if steps is None else steps)
-    # parquet stores TIMESTAMP_NTZ; the session tz is pinned UTC, so
-    # the NTZ -> TIMESTAMP cast reads the wall-clock as UTC — the same
-    # interpretation DuckDB's epoch_us applies to the naive value
     base = events.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(type_col).alias("etype"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        _us_col(ts_col).alias("us"),
     )
     cur = (
         base.where(F.col("etype") == steps[0])
@@ -129,8 +145,7 @@ def event_sessions(
     gap_us = int(gap_seconds) * 1_000_000
     base = events.select(
         F.col(user_col).cast("long").alias("user_id"),
-        # NTZ -> TIMESTAMP under the pinned-UTC session (see funnel)
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        _us_col(ts_col).alias("us"),
         F.col(id_col).cast("long").alias("eid"),
         F.col(value_col).cast("double").alias("value"),
     )
@@ -190,7 +205,7 @@ def event_asof(
     base = events.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(type_col).alias("etype"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        _us_col(ts_col).alias("us"),
         F.col(id_col).cast("long").alias("eid"),
     )
     tagged = base.where(F.col("etype").isin([left_type, right_type])).select(
@@ -208,8 +223,13 @@ def event_asof(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    right_us = F.when(F.col("side") == 0, F.col("us"))
-    right_eid = F.when(F.col("side") == 0, F.col("eid"))
+    # BOTH carry-forwards must share the us-not-null condition: a
+    # null-ts right event has a non-null eid, and conditioning eid on
+    # side alone would let last(ignorenulls) pick matched_eid from a
+    # DIFFERENT right event than matched_us (same guard in the oracle)
+    is_right = (F.col("side") == 0) & F.col("us").isNotNull()
+    right_us = F.when(is_right, F.col("us"))
+    right_eid = F.when(is_right, F.col("eid"))
     enriched = tagged.withColumn(
         "matched_us", F.last(right_us, ignorenulls=True).over(w)
     ).withColumn("matched_eid", F.last(right_eid, ignorenulls=True).over(w))
@@ -223,9 +243,6 @@ def event_asof(
     )
 
 
-US_PER_DAY = 86_400 * 1_000_000
-
-
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
@@ -237,11 +254,7 @@ def cohort_retention(
     they produced any event ``offset`` days after their cohort day."""
     base = events.select(
         F.col(user_col).cast("long").alias("user_id"),
-        F.floor(
-            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(US_PER_DAY)
-        )
-        .cast("long")
-        .alias("day"),
+        _day_col(ts_col).alias("day"),
     )
     first = base.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     active = (
@@ -317,7 +330,7 @@ def event_range_join(
     base = events.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(type_col).alias("etype"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        _us_col(ts_col).alias("us"),
         F.col(id_col).cast("long").alias("eid"),
     )
     bucket = F.floor(F.col("us") / F.lit(h_us)).cast("long")
@@ -360,11 +373,7 @@ def events_rollup(
     ``GROUPING(a, b)``)."""
     base = events.select(
         F.col(type_col).alias("event_type"),
-        F.floor(
-            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(US_PER_DAY)
-        )
-        .cast("long")
-        .alias("day"),
+        _day_col(ts_col).alias("day"),
         F.col(value_col).cast("double").alias("value"),
     )
     return base.rollup("event_type", "day").agg(

@@ -1083,11 +1083,15 @@ t AS (
     FROM e WHERE etype IN ('purchase', 'click')
 ),
 m AS (
+    -- both carry-forwards share the us-not-null guard so a null-ts
+    -- right event can never split matched_eid/matched_us across rows
     SELECT *,
-           last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER (
+           last_value(CASE WHEN side = 0 AND us IS NOT NULL THEN us END
+                      IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY us, side, eid
                ROWS UNBOUNDED PRECEDING) AS matched_us,
-           last_value(CASE WHEN side = 0 THEN eid END IGNORE NULLS) OVER (
+           last_value(CASE WHEN side = 0 AND us IS NOT NULL THEN eid END
+                      IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY us, side, eid
                ROWS UNBOUNDED PRECEDING) AS matched_eid
     FROM t
@@ -1278,6 +1282,9 @@ def pipeline_oracles() -> dict[str, str]:
         "top_keywords": _top_keywords_sql(),
         "event_funnel": _EVENT_FUNNEL_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
+        # the streaming funnel converges to the batch funnel under the
+        # time-ordered-epoch contract — the SAME SQL gates both
+        "streaming_funnel": _EVENT_FUNNEL_SQL,
         # as-of join, retention matrix, semi-structured JSON rollup
         "event_asof": _EVENT_ASOF_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,

@@ -1,8 +1,10 @@
 """Edge semantics for the event-analytics operators
 (operators/events.py).  Oracle equality end-to-end is covered by
-test_correctness_gate (entries event_funnel / event_sessions); these
-pin the boundary rules the gate corpus can't reach: strictly-after
-funnel chaining, equal-timestamp determinism, exact-gap boundaries."""
+test_correctness_gate (all nine event entries: funnel, sessions, asof,
+range join, cohorts, rollup, sliding counts, props rollup); these pin
+the boundary rules the gate corpus can't reach: strictly-after funnel
+chaining, equal-timestamp determinism, exact-gap boundaries, null-ts
+handling, plus a seeded-random cross-check vs a pure-Python model."""
 
 from datetime import datetime, timedelta, timezone
 
@@ -153,6 +155,28 @@ def test_asof_visibility_and_tie_rules(spark):
     assert got[2]["matched_eid"] == 3 and got[2]["lag_us"] == 0
     assert got[12]["matched_eid"] == 11 and got[12]["matched_us"] == (base + 5) * us
     assert got[20]["matched_eid"] is None and got[20]["lag_us"] is None
+
+
+def test_asof_null_ts_right_cannot_split_match_fields(spark):
+    """A null-ts click must be ignored ENTIRELY: without the shared
+    us-not-null guard, matched_eid could come from the null-ts click
+    while matched_us comes from an earlier valid one."""
+    from mircv_project_spark.operators.events import event_asof
+
+    rows = [
+        (5, _T0 + timedelta(seconds=100), 1, "click", 1.0),
+        (9, None, 1, "click", 1.0),        # null ts: invisible
+        (7, None, 1, "purchase", 1.0),     # null-ts left: no lag
+        (8, _T0 + timedelta(seconds=200), 1, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(rows, _SCHEMA)
+    got = {r["event_id"]: r for r in event_asof(ev).collect()}
+    us = 1_000_000
+    base = 1704067200
+    assert got[8]["matched_eid"] == 5
+    assert got[8]["matched_us"] == (base + 100) * us
+    # the null-ts purchase sorts last: it sees click 5, never click 9
+    assert got[7]["matched_eid"] == 5 and got[7]["lag_us"] is None
 
 
 # --------------------------------------------------------------- range join

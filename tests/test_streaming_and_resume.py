@@ -441,3 +441,102 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
     fps = {(r.conv_id, r.turn_idx): r.fp for r in rows}
     assert fps[("A", 0)] == fps[("A", 1)] == fps[("B", 0)]
     assert len({fps[("A", 0)], fps[("A", 2)], fps[("B", 1)]}) == 3
+
+
+def test_streaming_funnel_state_crosses_batches(spark, tmp_path):
+    """The per-user chain state must survive the micro-batch boundary:
+    view in batch 1, click+purchase in batch 2; a second user completes
+    entirely in batch 1; a third has clicks but no view (no output)."""
+    import pyspark.sql.functions as F
+
+    from mircv_project_spark.streaming.funnel import run_streaming_funnel
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    from datetime import datetime, timezone
+
+    def t(sec):
+        return datetime.fromtimestamp(1704067200 + sec, tz=timezone.utc)
+
+    b1 = [
+        (0, t(0), 1, "view", 1.0, "{}"),
+        (1, t(5), 2, "view", 1.0, "{}"),
+        (2, t(6), 2, "click", 1.0, "{}"),
+        (3, t(7), 2, "purchase", 1.0, "{}"),
+        (4, t(8), 3, "click", 1.0, "{}"),
+    ]
+    b2 = [
+        (5, t(100), 1, "click", 1.0, "{}"),
+        (6, t(200), 1, "purchase", 1.0, "{}"),
+        (7, t(300), 3, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(inp)
+    run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    for i, flush in enumerate(("2030-01-01 00:00:00", "2030-01-01 00:00:10")):
+        sent = spark.createDataFrame(
+            [(-1, datetime.fromisoformat(flush + "+00:00"), -1, "flush", 0.0, "{}")],
+            schema,
+        )
+        sent.coalesce(1).write.mode("append").parquet(inp)
+        run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    got = {
+        r["user_id"]: r
+        for r in spark.read.parquet(out).where(F.col("user_id") >= 0).collect()
+    }
+    us = 1_000_000
+    base = 1704067200
+    assert set(got) == {1, 2}          # user 3 never had a view
+    assert got[1]["t_view"] == base * us
+    assert got[1]["t_click"] == (base + 100) * us
+    assert got[1]["t_purchase"] == (base + 200) * us
+    assert got[1]["converted"] is True
+    assert got[2]["converted"] is True
+
+
+def test_streaming_funnel_matches_batch_operator(spark, tmp_path):
+    """Full-corpus convergence at sf0.001: the streaming funnel's final
+    rows equal operators/events.event_funnel exactly (the property the
+    shared SQL oracle gates at sf0.01)."""
+    import pyspark.sql.functions as F
+
+    from mircv_project_spark.operators.events import event_funnel
+    from mircv_project_spark.streaming.funnel import run_streaming_funnel
+    from tests.conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    split = "2024-01-15 00:00:00"
+    ev.where(F.col("ts") < split).select(cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    ev.where(F.col("ts") >= split).select(cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    from datetime import datetime
+
+    for flush in ("2030-01-01 00:00:00", "2030-01-01 00:00:10"):
+        sent = spark.createDataFrame(
+            [(-1, datetime.fromisoformat(flush + "+00:00"), -1, "flush", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        sent.coalesce(1).write.mode("append").parquet(inp)
+        run_streaming_funnel(spark, inp, out, ckpt).awaitTermination(300)
+    stream_rows = {
+        tuple(r)
+        for r in spark.read.parquet(out).where(F.col("user_id") >= 0).collect()
+    }
+    batch_rows = {tuple(r) for r in event_funnel(ev).collect()}
+    assert stream_rows == batch_rows
