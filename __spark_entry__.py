@@ -98,6 +98,16 @@ def _topk_query(standard: str, conjunctive: bool, parse: bool):
     return run
 
 
+def _q_rm3_topk(spark, sf_dir):
+    """RM3 pseudo-relevance feedback: first-pass BM25 top-10 ->
+    relevance-model expansion terms -> 0.5-interpolated weighted BM25
+    re-ranking, every stage round-6 / tie-pinned."""
+    from mircv_project_spark.operators.rm3 import rm3_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return rm3_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -306,6 +316,23 @@ def _q_export_shards(spark, sf_dir):
     return export_shards(_docs(spark, sf_dir))
 
 
+def _q_train_split(spark, sf_dir):
+    """Deterministic train/val/test split: md5-keyed coin, 10%/10%
+    thresholds — membership a pure function of (salt, id)."""
+    from mircv_project_spark.operators.curation import train_split
+
+    return train_split(_docs(spark, sf_dir))
+
+
+def _q_snippets(spark, sf_dir):
+    """Best-window snippet extraction: per (query, matching doc), the
+    10-token span with the most matched positions, earliest-start
+    ties, snippet text included."""
+    from mircv_project_spark.operators.snippets import best_snippets
+
+    return best_snippets(_docs(spark, sf_dir), oracle.QUERY_SET)
+
+
 def _q_event_range_join(spark, sf_dir):
     """Interval join: every (purchase, click) pair within the prior
     hour via a bucketized equi-join — no nested-loop range scan."""
@@ -389,6 +416,15 @@ def _q_cosine_topk(spark, sf_dir):
     from mircv_project_spark.operators.similarity import cosine_topk
 
     return cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
+def _q_mmr_topk(spark, sf_dir):
+    """MMR diversified cosine top-k: pool of 20 exact candidates,
+    greedy lam=0.5 relevance/diversity selection, every step round-6 /
+    nid-asc pinned (oracle = unrolled k-step CTE chain)."""
+    from mircv_project_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
 def _q_ivf_cosine_topk(spark, sf_dir):
@@ -908,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pruned_conjunctive": _pruned_conjunctive(scoring.TFIDF),
         "bm25_topk_compressed_ef": _q_topk_compressed_ef,
         "bm25_eval_metrics": _q_eval_metrics,
+        # RM3 query expansion — full-oracle (chain restated in SQL)
+        "bm25_rm3_topk": _q_rm3_topk,
         "lexicon_streaming": _q_lexicon_streaming,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,
@@ -955,9 +993,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_range_join": _q_event_range_join,
         "events_rollup": _q_events_rollup,
         "events_sliding_counts": _q_events_sliding_counts,
-        # deterministic shuffled shard export — full-oracle
+        # deterministic shuffled shard export + train/val/test split
         "export_shards": _q_export_shards,
+        "train_split": _q_train_split,
+        # snippet extraction — full-oracle
+        "snippets": _q_snippets,
         "cosine_topk": _q_cosine_topk,
+        # MMR diversified top-k — full-oracle (unrolled greedy chain)
+        "mmr_topk": _q_mmr_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
         # approximate ANN (IVF / LSH) — no SQL oracle by construction;

@@ -427,3 +427,38 @@ def export_shards(
     return keyed.select(
         "id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+SPLIT_SALT = "split"
+SPLIT_VAL_PPM = 100_000   # 10% validation
+SPLIT_TEST_PPM = 100_000  # 10% test
+
+
+def train_split(
+    docs: DataFrame,
+    val_ppm: int = SPLIT_VAL_PPM,
+    test_ppm: int = SPLIT_TEST_PPM,
+    salt: str = SPLIT_SALT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (id, split_key, split): deterministic train/val/test
+    assignment — key = hash60(salt-id) mod 1e6; [0, test) -> 'test',
+    [test, test+val) -> 'val', rest -> 'train'.  The same md5-keyed
+    coin as domain_mix_sample, so membership is a pure function of
+    (salt, id, ppm thresholds): reproducible across runs, cluster
+    sizes, and resume, and independent of the mix-sampling coin (a doc
+    kept by one salt is unbiased under the other).  Map-only — no
+    shuffle at any scale."""
+    key = (
+        hash60_col(F.concat(F.lit(f"{salt}-"), F.col(id_col).cast("string")))
+        % MIX_MOD
+    )
+    t, v = int(test_ppm), int(test_ppm) + int(val_ppm)
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"), key.alias("split_key")
+    ).withColumn(
+        "split",
+        F.when(F.col("split_key") < t, "test")
+        .when(F.col("split_key") < v, "val")
+        .otherwise("train"),
+    )

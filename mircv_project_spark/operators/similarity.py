@@ -725,3 +725,105 @@ def lsh_cosine_topk(
             "cos",
         )
     )
+
+
+MMR_LAMBDA = 0.5
+MMR_POOL = 20
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k:
+    -> (probe_id, neighbor_id, rank, obj).
+
+    Chain (every value round-6, ties id-asc, restated verbatim in the
+    DuckDB oracle as an UNROLLED k-step CTE chain):
+
+    1. candidate pool: exact cosine top-``pool`` per probe
+       (``cosine_topk`` — rounded cos, (cos desc, nid asc) ties).
+    2. pairwise sims among each probe's pool via the SAME Catalyst
+       cosine expression (never a second formula).
+    3. greedy selection, step 1 obj = round(lam*cos, 6); step i obj =
+       round(lam*cos - (1-lam)*max sim to selected, 6); argmax by
+       (obj desc, nid asc).  lam = 0.5 is exactly representable.
+
+    The selection itself is inherently sequential, so it runs
+    driver-side over the COLLECTED pool (<= |probes| * pool rows and
+    pool^2 sims — bounded and tiny; the distributed work is stages 1-2,
+    which scale like every other cosine path here)."""
+    cand = cosine_topk(embeddings, probe_ids, k=pool, id_col=id_col, vec_col=vec_col)
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    cvec = cand.join(base, F.col("neighbor_id") == F.col("nid")).select(
+        "probe_id", "neighbor_id", "cos", "v"
+    )
+    a = cvec.alias("a")
+    b = cvec.alias("b")
+    sim = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        6,
+    )
+    csim = (
+        a.join(
+            b,
+            (F.col("a.probe_id") == F.col("b.probe_id"))
+            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.probe_id").alias("pid"),
+            F.col("a.neighbor_id").alias("ida"),
+            F.col("b.neighbor_id").alias("idb"),
+            sim.alias("sim"),
+        )
+    )
+
+    from .maxscore import round6
+
+    pool_rows = cand.collect()
+    sim_rows = csim.collect()
+    sims: dict = {}
+    for r in sim_rows:
+        sims[(r["pid"], r["ida"], r["idb"])] = r["sim"]
+
+    def _sim(pid, x, y):
+        return sims[(pid, x, y)] if x < y else sims[(pid, y, x)]
+
+    by_probe: dict = {}
+    for r in sorted(pool_rows, key=lambda r: (r["probe_id"], r["rank"])):
+        by_probe.setdefault(r["probe_id"], []).append(
+            (r["neighbor_id"], r["cos"])
+        )
+    out = []
+    for pid, items in by_probe.items():
+        first_nid, first_cos = items[0]
+        selected = [first_nid]
+        out.append((pid, first_nid, 1, round6(lam * first_cos)))
+        remaining = {nid: c for nid, c in items[1:]}
+        for step in range(2, int(k) + 1):
+            if not remaining:
+                break
+            best = None
+            for nid, c in remaining.items():
+                m = max(_sim(pid, nid, s) for s in selected)
+                obj = round6(lam * c - (1.0 - lam) * m)
+                key = (-obj, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, obj)
+            _, nid, obj = best
+            selected.append(nid)
+            del remaining[nid]
+            out.append((pid, nid, step, obj))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out, "probe_id long, neighbor_id long, rank long, obj double"
+    )

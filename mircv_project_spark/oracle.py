@@ -174,6 +174,68 @@ ORDER BY qid, rank
 """
 
 
+def _rm3_sql(
+    queries, k: int, fb_docs: int, fb_terms: int, lam: float
+) -> str:
+    """RM3 pseudo-relevance feedback (operators/rm3.py): first-pass
+    BM25 top-fb_docs -> relevance-model term weights (rounded-score *
+    tf / dl, per-term sum rounded 6, (w6 desc, term asc) ties) ->
+    lam-interpolated weights over in-lexicon original terms -> weighted
+    BM25 top-k.  lam = 0.5 is exactly representable; every ranking
+    boundary rounds to 6 with the engine's deterministic tie order."""
+    return f"""{_ranked_ctes(queries, "bm25", False)},
+fb AS (SELECT qid, docid, score FROM ranked WHERE rank <= {fb_docs}),
+wexp AS (
+    SELECT fb.qid, p.term,
+           round(sum(fb.score * p.tf / dl.doc_len), 6) AS w6
+    FROM fb
+    JOIN postings p ON p.docid = fb.docid
+    JOIN doclens dl ON dl.docid = fb.docid
+    GROUP BY 1, 2
+),
+wsel AS (
+    SELECT qid, term, w6 FROM (
+        SELECT qid, term, w6, row_number() OVER (
+            PARTITION BY qid ORDER BY w6 DESC, term ASC) AS trank
+        FROM wexp) WHERE trank <= {fb_terms}
+),
+wnorm AS (SELECT qid, sum(w6) AS wsum FROM wsel GROUP BY 1),
+qlen AS (SELECT qid, CAST(sum(qtf) AS DOUBLE) AS ql FROM qexist GROUP BY 1),
+qw AS (
+    SELECT coalesce(o.qid, e.qid) AS qid, coalesce(o.term, e.term) AS term,
+           coalesce({lam} * o.qtf / ql.ql, 0)
+               + coalesce({1.0 - lam} * e.w6 / wn.wsum, 0) AS weight
+    FROM (SELECT q.qid, q.term, q.qtf FROM qexist q) o
+    FULL JOIN wsel e ON o.qid = e.qid AND o.term = e.term
+    LEFT JOIN qlen ql ON ql.qid = coalesce(o.qid, e.qid)
+    LEFT JOIN wnorm wn ON wn.qid = coalesce(o.qid, e.qid)
+),
+qwd AS (
+    SELECT qw.qid, qw.term, qw.weight, l.df
+    FROM qw JOIN lexicon l USING (term)
+),
+fscored AS (
+    SELECT q.qid, p.docid, sum(q.weight * ({_BM25})) AS raw_score
+    FROM qwd q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+),
+franked AS (
+    SELECT qid, docid, round(raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, 6) DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM fscored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM franked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _eval_sql(queries, standard: str, k: int) -> str:
     """MAP@k / nDCG@k of the top-k run against synthetic qrels
     (grade = least(#distinct query terms in doc, 3))."""
@@ -290,6 +352,8 @@ ORDER BY a.term
         # conjunctive mode on the pruned path: rarest-list candidates
         "bm25_pruned_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         "tfidf_pruned_conjunctive": _topk_sql(CONJ_QUERY_SET, "tfidf", True, TOPK_K),
+        # RM3 pseudo-relevance feedback (params pinned to operators/rm3.py)
+        "bm25_rm3_topk": _rm3_sql(QUERY_SET, TOPK_K, 10, 5, 0.5),
         # Elias-Fano-coded store (reference byte layout) end-to-end
         "bm25_topk_compressed_ef": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
@@ -582,6 +646,86 @@ ranked AS (
 SELECT CAST(pid AS BIGINT) AS probe_id, CAST(nid AS BIGINT) AS neighbor_id, rank, cos
 FROM ranked WHERE rank <= {ANN_K}
 """
+
+
+def _cos6(a: str, b: str) -> str:
+    """round-6 cosine between two embedding lists (the one formula
+    every similarity oracle shares)."""
+    return (
+        f"round(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+
+
+def _mmr_sql(probe_ids, k: int, pool: int, lam: float) -> str:
+    """MMR diversified top-k (operators/similarity.mmr_topk): the
+    inherently-sequential greedy selection UNROLLED into k chained
+    CTEs — step 1 takes the top-cos candidate, step i maximizes
+    round(lam*cos - (1-lam)*max sim to selected, 6) with nid-asc ties
+    over the not-yet-selected pool."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    parts = [
+        f"""WITH pr AS (
+    SELECT vec_id AS pid, embedding AS pe FROM embeddings
+    WHERE vec_id IN ({ids})
+),
+cand0 AS (
+    SELECT pr.pid, e.vec_id AS nid, {_cos6('pr.pe', 'e.embedding')} AS cos
+    FROM pr, embeddings e WHERE e.vec_id <> pr.pid
+),
+crank AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY pid ORDER BY cos DESC, nid ASC) AS crk
+    FROM cand0
+),
+pool AS (SELECT pid, nid, cos, crk FROM crank WHERE crk <= {pool}),
+pv AS (
+    SELECT p.pid, p.nid, e.embedding AS v
+    FROM pool p JOIN embeddings e ON e.vec_id = p.nid
+),
+csim AS (
+    SELECT a.pid, a.nid AS ida, b.nid AS idb, {_cos6('a.v', 'b.v')} AS sim
+    FROM pv a JOIN pv b ON a.pid = b.pid AND a.nid <> b.nid
+),
+sel1 AS (
+    SELECT pid, nid, round({lam} * cos, 6) AS obj, 1 AS rank
+    FROM pool WHERE crk = 1
+),
+su1 AS (SELECT pid, nid FROM sel1)"""
+    ]
+    for i in range(2, int(k) + 1):
+        parts.append(
+            f""",
+obj{i} AS (
+    SELECT p.pid, p.nid, round({lam} * p.cos - {1.0 - lam} * max(cs.sim), 6) AS obj
+    FROM pool p
+    LEFT JOIN su{i - 1} ex ON ex.pid = p.pid AND ex.nid = p.nid
+    JOIN csim cs ON cs.pid = p.pid AND cs.ida = p.nid
+    JOIN su{i - 1} s ON s.pid = cs.pid AND s.nid = cs.idb
+    WHERE ex.nid IS NULL
+    GROUP BY p.pid, p.nid, p.cos
+),
+sel{i} AS (
+    SELECT pid, nid, obj, {i} AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY pid ORDER BY obj DESC, nid ASC) AS r
+        FROM obj{i}) WHERE r = 1
+),
+su{i} AS (SELECT pid, nid FROM su{i - 1} UNION ALL SELECT pid, nid FROM sel{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM sel{i}" for i in range(1, int(k) + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(pid AS BIGINT) AS probe_id, CAST(nid AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, obj
+FROM ({union})
+"""
+    )
+    return "".join(parts)
 
 
 _EMBED_NEAR_DUP_SQL = f"""WITH base AS (
@@ -1199,6 +1343,62 @@ FROM s
 """
 
 
+# best-window snippet extraction: hits = matched token positions, best
+# start = (hit count in [pos, pos+W) desc, pos asc); W pinned to
+# operators/snippets.SNIPPET_WINDOW; candidate starts are hit
+# positions only — restated identically in the Spark op
+def _snippets_sql(queries, window: int) -> str:
+    return f"""WITH {_DOC_TOKENS},
+q AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+qterms AS (
+    SELECT DISTINCT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term
+    FROM q
+),
+pos AS (
+    SELECT doc_id AS id, CAST(t.i AS BIGINT) AS pos, tokens[t.i + 1] AS term
+    FROM doctoks, unnest(range(0, len(tokens))) AS t(i)
+),
+hits AS (
+    SELECT q.qid, p.id, p.pos
+    FROM pos p JOIN qterms q USING (term)
+),
+counted AS (
+    SELECT *, CAST(count(*) OVER (
+        PARTITION BY qid, id ORDER BY pos
+        RANGE BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+    ) AS BIGINT) AS n_hits
+    FROM hits
+),
+best AS (
+    SELECT qid, id, pos AS start_pos, n_hits FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid, id ORDER BY n_hits DESC, pos ASC) AS brank
+        FROM counted) WHERE brank = 1
+)
+SELECT b.qid, b.id, b.start_pos, b.n_hits,
+       array_to_string(
+           d.tokens[b.start_pos + 1 : b.start_pos + {window}], ' ')
+           AS snippet
+FROM best b JOIN doctoks d ON d.doc_id = b.id
+"""
+
+
+# deterministic train/val/test split: same md5 coin family as
+# domain_mix_sample, salt 'split', thresholds 100k/200k ppm
+_TRAIN_SPLIT_SQL = """WITH k AS (
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                AS BIGINT) % 1000000 AS split_key
+    FROM documents
+)
+SELECT id, split_key,
+       CASE WHEN split_key < 100000 THEN 'test'
+            WHEN split_key < 200000 THEN 'val'
+            ELSE 'train' END AS split
+FROM k
+"""
+
+
 # semi-structured rollup: props->'$.k' extracted on both engines
 # (get_json_object <-> json_extract_string), exact interpolated median
 # of value (Spark percentile <-> DuckDB quantile_cont), round 6
@@ -1235,6 +1435,8 @@ def pipeline_oracles() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
+        # MMR diversified top-k (params pinned to similarity.mmr_topk)
+        "mmr_topk": _mmr_sql(PROBE_IDS, ANN_K, 20, 0.5),
         "embedding_near_dup": _EMBED_NEAR_DUP_SQL,
         # LSH-blocked + exact-verify path must reproduce the exhaustive
         # pairs (band params pinned with measured recall 1.0 on this
@@ -1293,6 +1495,9 @@ def pipeline_oracles() -> dict[str, str]:
         "event_range_join": _EVENT_RANGE_JOIN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,
-        # deterministic shuffled shard export
+        # deterministic shuffled shard export + train/val/test split
         "export_shards": _EXPORT_SHARDS_SQL,
+        "train_split": _TRAIN_SPLIT_SQL,
+        # best-window snippet extraction over the documents table
+        "snippets": _snippets_sql(QUERY_SET, 10),
     }

@@ -321,3 +321,40 @@ def test_export_shards_dense_cover_and_invariance(spark):
     }
     # the md5 key spreads docs across all 16 shards on 500 docs
     assert len(by_shard) == 16
+
+
+# -------------------------------------------------------------- train_split
+
+
+def test_train_split_partitions_and_determinism(spark):
+    from mircv_project_spark.operators.curation import (
+        domain_mix_sample,
+        train_split,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = train_split(docs).collect()
+    assert len(out) == docs.count()
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["id"])
+    # disjoint cover
+    assert sum(len(v) for v in by_split.values()) == len(out)
+    assert set(by_split) == {"train", "val", "test"}
+    # ~10%/10% within generous bounds on 500 docs
+    assert 20 <= len(by_split["val"]) <= 90
+    assert 20 <= len(by_split["test"]) <= 90
+    # deterministic under repartitioning
+    out2 = train_split(docs.repartition(7)).collect()
+    assert {(r["id"], r["split"]) for r in out2} == {
+        (r["id"], r["split"]) for r in out
+    }
+    # independent coin from domain_mix_sample (different salt): the
+    # split keys and mix keys disagree somewhere
+    mix = {
+        r["id"]: r["sample_key"]
+        for r in domain_mix_sample(docs, {"src0": 1.0}).collect()
+    }
+    split_keys = {r["id"]: r["split_key"] for r in out}
+    assert any(mix[i] != split_keys[i] for i in mix)

@@ -391,3 +391,29 @@ def test_top_keywords_ranking_and_ties(spark):
     assert got[(2, 1)][0] == "cherry" and got[(2, 2)][0] == "banana"
     # doc 3: only one distinct term -> a single row despite k=2
     assert got[(3, 1)][0] == "durian" and (3, 2) not in got
+
+
+# --------------------------------------------------------------- snippets
+
+
+def test_best_snippets_window_and_ties(spark):
+    from mircv_project_spark.operators.snippets import best_snippets
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: hits at pos 0, 2, 20, 21, 22 (w=5) -> best start 20
+            (1, "apple x cherry d e f g h i j k l m n o p q r s t apple cherry apple"),
+            # doc 2: two windows tie at 1 hit -> earliest start (pos 0)
+            (2, "apple b c d e f g h i j k l apple"),
+            # doc 3: no hits -> no row
+            (3, "nothing here matches at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = best_snippets(docs, [("q1", "apple cherry")], window=5).collect()
+    got = {r["id"]: r for r in out}
+    assert set(got) == {1, 2}
+    assert (got[1]["start_pos"], got[1]["n_hits"]) == (20, 3)
+    assert got[1]["snippet"] == "apple cherry apple"  # slice clamps at end
+    assert (got[2]["start_pos"], got[2]["n_hits"]) == (0, 1)
+    assert got[2]["snippet"] == "apple b c d e"
