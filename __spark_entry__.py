@@ -333,6 +333,14 @@ def _q_snippets(spark, sf_dir):
     return best_snippets(_docs(spark, sf_dir), oracle.QUERY_SET)
 
 
+def _q_events_gapfill(spark, sf_dir):
+    """Per-user daily resample + gap-fill: empty days emit zeros and
+    forward-fill the closing value — the hypertable-rollup primitive."""
+    from mircv_project_spark.operators.events import events_gapfill
+
+    return events_gapfill(_events(spark, sf_dir))
+
+
 def _q_event_range_join(spark, sf_dir):
     """Interval join: every (purchase, click) pair within the prior
     hour via a bucketized equi-join — no nested-loop range scan."""
@@ -989,10 +997,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof": _q_event_asof,
         "cohort_retention": _q_cohort_retention,
         "event_props_rollup": _q_event_props_rollup,
-        # bucketized interval join, OLAP rollup, sliding windows
+        # bucketized interval join, OLAP rollup, sliding windows,
+        # daily resample + gap-fill
         "event_range_join": _q_event_range_join,
         "events_rollup": _q_events_rollup,
         "events_sliding_counts": _q_events_sliding_counts,
+        "events_gapfill": _q_events_gapfill,
         # deterministic shuffled shard export + train/val/test split
         "export_shards": _q_export_shards,
         "train_split": _q_train_split,

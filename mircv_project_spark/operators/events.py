@@ -416,3 +416,72 @@ def events_sliding_counts(
             "n_events",
         )
     )
+
+
+def events_gapfill(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """-> (user_id, day, n_events, total_value, last_value): per-user
+    DAILY resample over each user's [first-day, last-day] span — the
+    hypertable-rollup/gap-fill primitive.  Days with no events emit
+    n_events = 0, total_value = 0.0, and ``last_value`` carries the
+    user's most recent per-day closing value FORWARD across the gap
+    (closing value = the value of the day's last event by (us, eid) —
+    deterministic under equal timestamps).
+
+    Scale shape: one (user, day) rollup, a per-user span agg, a
+    ``sequence``-explode of the day grid (rows bounded by span length,
+    generated executor-side — never a driver loop), a left join back on
+    the SAME (user, day) key, and one ffill window per user.  Every
+    exchange is user-keyed; grids for year-long spans are ~365 rows per
+    user — the skew unit is span length, not event count."""
+    base = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        _day_col(ts_col).alias("day"),
+        _us_col(ts_col).alias("us"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    # per-(user, day) rollup; closing value = the day's last event by
+    # (us desc, eid desc) — a row_number window, NOT max_by(struct):
+    # DuckDB's arg_max has no struct key, and the oracle must restate
+    # the identical tie rule.  The day-keyed agg reuses the window's
+    # partitioning.
+    w_close = Window.partitionBy("user_id", "day").orderBy(
+        F.col("us").desc(), F.col("eid").desc()
+    )
+    daily = (
+        base.withColumn("rn", F.row_number().over(w_close))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias(
+                "close_value"
+            ),
+        )
+    )
+    span = base.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        F.round(
+            F.last("close_value", ignorenulls=True).over(w), 6
+        ).alias("last_value"),
+    )

@@ -1383,6 +1383,46 @@ FROM best b JOIN doctoks d ON d.doc_id = b.id
 """
 
 
+# per-user daily resample + gap-fill (the hypertable-rollup
+# primitive): empty days emit zeros, last_value forward-fills the
+# day's closing value (last event by (us desc, eid desc))
+_EVENTS_GAPFILL_SQL = """WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS eid,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, day ORDER BY us DESC, eid DESC) AS rn
+    FROM e
+),
+daily AS (
+    SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value,
+           max(CASE WHEN rn = 1 THEN value END) AS close_value
+    FROM r GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+grid AS (
+    SELECT user_id, CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+    FROM span
+),
+g AS (
+    SELECT gr.user_id, gr.day, d.n_events, d.total_value, d.close_value
+    FROM grid gr LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       coalesce(total_value, 0.0) AS total_value,
+       round(last_value(close_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS UNBOUNDED PRECEDING), 6) AS last_value
+FROM g
+"""
+
+
 # deterministic train/val/test split: same md5 coin family as
 # domain_mix_sample, salt 'split', thresholds 100k/200k ppm
 _TRAIN_SPLIT_SQL = """WITH k AS (
@@ -1500,4 +1540,6 @@ def pipeline_oracles() -> dict[str, str]:
         "train_split": _TRAIN_SPLIT_SQL,
         # best-window snippet extraction over the documents table
         "snippets": _snippets_sql(QUERY_SET, 10),
+        # per-user daily resample + forward-fill gap-fill
+        "events_gapfill": _EVENTS_GAPFILL_SQL,
     }

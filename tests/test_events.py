@@ -1,7 +1,8 @@
 """Edge semantics for the event-analytics operators
 (operators/events.py).  Oracle equality end-to-end is covered by
-test_correctness_gate (all nine event entries: funnel, sessions, asof,
-range join, cohorts, rollup, sliding counts, props rollup); these pin
+test_correctness_gate (all ten event entries: funnel, sessions, asof,
+range join, cohorts, rollup, sliding counts, gapfill, props rollup);
+these pin
 the boundary rules the gate corpus can't reach: strictly-after funnel
 chaining, equal-timestamp determinism, exact-gap boundaries, null-ts
 handling, plus a seeded-random cross-check vs a pure-Python model."""
@@ -422,3 +423,35 @@ def test_random_streams_match_python_reference(spark):
         for r in event_range_join(ev, horizon_seconds=h_s).collect()
     }
     assert got == exp_rj
+
+
+# ------------------------------------------------------------------ gapfill
+
+
+def test_gapfill_grid_zeros_and_ffill(spark):
+    from mircv_project_spark.operators.events import events_gapfill
+
+    day = 86_400
+    d0 = 19723  # 2024-01-01 UTC
+    ev = _ev(
+        spark,
+        [
+            # user 1: events on day 0 (two, close = eid 1's value via
+            # same-us eid tiebreak) and day 3 — days 1-2 are gaps
+            (0, 100, 1, "view", 5.0),
+            (1, 100, 1, "click", 7.0),
+            (2, 3 * day + 10, 1, "view", 9.0),
+            # user 2: single day
+            (10, day, 2, "view", 2.5),
+        ],
+    )
+    got = {
+        (r["user_id"], r["day"]): (r["n_events"], r["total_value"], r["last_value"])
+        for r in events_gapfill(ev).collect()
+    }
+    assert set(got) == {(1, d0), (1, d0 + 1), (1, d0 + 2), (1, d0 + 3), (2, d0 + 1)}
+    assert got[(1, d0)] == (2, 12.0, 7.0)          # close = higher eid at equal us
+    assert got[(1, d0 + 1)] == (0, 0.0, 7.0)       # gap day: zeros + ffill
+    assert got[(1, d0 + 2)] == (0, 0.0, 7.0)
+    assert got[(1, d0 + 3)] == (1, 9.0, 9.0)
+    assert got[(2, d0 + 1)] == (1, 2.5, 2.5)
