@@ -544,6 +544,66 @@ def _q_ppm_image_features(spark, sf_dir):
     )
 
 
+def _q_wav_audio_features(spark, sf_dir):
+    """REAL (dependency-free) AUDIO decode under the oracle gate: a
+    pure-Catalyst RIFF writer synthesizes genuine 16-bit PCM WAV clips
+    (the pytest proves the stdlib `wave` module opens them), the
+    mapInPandas kernel walks the chunk list and decodes s16le samples,
+    and each float32 strip mean maps back to its exact SIGNED sample sum
+    (sum = mean * 64 * 32768; /2^21 is float32-exact over 64-sample
+    strips), which DuckDB recomputes from the same md5 stream —
+    two's-complement included.  sf_dir is unused (synthetic media)."""
+    from mircv_project_spark.operators.multimodal import (
+        FEATURE_DIM,
+        WAV_SAMPLES,
+        extract_features,
+        generate_wav_media,
+    )
+
+    media = generate_wav_media(spark, oracle.N_WAV_MEDIA, seed=42)
+    feats = extract_features(media, decoder="wav")
+    strip_n = WAV_SAMPLES // FEATURE_DIM  # 64 samples/strip
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("features").alias("strip", "feature"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("strip").cast("int").alias("strip"),
+        F.round(F.col("feature").cast("double") * F.lit(float(strip_n * 32768)))
+        .cast("long")
+        .alias("strip_sum"),
+    )
+
+
+def _q_y4m_frame_stats(spark, sf_dir):
+    """REAL (dependency-free) VIDEO decode under the oracle gate: a
+    pure-Catalyst YUV4MPEG2 writer synthesizes genuine C444 streams, the
+    mapInPandas kernel parses header tokens + per-FRAME markers and
+    carves Y/U/V planes, and each float32 plane mean maps back to its
+    exact byte sum (sum = mean * 64 * 255), which DuckDB recomputes from
+    the same md5 stream.  sf_dir is unused (synthetic media)."""
+    from mircv_project_spark.operators.multimodal import (
+        Y4M_H,
+        Y4M_W,
+        generate_y4m_media,
+        y4m_frame_stats,
+    )
+
+    media = generate_y4m_media(spark, oracle.N_Y4M_MEDIA, seed=42)
+    stats = y4m_frame_stats(media)
+    plane = float(Y4M_W * Y4M_H * 255)  # 64 bytes/plane
+    return stats.select(
+        "media_id",
+        "frame_idx",
+        *[
+            F.round(F.col(c).cast("double") * F.lit(plane)).cast("long").alias(a)
+            for c, a in (("y_mean", "y_sum"), ("u_mean", "u_sum"), ("v_mean", "v_sum"))
+        ],
+    )
+
+
 def _topk_compressed(standard: str):
     """Distributed top-k over the compressed block store (codecs + the
     run-grained layout inside the oracle-checked path)."""
@@ -1029,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": _q_training_corpus,
         # real binary image decode (P6) through mapInPandas, hash-gated
         "ppm_image_features": _q_ppm_image_features,
+        "wav_audio_features": _q_wav_audio_features,
+        "y4m_frame_stats": _q_y4m_frame_stats,
     }
 
 

@@ -449,6 +449,8 @@ PROBE_IDS = list(range(10))
 ANN_K = 5
 COSINE_DUP_THRESHOLD = 0.42
 N_PPM_MEDIA = 64  # rows in the ppm_image_features gate table
+N_WAV_MEDIA = 64  # rows in the wav_audio_features gate table
+N_Y4M_MEDIA = 32  # rows in the y4m_frame_stats gate table
 
 _DOC_TOKENS = f"""
 doctoks AS (
@@ -1032,6 +1034,74 @@ ORDER BY media_id, strip
 """
 
 
+# Real audio-decode gate: restate generate_wav_media's md5 PCM stream
+# (64 chunks of 16 bytes keyed 'wav-<id>-<seed>-<chunk>' = 512 s16le
+# mono samples) and recompute each 8th-strip SIGNED sample sum from the
+# hex digits (little-endian pair, two's complement).  The Spark side
+# decodes the SAME bytes through the real RIFF walker in mapInPandas
+# and maps each float32 strip mean back to its integer sum
+# (sum = mean*64*32768; /2^21 is exact at float32 over 64-sample
+# strips), so a chunk-walk bug, endianness flip, or sign mistake breaks
+# the hash.  Constants pinned to multimodal.py: WAV_SAMPLES=512,
+# 44-byte header, FEATURE_DIM=8 strips of 64 samples.
+def _hexbyte(hx: str, pos1: str) -> str:
+    """SQL for the byte value at 1-based hex-digit position `pos1`."""
+    return (
+        f"16 * (strpos('0123456789abcdef', substr({hx}, CAST({pos1} AS INTEGER), 1)) - 1)"
+        f" + (strpos('0123456789abcdef', substr({hx}, CAST({pos1} + 1 AS INTEGER), 1)) - 1)"
+    )
+
+
+_WAV_FEATURES_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, r.range AS r,
+           md5('wav-' || ids.range || '-42-' || r.range) AS hx
+    FROM range({N_WAV_MEDIA}) ids CROSS JOIN range(64) r
+),
+samples AS (
+    SELECT id, (r * 8 + s.range) AS pos,
+           ({_hexbyte('hx', '4 * s.range + 1')})
+           + 256 * ({_hexbyte('hx', '4 * s.range + 3')}) AS uval
+    FROM chunks CROSS JOIN range(8) s
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(1068 AS BIGINT) AS n_bytes,
+       CAST(pos // 64 AS INTEGER) AS strip,
+       CAST(sum(CASE WHEN uval >= 32768 THEN uval - 65536 ELSE uval END) AS BIGINT)
+           AS strip_sum
+FROM samples
+GROUP BY id, pos // 64
+ORDER BY media_id, strip
+"""
+
+
+# Real video-decode gate: restate generate_y4m_media's md5 plane stream
+# (6 frames x 12 chunks keyed 'y4m-<id>-<seed>-<globalchunk>', each
+# frame = 64-byte Y, U, V planes in C444 order) and recompute per-frame
+# per-plane byte sums.  The Spark side iterates real FRAME markers and
+# carves planes by the parsed colorspace; plane means map back to exact
+# sums via round(mean*64*255).  Constants pinned to multimodal.py:
+# Y4M_W=Y4M_H=8, Y4M_FRAMES=6, 192 bytes/frame.
+_Y4M_STATS_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, c.range AS c,
+           md5('y4m-' || ids.range || '-42-' || c.range) AS hx
+    FROM range({N_Y4M_MEDIA}) ids CROSS JOIN range(72) c
+),
+bytes AS (
+    SELECT id, (c * 16 + b.range) AS pos,
+           {_hexbyte('hx', '2 * b.range + 1')} AS val
+    FROM chunks CROSS JOIN range(16) b
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(pos // 192 AS INTEGER) AS frame_idx,
+       CAST(sum(CASE WHEN (pos % 192) // 64 = 0 THEN val ELSE 0 END) AS BIGINT) AS y_sum,
+       CAST(sum(CASE WHEN (pos % 192) // 64 = 1 THEN val ELSE 0 END) AS BIGINT) AS u_sum,
+       CAST(sum(CASE WHEN (pos % 192) // 64 = 2 THEN val ELSE 0 END) AS BIGINT) AS v_sum
+FROM bytes
+GROUP BY id, pos // 192
+ORDER BY media_id, frame_idx
+"""
+
+
 # cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
 # (params pinned to curation.BOILER_NGRAM / BOILER_MIN_DOCS — change
 # both sides or neither); per-doc distinct-gram counts + boiler ratio
@@ -1499,6 +1569,8 @@ def pipeline_oracles() -> dict[str, str]:
         # real binary decode (PPM P6) through mapInPandas vs the md5
         # byte stream restated in SQL
         "ppm_image_features": _PPM_FEATURES_SQL,
+        "wav_audio_features": _WAV_FEATURES_SQL,
+        "y4m_frame_stats": _Y4M_STATS_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by
