@@ -266,6 +266,26 @@ def _q_top_keywords(spark, sf_dir):
     return top_keywords(_docs(spark, sf_dir))
 
 
+def _q_bigram_lm_ppl(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity per document (the
+    CCNet/KenLM-style quality filter): per-bigram log10 probabilities
+    quantized to integer micro units before the per-doc sum, so the
+    aggregate is exact on both engines."""
+    from mircv_project_spark.operators.lm import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(_docs(spark, sf_dir))
+
+
+def _q_lm_importance(spark, sf_dir):
+    """DSIR-style importance weights: exact integer micro-log10 sum of
+    (target-LM - background-LM) per-bigram weights; target domain =
+    sources divisible by 5 (lm.TARGET_SOURCE_MOD, restated verbatim in
+    the oracle)."""
+    from mircv_project_spark.operators.lm import lm_importance
+
+    return lm_importance(_docs(spark, sf_dir))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1091,6 +1111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_image_features": _q_ppm_image_features,
         "wav_audio_features": _q_wav_audio_features,
         "y4m_frame_stats": _q_y4m_frame_stats,
+        # bigram-LM quality filter + DSIR-style data selection
+        "bigram_lm_ppl": _q_bigram_lm_ppl,
+        "lm_importance": _q_lm_importance,
     }
 
 

@@ -1,0 +1,262 @@
+"""Distributed n-gram language-model operators for corpus quality
+filtering and data selection.
+
+Two operators the big pretraining pipelines run that the IR reference
+(a query engine) has no analog for:
+
+- `bigram_lm_perplexity` — train an add-alpha-smoothed bigram LM over
+  the corpus itself and score every document's log-probability /
+  perplexity under it (the CCNet/KenLM-style quality filter: documents
+  far from the corpus distribution score high perplexity and get
+  dropped or down-weighted).
+- `lm_importance` — DSIR-flavored importance weights (Xie et al. 2023):
+  the per-document log-likelihood RATIO between a target-domain bigram
+  LM and the background (whole-corpus) LM.  Data selection keeps the
+  documents whose ratio is highest, i.e. those that look most like the
+  target domain.
+
+Exactness contract (the hash-gate trick shared with the codec gates):
+every per-bigram weight is quantized to integer MICRO-log10 units
+(w_micro = round(log10(p) * 1e6) as BIGINT) BEFORE the per-document
+sum, so the document aggregate is exact integer arithmetic — order-
+independent across shuffle partitions and across engines.  A float sum
+of raw logs would be order-dependent at the 6th decimal; a sum of
+BIGINTs cannot be.  Only the final perplexity (one pow of an exact
+rational) is float, rounded to 6 like every other gate output.
+
+Scale shape (100 TB): one tokenizer pass per document (the tokens
+projection is persisted — two consumers, see the Catalyst gotcha in
+CLAUDE.md); bigram and context counts are map-side-combined groupBys
+keyed by gram / first word; the weight table joins doc grams on an
+equi-key (the vocabulary is far too large to broadcast; stopword-bigram
+skew is AQE skew-join territory); V and N are scalar aggregates.
+Nothing is per-row Python and nothing is a window over a whole corpus.
+
+Smoothing: add-alpha with LM_ALPHA = 0.5 (exactly representable in
+binary — do NOT "tune" it to a non-dyadic value without re-proving
+float parity), vocabulary = distinct normalized tokens corpus-wide,
+P(w2 | w1) = (c(w1 w2) + 0.5) / (c(w1 ·) + 0.5 * V), where c(w1 ·) is
+the number of bigram occurrences whose context is w1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.textnorm import grams_col, tokens_col
+
+LM_ALPHA = 0.5
+LM_MICRO = 1_000_000  # integer log10 quantum: 1e-6
+
+# lm_importance's pinned target-domain definition on the driver corpus:
+# sources srcK with K % 5 == 0 (src0, src5, src10, src15 — 20% of the
+# corpus; echoes domain_mix_sample's source-derived pinning).  The
+# oracle restates the same predicate verbatim — change both or neither.
+TARGET_SOURCE_MOD = 5
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> persisted (id, toks, grams): one tokenizer evaluation per doc,
+    materialized because both the vocabulary count and the bigram counts
+    consume it (re-running the regex pipeline per branch is the 10x
+    Catalyst trap)."""
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    return staged.select(
+        "id", "toks", grams_col(F.col("toks"), 2).alias("grams")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _gram_weights(bgd: DataFrame, vocab_size: float, alpha: float) -> DataFrame:
+    """(id, gram, c) doc-level bigram counts -> (gram, w_micro): the
+    quantized log10 conditional probability of every gram under the
+    add-alpha LM trained on those counts.  Both corpus tables derive
+    from the doc-level counts (no second token pass)."""
+    bgc = bgd.groupBy("gram").agg(F.sum("c").alias("c2"))
+    ctx = (
+        bgc.select(F.split("gram", " ").getItem(0).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    return (
+        bgc.withColumn("w1", F.split("gram", " ").getItem(0))
+        .join(ctx, "w1")
+        .select(
+            "gram",
+            F.round(
+                F.log10(
+                    (F.col("c2") + F.lit(alpha))
+                    / (F.col("c1") + F.lit(alpha * vocab_size))
+                )
+                * F.lit(float(LM_MICRO))
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, n_bigrams, logp_micro, ppl): each document scored under
+    the corpus's own add-alpha bigram LM.  logp_micro is the EXACT
+    integer sum of quantized per-bigram log10 probabilities (micro
+    units); ppl = round(10^(-logp_micro / (n_bigrams * 1e6)), 6).
+    Documents with fewer than 2 tokens have no bigrams and emit no row.
+    """
+    tg = _doc_bigrams(docs, id_col, text_col)
+    try:
+        vocab = float(
+            tg.select(F.explode("toks").alias("t")).agg(
+                F.countDistinct("t")
+            ).collect()[0][0]
+        )
+        # persisted: the weights branch AND the scoring join both read
+        # this shuffle output — without the cache the (id, gram) agg
+        # runs twice
+        bgd = (
+            tg.select("id", F.explode("grams").alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count("*").alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        wts = _gram_weights(bgd, vocab, LM_ALPHA)
+        agg = (
+            bgd.join(wts, "gram")
+            .groupBy("id")
+            .agg(
+                F.sum("c").alias("n_bigrams"),
+                F.sum(F.col("c") * F.col("w_micro")).alias("logp_micro"),
+            )
+        )
+        out = agg.select(
+            "id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("logp_micro").cast("long").alias("logp_micro"),
+            F.round(
+                F.pow(
+                    F.lit(10.0),
+                    -F.col("logp_micro").cast("double")
+                    / (F.col("n_bigrams").cast("double") * F.lit(float(LM_MICRO))),
+                ),
+                6,
+            ).alias("ppl"),
+        )
+        out = out.localCheckpoint()  # cut lineage before unpersisting
+        bgd.unpersist()
+    finally:
+        tg.unpersist()
+    return out
+
+
+def lm_importance(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """-> (id, n_bigrams, imp_micro): DSIR-style importance weight —
+    the exact integer sum over the document's bigrams of
+    (w_target - w_background) in micro-log10 units, where both LMs are
+    add-alpha bigram models sharing the corpus-wide vocabulary (so every
+    background bigram has positive target probability: unseen grams get
+    c2=0 / c1=0 under the target counts, never a hole).  Positive
+    imp_micro = the document looks more like the target domain than the
+    background; selection keeps the top of this ranking.
+
+    The target domain is the rows whose source number is divisible by
+    TARGET_SOURCE_MOD ('src0', 'src5', ...).  The weight tables are
+    built over the BACKGROUND gram set (a superset of the target's), so
+    one gram-keyed equi-join scores every document."""
+    tg = _doc_bigrams(docs, id_col, text_col)
+    try:
+        vocab = float(
+            tg.select(F.explode("toks").alias("t")).agg(
+                F.countDistinct("t")
+            ).collect()[0][0]
+        )
+        src = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            (
+                F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("long")
+                % TARGET_SOURCE_MOD
+                == 0
+            ).alias("is_target"),
+        )
+        bgd_all = (
+            tg.select("id", F.explode("grams").alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count("*").alias("c"))
+            .join(src, "id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            # two consumers (the gram universe for the target LM and
+            # the delta join) — cache or the weight aggs run twice
+            w_bg = _gram_weights(
+                bgd_all.select("id", "gram", "c"), vocab, LM_ALPHA
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+
+            # target LM over the SAME gram universe: left-join target
+            # counts onto the background gram set, zeros where unseen
+            bgc_t = (
+                bgd_all.where("is_target")
+                .groupBy("gram")
+                .agg(F.sum("c").alias("c2t"))
+            )
+            grams_all = w_bg.select(
+                "gram", F.split("gram", " ").getItem(0).alias("w1")
+            )
+            ctx_t = (
+                bgc_t.select(
+                    F.split("gram", " ").getItem(0).alias("w1"), "c2t"
+                )
+                .groupBy("w1")
+                .agg(F.sum("c2t").alias("c1t"))
+            )
+            w_t = (
+                grams_all.join(bgc_t, "gram", "left")
+                .join(ctx_t, "w1", "left")
+                .select(
+                    "gram",
+                    F.round(
+                        F.log10(
+                            (F.coalesce(F.col("c2t"), F.lit(0)) + F.lit(LM_ALPHA))
+                            / (
+                                F.coalesce(F.col("c1t"), F.lit(0))
+                                + F.lit(LM_ALPHA * vocab)
+                            )
+                        )
+                        * F.lit(float(LM_MICRO))
+                    )
+                    .cast("long")
+                    .alias("wt_micro"),
+                )
+            )
+            delta = w_t.join(w_bg, "gram").select(
+                "gram", (F.col("wt_micro") - F.col("w_micro")).alias("d_micro")
+            )
+            agg = (
+                bgd_all.join(delta, "gram")
+                .groupBy("id")
+                .agg(
+                    F.sum("c").alias("n_bigrams"),
+                    F.sum(F.col("c") * F.col("d_micro")).alias("imp_micro"),
+                )
+            )
+            out = agg.select(
+                "id",
+                F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                F.col("imp_micro").cast("long").alias("imp_micro"),
+            ).localCheckpoint()
+            w_bg.unpersist()
+        finally:
+            bgd_all.unpersist()
+    finally:
+        tg.unpersist()
+    return out

@@ -1102,6 +1102,92 @@ ORDER BY media_id, frame_idx
 """
 
 
+# Bigram-LM gates (operators/lm.py): both engines quantize every
+# per-bigram log10 probability to integer MICRO units BEFORE the
+# per-document sum, so the aggregate is exact integer arithmetic —
+# order-independent across shuffles and engines (a float sum of logs
+# would not be).  Pinned on both sides (change both or neither):
+# alpha = 0.5, micro = 1e6, P(w2|w1) = (c2 + 0.5) / (c1 + 0.5*V) with
+# c1 = bigram occurrences whose context is w1 and V = distinct
+# normalized tokens corpus-wide; docs with < 2 tokens emit no row.
+_LM_COMMON = f"""WITH {_DOC_TOKENS},
+grams AS (
+    SELECT doc_id AS id,
+           list_transform(
+               range(0, greatest(len(tokens) - 1, 0)),
+               i -> tokens[i+1] || ' ' || tokens[i+2]
+           ) AS gs
+    FROM doctoks
+),
+bgd AS (
+    SELECT id, gram, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT id, unnest(gs) AS gram FROM grams)
+    GROUP BY 1, 2
+),
+bgc AS (SELECT gram, CAST(sum(c) AS BIGINT) AS c2 FROM bgd GROUP BY 1),
+ctx AS (
+    SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+    FROM bgc GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+    FROM (SELECT unnest(tokens) AS t FROM doctoks)
+),
+w_bg AS (
+    SELECT gram,
+           CAST(round(log10((c2 + 0.5) / (c1 + 0.5 * v)) * 1e6) AS BIGINT)
+               AS w_micro
+    FROM bgc JOIN ctx ON split_part(bgc.gram, ' ', 1) = ctx.w1
+    CROSS JOIN vocab
+)"""
+
+_BIGRAM_LM_PPL_SQL = f"""{_LM_COMMON}
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(sum(c * w_micro) AS BIGINT) AS logp_micro,
+       round(pow(10, -CAST(sum(c * w_micro) AS DOUBLE)
+                      / (CAST(sum(c) AS DOUBLE) * 1e6)), 6) AS ppl
+FROM bgd JOIN w_bg USING (gram)
+GROUP BY id
+"""
+
+# target domain = sources whose trailing number is divisible by 5
+# (lm.TARGET_SOURCE_MOD); target LM shares the corpus vocabulary and is
+# evaluated over the BACKGROUND gram set (zero counts where unseen)
+_LM_IMPORTANCE_SQL = f"""{_LM_COMMON},
+tdocs AS (
+    SELECT doc_id AS id
+    FROM documents
+    WHERE CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 5 = 0
+),
+bgc_t AS (
+    SELECT gram, CAST(sum(c) AS BIGINT) AS c2t
+    FROM bgd JOIN tdocs USING (id) GROUP BY 1
+),
+ctx_t AS (
+    SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2t) AS BIGINT) AS c1t
+    FROM bgc_t GROUP BY 1
+),
+w_t AS (
+    SELECT w_bg.gram,
+           CAST(round(log10((coalesce(c2t, 0) + 0.5)
+                            / (coalesce(c1t, 0) + 0.5 * v)) * 1e6) AS BIGINT)
+               AS wt_micro
+    FROM w_bg
+    LEFT JOIN bgc_t ON w_bg.gram = bgc_t.gram
+    LEFT JOIN ctx_t ON split_part(w_bg.gram, ' ', 1) = ctx_t.w1
+    CROSS JOIN vocab
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(sum(c * (wt_micro - w_micro)) AS BIGINT) AS imp_micro
+FROM bgd
+JOIN w_t USING (gram)
+JOIN w_bg USING (gram)
+GROUP BY id
+"""
+
+
 # cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
 # (params pinned to curation.BOILER_NGRAM / BOILER_MIN_DOCS — change
 # both sides or neither); per-doc distinct-gram counts + boiler ratio
@@ -1571,6 +1657,10 @@ def pipeline_oracles() -> dict[str, str]:
         "ppm_image_features": _PPM_FEATURES_SQL,
         "wav_audio_features": _WAV_FEATURES_SQL,
         "y4m_frame_stats": _Y4M_STATS_SQL,
+        # bigram-LM quality/selection scores — exact integer micro-log10
+        # sums on both sides (order-independent across engines)
+        "bigram_lm_ppl": _BIGRAM_LM_PPL_SQL,
+        "lm_importance": _LM_IMPORTANCE_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

@@ -1,0 +1,121 @@
+"""Bigram-LM operators (operators/lm.py): the distributed perplexity
+and importance scores must match an independent pure-Python model built
+from the same pinned formulas, and behave sensibly (in-distribution
+docs score lower perplexity; target-like docs score higher importance).
+"""
+
+import math
+import re
+from collections import Counter
+
+from mircv_project_spark.operators import lm as L
+
+PUNCT = r"[!-/:-@\[-`{-~]"
+
+
+def _toks(text: str) -> list[str]:
+    cleaned = re.sub(PUNCT, " ", re.sub(r"<[^>]+>", " ", text)).lower()
+    return [
+        t
+        for t in cleaned.split(" ")
+        if t and len(t) < 64 and not re.search(r"[^\x00-\x7F]", t)
+    ]
+
+
+def _model(docs: dict[int, str]):
+    """Independent reference: per-doc bigram counts + corpus tables."""
+    bgd = {}
+    vocab = set()
+    for did, text in docs.items():
+        toks = _toks(text)
+        vocab.update(toks)
+        bgd[did] = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+    bgc = Counter()
+    for c in bgd.values():
+        bgc.update(c)
+    ctx = Counter()
+    for g, n in bgc.items():
+        ctx[g.split(" ")[0]] += n
+    return bgd, bgc, ctx, len(vocab)
+
+
+def _w_micro(c2: int, c1: int, v: int) -> int:
+    # banker's-free round-half-away-from-zero, matching Spark/DuckDB
+    x = math.log10((c2 + 0.5) / (c1 + 0.5 * v)) * 1e6
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def test_bigram_lm_perplexity_matches_reference_model(spark):
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the cat ate the fish",
+        2: "dogs chase the cat",
+        3: "quantum flux harmonics destabilize the manifold",  # OOV-ish
+        4: "the",  # single token: no bigrams, no row
+        5: "",  # empty: no row
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {r.id: r for r in L.bigram_lm_perplexity(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+
+    bgd, bgc, ctx, v = _model(docs)
+    for did in got:
+        want_n = sum(bgd[did].values())
+        want_lp = sum(
+            c * _w_micro(bgc[g], ctx[g.split(" ")[0]], v)
+            for g, c in bgd[did].items()
+        )
+        assert got[did].n_bigrams == want_n
+        assert got[did].logp_micro == want_lp
+        want_ppl = round(10 ** (-want_lp / (want_n * 1e6)), 6)
+        assert abs(got[did].ppl - want_ppl) < 1e-6
+
+    # semantic sanity: the OOV-ish doc is the highest-perplexity one
+    assert max(got, key=lambda d: got[d].ppl) == 3
+    # perplexities are positive and finite
+    assert all(0 < r.ppl < 1e9 for r in got.values())
+
+
+def test_lm_importance_matches_reference_model(spark):
+    # target sources: src0/src5 (K % 5 == 0); target docs speak "alpha
+    # beta gamma", background docs speak "delta epsilon zeta"
+    rows = [
+        (0, "alpha beta gamma alpha beta", "src0"),
+        (1, "alpha beta gamma gamma alpha", "src5"),
+        (2, "delta epsilon zeta delta epsilon", "src1"),
+        (3, "delta epsilon zeta zeta delta", "src2"),
+        (4, "alpha beta gamma alpha", "src3"),  # target-LIKE, bg source
+        (5, "delta epsilon zeta", "src10"),  # bg-LIKE, target source
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.id: r for r in L.lm_importance(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+
+    docs = {r[0]: r[1] for r in rows}
+    tids = {r[0] for r in rows if int(re.search(r"(\d+)$", r[2]).group(1)) % 5 == 0}
+    bgd, bgc, ctx, v = _model(docs)
+    bgc_t = Counter()
+    for did in tids:
+        bgc_t.update(bgd[did])
+    ctx_t = Counter()
+    for g, n in bgc_t.items():
+        ctx_t[g.split(" ")[0]] += n
+    for did in docs:
+        want = sum(
+            c
+            * (
+                _w_micro(bgc_t[g], ctx_t[g.split(" ")[0]], v)
+                - _w_micro(bgc[g], ctx[g.split(" ")[0]], v)
+            )
+            for g, c in bgd[did].items()
+        )
+        assert got[did].imp_micro == want, did
+
+    # selection semantics: per-bigram average ratio ranks target-style
+    # text above background-style text, regardless of the doc's source
+    avg = {d: got[d].imp_micro / got[d].n_bigrams for d in got}
+    assert min(avg[d] for d in (0, 1, 4)) > max(avg[d] for d in (2, 3, 5))
