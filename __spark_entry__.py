@@ -455,6 +455,24 @@ def _q_mmr_topk(spark, sf_dir):
     return mmr_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _q_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means assignment (k=10, 3 Lloyd iterations) with
+    all-integer state: micro-quantized vectors, exact BIGINT distances,
+    integer half-away centroid re-quantization — deterministic across
+    shuffle order and engines; oracle = unrolled CTE iterations."""
+    from mircv_project_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir))
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup semantic near-dup verdict: drop id iff a lower id in
+    the same k-means cluster has round-6 cosine >= 0.35 with it."""
+    from mircv_project_spark.operators.clustering import semdedup_keep
+
+    return semdedup_keep(_emb(spark, sf_dir))
+
+
 def _q_ivf_cosine_topk(spark, sf_dir):
     from mircv_project_spark.operators.similarity import ivf_cosine_topk
 
@@ -1091,6 +1109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         # MMR diversified top-k — full-oracle (unrolled greedy chain)
         "mmr_topk": _q_mmr_topk,
+        # distributed k-means + SemDeDup semantic dedup
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup": _q_semdedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
         # approximate ANN (IVF / LSH) — no SQL oracle by construction;

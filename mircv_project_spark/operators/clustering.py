@@ -1,0 +1,210 @@
+"""Distributed k-means over embedding columns + SemDeDup-style
+semantic near-duplicate pruning (Abbas et al. 2023: cluster the
+corpus, then drop all-but-one of each within-cluster epsilon-ball).
+
+The reference engine (an IR query processor) has no clustering analog;
+these are the training-data-pipeline operators a 100-TB curation run
+needs: k-means gives the partition SemDeDup prunes inside of (and the
+same centroids double as an IVF coarse quantizer).
+
+Exactness contract (the integer-quantization trick shared with
+operators/lm.py): k-means over floats is NOT gateable — centroid means
+are shuffle-order-dependent float sums.  So every vector component is
+quantized to integer MICRO units (round(x * 1e6) as BIGINT) up front,
+distances are exact integer sums of squared integer diffs, and each
+centroid update re-quantizes to integers with a sign-aware
+round-half-away integer division:
+
+    c_j = sign(S) * ((2*|S| + n) DIV (2*n)),  S = sum of member q_j
+
+so every iteration's state is exact integer arithmetic — deterministic
+across shuffle order, parallelism, and engines.  The DuckDB oracle
+unrolls the KM_ITERS Lloyd iterations into a CTE chain (same pattern
+as the MMR oracle) and restates the identical init / argmin-tie /
+empty-cluster / rounding rules.
+
+Pinned gate params (change BOTH the operator defaults and
+oracle._kmeans_ctes or neither): k = 10, iters = 3, micro = 1e6,
+init = the k lowest-id vectors (cid = their ascending-id index),
+assignment tie -> lowest cid, empty cluster -> centroid unchanged,
+SemDeDup tau = 0.35 (within-cluster cos6 p99 is ~0.33 on the driver
+corpora, so 0.35 drops a discriminative ~15% minority; cos6 is the ONE
+shared round-6 cosine formula, so boundary ties agree by construction).
+
+Scale shape (100 TB): the k centroids are driver-state (k*d integers),
+embedded as literals, so ASSIGNMENT IS MAP-ONLY — no join, no shuffle;
+each update is one (cluster, dim)-keyed groupBy producing k*d rows
+(map-side combined) plus a bounded k*d collect.  The returned
+assignment recomputes as a single scan+map.  SemDeDup's within-cluster
+self-join is one equi-join on the cluster key whose quadratic term is
+bounded by the largest cluster — at scale you raise k (SemDeDup's own
+design point) and/or cap cluster fan-in like the LSH bucket cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .similarity import _as_double, _dot, _norm
+
+KM_K = 10
+KM_ITERS = 3
+KM_MICRO = 1_000_000
+SEM_TAU = 0.35
+
+
+def _quantized(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """-> (id, qv array<bigint>): micro-quantized vectors.  float32 *
+    1e6 can never land exactly on .5 (the denominator carries 5^6), so
+    HALF_UP here and half-away in DuckDB agree on every input."""
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(KM_MICRO))).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+
+
+def _d2_to(centroid: list[int]):
+    """Exact squared L2 distance (BIGINT) from qv to an integer
+    centroid literal: |q|,|c| <= ~5e5 -> per-dim square <= ~1e12, x64
+    dims ~6e13 — comfortably inside signed 64-bit on both engines."""
+    cv = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(F.col("qv"), cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+def _assign_cols(centroids: list[list[int]]):
+    """argmin over centroids as array_min of (d2, cid) structs —
+    struct ordering gives the pinned tie rule (d2 asc, cid asc)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _d2_to(cv).alias("d2"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, cv in enumerate(centroids)
+            ]
+        )
+    )
+    return best["cid"].alias("cluster"), best["d2"].alias("d2")
+
+
+def _half_away_div(s: int, n: int) -> int:
+    """round-half-away-from-zero integer division, mirrored verbatim by
+    the oracle's CASE WHEN s >= 0 THEN (2s+n)//(2n) ELSE -((-2s+n)//(2n))."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, cluster, d2): Lloyd's k-means over micro-quantized
+    vectors, all-integer state (module docstring has the full
+    exactness contract).  d2 is the exact squared quantized distance
+    to the final assigned centroid."""
+    qv = _quantized(embeddings, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        # init: the k lowest-id vectors, cid = ascending-id index
+        centroids = [
+            list(r.qv) for r in qv.orderBy("id").limit(k).collect()
+        ]
+        for it in range(iters):
+            cluster, d2 = _assign_cols(centroids)
+            asg = qv.select("id", "qv", cluster, d2)
+            if it == iters - 1:
+                out = asg.select("id", "cluster", "d2").localCheckpoint()
+                break
+            sums = (
+                asg.select("cluster", F.posexplode("qv").alias("j", "v"))
+                .groupBy("cluster", "j")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect()  # bounded: k*d rows of driver state
+            )
+            upd: dict[int, list[int]] = {}
+            for r in sums:
+                upd.setdefault(int(r.cluster), [0] * len(centroids[0]))[
+                    int(r.j)
+                ] = _half_away_div(int(r.s), int(r.n))
+            # empty cluster -> centroid unchanged (pinned rule)
+            centroids = [
+                upd.get(cid, cv) for cid, cv in enumerate(centroids)
+            ]
+    finally:
+        qv.unpersist()
+    return out
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    tau: float = SEM_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, cluster, keep): SemDeDup verdict — drop id iff a LOWER
+    id in the SAME k-means cluster has round-6 cosine >= tau with it
+    (keep-the-min-id per epsilon-ball, the same winner rule as every
+    dedup gate).  Cross-cluster near-dups are invisible by design —
+    that is SemDeDup's approximation, not a bug."""
+    asg = kmeans_assign(embeddings, k, iters, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        vecs = embeddings.select(
+            F.col(id_col).cast("long").alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        av = asg.join(vecs, "id").select("id", "cluster", "v")
+        a = av.select(
+            F.col("cluster"),
+            F.col("id").alias("ida"),
+            F.col("v").alias("va"),
+        )
+        b = av.select(
+            F.col("cluster"),
+            F.col("id").alias("idb"),
+            F.col("v").alias("vb"),
+        )
+        cos6 = F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        )
+        dropped = (
+            a.join(b, "cluster")
+            .where(F.col("ida") < F.col("idb"))
+            .where(cos6 >= F.lit(tau))
+            .select(F.col("idb").alias("id"))
+            .distinct()
+        )
+        out = (
+            asg.join(dropped.withColumn("hit", F.lit(1)), "id", "left")
+            .select(
+                "id", "cluster", F.col("hit").isNull().alias("keep")
+            )
+            .localCheckpoint()
+        )
+    finally:
+        asg.unpersist()
+    return out

@@ -730,6 +730,100 @@ FROM ({union})
     return "".join(parts)
 
 
+def _kmeans_ctes(k: int, iters: int, micro: int) -> str:
+    """Unrolled Lloyd iterations for operators/clustering.kmeans_assign
+    — all-integer state, restating the operator's pinned rules verbatim
+    (change both sides or neither): micro-quantized components
+    (round(x*1e6) as BIGINT — a float32 times 1e6 can never land
+    exactly on .5, so half-away here and HALF_UP in Spark agree),
+    init = k lowest-id vectors with cid = ascending-id index, exact
+    BIGINT squared distances, argmin tie -> lowest cid, centroid update
+    = sign-aware round-half-away integer division, empty cluster ->
+    centroid unchanged."""
+    parts = [
+        f"""WITH q AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {micro}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, qv AS cv
+    FROM q ORDER BY id LIMIT {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""",
+a{i} AS (
+    SELECT id, cid, d2 FROM (
+        SELECT q.id, {prev}.cid,
+               list_sum(list_transform(range(1, len(q.qv) + 1),
+                   j -> (q.qv[j] - {prev}.cv[j]) * (q.qv[j] - {prev}.cv[j])))
+                   AS d2
+        FROM q CROSS JOIN {prev}
+    ) QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cid) = 1
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f""",
+s{i} AS (
+    SELECT cid, j, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT a.cid, unnest(q.qv) AS v, generate_subscripts(q.qv, 1) AS j
+        FROM a{i} a JOIN q ON a.id = q.id
+    ) GROUP BY 1, 2
+),
+u{i} AS (
+    SELECT cid,
+           list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                     ELSE -((-2 * s + n) // (2 * n)) END
+                ORDER BY j) AS cv
+    FROM s{i} GROUP BY cid
+),
+c{i} AS (
+    SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN u{i} u ON p.cid = u.cid
+)"""
+            )
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int, micro: int) -> str:
+    return (
+        _kmeans_ctes(k, iters, micro)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(cid AS BIGINT) AS cluster,
+       CAST(d2 AS BIGINT) AS d2
+FROM a{iters}
+"""
+    )
+
+
+def _semdedup_sql(k: int, iters: int, micro: int, tau: float) -> str:
+    """clustering.semdedup_keep: drop id iff a LOWER id in the SAME
+    final cluster has cos6 >= tau with it; cos6 is the shared round-6
+    cosine, so boundary ties agree by construction."""
+    return (
+        _kmeans_ctes(k, iters, micro)
+        + f""",
+fin AS (SELECT id, cid FROM a{iters}),
+dropped AS (
+    SELECT DISTINCT b.id AS id
+    FROM fin a JOIN fin b ON a.cid = b.cid AND a.id < b.id
+    JOIN embeddings ea ON ea.vec_id = a.id
+    JOIN embeddings eb ON eb.vec_id = b.id
+    WHERE {_cos6('ea.embedding', 'eb.embedding')} >= {tau}
+)
+SELECT CAST(f.id AS BIGINT) AS id, CAST(f.cid AS BIGINT) AS cluster,
+       (d.id IS NULL) AS keep
+FROM fin f LEFT JOIN dropped d ON f.id = d.id
+"""
+    )
+
+
 _EMBED_NEAR_DUP_SQL = f"""WITH base AS (
     SELECT vec_id AS id, embedding AS v,
            sqrt(list_sum(list_transform(embedding,
@@ -1633,6 +1727,11 @@ def pipeline_oracles() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)
         "mmr_topk": _mmr_sql(PROBE_IDS, ANN_K, 20, 0.5),
+        # distributed k-means (all-integer Lloyd state, unrolled
+        # iterations) + SemDeDup within-cluster pruning — params pinned
+        # to operators/clustering.{KM_K,KM_ITERS,KM_MICRO,SEM_TAU}
+        "kmeans_clusters": _kmeans_sql(10, 3, 1_000_000),
+        "semdedup": _semdedup_sql(10, 3, 1_000_000, 0.35),
         "embedding_near_dup": _EMBED_NEAR_DUP_SQL,
         # LSH-blocked + exact-verify path must reproduce the exhaustive
         # pairs (band params pinned with measured recall 1.0 on this

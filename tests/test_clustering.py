@@ -1,0 +1,121 @@
+"""k-means + SemDeDup (operators/clustering.py): the distributed
+all-integer Lloyd must match an independent pure-Python mirror of the
+same pinned rules (init, argmin ties, half-away centroid rounding,
+empty-cluster carry-over), and the SemDeDup verdict must implement
+keep-the-min-id within clusters.
+"""
+
+import math
+
+from mircv_project_spark.operators import clustering as C
+
+
+def _quant(vec):
+    out = []
+    for x in vec:
+        y = x * 1_000_000
+        out.append(int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5)))
+    return out
+
+
+def _half_away(s, n):
+    return (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+
+
+def _lloyd(vecs: dict[int, list[float]], k: int, iters: int):
+    """Independent reference: same pinned rules as the operator."""
+    q = {i: _quant(v) for i, v in vecs.items()}
+    cents = [q[i] for i in sorted(q)[:k]]
+    asg = {}
+    for it in range(iters):
+        asg = {}
+        for i, qv in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+                for cid, cv in enumerate(cents)
+            )
+            asg[i] = best  # (d2, cid)
+        if it == iters - 1:
+            break
+        new = []
+        for cid, cv in enumerate(cents):
+            members = [q[i] for i in q if asg[i][1] == cid]
+            if not members:
+                new.append(cv)  # empty cluster: unchanged
+                continue
+            n = len(members)
+            new.append(
+                [_half_away(sum(col), n) for col in zip(*members)]
+            )
+        cents = new
+    return asg
+
+
+def test_kmeans_matches_reference_model(spark):
+    # three tight groups + one straggler, 4-d; ids chosen so the k=3
+    # lowest-id init points land one per group
+    vecs = {
+        0: [0.1, 0.1, 0.0, 0.0],
+        1: [0.9, 0.9, 0.0, 0.0],
+        2: [-0.8, 0.5, 0.3, 0.0],
+        3: [0.12, 0.08, 0.01, 0.0],
+        4: [0.88, 0.91, -0.02, 0.0],
+        5: [-0.79, 0.52, 0.28, 0.0],
+        6: [0.5, 0.5, 0.5, 0.5],  # straggler between groups
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.id: r for r in C.kmeans_assign(df, k=3, iters=3).collect()}
+    want = _lloyd(vecs, k=3, iters=3)
+    assert set(got) == set(vecs)
+    for i in vecs:
+        assert (got[i].d2, got[i].cluster) == want[i], i
+    # groups ended up separated
+    assert got[0].cluster == got[3].cluster
+    assert got[1].cluster == got[4].cluster
+    assert got[2].cluster == got[5].cluster
+    assert len({got[0].cluster, got[1].cluster, got[2].cluster}) == 3
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k=3 but only two distinct locations: init takes ids 0,1,2 and
+    # id-2's centroid (a duplicate of id-0's location... make it a
+    # point that everything is farther from after one update)
+    vecs = {
+        0: [0.0, 0.0],
+        1: [1.0, 1.0],
+        2: [0.52, 0.52],  # nearest-to-midpoint seed that starves
+        3: [0.02, 0.0],
+        4: [1.0, 0.98],
+        5: [0.01, 0.01],
+        6: [0.99, 1.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.id: (r.d2, r.cluster) for r in C.kmeans_assign(df, k=3, iters=4).collect()}
+    want = _lloyd(vecs, k=3, iters=4)
+    assert got == want
+
+
+def test_semdedup_drops_higher_id_within_cluster(spark):
+    # the k=3 init seeds (ids 0..2) are distinct directions; the
+    # near-dups sit at NON-seed ids so they land in their twin's cell
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [-1.0, 0.2, 0.3]),  # lone
+        (3, [0.999, 0.01, 0.0]),  # near-dup of 0 -> dropped
+        (4, [0.01, 0.999, 0.0]),  # near-dup of 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.id: r for r in C.semdedup_keep(df, k=3, iters=2, tau=0.9).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0].keep and got[1].keep and got[2].keep
+    assert not got[3].keep and not got[4].keep
+    # dup pairs really are co-clustered (the verdict's precondition)
+    assert got[0].cluster == got[3].cluster
+    assert got[1].cluster == got[4].cluster
