@@ -154,6 +154,34 @@ def kmeans_assign(
     return out
 
 
+def _dropped_ids(av: DataFrame, tau: float) -> DataFrame:
+    """(id, cluster, v) -> distinct ids that lose their epsilon-ball:
+    an EQUI-join on the cluster key (never a nested-loop scan — the
+    plan test pins that), id-asc winner, shared round-6 cosine."""
+    a = av.select(
+        F.col("cluster"),
+        F.col("id").alias("ida"),
+        F.col("v").alias("va"),
+    )
+    b = av.select(
+        F.col("cluster"),
+        F.col("id").alias("idb"),
+        F.col("v").alias("vb"),
+    )
+    cos6 = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("ida") < F.col("idb"))
+        .where(cos6 >= F.lit(tau))
+        .select(F.col("idb").alias("id"))
+        .distinct()
+    )
+
+
 def semdedup_keep(
     embeddings: DataFrame,
     k: int = KM_K,
@@ -176,28 +204,7 @@ def semdedup_keep(
             _as_double(F.col(vec_col)).alias("v"),
         )
         av = asg.join(vecs, "id").select("id", "cluster", "v")
-        a = av.select(
-            F.col("cluster"),
-            F.col("id").alias("ida"),
-            F.col("v").alias("va"),
-        )
-        b = av.select(
-            F.col("cluster"),
-            F.col("id").alias("idb"),
-            F.col("v").alias("vb"),
-        )
-        cos6 = F.round(
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))),
-            6,
-        )
-        dropped = (
-            a.join(b, "cluster")
-            .where(F.col("ida") < F.col("idb"))
-            .where(cos6 >= F.lit(tau))
-            .select(F.col("idb").alias("id"))
-            .distinct()
-        )
+        dropped = _dropped_ids(av, tau)
         out = (
             asg.join(dropped.withColumn("hit", F.lit(1)), "id", "left")
             .select(

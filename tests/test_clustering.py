@@ -7,7 +7,11 @@ keep-the-min-id within clusters.
 
 import math
 
+from pyspark.sql import functions as F
+
 from mircv_project_spark.operators import clustering as C
+from mircv_project_spark.plans import checks
+from tests.conftest import SF_SMALL
 
 
 def _quant(vec):
@@ -99,6 +103,35 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     got = {r.id: (r.d2, r.cluster) for r in C.kmeans_assign(df, k=3, iters=4).collect()}
     want = _lloyd(vecs, k=3, iters=4)
     assert got == want
+
+
+def test_kmeans_assignment_plan_is_map_only(spark):
+    """The scale claim in the module docstring: with centroids as
+    driver-state literals, assignment is a single scan + projection —
+    no join, no Exchange anywhere in the plan."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qv = C._quantized(emb, "vec_id", "embedding")
+    cluster, d2 = C._assign_cols([[0] * 64, [1000] * 64, [-1000] * 64])
+    plan = checks.plan_text(qv.select("id", cluster, d2))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_semdedup_pair_join_is_cluster_equi_join(spark):
+    """The within-cluster pair scan must be an equi-join on the cluster
+    key (hash or sort-merge), never a BroadcastNestedLoopJoin whose
+    predicate touches every row pair."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    av = C._quantized(emb, "vec_id", "embedding").select(
+        "id",
+        (F.col("id") % 7).alias("cluster"),
+        F.transform("qv", lambda x: x.cast("double")).alias("v"),
+    )
+    plan = checks.plan_text(C._dropped_ids(av, 0.35))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "cluster" in plan
 
 
 def test_semdedup_drops_higher_id_within_cluster(spark):
