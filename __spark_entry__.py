@@ -455,6 +455,16 @@ def _q_mmr_topk(spark, sf_dir):
     return mmr_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring span coverage per document — the
+    fixed-width (n=4) distributed form of Lee et al. 2021's substring
+    dedup: corpus-wide >= 2 n-gram windows, merged into maximal spans
+    via per-doc gaps-and-islands."""
+    from mircv_project_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir))
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     """Distributed k-means assignment (k=10, 3 Lloyd iterations) with
     all-integer state: micro-quantized vectors, exact BIGINT distances,
@@ -1109,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         # MMR diversified top-k — full-oracle (unrolled greedy chain)
         "mmr_topk": _q_mmr_topk,
+        # exact duplicated-span coverage (substring dedup)
+        "dup_spans": _q_dup_spans,
         # distributed k-means + SemDeDup semantic dedup
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup": _q_semdedup,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textnorm import hash60_col, shingles_col, tokens_col
+from ..functions.textnorm import grams_col, hash60_col, shingles_col, tokens_col
 
 # MinHash parameters — pinned; the oracle SQL restates them.
 # The permutation arithmetic stays inside signed 64-bit range in BOTH
@@ -362,3 +362,120 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
         val = term if val is None else (val + term)
     return bit_sums.select("id", val.alias("simhash"))
+
+
+DUPSPAN_N = 4
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = DUPSPAN_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_tokens, n_spans, dup_tokens, dup_ratio): exact
+    duplicated-substring coverage per document, the fixed-width
+    distributed form of Lee et al. 2021's suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better"): a
+    token position is duplicated iff the n-gram window starting there
+    occurs >= 2 times CORPUS-WIDE (counting every position, including
+    repeats inside the same document); overlapping or adjacent windows
+    merge into maximal spans (gaps-and-islands: break only on a strict
+    gap, pos > prev_max_end + 1); dup_tokens = total tokens covered by
+    merged spans, dup_ratio = round(dup_tokens / n_tokens, 6).
+
+    Everything but the final ratio is exact integer arithmetic.  Docs
+    with zero tokens emit no row; docs shorter than n tokens emit
+    (n_spans=0, dup_tokens=0).  Pinned gate params: n = 4 (multi-span
+    structure on the driver corpora — larger n collapses to all-or-
+    nothing whole-doc dups); the oracle restates window construction,
+    the >= 2 corpus-wide rule, and the island break verbatim.
+
+    Scale shape (100 TB): one tokenizer pass into a persisted
+    (id, n_tokens, grams) projection; the position stream is persisted
+    once and consumed by the two stages that define the operator — the
+    corpus-wide gram-count aggregation (map-side combined; this IS the
+    job, same shuffle class as exact dedup) and the gram-keyed semi-
+    join marking duplicated positions.  The island merge windows over
+    per-doc positions only (partition = doc, never corpus-wide).
+    Boilerplate-gram skew is AQE skew-join territory, same as lm.py's
+    stopword bigrams.
+    """
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    tg = (
+        staged.select(
+            "id",
+            F.size("toks").alias("n_tokens"),
+            grams_col(F.col("toks"), n).alias("grams"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .persist()
+    )
+    try:
+        gp = tg.select(
+            "id", F.posexplode("grams").alias("pos0", "gram")
+        ).persist()
+        try:
+            dup = (
+                gp.groupBy("gram")
+                .agg(F.count("*").alias("c"))
+                .where(F.col("c") >= 2)
+                .select("gram")
+            )
+            hits = gp.join(dup, "gram").select(
+                "id",
+                (F.col("pos0") + 1).alias("pos"),
+                (F.col("pos0") + n).alias("e"),
+            )
+            w = Window.partitionBy("id").orderBy("pos")
+            prev_e = F.max("e").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            brk = F.when(
+                F.col("pos") > F.coalesce(prev_e, F.lit(-1)) + 1, 1
+            ).otherwise(0)
+            isl = hits.select("id", "pos", "e", brk.alias("brk"))
+            grp = isl.select(
+                "id",
+                "pos",
+                "e",
+                F.sum("brk")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("g"),
+            )
+            spans = grp.groupBy("id", "g").agg(
+                F.min("pos").alias("s"), F.max("e").alias("e")
+            )
+            perdoc = spans.groupBy("id").agg(
+                F.count("*").alias("n_spans"),
+                F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+            )
+            dupt = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+            out = (
+                tg.select("id", "n_tokens")
+                .join(perdoc, "id", "left")
+                .select(
+                    "id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce(F.col("n_spans"), F.lit(0))
+                    .cast("long")
+                    .alias("n_spans"),
+                    dupt.alias("dup_tokens"),
+                    F.round(
+                        dupt.cast("double")
+                        / F.col("n_tokens").cast("double"),
+                        6,
+                    ).alias("dup_ratio"),
+                )
+                .localCheckpoint()
+            )
+        finally:
+            gp.unpersist()
+    finally:
+        tg.unpersist()
+    return out

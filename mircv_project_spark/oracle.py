@@ -730,6 +730,61 @@ FROM ({union})
     return "".join(parts)
 
 
+def _dup_spans_sql(n: int) -> str:
+    """dedup.dup_span_stats: a position is duplicated iff its n-gram
+    window occurs >= 2 times corpus-wide (every position counted,
+    within-doc repeats included); overlapping/adjacent windows merge
+    into maximal spans (island break ONLY on a strict gap,
+    pos > prev_max_end + 1).  n pinned to dedup.DUPSPAN_N — change
+    both sides or neither.  Zero-token docs emit no row; docs shorter
+    than n emit zero spans."""
+    return f"""WITH {_DOC_TOKENS},
+gp AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(
+               range(0, greatest(len(tokens) - {n - 1}, 0)),
+               i -> list_aggregate(tokens[i+1:i+{n}], 'string_agg', ' ')
+           )) AS gram,
+           generate_subscripts(list_transform(
+               range(0, greatest(len(tokens) - {n - 1}, 0)), i -> i), 1)
+               AS pos
+    FROM doctoks
+),
+dup AS (SELECT gram FROM gp GROUP BY gram HAVING count(*) >= 2),
+hits AS (
+    SELECT id, pos, pos + {n} - 1 AS e
+    FROM gp JOIN dup USING (gram)
+),
+isl AS (
+    SELECT id, pos, e,
+           CASE WHEN pos > coalesce(max(e) OVER (
+                    PARTITION BY id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+grp AS (
+    SELECT id, pos, e,
+           sum(brk) OVER (PARTITION BY id ORDER BY pos) AS g
+    FROM isl
+),
+spans AS (SELECT id, g, min(pos) AS s, max(e) AS e FROM grp GROUP BY id, g),
+perdoc AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(len(d.tokens) AS BIGINT) AS n_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0) / CAST(len(d.tokens) AS DOUBLE), 6)
+           AS dup_ratio
+FROM doctoks d LEFT JOIN perdoc p ON d.doc_id = p.id
+WHERE len(d.tokens) > 0
+"""
+
+
 def _kmeans_ctes(k: int, iters: int, micro: int) -> str:
     """Unrolled Lloyd iterations for operators/clustering.kmeans_assign
     — all-integer state, restating the operator's pinned rules verbatim
@@ -1730,6 +1785,9 @@ def pipeline_oracles() -> dict[str, str]:
         # distributed k-means (all-integer Lloyd state, unrolled
         # iterations) + SemDeDup within-cluster pruning — params pinned
         # to operators/clustering.{KM_K,KM_ITERS,KM_MICRO,SEM_TAU}
+        # exact duplicated-substring span coverage (fixed-width form of
+        # Lee et al. 2021); n pinned to dedup.DUPSPAN_N
+        "dup_spans": _dup_spans_sql(4),
         "kmeans_clusters": _kmeans_sql(10, 3, 1_000_000),
         "semdedup": _semdedup_sql(10, 3, 1_000_000, 0.35),
         "embedding_near_dup": _EMBED_NEAR_DUP_SQL,

@@ -417,3 +417,32 @@ def test_best_snippets_window_and_ties(spark):
     assert got[1]["snippet"] == "apple cherry apple"  # slice clamps at end
     assert (got[2]["start_pos"], got[2]["n_hits"]) == (0, 1)
     assert got[2]["snippet"] == "apple b c d e"
+
+
+def test_dup_span_stats_hand_case(spark):
+    """dedup.dup_span_stats at n=2 on a hand-computed corpus: corpus-
+    wide >=2 windows (within-doc repeats count), adjacent windows merge
+    (break only on a strict gap), short docs emit zeros, empty docs no
+    row."""
+    from mircv_project_spark.operators.dedup import dup_span_stats
+
+    rows = [
+        (0, "a b c x d e z w"),   # hits ab/cx/de chain-merge -> 1 span [1..6]
+        (1, "a b q c x p d e"),   # same grams gapped -> 3 spans
+        (2, "a b k m c x"),       # 2 spans with a real gap
+        (3, "r s t r s"),         # within-doc repeat makes its own dup
+        (4, "solo"),              # 1 token, no windows -> zero row
+        (5, ""),                  # no tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_tokens, r.n_spans, r.dup_tokens, r.dup_ratio)
+        for r in dup_span_stats(df, n=2).collect()
+    }
+    assert got == {
+        0: (8, 1, 6, 0.75),
+        1: (8, 3, 6, 0.75),
+        2: (6, 2, 4, round(4 / 6, 6)),
+        3: (5, 2, 4, 0.8),
+        4: (1, 0, 0, 0.0),
+    }
