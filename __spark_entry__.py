@@ -344,6 +344,15 @@ def _q_train_split(spark, sf_dir):
     return train_split(_docs(spark, sf_dir))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: deterministic shuffled order
+    (md5 key, salt 'pack'), exact global BPE prefix sum, 256-token
+    training windows; docs span window boundaries by design."""
+    from mircv_project_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 def _q_snippets(spark, sf_dir):
     """Best-window snippet extraction: per (query, matching doc), the
     10-token span with the most matched positions, earliest-start
@@ -1114,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic shuffled shard export + train/val/test split
         "export_shards": _q_export_shards,
         "train_split": _q_train_split,
+        "pack_sequences": _q_pack_sequences,
         # snippet extraction — full-oracle
         "snippets": _q_snippets,
         "cosine_topk": _q_cosine_topk,

@@ -462,3 +462,123 @@ def train_split(
         .when(F.col("split_key") < v, "val")
         .otherwise("train"),
     )
+
+
+PACK_WINDOW = 256
+PACK_SALT = "pack"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window: int = PACK_WINDOW,
+    salt: str = PACK_SALT,
+    num_partitions: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, pack_key, bpe_est, start_tok, first_win, last_win,
+    n_wins): GPT-style concat-and-chunk sequence packing — documents
+    are laid end-to-end in a deterministic shuffled order (pack_key =
+    hash60('pack-'||id), ties id asc — export_shards' coin under its
+    own salt, so the packing order is reproducible across runs,
+    parallelism, and resume, and independent of the shard/split coins)
+    and the concatenated BPE-token stream is cut into fixed ``window``-
+    token training sequences.  start_tok = this doc's offset in the
+    stream (exact global prefix sum); first_win/last_win = the window
+    indices its tokens land in (floor-div — docs SPAN boundaries by
+    design, nothing is padded or dropped); n_wins = how many training
+    sequences contain a piece of this doc.  Zero-token docs occupy no
+    window: (first_win, last_win, n_wins) = (-1, -1, 0).
+
+    bpe_est restates the textstats.token_counts BPE formula verbatim
+    (pinned — same as budget_pack).  Everything is exact integer
+    arithmetic; window = 256 pinned in the gate.
+
+    Scale shape: the same distributed prefix sum as budget_pack but
+    GLOBAL — range-partition on the exact order key (pack_key, id),
+    per-partition subtotals (num_partitions driver rows), broadcast
+    offsets back, cumsum inside each partition.  No global window, no
+    single-task domain.  Window membership is then map-side floor
+    arithmetic.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    bpe = F.aggregate(
+        "toks",
+        F.lit(0),
+        lambda a, x: a + F.ceil(F.length(x) / F.lit(4)).cast("int"),
+    )
+    keyed = toks.select(
+        "id",
+        bpe.cast("long").alias("bpe_est"),
+        hash60_col(
+            F.concat(F.lit(f"{salt}-"), F.col("id").cast("string"))
+        ).alias("pack_key"),
+    )
+    ordered = (
+        keyed.repartitionByRange(num_partitions, "pack_key", "id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()  # two jobs consume this exact partitioning
+    )
+    try:
+        subtotals = ordered.groupBy("pid").agg(
+            F.sum("bpe_est").alias("s")
+        ).collect()
+        acc, off_rows = 0, []
+        for pid, s in sorted((int(r["pid"]), int(r["s"])) for r in subtotals):
+            off_rows.append((pid, acc))
+            acc += s
+        offsets = docs.sparkSession.createDataFrame(
+            off_rows, "pid int, off long"
+        )
+        w = (
+            Window.partitionBy("pid")
+            .orderBy("pack_key", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.col("off") + F.sum("bpe_est").over(w)
+        start = (cum - F.col("bpe_est")).cast("long")
+        wint = int(window)
+        out = (
+            ordered.join(F.broadcast(offsets), "pid")
+            .withColumn("start_tok", start)
+            .withColumn(
+                "first_win",
+                F.when(
+                    F.col("bpe_est") > 0,
+                    F.expr(f"start_tok div {wint}"),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            )
+            .withColumn(
+                "last_win",
+                F.when(
+                    F.col("bpe_est") > 0,
+                    F.expr(f"(start_tok + bpe_est - 1) div {wint}"),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            )
+            .select(
+                "id",
+                "pack_key",
+                "bpe_est",
+                "start_tok",
+                "first_win",
+                "last_win",
+                F.when(
+                    F.col("bpe_est") > 0,
+                    F.col("last_win") - F.col("first_win") + 1,
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("n_wins"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        ordered.unpersist()
+    return out

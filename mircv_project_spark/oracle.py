@@ -1631,6 +1631,40 @@ FROM x GROUP BY 1, 2
 """
 
 
+# concat-and-chunk sequence packing: pack_key = hash60('pack-'||id)
+# (salt pinned to curation.PACK_SALT), global prefix sum over
+# (pack_key, id), window = curation.PACK_WINDOW; bpe formula restated
+# verbatim from textstats/budget_pack; zero-token docs -> (-1, -1, 0)
+def _pack_sequences_sql(window: int, salt: str) -> str:
+    return f"""WITH {_DOC_TOKENS},
+st AS (
+    SELECT doc_id AS id,
+           CAST(coalesce(list_sum(list_transform(tokens,
+               x -> CAST(ceil(length(x) / 4) AS INTEGER))), 0) AS BIGINT)
+               AS bpe_est,
+           CAST(('0x' || substr(md5('{salt}-' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                AS BIGINT) AS pack_key
+    FROM doctoks
+),
+c AS (
+    SELECT id, pack_key, bpe_est,
+           CAST(sum(bpe_est) OVER (ORDER BY pack_key, id
+               ROWS UNBOUNDED PRECEDING) - bpe_est AS BIGINT) AS start_tok
+    FROM st
+)
+SELECT CAST(id AS BIGINT) AS id, pack_key, bpe_est, start_tok,
+       CAST(CASE WHEN bpe_est > 0 THEN start_tok // {window}
+                 ELSE -1 END AS BIGINT) AS first_win,
+       CAST(CASE WHEN bpe_est > 0 THEN (start_tok + bpe_est - 1) // {window}
+                 ELSE -1 END AS BIGINT) AS last_win,
+       CAST(CASE WHEN bpe_est > 0
+                 THEN (start_tok + bpe_est - 1) // {window}
+                      - start_tok // {window} + 1
+                 ELSE 0 END AS BIGINT) AS n_wins
+FROM c
+"""
+
+
 # deterministic shuffled shard export: key = hash60('shard-'||id),
 # shard = key mod 16, pos = rank within shard on (key, id) — salt and
 # shard count pinned to curation.SHARD_SALT / SHARD_COUNT
@@ -1857,6 +1891,8 @@ def pipeline_oracles() -> dict[str, str]:
         # deterministic shuffled shard export + train/val/test split
         "export_shards": _EXPORT_SHARDS_SQL,
         "train_split": _TRAIN_SPLIT_SQL,
+        # concat-and-chunk packing (window/salt pinned to curation)
+        "pack_sequences": _pack_sequences_sql(256, "pack"),
         # best-window snippet extraction over the documents table
         "snippets": _snippets_sql(QUERY_SET, 10),
         # per-user daily resample + forward-fill gap-fill

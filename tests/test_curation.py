@@ -358,3 +358,49 @@ def test_train_split_partitions_and_determinism(spark):
     }
     split_keys = {r["id"]: r["split_key"] for r in out}
     assert any(mix[i] != split_keys[i] for i in mix)
+
+
+def test_pack_sequences_hand_case(spark):
+    """pack_sequences at window=4 vs an independent hashlib model:
+    md5-keyed order, exact prefix sum, floor-div window membership,
+    zero-token sentinel."""
+    import hashlib
+    import math
+
+    from mircv_project_spark.operators.curation import pack_sequences
+
+    rows = [
+        (0, "alpha beta"),          # bpe 2+1 = 3
+        (1, "gamma delta epsilon"), # bpe 2+2+2 = 6
+        (2, "x"),                   # bpe 1
+        (3, ""),                    # bpe 0 -> (-1, -1, 0)
+        (4, "abcdefgh ij"),         # bpe 2+1 = 3
+    ]
+    W = 4
+
+    def key(i):
+        return int(hashlib.md5(f"pack-{i}".encode()).hexdigest()[:15], 16)
+
+    def bpe(text):
+        return sum(math.ceil(len(t) / 4) for t in text.split() if t)
+
+    order = sorted((r[0] for r in rows), key=lambda i: (key(i), i))
+    want, cum = {}, 0
+    for i in order:
+        b = bpe(dict(rows)[i])
+        if b > 0:
+            want[i] = (key(i), b, cum, cum // W, (cum + b - 1) // W,
+                       (cum + b - 1) // W - cum // W + 1)
+        else:
+            want[i] = (key(i), b, cum, -1, -1, 0)
+        cum += b
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.pack_key, r.bpe_est, r.start_tok, r.first_win,
+               r.last_win, r.n_wins)
+        for r in pack_sequences(df, window=W).collect()
+    }
+    assert got == want
+    # something actually spans a boundary (the operator's design point)
+    assert any(g[5] > 1 for g in got.values())
