@@ -464,6 +464,15 @@ def _q_mmr_topk(spark, sf_dir):
     return mmr_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _q_phrase_topk(spark, sf_dir):
+    """Exact phrase queries without a positional index: n-gram
+    equality over the token stream, overlap-counting, rank =
+    (n_hits desc, id asc) top-10 per phrase."""
+    from mircv_project_spark.operators.phrase import phrase_topk
+
+    return phrase_topk(_docs(spark, sf_dir))
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact duplicated-substring span coverage per document — the
     fixed-width (n=4) distributed form of Lee et al. 2021's substring
@@ -1129,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         # MMR diversified top-k — full-oracle (unrolled greedy chain)
         "mmr_topk": _q_mmr_topk,
+        # exact phrase queries (no positional index needed)
+        "phrase_topk": _q_phrase_topk,
         # exact duplicated-span coverage (substring dedup)
         "dup_spans": _q_dup_spans,
         # distributed k-means + SemDeDup semantic dedup

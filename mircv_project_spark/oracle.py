@@ -42,6 +42,19 @@ QUERY_SET: list[tuple[str, str]] = [
     ("q10", "window group agg sort merge filter"),
 ]
 
+# exact-phrase gate queries (operators/phrase.py; strings already in
+# normalized token form — mixed 2- and 3-token lengths, incl. a
+# zero-match phrase at some SFs)
+PHRASE_K = 10
+PHRASE_SET: list[tuple[str, str]] = [
+    ("p01", "table scan"),
+    ("p02", "fast query"),
+    ("p03", "spark join"),
+    ("p04", "value table part"),
+    ("p05", "the row"),
+    ("p06", "sort merge batch"),
+]
+
 CONJ_QUERY_SET: list[tuple[str, str]] = [
     ("c01", "spark join"),
     ("c02", "hash join merge"),
@@ -728,6 +741,46 @@ FROM ({union})
 """
     )
     return "".join(parts)
+
+
+def _phrase_topk_sql(phrases: list[tuple[str, str]], k: int) -> str:
+    """operators/phrase.phrase_topk: exact (overlap-counting) phrase
+    occurrence counts via n-gram equality, one branch per distinct
+    phrase length; rank = (n_hits desc, id asc), top k.  The phrase
+    list is pinned to phrase.PHRASE_SET (strings already normalized)."""
+    by_n: dict[int, list[tuple[str, str]]] = {}
+    for qid, p in phrases:
+        toks = p.split(" ")
+        by_n.setdefault(len(toks), []).append((qid, p))
+    ctes, branches = [], []
+    for n, plist in sorted(by_n.items()):
+        ctes.append(
+            f"""g{n} AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(
+               range(0, greatest(len(tokens) - {n - 1}, 0)),
+               i -> list_aggregate(tokens[i+1:i+{n}], 'string_agg', ' ')
+           )) AS gram
+    FROM doctoks
+)"""
+        )
+        branches.append(
+            f"""SELECT p.qid, g.id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM g{n} g JOIN {_values(plist)} p(qid, gram) ON g.gram = p.gram
+    GROUP BY 1, 2"""
+        )
+    union = "\n    UNION ALL\n    ".join(branches)
+    return f"""WITH {_DOC_TOKENS},
+{', '.join(ctes)},
+m AS (
+    {union}
+)
+SELECT qid, CAST(id AS BIGINT) AS id, n_hits,
+       CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY n_hits DESC, id ASC) AS BIGINT) AS rank
+FROM m
+QUALIFY rank <= {k}
+"""
 
 
 def _dup_spans_sql(n: int) -> str:
@@ -1822,6 +1875,8 @@ def pipeline_oracles() -> dict[str, str]:
         # exact duplicated-substring span coverage (fixed-width form of
         # Lee et al. 2021); n pinned to dedup.DUPSPAN_N
         "dup_spans": _dup_spans_sql(4),
+        # exact phrase queries over the n-gram stream
+        "phrase_topk": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
         "kmeans_clusters": _kmeans_sql(10, 3, 1_000_000),
         "semdedup": _semdedup_sql(10, 3, 1_000_000, 0.35),
         "embedding_near_dup": _EMBED_NEAR_DUP_SQL,

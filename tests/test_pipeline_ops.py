@@ -446,3 +446,37 @@ def test_dup_span_stats_hand_case(spark):
         3: (5, 2, 4, 0.8),
         4: (1, 0, 0, 0.0),
     }
+
+
+def test_phrase_topk_overlaps_ties_and_k(spark):
+    """phrase.phrase_topk: overlap counting, (n_hits desc, id asc)
+    ranking, k cutoff, mixed phrase lengths in one call."""
+    from mircv_project_spark.operators.phrase import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x y x y z"),      # "x y" x2 (overlapping stream), "x y z" x1
+            (1, "x y q"),          # "x y" x1
+            (2, "x x x"),          # "x x" x2 (overlap!)
+            (3, "x y x y x y"),    # "x y" x3
+        ],
+        "doc_id long, text string",
+    )
+    phrases = [("a2", "x y"), ("a3", "x y z"), ("a22", "x x")]
+    got = {
+        (r.qid, r.id): (r.n_hits, r.rank)
+        for r in phrase_topk(docs, phrases, k=10).collect()
+    }
+    assert got == {
+        ("a2", 3): (3, 1),
+        ("a2", 0): (2, 2),
+        ("a2", 1): (1, 3),
+        ("a3", 0): (1, 1),
+        ("a22", 2): (2, 1),
+    }
+    # k cutoff drops the tail per qid
+    got2 = {
+        (r.qid, r.id)
+        for r in phrase_topk(docs, phrases, k=2).collect()
+    }
+    assert got2 == {("a2", 3), ("a2", 0), ("a3", 0), ("a22", 2)}
