@@ -464,6 +464,40 @@ def _q_mmr_topk(spark, sf_dir):
     return mmr_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over lineitem: per (returnflag, linestatus)
+    pricing summary; integer cents/micro sums, averages derived."""
+    from mircv_project_spark.operators.relational import pricing_summary
+
+    return pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+def _q_tpch_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped-revenue BUILDING-segment
+    orders; two equi-joins, exact micro-unit revenue."""
+    from mircv_project_spark.operators.relational import top_orders
+
+    return top_orders(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: per-priority count of orders with a line
+    shipped strictly after the order date (left-semi existence)."""
+    from mircv_project_spark.operators.relational import order_priority_counts
+
+    return order_priority_counts(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_phrase_topk(spark, sf_dir):
     """Exact phrase queries without a positional index: n-gram
     equality over the token stream, overlap-counting, rank =
@@ -1140,6 +1174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": _q_mmr_topk,
         # exact phrase queries (no positional index needed)
         "phrase_topk": _q_phrase_topk,
+        # relational OLAP suite (TPC-H Q1/Q3/Q4 shapes)
+        "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "tpch_top_orders": _q_tpch_top_orders,
+        "tpch_order_priority": _q_tpch_order_priority,
         # exact duplicated-span coverage (substring dedup)
         "dup_spans": _q_dup_spans,
         # distributed k-means + SemDeDup semantic dedup

@@ -1,0 +1,169 @@
+"""Relational OLAP queries over the TPC-H-shaped tables — the classic
+warehouse surface of the analytics engine (scan → filter → join →
+group-aggregate), expressed as plain Catalyst plans.
+
+The reference engine is IR-only; these exercise the half of "analytics
+engine" its users get for free by being on Spark: whole-stage-codegen
+aggregation, equi-joins with AQE, predicate pushdown to parquet.
+
+Exactness contract: money/quantity aggregates are FLOAT SUMS in the
+textbook formulations — shuffle-order-dependent at round 6 — so every
+per-row measure is quantized to an exact integer FIRST (cents for raw
+columns, micro-units for derived expressions; the per-row double
+expression is identical on both engines, and integer sums are
+order-independent).  Averages are then derived from the exact integer
+sums, one double division each, round 6.  Multiplication order is
+pinned: (price * (1 - disc)) then * (1 + tax) — restated verbatim in
+the oracle.
+
+Pinned gate params: ship cutoff 1998-09-02, Q3 segment 'BUILDING' and
+order/ship cutoff 1998-01-01, top-k = 10 with (revenue desc, orderkey
+asc) ties.  Date columns are TIMESTAMP_NTZ, so scan filters compare
+the column against an NTZ literal directly — tz-independent by type
+AND parquet-pushable (an `unix_micros(cast(...))` wrapper would block
+pushdown; the *_US constants are the same instants as naive epochs,
+which is what the DuckDB oracle's epoch_us comparisons use).
+Projected epoch columns still use the events-suite unix_micros
+convention.
+
+Scale shape (100 TB): Q1 is scan+filter+partial-agg into ~4 groups
+(the NTZ filter and the 7-column projection push down to parquet —
+plan-tested).  Q3 is
+two equi-joins on their natural keys — no broadcast hints: customer
+and orders are NOT driver-small at scale; AQE picks broadcast when a
+side is (and handles skew).  Q4 is a left-semi join (existence only —
+never materializes matching lineitem multiplicity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHIP_CUTOFF = "1998-09-02 00:00:00"  # naive epoch 904694400000000 us
+Q3_CUTOFF = "1998-01-01 00:00:00"  # naive epoch 883612800000000 us
+Q3_SEGMENT = "BUILDING"
+Q3_K = 10
+
+
+def _us(col: str):
+    """tz-free epoch micros (same convention as operators/events.py:
+    Spark unix_micros on the naive value == DuckDB epoch_us)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def _ntz(s: str):
+    """Foldable TIMESTAMP_NTZ literal — comparisons against an NTZ
+    column are tz-independent and reach the parquet scan as
+    PushedFilters."""
+    return F.to_timestamp_ntz(F.lit(s))
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * F.lit(100.0)).cast("long")
+
+
+def _micro(expr):
+    return F.round(expr * F.lit(1_000_000.0)).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary of
+    lines shipped on or before the cutoff.  Integer sums (cents /
+    micro-units), averages derived from them (round 6)."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    base = (
+        lineitem.where(F.col("l_shipdate") <= _ntz(SHIP_CUTOFF))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _cents("l_quantity").alias("qty_c"),
+            _cents("l_extendedprice").alias("price_c"),
+            _micro(F.col("l_discount")).alias("disc_u"),
+            _micro(disc_price).alias("disc_price_u"),
+            _micro(charge).alias("charge_u"),
+        )
+    )
+    agg = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        F.sum("qty_c").alias("sum_qty_c"),
+        F.sum("price_c").alias("sum_base_c"),
+        F.sum("disc_price_u").alias("sum_disc_price_u"),
+        F.sum("charge_u").alias("sum_charge_u"),
+        F.sum("disc_u").alias("sum_disc_u"),
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("count_order").cast("long").alias("count_order"),
+        F.col("sum_qty_c").cast("long").alias("sum_qty_c"),
+        F.col("sum_base_c").cast("long").alias("sum_base_c"),
+        F.col("sum_disc_price_u").cast("long").alias("sum_disc_price_u"),
+        F.col("sum_charge_u").cast("long").alias("sum_charge_u"),
+        F.round(F.col("sum_qty_c") / (n * F.lit(100.0)), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_c") / (n * F.lit(100.0)), 6).alias("avg_price"),
+        F.round(F.col("sum_disc_u") / (n * F.lit(1_000_000.0)), 6).alias(
+            "avg_disc"
+        ),
+    )
+
+
+def top_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = Q3_SEGMENT,
+    k: int = Q3_K,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k unshipped-revenue orders for one market
+    segment — orders placed before the cutoff with lines shipped after
+    it; revenue = exact micro-unit sum of price*(1-disc)."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < _ntz(Q3_CUTOFF)).select(
+        "o_orderkey",
+        "o_custkey",
+        _us("o_orderdate").alias("orderdate_us"),
+        "o_orderpriority",
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    lines = lineitem.where(F.col("l_shipdate") > _ntz(Q3_CUTOFF)).select(
+        "l_orderkey", _micro(disc_price).alias("rev_u")
+    )
+    joined = (
+        lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "orderdate_us", "o_orderpriority")
+        .agg(F.sum("rev_u").alias("revenue_u"))
+    )
+    return (
+        joined.orderBy(F.col("revenue_u").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("revenue_u").cast("long").alias("revenue_u"),
+            F.col("orderdate_us").cast("long").alias("orderdate_us"),
+            "o_orderpriority",
+        )
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders having at least one
+    line shipped strictly after the order date (existence via left-semi
+    join — multiplicity never materializes)."""
+    o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    l = lineitem.select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .select("o_orderpriority", F.col("order_count").cast("long").alias("order_count"))
+    )

@@ -743,6 +743,72 @@ FROM ({union})
     return "".join(parts)
 
 
+# Relational OLAP suite (operators/relational.py): per-row measures
+# quantized to exact integers BEFORE the sums (float sums are shuffle-
+# order-dependent at round 6); multiplication order pinned —
+# (price * (1 - disc)) then * (1 + tax); cutoffs/segment/k pinned to
+# the module constants; averages derived from the integer sums.
+_TPCH_Q1_SQL = """WITH base AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity * 100.0) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 1000000.0) AS BIGINT) AS disc_u,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0)
+                AS BIGINT) AS disc_price_u,
+           CAST(round(((l_extendedprice * (1.0 - l_discount))
+                       * (1.0 + l_tax)) * 1000000.0) AS BIGINT) AS charge_u
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) <= 904694400000000
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+       CAST(sum(disc_price_u) AS BIGINT) AS sum_disc_price_u,
+       CAST(sum(charge_u) AS BIGINT) AS sum_charge_u,
+       round(sum(qty_c) / (count(*) * 100.0), 6) AS avg_qty,
+       round(sum(price_c) / (count(*) * 100.0), 6) AS avg_price,
+       round(sum(disc_u) / (count(*) * 1000000.0), 6) AS avg_disc
+FROM base
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_TPCH_Q3_SQL = """WITH lines AS (
+    SELECT l_orderkey,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0)
+                AS BIGINT) AS rev_u
+    FROM lineitem WHERE epoch_us(l_shipdate) > 883612800000000
+),
+ords AS (
+    SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS orderdate_us,
+           o_orderpriority
+    FROM orders WHERE epoch_us(o_orderdate) < 883612800000000
+),
+cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+j AS (
+    SELECT o.o_orderkey, o.orderdate_us, o.o_orderpriority,
+           CAST(sum(l.rev_u) AS BIGINT) AS revenue_u
+    FROM lines l
+    JOIN ords o ON l.l_orderkey = o.o_orderkey
+    JOIN cust c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, revenue_u,
+       CAST(orderdate_us AS BIGINT) AS orderdate_us, o_orderpriority
+FROM j ORDER BY revenue_u DESC, o_orderkey ASC LIMIT 10
+"""
+
+_TPCH_Q4_SQL = """SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate))
+GROUP BY 1
+"""
+
+
 def _phrase_topk_sql(phrases: list[tuple[str, str]], k: int) -> str:
     """operators/phrase.phrase_topk: exact (overlap-counting) phrase
     occurrence counts via n-gram equality, one branch per distinct
@@ -1877,6 +1943,10 @@ def pipeline_oracles() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(4),
         # exact phrase queries over the n-gram stream
         "phrase_topk": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
+        # relational OLAP suite over the TPC-H-shaped tables
+        "tpch_pricing_summary": _TPCH_Q1_SQL,
+        "tpch_top_orders": _TPCH_Q3_SQL,
+        "tpch_order_priority": _TPCH_Q4_SQL,
         "kmeans_clusters": _kmeans_sql(10, 3, 1_000_000),
         "semdedup": _semdedup_sql(10, 3, 1_000_000, 0.35),
         "embedding_near_dup": _EMBED_NEAR_DUP_SQL,

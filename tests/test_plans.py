@@ -153,3 +153,31 @@ def test_python_xxhash64_matches_spark(spark):
     for r in df.collect():
         assert xxhash64(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
         assert term_bucket(r["s"], 128) == r["b"], repr(r["s"])
+
+
+def test_tpch_q1_filter_and_projection_reach_the_scan(spark):
+    """relational.pricing_summary: the NTZ cutoff must appear in
+    PushedFilters (an epoch-wrapper would block it) and the scan must
+    read only the 7 needed columns."""
+    from mircv_project_spark.operators.relational import pricing_summary
+
+    df = pricing_summary(
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    )
+    plan = checks.plan_text(df)
+    assert "LessThanOrEqual(l_shipdate" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_tpch_q4_is_left_semi(spark):
+    from mircv_project_spark.operators.relational import order_priority_counts
+
+    df = order_priority_counts(
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+    )
+    plan = checks.plan_text(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
