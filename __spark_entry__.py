@@ -498,6 +498,19 @@ def _q_tpch_order_priority(spark, sf_dir):
     )
 
 
+def _q_tpch_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: per-nation 1996 revenue in ASIA where customer
+    and supplier share the nation; region/nation/supplier explicitly
+    broadcast, big joins key-partitioned."""
+    from mircv_project_spark.operators.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        *[_tbl(spark, sf_dir, t) for t in (
+            "customer", "orders", "lineitem", "supplier", "nation", "region"
+        )]
+    )
+
+
 def _q_phrase_topk(spark, sf_dir):
     """Exact phrase queries without a positional index: n-gram
     equality over the token stream, overlap-counting, rank =
@@ -1178,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_top_orders": _q_tpch_top_orders,
         "tpch_order_priority": _q_tpch_order_priority,
+        "tpch_local_supplier_volume": _q_tpch_local_supplier_volume,
         # exact duplicated-span coverage (substring dedup)
         "dup_spans": _q_dup_spans,
         # distributed k-means + SemDeDup semantic dedup

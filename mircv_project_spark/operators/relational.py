@@ -167,3 +167,67 @@ def order_priority_counts(
         .agg(F.count("*").alias("order_count"))
         .select("o_orderpriority", F.col("order_count").cast("long").alias("order_count"))
     )
+
+
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01 00:00:00"  # naive epoch 820454400000000 us
+Q5_HI = "1997-01-01 00:00:00"  # naive epoch 852076800000000 us
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = Q5_REGION,
+) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue from orders placed in
+    [Q5_LO, Q5_HI) where customer and supplier share the nation,
+    restricted to one region.  -> (n_name, revenue_u), exact micro-unit
+    sums.
+
+    Scale shape: region (5 rows) and nation (25) are the textbook
+    explicitly-broadcast dims — they prune customer BEFORE the big
+    joins; supplier is broadcast too (supplier << lineitem in TPC-H's
+    own scaling).  The two big joins (orders⋈customer, lineitem⋈orders)
+    stay key-partitioned equi-joins; the s_nationkey = c_nationkey
+    equality rides the lineitem⋈supplier join as a residual so no
+    row-pair blowup.  Order-date filter is an NTZ literal — pushed to
+    the orders scan."""
+    nat = (
+        nation.join(
+            F.broadcast(
+                region.where(F.col("r_name") == region_name).select(
+                    "r_regionkey"
+                )
+            ),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ntz(Q5_LO))
+        & (F.col("o_orderdate") < _ntz(Q5_HI))
+    ).select("o_orderkey", "o_custkey")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    lines = lineitem.select(
+        "l_orderkey", "l_suppkey", _micro(disc_price).alias("rev_u")
+    )
+    sup = supplier.select("s_suppkey", "s_nationkey")
+    return (
+        lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (lines.l_suppkey == sup.s_suppkey)
+            & (sup.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev_u").alias("revenue_u"))
+        .select("n_name", F.col("revenue_u").cast("long").alias("revenue_u"))
+    )

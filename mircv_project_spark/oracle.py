@@ -798,6 +798,21 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, revenue_u,
 FROM j ORDER BY revenue_u DESC, o_orderkey ASC LIMIT 10
 """
 
+_TPCH_Q5_SQL = """SELECT n_name,
+       CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+                           * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_u
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch_us(o_orderdate) >= 820454400000000
+  AND epoch_us(o_orderdate) < 852076800000000
+GROUP BY n_name
+"""
+
 _TPCH_Q4_SQL = """SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
@@ -1947,6 +1962,7 @@ def pipeline_oracles() -> dict[str, str]:
         "tpch_pricing_summary": _TPCH_Q1_SQL,
         "tpch_top_orders": _TPCH_Q3_SQL,
         "tpch_order_priority": _TPCH_Q4_SQL,
+        "tpch_local_supplier_volume": _TPCH_Q5_SQL,
         "kmeans_clusters": _kmeans_sql(10, 3, 1_000_000),
         "semdedup": _semdedup_sql(10, 3, 1_000_000, 0.35),
         "embedding_near_dup": _EMBED_NEAR_DUP_SQL,

@@ -181,3 +181,18 @@ def test_tpch_q4_is_left_semi(spark):
     plan = checks.plan_text(df)
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_date_filter(spark):
+    """relational.local_supplier_volume: region/nation/supplier ride
+    BroadcastHashJoins; the order-date range reaches the orders scan."""
+    from mircv_project_spark.operators.relational import local_supplier_volume
+
+    dfs = [
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    ]
+    plan = checks.plan_text(local_supplier_volume(*dfs))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
