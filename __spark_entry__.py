@@ -1054,6 +1054,36 @@ def _q_streaming_funnel(spark, sf_dir):
     )
 
 
+def _q_streaming_range_join(spark, sf_dir):
+    """Stream-stream interval join (purchase x click within the prior
+    hour) under the SAME oracle as the batch event_range_join: events
+    arrive as two time-ordered micro-batches; inner joins emit on
+    arrival (no sentinels), right-side state crosses the epoch boundary
+    and is evicted by the horizon-wide watermarks."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.streaming.range_join import (
+        run_streaming_range_join,
+    )
+
+    base = _tmpdir("mircv_srange_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    split = "2024-01-15 00:00:00"
+    ev.where(F.col("ts") < split).select(cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_range_join(spark, inp, out, ckpt).awaitTermination(300)
+    ev.where(F.col("ts") >= split).select(cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_range_join(spark, inp, out, ckpt).awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "us", "right_eid", "right_us", "lag_us"
+    )
+
+
 def _q_turns_per_window(spark, sf_dir):
     """Watermarked tumbling-window aggregation (streaming/incremental.py
     turns_per_window) under the oracle gate: the transcript stream
@@ -1136,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming ordered funnel: shares the BATCH funnel's SQL
         # oracle (streaming == batch under time-ordered epochs)
         "streaming_funnel": _q_streaming_funnel,
+        "streaming_range_join": _q_streaming_range_join,
         # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
         # docstring); driver records rows-only check, pytest covers parity.
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),

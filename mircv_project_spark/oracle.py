@@ -2027,6 +2027,9 @@ def pipeline_oracles() -> dict[str, str]:
         "event_props_rollup": _EVENT_PROPS_ROLLUP_SQL,
         # bucketized interval join, OLAP rollup, sliding windows
         "event_range_join": _EVENT_RANGE_JOIN_SQL,
+        # stream-stream interval join: SAME rows as the batch op —
+        # inner joins emit on arrival, watermarks only bound state
+        "streaming_range_join": _EVENT_RANGE_JOIN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,
         # deterministic shuffled shard export + train/val/test split

@@ -540,3 +540,51 @@ def test_streaming_funnel_matches_batch_operator(spark, tmp_path):
     }
     batch_rows = {tuple(r) for r in event_funnel(ev).collect()}
     assert stream_rows == batch_rows
+
+
+def test_streaming_range_join_pairs_cross_batches(spark, tmp_path):
+    """Stream-stream interval join: a click in batch 1 must pair with a
+    purchase arriving in batch 2 (right state crosses the epoch
+    boundary), in-batch pairs emit immediately, out-of-horizon and
+    wrong-order pairs never emit, and nothing emits twice."""
+    import pyspark.sql.functions as F
+
+    from mircv_project_spark.streaming.range_join import (
+        run_streaming_range_join,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    from datetime import datetime, timezone
+
+    base = 1704067200
+
+    def t(sec):
+        return datetime.fromtimestamp(base + sec, tz=timezone.utc)
+
+    b1 = [
+        (0, t(0), 1, "click", 1.0, "{}"),
+        (1, t(10), 1, "purchase", 1.0, "{}"),   # pairs with 0 in-batch
+        (2, t(20), 2, "click", 1.0, "{}"),
+        (3, t(30), 3, "purchase", 1.0, "{}"),   # no click for user 3
+    ]
+    b2 = [
+        (4, t(3000), 2, "purchase", 1.0, "{}"),  # pairs with 2 cross-batch
+        (5, t(9000), 1, "purchase", 1.0, "{}"),  # click 0 out of horizon
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(inp)
+    run_streaming_range_join(spark, inp, out, ckpt).awaitTermination(300)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_range_join(spark, inp, out, ckpt).awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.event_id, r.right_eid): r for r in rows}
+    assert len(rows) == len(got) == 2  # exactly-once, no dup emission
+    us = 1_000_000
+    assert got[(1, 0)].lag_us == 10 * us
+    assert got[(4, 2)].lag_us == 2980 * us
+    assert got[(4, 2)].user_id == 2
