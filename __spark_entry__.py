@@ -344,6 +344,15 @@ def _q_train_split(spark, sf_dir):
     return train_split(_docs(spark, sf_dir))
 
 
+def _q_adaptive_quality(spark, sf_dir):
+    """Per-domain adaptive quality threshold: keep iff quality clears
+    the domain's own interpolated median (round 6) — domain-relative
+    calibration instead of an absolute floor."""
+    from mircv_project_spark.operators.curation import adaptive_quality_filter
+
+    return adaptive_quality_filter(_docs(spark, sf_dir))
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing: deterministic shuffled order
     (md5 key, salt 'pack'), exact global BPE prefix sum, 256-token
@@ -1211,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": _q_export_shards,
         "train_split": _q_train_split,
         "pack_sequences": _q_pack_sequences,
+        "adaptive_quality": _q_adaptive_quality,
         # snippet extraction — full-oracle
         "snippets": _q_snippets,
         "cosine_topk": _q_cosine_topk,

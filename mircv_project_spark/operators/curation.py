@@ -582,3 +582,51 @@ def pack_sequences(
     finally:
         ordered.unpersist()
     return out
+
+
+QCAL_PCT = 0.5
+
+
+def adaptive_quality_filter(
+    docs: DataFrame,
+    pct: float = QCAL_PCT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """-> (id, domain, quality, domain_p50, keep): domain-RELATIVE
+    quality calibration — keep a doc iff its quality clears its own
+    domain's interpolated median (keep = quality >= round(p50, 6),
+    boundary kept).  An absolute threshold over-prunes domains whose
+    register is naturally informal (code, forums) and under-prunes
+    formal ones; calibrating per domain is the standard fix.
+
+    quality is textstats.quality_score's pinned formula (shared call,
+    not a restatement); both engines linear-interpolate the median and
+    round 6 (Spark percentile <-> DuckDB quantile_cont — the
+    event_props_rollup precedent).
+
+    Scale shape: one tokenizer pass (inside quality_score), one
+    per-domain agg — exact percentile is the one O(group)-memory piece,
+    same caveat as events.event_props_rollup (swap approx_percentile at
+    real scale); thresholds are #domains rows, broadcast back."""
+    from .textstats import quality_score
+
+    q = quality_score(docs, id_col, text_col).select("id", "quality")
+    dom = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(domain_col).alias("domain"),
+    )
+    dq = q.join(dom, "id")
+    thr = dq.groupBy("domain").agg(
+        F.round(F.percentile("quality", F.lit(float(pct))), 6).alias(
+            "domain_p50"
+        )
+    )
+    return dq.join(F.broadcast(thr), "domain").select(
+        "id",
+        "domain",
+        "quality",
+        "domain_p50",
+        (F.col("quality") >= F.col("domain_p50")).alias("keep"),
+    )

@@ -614,6 +614,45 @@ SELECT id, n AS n_tokens,
 FROM r
 """
 
+# per-domain adaptive quality calibration: keep iff quality >= the
+# domain's interpolated median rounded to 6 (Spark percentile <->
+# DuckDB quantile_cont, the event_props_rollup precedent); quality
+# restates textstats.quality_score verbatim
+_ADAPTIVE_QUALITY_SQL = f"""WITH {_DOC_TOKENS},
+m AS (
+    SELECT doc_id AS id,
+           CAST(len(tokens) AS BIGINT) AS n,
+           coalesce(list_sum(list_transform(tokens, t -> length(t))), 0) AS tok_chars,
+           coalesce(list_sum(list_transform(tokens,
+               t -> length(regexp_replace(t, '[^0-9]', '', 'g')))), 0) AS digit_chars,
+           len(list_filter(tokens, t -> t IN ({_QS_STOPS_SQL}))) AS stop_hits
+    FROM doctoks
+),
+r AS (
+    SELECT id, n,
+           CASE WHEN n > 0 THEN tok_chars / CAST(n AS DOUBLE) ELSE 0.0 END AS mean_len,
+           CASE WHEN tok_chars > 0 THEN digit_chars / CAST(tok_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END AS stop_ratio
+    FROM m
+),
+q AS (
+    SELECT r.id, d.source AS domain,
+           round(0.4 * least(CAST(n AS DOUBLE) / 20.0, 1.0)
+               + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (1.0 - digit_ratio)
+               + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+    FROM r JOIN documents d ON r.id = d.doc_id
+),
+thr AS (
+    SELECT domain,
+           round(CAST(quantile_cont(quality, 0.5) AS DOUBLE), 6) AS domain_p50
+    FROM q GROUP BY domain
+)
+SELECT CAST(q.id AS BIGINT) AS id, q.domain, q.quality, t.domain_p50,
+       (q.quality >= t.domain_p50) AS keep
+FROM q JOIN thr t USING (domain)
+"""
+
 _TOKEN_COUNTS_SQL = f"""WITH {_DOC_TOKENS},
 ws AS (
     SELECT doc_id AS id,
@@ -2035,6 +2074,8 @@ def pipeline_oracles() -> dict[str, str]:
         # deterministic shuffled shard export + train/val/test split
         "export_shards": _EXPORT_SHARDS_SQL,
         "train_split": _TRAIN_SPLIT_SQL,
+        # per-domain adaptive quality threshold (median calibration)
+        "adaptive_quality": _ADAPTIVE_QUALITY_SQL,
         # concat-and-chunk packing (window/salt pinned to curation)
         "pack_sequences": _pack_sequences_sql(256, "pack"),
         # best-window snippet extraction over the documents table

@@ -404,3 +404,35 @@ def test_pack_sequences_hand_case(spark):
     assert got == want
     # something actually spans a boundary (the operator's design point)
     assert any(g[5] > 1 for g in got.values())
+
+
+def test_adaptive_quality_filter_median_rule(spark):
+    """Per-domain median calibration: within each domain roughly half
+    keeps; the boundary doc (quality == p50) is KEPT; domains are
+    independent."""
+    from mircv_project_spark.operators.curation import adaptive_quality_filter
+
+    rows = []
+    # domain A: 3 docs of clearly increasing quality (longer = better
+    # up to saturation); domain B: 2 docs
+    rows.append((0, "word " * 1, "A"))
+    rows.append((1, "the quick brown fox jumps over the lazy dog again", "A"))
+    rows.append((2, "the and for with this that " * 5, "A"))
+    rows.append((3, "x", "B"))
+    rows.append((4, "the fast table scan is a good plan for the data", "B"))
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    got = {r.id: r for r in adaptive_quality_filter(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for dom in ("A", "B"):
+        members = [r for r in got.values() if r.domain == dom]
+        p50 = members[0].domain_p50
+        assert all(r.domain_p50 == p50 for r in members)
+        for r in members:
+            assert r.keep == (r.quality >= p50)
+    # 3-doc domain: interpolated median == middle value -> boundary kept
+    mid = sorted((got[i].quality for i in (0, 1, 2)))[1]
+    assert got[0].domain_p50 == round(mid, 6)
+    assert sum(got[i].keep for i in (0, 1, 2)) == 2
