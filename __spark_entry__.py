@@ -526,7 +526,9 @@ def _q_phrase_topk(spark, sf_dir):
     (n_hits desc, id asc) top-10 per phrase."""
     from mircv_project_spark.operators.phrase import phrase_topk
 
-    return phrase_topk(_docs(spark, sf_dir))
+    return phrase_topk(
+        _docs(spark, sf_dir), oracle.PHRASE_SET, k=oracle.PHRASE_K
+    )
 
 
 def _q_dup_spans(spark, sf_dir):

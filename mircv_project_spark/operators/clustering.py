@@ -58,9 +58,11 @@ SEM_TAU = 0.35
 def _quantized(
     embeddings: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """-> (id, qv array<bigint>): micro-quantized vectors.  float32 *
-    1e6 can never land exactly on .5 (the denominator carries 5^6), so
-    HALF_UP here and half-away in DuckDB agree on every input."""
+    """-> (id, qv array<bigint>): micro-quantized vectors.  Exact .5
+    ties CAN occur (any m/2^k float32 times 1e6, e.g. 0.0078125 ->
+    7812.5); parity holds because BOTH engines round ties away from
+    zero (Spark HALF_UP == DuckDB round()) — never swap either side to
+    banker's/HALF_EVEN rounding."""
     return embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.transform(

@@ -125,30 +125,35 @@ def bigram_lm_perplexity(
             .agg(F.count("*").alias("c"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        wts = _gram_weights(bgd, vocab, LM_ALPHA)
-        agg = (
-            bgd.join(wts, "gram")
-            .groupBy("id")
-            .agg(
-                F.sum("c").alias("n_bigrams"),
-                F.sum(F.col("c") * F.col("w_micro")).alias("logp_micro"),
+        try:
+            wts = _gram_weights(bgd, vocab, LM_ALPHA)
+            agg = (
+                bgd.join(wts, "gram")
+                .groupBy("id")
+                .agg(
+                    F.sum("c").alias("n_bigrams"),
+                    F.sum(F.col("c") * F.col("w_micro")).alias("logp_micro"),
+                )
             )
-        )
-        out = agg.select(
-            "id",
-            F.col("n_bigrams").cast("long").alias("n_bigrams"),
-            F.col("logp_micro").cast("long").alias("logp_micro"),
-            F.round(
-                F.pow(
-                    F.lit(10.0),
-                    -F.col("logp_micro").cast("double")
-                    / (F.col("n_bigrams").cast("double") * F.lit(float(LM_MICRO))),
-                ),
-                6,
-            ).alias("ppl"),
-        )
-        out = out.localCheckpoint()  # cut lineage before unpersisting
-        bgd.unpersist()
+            out = agg.select(
+                "id",
+                F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                F.col("logp_micro").cast("long").alias("logp_micro"),
+                F.round(
+                    F.pow(
+                        F.lit(10.0),
+                        -F.col("logp_micro").cast("double")
+                        / (
+                            F.col("n_bigrams").cast("double")
+                            * F.lit(float(LM_MICRO))
+                        ),
+                    ),
+                    6,
+                ).alias("ppl"),
+            )
+            out = out.localCheckpoint()  # cut lineage before unpersisting
+        finally:
+            bgd.unpersist()
     finally:
         tg.unpersist()
     return out
@@ -195,13 +200,13 @@ def lm_importance(
             .join(src, "id")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        w_bg = None
         try:
             # two consumers (the gram universe for the target LM and
             # the delta join) — cache or the weight aggs run twice
             w_bg = _gram_weights(
                 bgd_all.select("id", "gram", "c"), vocab, LM_ALPHA
             ).persist(StorageLevel.MEMORY_AND_DISK)
-
             # target LM over the SAME gram universe: left-join target
             # counts onto the background gram set, zeros where unseen
             bgc_t = (
@@ -254,8 +259,9 @@ def lm_importance(
                 F.col("n_bigrams").cast("long").alias("n_bigrams"),
                 F.col("imp_micro").cast("long").alias("imp_micro"),
             ).localCheckpoint()
-            w_bg.unpersist()
         finally:
+            if w_bg is not None:
+                w_bg.unpersist()
             bgd_all.unpersist()
     finally:
         tg.unpersist()

@@ -32,12 +32,16 @@ from pyspark.sql import functions as F
 
 from ..functions.textnorm import grams_col, tokens_col
 from ..functions.tokenizer import tokenize
-from ..oracle import PHRASE_K, PHRASE_SET  # pinned gate set lives there
+
+# the gate's pinned (qid, phrase) set and k live in oracle.PHRASE_SET /
+# PHRASE_K beside QUERY_SET/PROBE_IDS (oracle.py must stay import-free
+# of operator modules); callers pass them in
+PHRASE_K = 10
 
 
 def phrase_topk(
     docs: DataFrame,
-    phrases: list[tuple[str, str]] = PHRASE_SET,
+    phrases: list[tuple[str, str]],
     k: int = PHRASE_K,
     id_col: str = "doc_id",
     text_col: str = "text",

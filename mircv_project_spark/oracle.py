@@ -867,7 +867,8 @@ def _phrase_topk_sql(phrases: list[tuple[str, str]], k: int) -> str:
     """operators/phrase.phrase_topk: exact (overlap-counting) phrase
     occurrence counts via n-gram equality, one branch per distinct
     phrase length; rank = (n_hits desc, id asc), top k.  The phrase
-    list is pinned to phrase.PHRASE_SET (strings already normalized)."""
+    list is pinned HERE (oracle.PHRASE_SET, beside QUERY_SET/PROBE_IDS;
+    strings already normalized) and passed to both engines."""
     by_n: dict[int, list[tuple[str, str]]] = {}
     for qid, p in phrases:
         toks = p.split(" ")
@@ -1480,7 +1481,9 @@ _LM_IMPORTANCE_SQL = f"""{_LM_COMMON},
 tdocs AS (
     SELECT doc_id AS id
     FROM documents
-    WHERE CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 5 = 0
+    -- TRY_CAST: a source without trailing digits extracts '' and must
+    -- read as non-target (NULL), matching Spark's cast-to-NULL
+    WHERE TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 5 = 0
 ),
 bgc_t AS (
     SELECT gram, CAST(sum(c) AS BIGINT) AS c2t
@@ -1989,9 +1992,6 @@ def pipeline_oracles() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)
         "mmr_topk": _mmr_sql(PROBE_IDS, ANN_K, 20, 0.5),
-        # distributed k-means (all-integer Lloyd state, unrolled
-        # iterations) + SemDeDup within-cluster pruning — params pinned
-        # to operators/clustering.{KM_K,KM_ITERS,KM_MICRO,SEM_TAU}
         # exact duplicated-substring span coverage (fixed-width form of
         # Lee et al. 2021); n pinned to dedup.DUPSPAN_N
         "dup_spans": _dup_spans_sql(4),
@@ -2002,6 +2002,10 @@ def pipeline_oracles() -> dict[str, str]:
         "tpch_top_orders": _TPCH_Q3_SQL,
         "tpch_order_priority": _TPCH_Q4_SQL,
         "tpch_local_supplier_volume": _TPCH_Q5_SQL,
+        # distributed k-means (all-integer Lloyd state, unrolled
+        # iterations) + SemDeDup within-cluster pruning — literals
+        # pinned to operators/clustering.{KM_K,KM_ITERS,KM_MICRO,
+        # SEM_TAU}: change both sides or neither
         "kmeans_clusters": _kmeans_sql(10, 3, 1_000_000),
         "semdedup": _semdedup_sql(10, 3, 1_000_000, 0.35),
         "embedding_near_dup": _EMBED_NEAR_DUP_SQL,
