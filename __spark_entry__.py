@@ -286,6 +286,15 @@ def _q_lm_importance(spark, sf_dir):
     return lm_importance(_docs(spark, sf_dir))
 
 
+def _q_pmi_collocations(spark, sf_dir):
+    """Corpus-wide collocation mining: top-50 word bigrams by
+    micro-quantized PMI above a count floor of 5 (both pinned to the
+    oracle), ranked (pmi_micro desc, gram asc)."""
+    from mircv_project_spark.operators.lm import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1263,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bigram-LM quality filter + DSIR-style data selection
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "lm_importance": _q_lm_importance,
+        "pmi_collocations": _q_pmi_collocations,
     }
 
 

@@ -14,6 +14,11 @@ Two operators the big pretraining pipelines run that the IR reference
   LM and the background (whole-corpus) LM.  Data selection keeps the
   documents whose ratio is highest, i.e. those that look most like the
   target domain.
+- `pmi_collocations` — corpus-wide collocation mining: the top-k word
+  bigrams by pointwise mutual information (Church & Hanks 1990) above
+  a minimum count floor.  Pipelines use the result as a phrase
+  vocabulary (multi-word tokenizer entries) and as a corpus-drift
+  diagnostic.
 
 Exactness contract (the hash-gate trick shared with the codec gates):
 every per-bigram weight is quantized to integer MICRO-log10 units
@@ -49,6 +54,16 @@ from ..functions.textnorm import grams_col, tokens_col
 
 LM_ALPHA = 0.5
 LM_MICRO = 1_000_000  # integer log10 quantum: 1e-6
+
+# pmi_collocations gate pins (restated verbatim in the oracle — change
+# both sides or neither): count floor, top-k, and the EXACT double
+# expression whose single log10 feeds the micro quantizer:
+# ((c2 * U) * U) / ((N * cu1) * cu2) with every factor cast to double
+# BEFORE the multiplies (BIGINT products would overflow at corpus
+# scale) and the multiplication order pinned — IEEE double arithmetic
+# is deterministic, so both engines hand log10 the identical double.
+PMI_MIN_COUNT = 5
+PMI_K = 50
 
 # lm_importance's pinned target-domain definition on the driver corpus:
 # sources srcK with K % 5 == 0 (src0, src5, src10, src15 — 20% of the
@@ -263,6 +278,84 @@ def lm_importance(
             if w_bg is not None:
                 w_bg.unpersist()
             bgd_all.unpersist()
+    finally:
+        tg.unpersist()
+    return out
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_K,
+) -> DataFrame:
+    """-> (gram, c2, pmi_micro): the top-`k` word bigrams by pointwise
+    mutual information among those occurring at least `min_count`
+    times, ranked (pmi_micro desc, gram asc) — a deterministic total
+    order, so the k-cut is engine-independent.
+
+    PMI(w1 w2) = log10( P(w1 w2) / (P(w1) P(w2)) ) with P(w1 w2) =
+    c2/N over adjacent-position bigram occurrences and P(w) = cu/U over
+    token occurrences, evaluated as ONE log10 of the pinned double
+    ratio ((c2*U)*U) / ((N*cu1)*cu2) and quantized to integer micro
+    units (the module-wide hash-gate contract).
+
+    Scale shape (100 TB): one tokenizer pass (persisted — the unigram
+    and bigram branches both consume it); unigram/bigram counts are
+    map-side-combined groupBys; U and N are scalar aggregates collected
+    once; the two cu lookups are key equi-joins against the unigram
+    table (vocabulary too large to broadcast in general — AQE decides);
+    the k-cut is a TakeOrdered (per-partition top-k then merge), never
+    a global sort materialization.
+    """
+    tg = _doc_bigrams(docs, id_col, text_col)
+    try:
+        uni = (
+            tg.select(F.explode("toks").alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("cu"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            bgc = (
+                tg.select(F.explode("grams").alias("gram"))
+                .groupBy("gram")
+                .agg(F.count("*").alias("c2"))
+                .where(F.col("c2") >= min_count)
+            )
+            totals = (
+                uni.agg(F.sum("cu").alias("u_tot")).collect()[0],
+                tg.select(
+                    F.explode("grams").alias("gram")
+                ).count(),
+            )
+            u_tot = float(totals[0]["u_tot"])
+            n_tot = float(totals[1])
+            num = (F.col("c2").cast("double") * F.lit(u_tot)) * F.lit(u_tot)
+            den = (F.lit(n_tot) * F.col("cu1").cast("double")) * F.col(
+                "cu2"
+            ).cast("double")
+            scored = (
+                bgc.withColumn("w1", F.split("gram", " ").getItem(0))
+                .withColumn("w2", F.split("gram", " ").getItem(1))
+                .join(uni.select(F.col("t").alias("w1"), F.col("cu").alias("cu1")), "w1")
+                .join(uni.select(F.col("t").alias("w2"), F.col("cu").alias("cu2")), "w2")
+                .select(
+                    "gram",
+                    F.col("c2").cast("long").alias("c2"),
+                    F.round(F.log10(num / den) * F.lit(float(LM_MICRO)))
+                    .cast("long")
+                    .alias("pmi_micro"),
+                )
+            )
+            out = (
+                scored.orderBy(F.col("pmi_micro").desc(), F.col("gram").asc())
+                .limit(k)
+                .localCheckpoint()
+            )
+        finally:
+            uni.unpersist()
     finally:
         tg.unpersist()
     return out

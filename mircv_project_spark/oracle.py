@@ -1512,6 +1512,44 @@ JOIN w_bg USING (gram)
 GROUP BY id
 """
 
+# PMI collocations (lm.pmi_collocations).  Pins restated verbatim
+# (change both sides or neither): count floor 5, top-50 by
+# (pmi_micro desc, gram asc) — a deterministic total order so the
+# k-cut is engine-independent — and the EXACT double expression
+# ((c2*U)*U) / ((N*cu1)*cu2), every factor cast to double BEFORE the
+# multiplies with this parenthesization, feeding ONE log10 then the
+# micro quantizer.
+_PMI_COLLOCATIONS_SQL = f"""WITH {_DOC_TOKENS},
+toks AS (SELECT unnest(tokens) AS t FROM doctoks),
+uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1),
+gramocc AS (
+    SELECT unnest(list_transform(
+        range(0, greatest(len(tokens) - 1, 0)),
+        i -> tokens[i+1] || ' ' || tokens[i+2]
+    )) AS gram
+    FROM doctoks
+),
+bgc AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM gramocc GROUP BY 1
+),
+tot AS (
+    SELECT CAST((SELECT sum(cu) FROM uni) AS DOUBLE) AS u_tot,
+           CAST((SELECT count(*) FROM gramocc) AS DOUBLE) AS n_tot
+)
+SELECT bgc.gram AS gram, c2,
+       CAST(round(log10(((CAST(c2 AS DOUBLE) * u_tot) * u_tot)
+                        / ((n_tot * CAST(u1.cu AS DOUBLE))
+                           * CAST(u2.cu AS DOUBLE)))
+                  * 1e6) AS BIGINT) AS pmi_micro
+FROM bgc
+JOIN uni u1 ON split_part(bgc.gram, ' ', 1) = u1.t
+JOIN uni u2 ON split_part(bgc.gram, ' ', 2) = u2.t
+CROSS JOIN tot
+WHERE c2 >= 5
+ORDER BY pmi_micro DESC, gram ASC
+LIMIT 50
+"""
+
 
 # cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
 # (params pinned to curation.BOILER_NGRAM / BOILER_MIN_DOCS — change
@@ -2036,6 +2074,7 @@ def pipeline_oracles() -> dict[str, str]:
         # sums on both sides (order-independent across engines)
         "bigram_lm_ppl": _BIGRAM_LM_PPL_SQL,
         "lm_importance": _LM_IMPORTANCE_SQL,
+        "pmi_collocations": _PMI_COLLOCATIONS_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

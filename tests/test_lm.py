@@ -119,3 +119,50 @@ def test_lm_importance_matches_reference_model(spark):
     # text above background-style text, regardless of the doc's source
     avg = {d: got[d].imp_micro / got[d].n_bigrams for d in got}
     assert min(avg[d] for d in (0, 1, 4)) > max(avg[d] for d in (2, 3, 5))
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def test_pmi_collocations_matches_reference_model(spark):
+    # "new york" is a strong collocation (always adjacent); "the the"
+    # never occurs; "of the" is frequent but both words are everywhere,
+    # so its PMI is low.  min_count=2 excludes the one-off "big apple".
+    docs = {
+        0: "new york is the city of the lights of the north",
+        1: "i love new york and the food of the city",
+        2: "new york new york the big apple of the east",
+        3: "the city of the north loves the city of the south",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = L.pmi_collocations(df, min_count=2, k=5).collect()
+
+    # independent model with the pinned double parenthesization
+    toks = {d: _toks(t) for d, t in docs.items()}
+    cu = Counter(t for ts in toks.values() for t in ts)
+    u_tot = float(sum(cu.values()))
+    grams = Counter(
+        f"{ts[i]} {ts[i + 1]}"
+        for ts in toks.values()
+        for i in range(len(ts) - 1)
+    )
+    n_tot = float(sum(grams.values()))
+
+    def pmi_micro(g: str) -> int:
+        w1, w2 = g.split(" ")
+        ratio = ((grams[g] * u_tot) * u_tot) / (
+            (n_tot * float(cu[w1])) * float(cu[w2])
+        )
+        return _round_half_away(math.log10(ratio) * 1e6)
+
+    want = sorted(
+        ((g, c, pmi_micro(g)) for g, c in grams.items() if c >= 2),
+        key=lambda r: (-r[2], r[0]),
+    )[:5]
+    assert [(r.gram, r.c2, r.pmi_micro) for r in got] == want
+    # the always-adjacent pair tops the ranking; the floor held
+    assert got[0].gram == "new york"
+    assert all(r.c2 >= 2 for r in got)
