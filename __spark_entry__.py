@@ -295,6 +295,16 @@ def _q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(_docs(spark, sf_dir))
 
 
+def _q_spell_correct(spark, sf_dir):
+    """SymSpell-style spell correction: deletion-neighborhood equi-join
+    candidates (recall 1 for Levenshtein <= 1 by construction) + exact
+    verify; queries = pinned middle-character deletions of vocab terms
+    with length >= 5; rank (dist asc, cnt desc, term asc) top-3."""
+    from mircv_project_spark.operators.spell import spell_correct_corpus
+
+    return spell_correct_corpus(_docs(spark, sf_dir))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1273,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "lm_importance": _q_lm_importance,
         "pmi_collocations": _q_pmi_collocations,
+        "spell_correct": _q_spell_correct,
     }
 
 

@@ -1,0 +1,139 @@
+"""Distributed spell correction over the corpus vocabulary
+(SymSpell-style deletion neighborhoods, Garbe 2012).
+
+The query-side capability every search engine grows right after top-k
+ranking: given a misspelled query term, suggest the closest vocabulary
+terms ranked by edit distance then corpus frequency.  The reference
+engine has no analog (its QueryProcessor silently drops OOV terms —
+Q1/topk.py keeps that semantics); this operator is what a user runs to
+find out WHY a term matched nothing.
+
+Scale shape (100 TB): the naive formulation is a cartesian
+``levenshtein(q, t) <= 1`` join — |vocab| × |queries| edit-distance
+evaluations, the same anti-pattern as the round-2 LSH BNLJ.  The
+SymSpell insight makes it an EQUI-join: two strings are within
+Levenshtein distance 1 iff they share a key in their deletion
+neighborhoods (the string itself plus every single-character
+deletion):
+
+- equal            -> share the string itself
+- t = delete(q)    -> t is a key of both
+- q = delete(t)    -> q is a key of both
+- substitution     -> deleting the substituted position from each
+                      yields the same string
+
+so recall is exactly 1 by construction and the exact
+``levenshtein <= 1`` post-filter only DISCARDS false candidates (e.g.
+transpositions, which share a deletion key but sit at Levenshtein 2 —
+plain Levenshtein, not Damerau, is the pinned metric on both engines).
+The query side is tiny and broadcast; the vocabulary side explodes to
+len+1 keys map-side and streams past the broadcast hash join — no
+vocabulary shuffle, no cartesian scan.  Candidate ranking is a window
+over per-query candidate sets (bounded by the neighborhood size).
+
+Gate pins (restated verbatim in the oracle — change both or neither):
+queries = the distinct middle-character deletions (1-based position
+(len+1)//2) of vocabulary terms with length >= SPELL_MIN_LEN; rank
+(dist asc, cnt desc, term asc), top SPELL_TOPK per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textnorm import tokens_col
+
+SPELL_MIN_LEN = 5
+SPELL_TOPK = 3
+
+
+def deletion_keys_col(s: Column) -> Column:
+    """string -> array<string> of distinct deletion-neighborhood keys:
+    the string itself plus every single-character deletion."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - 1), F.substr(s, i + 1, F.length(s))
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(s), dels))
+
+
+def vocab_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (term, cnt): corpus vocabulary with occurrence counts (one
+    tokenizer pass, map-side-combined count)."""
+    return (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def middle_deletion_typos(vocab: DataFrame, min_len: int = SPELL_MIN_LEN) -> DataFrame:
+    """-> (qterm): the pinned deterministic query set — each vocabulary
+    term of length >= min_len with its middle character (1-based
+    position (len+1)//2) deleted, distinct."""
+    pos = ((F.length("term") + 1) / 2).cast("int")
+    return (
+        vocab.where(F.length("term") >= min_len)
+        .select(
+            F.concat(
+                F.substr(F.col("term"), F.lit(1), pos - 1),
+                F.substr(F.col("term"), pos + 1, F.length("term")),
+            ).alias("qterm")
+        )
+        .distinct()
+    )
+
+
+def spell_correct(
+    vocab: DataFrame,
+    queries: DataFrame,
+    topk: int = SPELL_TOPK,
+) -> DataFrame:
+    """-> (qterm, term, dist, cnt): for every query term, the top-k
+    vocabulary terms within Levenshtein distance 1, ranked
+    (dist asc, cnt desc, term asc).
+
+    `vocab` is (term, cnt); `queries` is (qterm) and must be small
+    enough to broadcast (query sets are — the vocabulary need not be).
+    """
+    vkeys = vocab.select(
+        "term", "cnt", F.explode(deletion_keys_col(F.col("term"))).alias("k")
+    )
+    qkeys = queries.select(
+        "qterm", F.explode(deletion_keys_col(F.col("qterm"))).alias("k")
+    )
+    cand = (
+        vkeys.join(F.broadcast(qkeys), "k")
+        .select("qterm", "term", "cnt")
+        .distinct()
+        .withColumn("dist", F.levenshtein("qterm", "term").cast("int"))
+        .where(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.col("dist").asc(), F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("qterm", "term", "dist", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def spell_correct_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gate composition: vocabulary + pinned typo query set + correction.
+
+    The vocabulary feeds both the query derivation and the candidate
+    side — persisted so the tokenizer pass and count shuffle run once
+    (the two-consumer Catalyst gotcha), lineage cut before unpersist."""
+    from pyspark.storagelevel import StorageLevel
+
+    vocab = vocab_counts(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = spell_correct(vocab, middle_deletion_typos(vocab)).localCheckpoint()
+    finally:
+        vocab.unpersist()
+    return out

@@ -1550,6 +1550,41 @@ ORDER BY pmi_micro DESC, gram ASC
 LIMIT 50
 """
 
+# Spell correction (operators/spell.py).  The Spark side finds
+# candidates via the SymSpell deletion-neighborhood equi-join (recall 1
+# for Levenshtein <= 1 by construction) then exact-filters; the oracle
+# is the DIRECT form — a cross join with the levenshtein predicate —
+# which the equi-join + filter provably equals.  Pins restated verbatim
+# (change both sides or neither): queries = distinct middle-character
+# deletions (1-based position (len+1)//2) of vocab terms with
+# length >= 5; plain Levenshtein (NOT Damerau) <= 1; rank
+# (dist asc, cnt desc, term asc), top 3 per query.
+_SPELL_CORRECT_SQL = f"""WITH {_DOC_TOKENS},
+vocab AS (
+    SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(tokens) AS t FROM doctoks) GROUP BY 1
+),
+typos AS (
+    SELECT DISTINCT
+        substr(term, 1, ((length(term) + 1) // 2) - 1)
+        || substr(term, ((length(term) + 1) // 2) + 1) AS qterm
+    FROM vocab WHERE length(term) >= 5
+),
+cand AS (
+    SELECT qterm, term, cnt,
+           CAST(levenshtein(qterm, term) AS INTEGER) AS dist
+    FROM typos CROSS JOIN vocab
+    WHERE levenshtein(qterm, term) <= 1
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qterm ORDER BY dist ASC, cnt DESC, term ASC
+    ) AS rn
+    FROM cand
+)
+SELECT qterm, term, dist, cnt FROM ranked WHERE rn <= 3
+"""
+
 
 # cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
 # (params pinned to curation.BOILER_NGRAM / BOILER_MIN_DOCS — change
@@ -2075,6 +2110,7 @@ def pipeline_oracles() -> dict[str, str]:
         "bigram_lm_ppl": _BIGRAM_LM_PPL_SQL,
         "lm_importance": _LM_IMPORTANCE_SQL,
         "pmi_collocations": _PMI_COLLOCATIONS_SQL,
+        "spell_correct": _SPELL_CORRECT_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by
