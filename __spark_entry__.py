@@ -305,6 +305,17 @@ def _q_spell_correct(spark, sf_dir):
     return spell_correct_corpus(_docs(spark, sf_dir))
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich 2016): the first 8
+    merges learned over the occurrence-counted vocabulary — per-step
+    pair counts are one map-side-combined agg, the argmax collects ONE
+    row, the merge applies map-only; oracle = the sequence unrolled
+    into 8 CTE steps."""
+    from mircv_project_spark.operators.bpe import bpe_train_corpus
+
+    return bpe_train_corpus(spark, _docs(spark, sf_dir))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1284,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_importance": _q_lm_importance,
         "pmi_collocations": _q_pmi_collocations,
         "spell_correct": _q_spell_correct,
+        "bpe_merges": _q_bpe_merges,
     }
 
 

@@ -1586,6 +1586,71 @@ SELECT qterm, term, dist, cnt FROM ranked WHERE rn <= 3
 """
 
 
+def _bpe_sql(n_merges: int) -> str:
+    """BPE merge learning (operators/bpe.py) unrolled into n CTE steps
+    (merge k+1's pair counts depend on merge k — same unrolling as the
+    kmeans/mmr oracles; n changes regenerate automatically).  Pins
+    restated verbatim from bpe.py (change both sides or neither):
+    vocab = occurrence-counted normalized tokens; initial symbol state
+    = single-space-joined characters; pair counts weight every adjacent
+    POSITION by word count; winner = (count desc, pair asc); merge
+    application = the doubled-space left-to-right literal replace.
+
+    Every step CTE is MATERIALIZED and b{{k}} (one row) joins in via a
+    CROSS JOIN — with DuckDB's default inlining, w{{k}}'s multiple
+    references to the previous step re-expand the whole chain
+    exponentially (5^n scans of the base table)."""
+    parts = [
+        f"WITH {_DOC_TOKENS},",
+        r"""
+vocab AS (
+    SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(tokens) AS t FROM doctoks) GROUP BY 1
+),
+w0 AS MATERIALIZED (
+    SELECT term AS word, cnt,
+           trim(regexp_replace(term, '(.)', '\1 ', 'g')) AS sym
+    FROM vocab
+)""",
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+    FROM (
+        SELECT cnt, unnest(list_transform(
+            range(0, greatest(len(toks) - 1, 0)),
+            i -> toks[i+1] || ' ' || toks[i+2]
+        )) AS pair
+        FROM (SELECT cnt, string_split(sym, ' ') AS toks FROM w{k - 1})
+    )
+    GROUP BY pair
+),
+b{k} AS MATERIALIZED (
+    SELECT split_part(pair, ' ', 1) AS lhs,
+           split_part(pair, ' ', 2) AS rhs, c
+    FROM p{k} ORDER BY c DESC, pair ASC LIMIT 1
+),
+w{k} AS MATERIALIZED (
+    SELECT word, cnt,
+           trim(regexp_replace(
+               replace(' ' || replace(sym, ' ', '  ') || ' ',
+                       ' ' || lhs || '  ' || rhs || ' ',
+                       ' ' || lhs || rhs || ' '),
+               ' +', ' ', 'g')) AS sym
+    FROM w{k - 1} CROSS JOIN b{k}
+)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, lhs, rhs,"
+        f" CAST(c AS BIGINT) AS cnt FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+_BPE_MERGES_SQL = _bpe_sql(8)
+
+
 # cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
 # (params pinned to curation.BOILER_NGRAM / BOILER_MIN_DOCS — change
 # both sides or neither); per-doc distinct-gram counts + boiler ratio
@@ -2111,6 +2176,7 @@ def pipeline_oracles() -> dict[str, str]:
         "lm_importance": _LM_IMPORTANCE_SQL,
         "pmi_collocations": _PMI_COLLOCATIONS_SQL,
         "spell_correct": _SPELL_CORRECT_SQL,
+        "bpe_merges": _BPE_MERGES_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by
