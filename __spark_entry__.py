@@ -316,6 +316,15 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train_corpus(spark, _docs(spark, sf_dir))
 
 
+def _q_bpe_segmentation(spark, sf_dir):
+    """BPE serve path: segment the vocabulary with the 8 learned
+    merges applied in order (map-only projection); oracle = the final
+    step CTE of the training chain."""
+    from mircv_project_spark.operators.bpe import bpe_segment_corpus
+
+    return bpe_segment_corpus(spark, _docs(spark, sf_dir))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1296,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "spell_correct": _q_spell_correct,
         "bpe_merges": _q_bpe_merges,
+        "bpe_segmentation": _q_bpe_segmentation,
     }
 
 

@@ -150,3 +150,46 @@ def bpe_train_corpus(
     from .spell import vocab_counts
 
     return bpe_train(spark, vocab_counts(docs, text_col), n_merges)
+
+
+def bpe_segment(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge sequence IN ORDER to a (term, cnt)
+    vocabulary — the trainer's serve path (how a tokenizer encodes
+    text: greedy left-to-right application of each merge in learned
+    order).  -> (word, cnt, sym, n_sym): final symbol state and subword
+    count per word.
+
+    Map-only: the merge chain is a fixed projection expression — at
+    100 TB this runs as whole-stage-codegen'd string ops over the
+    vocabulary table (or directly over token streams), no shuffle."""
+    sym = chars_sym_col(F.col("term"))
+    for a, b in merges:
+        sym = merge_sym_col(sym, a, b)
+    return vocab.select(
+        F.col("term").alias("word"),
+        F.col("cnt").cast("long").alias("cnt"),
+        sym.alias("sym"),
+    ).withColumn("n_sym", F.size(F.split(F.col("sym"), " ")).cast("int"))
+
+
+def bpe_segment_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """Gate composition: train the merge sequence, then segment the
+    vocabulary with it.  The vocabulary feeds training AND segmentation
+    — persisted so the tokenizer pass runs once."""
+    from .spell import vocab_counts
+
+    vocab = vocab_counts(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        merges = [
+            (r.lhs, r.rhs)
+            for r in bpe_train(spark, vocab, n_merges).orderBy("step").collect()
+        ]
+        out = bpe_segment(vocab, merges).localCheckpoint()
+    finally:
+        vocab.unpersist()
+    return out

@@ -1586,7 +1586,7 @@ SELECT qterm, term, dist, cnt FROM ranked WHERE rn <= 3
 """
 
 
-def _bpe_sql(n_merges: int) -> str:
+def _bpe_ctes(n_merges: int) -> str:
     """BPE merge learning (operators/bpe.py) unrolled into n CTE steps
     (merge k+1's pair counts depend on merge k — same unrolling as the
     kmeans/mmr oracles; n changes regenerate automatically).  Pins
@@ -1640,15 +1640,34 @@ w{k} AS MATERIALIZED (
                ' +', ' ', 'g')) AS sym
     FROM w{k - 1} CROSS JOIN b{k}
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int) -> str:
     selects = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, lhs, rhs,"
         f" CAST(c AS BIGINT) AS cnt FROM b{k}"
         for k in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + selects
+    return _bpe_ctes(n_merges) + "\n" + selects
+
+
+def _bpe_segment_sql(n_merges: int) -> str:
+    """bpe.bpe_segment_corpus: the final symbol state IS the last step
+    CTE of the training chain — segmentation is the trainer's serve
+    path, so the oracle reads w{n} directly."""
+    return (
+        _bpe_ctes(n_merges)
+        + f"""
+SELECT word, cnt, sym,
+       CAST(len(string_split(sym, ' ')) AS INTEGER) AS n_sym
+FROM w{n_merges}
+"""
+    )
 
 
 _BPE_MERGES_SQL = _bpe_sql(8)
+_BPE_SEGMENT_SQL = _bpe_segment_sql(8)
 
 
 # cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
@@ -2177,6 +2196,7 @@ def pipeline_oracles() -> dict[str, str]:
         "pmi_collocations": _PMI_COLLOCATIONS_SQL,
         "spell_correct": _SPELL_CORRECT_SQL,
         "bpe_merges": _BPE_MERGES_SQL,
+        "bpe_segmentation": _BPE_SEGMENT_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

@@ -99,3 +99,16 @@ def test_exhaustion_raises(spark):
     vdf = spark.createDataFrame([("ab", 1)], "term string, cnt long")
     with pytest.raises(ValueError, match="exhausted"):
         B.bpe_train(spark, vdf, n_merges=3)  # only 1 merge possible
+
+
+def test_segment_matches_reference_final_state(spark):
+    vdf = spark.createDataFrame(list(VOCAB.items()), "term string, cnt long")
+    want_merges, want_syms = _ref_bpe(VOCAB, 6)
+    merges = [(a, b) for _, a, b, _ in want_merges]
+    got = {
+        r.word: (r.sym, r.n_sym)
+        for r in B.bpe_segment(vdf, merges).collect()
+    }
+    assert got == {
+        w: (" ".join(s), len(s)) for w, s in want_syms.items()
+    }
