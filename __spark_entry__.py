@@ -325,6 +325,26 @@ def _q_bpe_segmentation(spark, sf_dir):
     return bpe_segment_corpus(spark, _docs(spark, sf_dir))
 
 
+def _q_phrase_topk_positional(spark, sf_dir):
+    """Phrase queries served from the PERSISTED positional index:
+    build (bucket, term, id, positions), write bucket-partitioned
+    parquet, reload, answer the pinned phrase set via the
+    shifted-position array_intersect join chain — same oracle as the
+    corpus-scan phrase path."""
+    from mircv_project_spark.operators.positional import (
+        build_positional_postings,
+        load_positional_postings,
+        phrase_topk_positional,
+        write_positional_index,
+    )
+
+    store = _tmpdir("mircv_gate_posidx_")
+    write_positional_index(build_positional_postings(_docs(spark, sf_dir)), store)
+    return phrase_topk_positional(
+        load_positional_postings(spark, store), oracle.PHRASE_SET, k=oracle.PHRASE_K
+    )
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1306,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct": _q_spell_correct,
         "bpe_merges": _q_bpe_merges,
         "bpe_segmentation": _q_bpe_segmentation,
+        "phrase_topk_positional": _q_phrase_topk_positional,
     }
 
 

@@ -2154,6 +2154,9 @@ def pipeline_oracles() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(4),
         # exact phrase queries over the n-gram stream
         "phrase_topk": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
+        # the stored positional path must return EXACTLY the corpus-scan
+        # phrase result — same oracle by design
+        "phrase_topk_positional": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
         # relational OLAP suite over the TPC-H-shaped tables
         "tpch_pricing_summary": _TPCH_Q1_SQL,
         "tpch_top_orders": _TPCH_Q3_SQL,

@@ -1,0 +1,90 @@
+"""Positional index (operators/positional.py): the stored phrase path
+must be rank-identical to the corpus-scan phrase path (shared pinned
+semantics), the store roundtrip must prune (partition filter on bucket,
+pushed filter on term), and overlap/duplicate-term phrases must count
+exactly."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mircv_project_spark import config
+from mircv_project_spark.operators import positional as P
+from mircv_project_spark.operators.phrase import phrase_topk
+
+DOCS = [
+    (0, "spark spark spark joins the table"),
+    (1, "the table joins spark"),
+    (2, "spark joins spark joins spark"),
+    (3, "nothing relevant here"),
+    (4, "table joins table joins"),
+]
+PHRASES = [
+    ("p1", "spark spark"),  # duplicate-term phrase: overlap counting
+    ("p2", "spark joins"),
+    ("p3", "table joins"),
+    ("p4", "joins the table"),
+    ("p5", "absent phrase"),  # OOV: no rows
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_hand_counts_and_overlap(spark, docs_df):
+    pos = P.build_positional_postings(docs_df)
+    got = {
+        (r.qid, r.id): r.n_hits
+        for r in P.phrase_topk_positional(pos, PHRASES).collect()
+    }
+    # "spark spark spark" holds "spark spark" at positions 0 and 1
+    assert got[("p1", 0)] == 2
+    assert ("p1", 2) not in got  # "spark joins spark": never adjacent
+    assert got[("p2", 2)] == 2
+    assert got[("p4", 0)] == 1 and ("p4", 1) not in got
+    assert not any(q == "p5" for q, _ in got)
+
+
+def test_matches_corpus_scan_phrase_path(spark, docs_df):
+    pos = P.build_positional_postings(docs_df)
+    a = (
+        P.phrase_topk_positional(pos, PHRASES)
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    b = (
+        phrase_topk(docs_df, PHRASES)
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_store_roundtrip_prunes(spark, docs_df, tmp_path):
+    store = str(tmp_path / "posidx")
+    P.write_positional_index(P.build_positional_postings(docs_df), store)
+    loaded = P.load_positional_postings(spark, store)
+    out = P.phrase_topk_positional(loaded, [("p2", "spark joins")])
+    # rank identity through the store
+    a = out.toPandas().sort_values(["qid", "rank"], ignore_index=True)
+    b = (
+        phrase_topk(docs_df, [("p2", "spark joins")])
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    # the pruned scan pushes both predicates down to parquet
+    from mircv_project_spark.functions.hashing import term_bucket
+
+    buckets = sorted(
+        {term_bucket(t, config.POSTINGS_TERM_BUCKETS) for t in ("spark", "joins")}
+    )
+    pruned = loaded.where(F.col("bucket").isin(buckets)).where(
+        F.col("term").isin(["spark", "joins"])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan and "term" in plan
