@@ -345,6 +345,16 @@ def _q_phrase_topk_positional(spark, sf_dir):
     )
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per source: deterministic k=16
+    minimum md5-hash values -> cardinality estimate, exact count
+    carried beside as the verification column; stage 1 is a bounded
+    mapInPandas partial k-min (the sketch-merge property)."""
+    from mircv_project_spark.operators.sketches import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(_docs(spark, sf_dir))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1327,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_segmentation": _q_bpe_segmentation,
         "phrase_topk_positional": _q_phrase_topk_positional,
+        "kmv_distinct": _q_kmv_distinct,
     }
 
 

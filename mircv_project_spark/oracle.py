@@ -1670,6 +1670,46 @@ _BPE_MERGES_SQL = _bpe_sql(8)
 _BPE_SEGMENT_SQL = _bpe_segment_sql(8)
 
 
+# KMV distinct-count sketch (operators/sketches.py).  Gateable because
+# the hash is the deterministic md5-derived hash60 (salt 'kmv-').
+# Pins restated verbatim (change both sides or neither): k = 16;
+# est = round((15.0 * 2^60) / double(kth smallest DISTINCT hash), 6),
+# exact sketch size when fewer than k distinct hashes; exact
+# n_distinct carried beside as the verification column.
+_KMV_DISTINCT_SQL = f"""WITH {_DOC_TOKENS},
+dt AS (
+    SELECT DISTINCT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+hh AS (
+    SELECT DISTINCT source,
+           CAST(('0x' || substr(md5('kmv-' || t), 1, 15))::UBIGINT
+                AS BIGINT) AS h
+    FROM dt
+),
+rk AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hh
+),
+sk AS (
+    SELECT source, max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n_sketch
+    FROM rk WHERE rn <= 16 GROUP BY source
+),
+ex AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+    FROM dt GROUP BY source
+)
+SELECT ex.source AS source, n_distinct, kth_hash,
+       CASE WHEN n_sketch < 16 THEN CAST(n_sketch AS DOUBLE)
+            ELSE round((15.0 * 1152921504606846976.0)
+                       / CAST(kth_hash AS DOUBLE), 6)
+       END AS est
+FROM ex JOIN sk USING (source)
+"""
+
+
 # cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
 # (params pinned to curation.BOILER_NGRAM / BOILER_MIN_DOCS — change
 # both sides or neither); per-doc distinct-gram counts + boiler ratio
@@ -2200,6 +2240,7 @@ def pipeline_oracles() -> dict[str, str]:
         "spell_correct": _SPELL_CORRECT_SQL,
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segmentation": _BPE_SEGMENT_SQL,
+        "kmv_distinct": _KMV_DISTINCT_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

@@ -1,0 +1,69 @@
+"""KMV distinct-count sketch (operators/sketches.py): estimator
+accuracy on a large distinct universe, exact-branch behavior for small
+groups, partitioning invariance of the two-stage k-min, and parity
+with an independent Python model of the pinned formula."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mircv_project_spark.operators import sketches as K
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_kmv(tokens: set[str], k: int):
+    hs = sorted({_h60("kmv-" + t) for t in tokens})
+    if len(hs) < k:
+        return float(len(hs)), (hs[-1] if hs else None)
+    kth = hs[k - 1]
+    return round((float(k - 1) * float(1 << 60)) / float(kth), 6), kth
+
+
+def test_small_group_exact_branch_and_model_parity(spark):
+    rows = [
+        (0, "alpha beta gamma", "srcA"),  # 3 distinct < k
+        (1, "alpha alpha beta", "srcA"),
+        (2, " ".join(f"w{i}" for i in range(40)), "srcB"),  # 40 > k=16
+        (3, " ".join(f"w{i}" for i in range(20, 60)), "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in K.kmv_distinct_tokens(df).collect()}
+
+    assert got["srcA"].n_distinct == 3
+    assert got["srcA"].est == 3.0  # exact branch
+
+    toks_b = {f"w{i}" for i in range(60)}
+    assert got["srcB"].n_distinct == 60
+    want_est, want_kth = _ref_kmv(toks_b, K.KMV_K)
+    assert got["srcB"].kth_hash == want_kth
+    assert got["srcB"].est == want_est
+
+
+def test_estimator_accuracy_large_universe(spark):
+    # one source, 5000 distinct tokens: the k=16 estimate should land
+    # within the ~1/sqrt(k-1) relative-error regime (generous 3-sigma)
+    n = 5000
+    text = " ".join(f"tok{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(0, text, "big")], "doc_id long, text string, source string"
+    )
+    r = K.kmv_distinct_tokens(df).collect()[0]
+    assert r.n_distinct == n
+    assert abs(r.est - n) / n < 3.0 / (K.KMV_K - 1) ** 0.5
+
+
+def test_partitioning_invariance(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i, i + 30)), "s")
+        for i in range(0, 200, 7)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = K.kmv_distinct_tokens(df.repartition(1)).collect()
+    b = K.kmv_distinct_tokens(df.repartition(16)).collect()
+    assert [(r.source, r.n_distinct, r.kth_hash, r.est) for r in a] == [
+        (r.source, r.n_distinct, r.kth_hash, r.est) for r in b
+    ]
