@@ -355,6 +355,16 @@ def _q_kmv_distinct(spark, sf_dir):
     return kmv_distinct_tokens(_docs(spark, sf_dir))
 
 
+def _q_jaccard_pairs_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered EXACT Jaccard pairs: candidates =
+    pairs sharing a rarest-first prefix shingle on both sides (recall 1
+    by the prefix theorem), exact array_intersect verify — same oracle
+    as jaccard_pairs by design."""
+    from mircv_project_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(_docs(spark, sf_dir), oracle.JACCARD_THRESHOLD)
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1338,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segmentation": _q_bpe_segmentation,
         "phrase_topk_positional": _q_phrase_topk_positional,
         "kmv_distinct": _q_kmv_distinct,
+        "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
     }
 
 

@@ -21,7 +21,7 @@ DuckDB oracle can restate every stage bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textnorm import grams_col, hash60_col, shingles_col, tokens_col
@@ -478,4 +478,95 @@ def dup_span_stats(
             gp.unpersist()
     finally:
         tg.unpersist()
+    return out
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via PREFIX FILTERING
+    (Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2008) — identical
+    output to `jaccard_pairs` (same oracle by design), different
+    candidate generation: the EXACT scale path where `jaccard_pairs`'
+    full inverted-shingle join is quadratic in per-shingle df and
+    `minhash_lsh_pairs` trades recall for pruning.
+
+    Principle: order every doc's shingles by a global canonical order
+    (df asc, shingle asc — rarest first).  For J(x, y) >= t the
+    intersection has >= ceil(t*|x|) elements, so if x and y share NO
+    element within their first  p = |set| - ceil(t*|set|) + 1
+    elements, the intersection fits in the last ceil(t*|set|) - 1 <
+    t*|set| elements — contradiction.  Candidates = pairs sharing >= 1
+    PREFIX shingle on BOTH sides; recall is exactly 1, and because the
+    prefix holds the globally rarest shingles, candidate df is far
+    below full-join df.  The exact per-pair verify (one
+    array_intersect over the collected shingle sets) only discards.
+
+    The prefix length uses ceil(t*n - 1e-9): the epsilon guards the
+    non-dyadic t*n float landing a hair ABOVE an exact integer (which
+    would shorten the prefix and break recall); landing below only
+    lengthens it — more candidates, still exact.
+
+    Scale shape (100 TB): shingle df counts and the per-doc rank are
+    one agg + one bounded window; the candidate join touches prefix
+    rows only; the verify joins candidate pairs (not the corpus) to the
+    per-doc shingle arrays.
+    """
+    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    try:
+        dfc = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        w = Window.partitionBy("id").orderBy(
+            F.col("sdf").asc(), F.col("shingle").asc()
+        )
+        ranked = (
+            sh.join(dfc, "shingle")
+            .withColumn("r", F.row_number().over(w))
+            .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+        )
+        plen = (
+            F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+            + 1
+        )
+        prefix = ranked.where(F.col("r") <= plen).select("id", "shingle")
+        cand = (
+            prefix.alias("a")
+            .join(
+                prefix.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .distinct()
+        )
+        sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("ss"))
+        verified = (
+            cand.join(
+                sets.select(F.col("id").alias("id_a"), F.col("ss").alias("sa")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("id").alias("id_b"), F.col("ss").alias("sb")),
+                "id_b",
+            )
+            .withColumn(
+                "inter", F.size(F.array_intersect("sa", "sb")).cast("long")
+            )
+            .withColumn(
+                "jac",
+                F.col("inter")
+                / (F.size("sa") + F.size("sb") - F.col("inter")),
+            )
+            .where(F.col("jac") >= threshold)
+            .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+        )
+        out = verified.localCheckpoint()
+    finally:
+        sh.unpersist()
     return out

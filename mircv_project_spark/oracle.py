@@ -2241,6 +2241,8 @@ def pipeline_oracles() -> dict[str, str]:
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segmentation": _BPE_SEGMENT_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
+        # prefix filtering is exact: same pair set as the direct join
+        "jaccard_pairs_prefix": _JACCARD_PAIRS_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by
