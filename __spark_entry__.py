@@ -365,6 +365,15 @@ def _q_jaccard_pairs_prefix(spark, sf_dir):
     return jaccard_pairs_prefix(_docs(spark, sf_dir), oracle.JACCARD_THRESHOLD)
 
 
+def _q_complete_prefix(spark, sf_dir):
+    """Query auto-completion: top-5 vocabulary terms per pinned prefix
+    by (cnt desc, term asc), via per-length substring equi-joins (the
+    columnar range-scan analog), never a startswith BNLJ."""
+    from mircv_project_spark.operators.spell import complete_prefix_corpus
+
+    return complete_prefix_corpus(_docs(spark, sf_dir), oracle.COMPLETE_PREFIXES)
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1349,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_positional": _q_phrase_topk_positional,
         "kmv_distinct": _q_kmv_distinct,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
+        "complete_prefix": _q_complete_prefix,
     }
 
 

@@ -123,6 +123,62 @@ def spell_correct(
     )
 
 
+COMPLETE_TOPK = 5
+
+
+def complete_prefix(
+    vocab: DataFrame,
+    prefixes: list[str],
+    topk: int = COMPLETE_TOPK,
+) -> DataFrame:
+    """Query auto-completion: -> (prefix, term, cnt, rank) — the top-k
+    vocabulary terms extending each prefix, ranked (cnt desc, term
+    asc).  Prefixes with no completion emit no rows.
+
+    Scale shape: a `startswith` predicate in a join condition plans as
+    a BroadcastNestedLoopJoin over the whole vocabulary.  Instead,
+    prefixes group by LENGTH and each length-L group equi-joins on
+    `substring(term, 1, L)` — the columnar analog of the sorted-lexicon
+    range scan a row engine answers prefix lookups with (Q2's binary
+    search, model/Lexicon.java): one broadcast hash join per distinct
+    prefix length, vocabulary streamed, never scanned per prefix."""
+    from functools import reduce
+
+    spark = vocab.sparkSession
+    by_len: dict[int, list[str]] = {}
+    for p in sorted(set(prefixes)):
+        if p:
+            by_len.setdefault(len(p), []).append(p)
+    branches = []
+    for length, plist in sorted(by_len.items()):
+        pdf = spark.createDataFrame([(p,) for p in plist], "prefix string")
+        keyed = vocab.withColumn(
+            "prefix", F.substring(F.col("term"), 1, length)
+        )
+        branches.append(keyed.join(F.broadcast(pdf), "prefix"))
+    cand = reduce(DataFrame.unionByName, branches)
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "prefix",
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def complete_prefix_corpus(
+    docs: DataFrame, prefixes: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Gate composition: corpus vocabulary -> prefix completion."""
+    return complete_prefix(vocab_counts(docs, text_col), prefixes)
+
+
 def spell_correct_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gate composition: vocabulary + pinned typo query set + correction.
 

@@ -55,6 +55,12 @@ PHRASE_SET: list[tuple[str, str]] = [
     ("p06", "sort merge batch"),
 ]
 
+# auto-completion gate prefixes (operators/spell.complete_prefix) —
+# mixed lengths (the operator branches per distinct length), a
+# many-completion prefix ("s" — exercises the k-cut) and a no-match one
+COMPLETE_PREFIXES: list[str] = ["s", "ta", "fi", "w", "quer", "zz"]
+COMPLETE_TOPK = 5
+
 CONJ_QUERY_SET: list[tuple[str, str]] = [
     ("c01", "spark join"),
     ("c02", "hash join merge"),
@@ -1586,6 +1592,37 @@ SELECT qterm, term, dist, cnt FROM ranked WHERE rn <= 3
 """
 
 
+# Query auto-completion (spell.complete_prefix).  The Spark side
+# equi-joins on per-length substring keys (the columnar range-scan
+# analog); the oracle is the direct starts_with form — identical
+# completion sets.  Pins: COMPLETE_PREFIXES / COMPLETE_TOPK above,
+# rank (cnt desc, term asc).
+def _complete_prefix_sql(prefixes: list[str], k: int) -> str:
+    vals = ", ".join(f"('{p}')" for p in sorted(set(prefixes)) if p)
+    return f"""WITH {_DOC_TOKENS},
+vocab AS (
+    SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(tokens) AS t FROM doctoks) GROUP BY 1
+),
+cand AS (
+    SELECT p.prefix, v.term, v.cnt
+    FROM (VALUES {vals}) p(prefix)
+    JOIN vocab v ON starts_with(v.term, p.prefix)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY prefix ORDER BY cnt DESC, term ASC
+    ) AS rn
+    FROM cand
+)
+SELECT prefix, term, cnt, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
+_COMPLETE_PREFIX_SQL = _complete_prefix_sql(COMPLETE_PREFIXES, COMPLETE_TOPK)
+
+
 def _bpe_ctes(n_merges: int) -> str:
     """BPE merge learning (operators/bpe.py) unrolled into n CTE steps
     (merge k+1's pair counts depend on merge k — same unrolling as the
@@ -2243,6 +2280,7 @@ def pipeline_oracles() -> dict[str, str]:
         "kmv_distinct": _KMV_DISTINCT_SQL,
         # prefix filtering is exact: same pair set as the direct join
         "jaccard_pairs_prefix": _JACCARD_PAIRS_SQL,
+        "complete_prefix": _COMPLETE_PREFIX_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

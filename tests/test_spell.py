@@ -90,3 +90,22 @@ def test_candidate_join_is_broadcast_hash(spark, vocab_df):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_complete_prefix_ranking_and_plan(spark, vocab_df):
+    got = S.complete_prefix(vocab_df, ["sp", "j", "zz", "spark"], topk=3)
+    rows = [(r.prefix, r.term, r.cnt, r.rank) for r in got.collect()]
+    want = []
+    for p in ["j", "sp", "spark", "zz"]:
+        comps = sorted(
+            [(t, c) for t, c in VOCAB if t.startswith(p)],
+            key=lambda tc: (-tc[1], tc[0]),
+        )[:3]
+        want += [(p, t, c, i + 1) for i, (t, c) in enumerate(comps)]
+    assert sorted(rows) == sorted(want)
+    assert not any(p == "zz" for p, *_ in rows)
+    # the candidate joins are broadcast hash equi-joins, never a
+    # startswith BNLJ over the vocabulary
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
