@@ -374,6 +374,17 @@ def _q_complete_prefix(spark, sf_dir):
     return complete_prefix_corpus(_docs(spark, sf_dir), oracle.COMPLETE_PREFIXES)
 
 
+def _q_item_pagerank(spark, sf_dir):
+    """Weighted PageRank over the item co-visitation graph: 3
+    synchronous iterations of ALL-INTEGER state (micro ranks, pure
+    BIGINT round-half-away division, dyadic damping 7/8) — the
+    iterative-graph analog of the k-means integer-state trick; oracle
+    = the iterations unrolled into MATERIALIZED CTEs."""
+    from mircv_project_spark.operators.graph import item_pagerank
+
+    return item_pagerank(_events(spark, sf_dir))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1359,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
         "complete_prefix": _q_complete_prefix,
+        "item_pagerank": _q_item_pagerank,
     }
 
 

@@ -1,0 +1,170 @@
+"""Graph analytics over event-derived graphs: weighted PageRank on the
+item co-visitation graph.
+
+The graph the events table implies: items (the `props` JSON key 'k')
+are nodes; an undirected weighted edge joins two items co-visited by a
+user, weight = number of distinct users who touched both (the classic
+item-based collaborative-filtering graph).  PageRank over it ranks
+items by recommendation centrality.
+
+Why an ITERATIVE graph algorithm can sit under the hash gate (same
+trick as clustering.py's k-means): the entire state is integer.
+Rank is stored in micro units (PR_MICRO); every division uses the
+pure-integer round-half-away identity
+
+    rha(a / b) = (2a + b) DIV (2b)        (a >= 0, b > 0)
+
+so no double ever appears — per-edge contributions, the damping, and
+the base term are all exact BIGINT arithmetic, order-independent
+across shuffle partitions and bit-identical across engines.  A float
+PageRank would be shuffle-order-dependent at the 6th decimal.
+
+Pinned semantics (restated verbatim in the unrolled-CTE oracle —
+change both sides or neither): damping d = 7/8 (DYADIC — do not tune
+to 0.85 without reworking the integer identities), PR_ITERS = 3,
+PR_MICRO = 1e6; pr0(v) = rha(1e6 / N); per step
+    inflow(v) = sum over edges u->v of rha(pr(u) * w(u,v) / outw(u))
+    pr'(v)    = rha(1e6 / (8 N)) + rha(7 * inflow(v) / 8)
+isolated nodes (no edges) keep only the base term.  Mass is not
+re-normalized for dangling nodes — the co-visitation graph is
+symmetric, so every node with an in-edge has out-weight; isolated
+nodes simply decay, and the rule is pinned identically on both sides.
+
+Scale shape (100 TB): the user-item incidence dedup and the per-user
+self-join are the item-CF shapes (bounded by per-user item counts —
+heavy users are the skew to cap upstream); each iteration is one
+edge-keyed join against the current rank table plus one item-keyed
+agg — the standard distributed PageRank step.  Per-step ranks persist
+and localCheckpoint to keep lineage flat; nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+PR_MICRO = 1_000_000
+PR_ITERS = 3
+PR_D_NUM = 7  # damping 7/8, dyadic
+PR_D_DEN = 8
+
+
+def _rha(num: Column, den: Column) -> Column:
+    """Integer round-half-away division for non-negative numerators:
+    (2a + b) DIV (2b), exact BIGINT arithmetic end to end."""
+    a = num.cast("long")
+    b = den.cast("long")
+    return ((F.lit(2) * a + b) - F.pmod(F.lit(2) * a + b, F.lit(2) * b)) / (
+        F.lit(2) * b
+    )
+
+
+def _covisit_edges(events: DataFrame) -> DataFrame:
+    """-> (ia, ib, w): both directions of the undirected co-visitation
+    graph; w = distinct users having both items."""
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ia"), F.col("b.item").alias("ib")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def item_pagerank(
+    events: DataFrame,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """-> (item, pr_micro): integer-state weighted PageRank over the
+    item co-visitation graph after `iters` synchronous iterations."""
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct()
+    nodes = ui.select("item").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    edges = None
+    pr = None
+    try:
+        n = nodes.count()
+        a, b = ui.alias("a"), ui.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.u") == F.col("b.u"))
+                & (F.col("a.item") != F.col("b.item")),
+            )
+            .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+            .agg(F.count("*").alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        outw = edges.groupBy(F.col("ia").alias("item")).agg(
+            F.sum("w").alias("ow")
+        )
+        # edges carry the source's out-weight so each iteration is one
+        # join against the current ranks (outw never changes)
+        ew = edges.join(outw, edges["ia"] == outw["item"]).select(
+            "ia", "ib", "w", "ow"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            pr = nodes.select(
+                "item",
+                _rha(F.lit(PR_MICRO), F.lit(n)).cast("long").alias("pr"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            base = int(
+                (2 * PR_MICRO + PR_D_DEN * n) // (2 * PR_D_DEN * n)
+            )  # rha(1e6 / (8N)), driver-side exact int
+            for _ in range(iters):
+                contrib = (
+                    ew.join(pr, ew["ia"] == pr["item"])
+                    .select(
+                        F.col("ib").alias("item"),
+                        _rha(F.col("pr") * F.col("w"), F.col("ow"))
+                        .cast("long")
+                        .alias("c"),
+                    )
+                    .groupBy("item")
+                    .agg(F.sum("c").alias("infl"))
+                )
+                nxt = (
+                    nodes.join(contrib, "item", "left")
+                    .select(
+                        "item",
+                        (
+                            F.lit(base)
+                            + F.coalesce(
+                                _rha(
+                                    F.lit(PR_D_NUM)
+                                    * F.col("infl"),
+                                    F.lit(PR_D_DEN),
+                                ).cast("long"),
+                                F.lit(0),
+                            )
+                        ).cast("long").alias("pr"),
+                    )
+                    .localCheckpoint()
+                )
+                pr.unpersist()
+                pr = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            out = pr.select(
+                "item", F.col("pr").cast("long").alias("pr_micro")
+            ).localCheckpoint()
+        finally:
+            ew.unpersist()
+    finally:
+        if edges is not None:
+            edges.unpersist()
+        if pr is not None:
+            pr.unpersist()
+        nodes.unpersist()
+    return out

@@ -1623,6 +1623,69 @@ FROM ranked WHERE rn <= {k}
 _COMPLETE_PREFIX_SQL = _complete_prefix_sql(COMPLETE_PREFIXES, COMPLETE_TOPK)
 
 
+def _pagerank_sql(iters: int) -> str:
+    """Integer-state weighted PageRank over the item co-visitation
+    graph (operators/graph.py), unrolled into `iters` CTE steps.  Pins
+    restated verbatim (change both sides or neither): items =
+    TRY_CAST of props '$.k' (NULL dropped), edges = distinct-user
+    co-visitation counts both directions, micro = 1e6, damping 7/8,
+    pr0 = rha(1e6/N), inflow contribution rha(pr*w/outw) per edge,
+    pr' = rha(1e6/(8N)) + rha(7*inflow/8), where rha(a/b) =
+    (2a + b) // (2b) — pure BIGINT round-half-away division, so the
+    iterative state is exact on both engines.  Step CTEs MATERIALIZED
+    (the BPE-oracle inlining lesson)."""
+    parts = [
+        """WITH ui AS MATERIALIZED (
+    SELECT DISTINCT user_id AS u,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+),
+nodes AS MATERIALIZED (SELECT DISTINCT item FROM ui),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+edges AS MATERIALIZED (
+    SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS w
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item <> b.item
+    GROUP BY 1, 2
+),
+outw AS MATERIALIZED (
+    SELECT ia AS item, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1
+),
+pr0 AS MATERIALIZED (
+    SELECT item, (2 * 1000000 + n) // (2 * n) AS pr
+    FROM nodes CROSS JOIN nn
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS (
+    SELECT e.ib AS item,
+           CAST(sum((2 * p.pr * e.w + o.ow) // (2 * o.ow)) AS BIGINT)
+               AS infl
+    FROM edges e
+    JOIN pr{k - 1} p ON e.ia = p.item
+    JOIN outw o ON e.ia = o.item
+    GROUP BY 1
+),
+pr{k} AS MATERIALIZED (
+    SELECT nodes.item,
+           ((2 * 1000000 + 8 * n) // (16 * n))
+           + coalesce((2 * 7 * infl + 8) // 16, 0) AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN c{k} ON nodes.item = c{k}.item
+)""")
+    parts.append(
+        f"""
+SELECT CAST(item AS BIGINT) AS item, CAST(pr AS BIGINT) AS pr_micro
+FROM pr{iters}
+"""
+    )
+    return "".join(parts)
+
+
+_ITEM_PAGERANK_SQL = _pagerank_sql(3)
+
+
 def _bpe_ctes(n_merges: int) -> str:
     """BPE merge learning (operators/bpe.py) unrolled into n CTE steps
     (merge k+1's pair counts depend on merge k — same unrolling as the
@@ -2281,6 +2344,7 @@ def pipeline_oracles() -> dict[str, str]:
         # prefix filtering is exact: same pair set as the direct join
         "jaccard_pairs_prefix": _JACCARD_PAIRS_SQL,
         "complete_prefix": _COMPLETE_PREFIX_SQL,
+        "item_pagerank": _ITEM_PAGERANK_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

@@ -1,0 +1,97 @@
+"""Item-co-visitation PageRank (operators/graph.py): the distributed
+integer-state iterations must match an independent pure-Python model of
+the pinned rules, and behave sensibly (hub items rank highest, isolated
+items keep only the base term)."""
+
+import json
+
+from mircv_project_spark.operators import graph as G
+
+
+def _rha(a: int, b: int) -> int:
+    return (2 * a + b) // (2 * b)
+
+
+def _ref_pagerank(user_items: list[tuple[int, int]], iters: int):
+    ui = set(user_items)
+    nodes = sorted({i for _, i in ui})
+    n = len(nodes)
+    edges: dict[tuple[int, int], int] = {}
+    for u, a in ui:
+        for v, b in ui:
+            if u == v and a != b:
+                edges[(a, b)] = edges.get((a, b), 0) + 1
+    outw: dict[int, int] = {}
+    for (a, _), w in edges.items():
+        outw[a] = outw.get(a, 0) + w
+    pr = {v: _rha(G.PR_MICRO, n) for v in nodes}
+    base = _rha(G.PR_MICRO, G.PR_D_DEN * n)
+    for _ in range(iters):
+        infl = {v: 0 for v in nodes}
+        for (a, b), w in edges.items():
+            infl[b] += _rha(pr[a] * w, outw[a])
+        pr = {
+            v: base + (_rha(G.PR_D_NUM * infl[v], G.PR_D_DEN) if infl[v] else 0)
+            for v in nodes
+        }
+    return pr
+
+
+def _events_df(spark, user_items):
+    rows = [
+        (i, 1700000000000000 + i, u, "view", 1.0, json.dumps({"k": item}))
+        for i, (u, item) in enumerate(user_items)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(us) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_matches_reference_model(spark):
+    # hub item 0 co-visited by everyone; a 2-clique (10, 11); an
+    # isolated item 99; duplicate (user, item) rows must dedup
+    user_items = (
+        [(u, 0) for u in range(6)]
+        + [(u, u + 1) for u in range(6)]
+        + [(7, 10), (7, 11), (8, 10), (8, 11)]
+        + [(9, 99), (9, 99)]
+    )
+    df = _events_df(spark, user_items)
+    got = {r.item: r.pr_micro for r in G.item_pagerank(df).collect()}
+    want = _ref_pagerank(user_items, G.PR_ITERS)
+    assert got == want
+    # hub ranks above every spoke; isolated item got base-only rank
+    assert got[0] == max(got.values())
+    n = len(want)
+    assert got[99] == _rha(G.PR_MICRO, G.PR_D_DEN * n)
+
+
+def test_null_and_malformed_props_dropped(spark):
+    rows = [
+        (0, 1700000000000000, 1, "view", 1.0, json.dumps({"k": 5})),
+        (1, 1700000000000001, 1, "view", 1.0, json.dumps({"x": 9})),  # no k
+        (2, 1700000000000002, 1, "view", 1.0, json.dumps({"k": 6})),
+        (3, 1700000000000003, 2, "view", 1.0, json.dumps({"k": 5})),
+        (4, 1700000000000004, 2, "view", 1.0, json.dumps({"k": 6})),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    got = {r.item: r.pr_micro for r in G.item_pagerank(df).collect()}
+    assert set(got) == {5, 6}
+    want = _ref_pagerank([(1, 5), (1, 6), (2, 5), (2, 6)], G.PR_ITERS)
+    assert got == want
