@@ -619,6 +619,36 @@ def _q_tpch_local_supplier_volume(spark, sf_dir):
     )
 
 
+def _q_tpch_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: one pushed-down lineitem scan, one global
+    integer micro-unit sum; discount bounds on the raw double."""
+    from mircv_project_spark.operators.relational import forecast_revenue_change
+
+    return forecast_revenue_change(_tbl(spark, sf_dir, "lineitem"))
+
+
+def _q_tpch_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue;
+    nation broadcast, big joins key-partitioned, exact integer sums."""
+    from mircv_project_spark.operators.relational import returned_item_revenue
+
+    return returned_item_revenue(
+        *[_tbl(spark, sf_dir, t) for t in (
+            "customer", "orders", "lineitem", "nation"
+        )]
+    )
+
+
+def _q_tpch_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo-part share of one ship-month's revenue;
+    part broadcast, integer sums, one double division round 6."""
+    from mircv_project_spark.operators.relational import promo_revenue_share
+
+    return promo_revenue_share(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
 def _q_phrase_topk(spark, sf_dir):
     """Exact phrase queries without a positional index: n-gram
     equality over the token stream, overlap-counting, rank =
@@ -1334,6 +1364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_orders": _q_tpch_top_orders,
         "tpch_order_priority": _q_tpch_order_priority,
         "tpch_local_supplier_volume": _q_tpch_local_supplier_volume,
+        "tpch_forecast_revenue": _q_tpch_forecast_revenue,
+        "tpch_returned_revenue": _q_tpch_returned_revenue,
+        "tpch_promo_share": _q_tpch_promo_share,
         # exact duplicated-span coverage (substring dedup)
         "dup_spans": _q_dup_spans,
         # distributed k-means + SemDeDup semantic dedup

@@ -231,3 +231,114 @@ def local_supplier_volume(
         .agg(F.sum("rev_u").alias("revenue_u"))
         .select("n_name", F.col("revenue_u").cast("long").alias("revenue_u"))
     )
+
+
+Q6_LO = "1996-01-01 00:00:00"  # naive epoch 820454400000000 us
+Q6_HI = "1997-01-01 00:00:00"  # naive epoch 852076800000000 us
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07  # raw-double bounds, inclusive
+Q6_QTY = 24.0
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue from dropping small
+    discounts — ONE scan, every predicate pushed to parquet, a single
+    global integer sum.  Discount bounds compare the RAW double column
+    (both engines read identical parquet doubles; no quantize-then-
+    compare drift at the boundary).  -> (revenue_u, n_lines)."""
+    base = lineitem.where(
+        (F.col("l_shipdate") >= _ntz(Q6_LO))
+        & (F.col("l_shipdate") < _ntz(Q6_HI))
+        & (F.col("l_discount") >= F.lit(Q6_DISC_LO))
+        & (F.col("l_discount") <= F.lit(Q6_DISC_HI))
+        & (F.col("l_quantity") < F.lit(Q6_QTY))
+    )
+    return base.agg(
+        F.sum(_micro(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("long")
+        .alias("revenue_u"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+Q10_LO = "1996-01-01 00:00:00"
+Q10_HI = "1996-07-01 00:00:00"  # naive epoch 836179200000000 us
+Q10_K = 20
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = Q10_K,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    items ('R' lines of orders placed in [Q10_LO, Q10_HI)); nation is
+    the broadcast dim; the two big joins stay key-partitioned
+    equi-joins for AQE.  Rank (revenue desc, custkey asc).
+    -> (c_custkey, c_name, n_name, acctbal_c, revenue_u)."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ntz(Q10_LO))
+        & (F.col("o_orderdate") < _ntz(Q10_HI))
+    ).select("o_orderkey", "o_custkey")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    lines = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _micro(disc_price).alias("rev_u")
+    )
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "n_name", _cents("c_acctbal").alias("acctbal_c"))
+    return (
+        lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name", "acctbal_c")
+        .agg(F.sum("rev_u").alias("revenue_u"))
+        .orderBy(F.col("revenue_u").desc(), F.col("c_custkey").asc())
+        .limit(k)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            F.col("acctbal_c").cast("long").alias("acctbal_c"),
+            F.col("revenue_u").cast("long").alias("revenue_u"),
+        )
+    )
+
+
+Q14_LO = "1996-01-01 00:00:00"
+Q14_HI = "1996-02-01 00:00:00"  # naive epoch 823132800000000 us
+Q14_PROMO = "PROMO"  # exact p_type equality (synthetic types are words)
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: promo-part share of one ship-month's revenue.
+    Part is the broadcast dim; both sums are exact micro-unit integers
+    and the share is ONE double division, round 6.
+    -> (promo_revenue_u, total_revenue_u, promo_share)."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    lines = lineitem.where(
+        (F.col("l_shipdate") >= _ntz(Q14_LO))
+        & (F.col("l_shipdate") < _ntz(Q14_HI))
+    ).select("l_partkey", _micro(disc_price).alias("rev_u"))
+    joined = lines.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        lines.l_partkey == F.col("p_partkey"),
+    )
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == Q14_PROMO, F.col("rev_u")).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_u"),
+        F.sum("rev_u").alias("total_u"),
+    )
+    return agg.select(
+        F.col("promo_u").cast("long").alias("promo_revenue_u"),
+        F.col("total_u").cast("long").alias("total_revenue_u"),
+        F.round(
+            F.lit(100.0) * F.col("promo_u").cast("double")
+            / F.col("total_u").cast("double"),
+            6,
+        ).alias("promo_share"),
+    )

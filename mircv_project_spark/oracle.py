@@ -858,6 +858,67 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+# Q6: one pushed-down scan, one global integer sum; discount bounds on
+# the RAW parquet double (identical bytes both engines)
+_TPCH_Q6_SQL = """SELECT
+    CAST(sum(CAST(round((l_extendedprice * l_discount) * 1000000.0)
+                  AS BIGINT)) AS BIGINT) AS revenue_u,
+    CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= 820454400000000
+  AND epoch_us(l_shipdate) < 852076800000000
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+# Q10: returned-item revenue per customer, top-20 (revenue desc,
+# custkey asc); order window [1996-01-01, 1996-07-01) as naive epochs
+_TPCH_Q10_SQL = """WITH ords AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE epoch_us(o_orderdate) >= 820454400000000
+      AND epoch_us(o_orderdate) < 836179200000000
+),
+lines AS (
+    SELECT l_orderkey,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0)
+                AS BIGINT) AS rev_u
+    FROM lineitem WHERE l_returnflag = 'R'
+),
+cust AS (
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(c_acctbal * 100.0) AS BIGINT) AS acctbal_c
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       acctbal_c, CAST(sum(rev_u) AS BIGINT) AS revenue_u
+FROM lines
+JOIN ords ON lines.l_orderkey = ords.o_orderkey
+JOIN cust ON ords.o_custkey = cust.c_custkey
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_u DESC, c_custkey ASC
+LIMIT 20
+"""
+
+# Q14: promo share of one ship-month's revenue — integer sums, the
+# share is ONE double division round 6; p_type equality pinned
+_TPCH_Q14_SQL = """WITH lines AS (
+    SELECT l_partkey,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0)
+                AS BIGINT) AS rev_u
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= 820454400000000
+      AND epoch_us(l_shipdate) < 823132800000000
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END)
+            AS BIGINT) AS promo_revenue_u,
+       CAST(sum(rev_u) AS BIGINT) AS total_revenue_u,
+       round(100.0
+             * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END)
+                    AS DOUBLE)
+             / CAST(sum(rev_u) AS DOUBLE), 6) AS promo_share
+FROM lines JOIN part ON l_partkey = p_partkey
+"""
+
 _TPCH_Q4_SQL = """SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
@@ -2302,6 +2363,9 @@ def pipeline_oracles() -> dict[str, str]:
         "tpch_top_orders": _TPCH_Q3_SQL,
         "tpch_order_priority": _TPCH_Q4_SQL,
         "tpch_local_supplier_volume": _TPCH_Q5_SQL,
+        "tpch_forecast_revenue": _TPCH_Q6_SQL,
+        "tpch_returned_revenue": _TPCH_Q10_SQL,
+        "tpch_promo_share": _TPCH_Q14_SQL,
         # distributed k-means (all-integer Lloyd state, unrolled
         # iterations) + SemDeDup within-cluster pruning — literals
         # pinned to operators/clustering.{KM_K,KM_ITERS,KM_MICRO,

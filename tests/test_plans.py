@@ -196,3 +196,46 @@ def test_tpch_q5_broadcasts_dims_and_pushes_date_filter(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    """relational.forecast_revenue_change: every Q6 predicate (ship
+    window, discount bounds, quantity cap) must reach PushedFilters and
+    the scan reads only the 4 needed columns."""
+    from mircv_project_spark.operators.relational import (
+        forecast_revenue_change,
+    )
+
+    df = forecast_revenue_change(
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    )
+    plan = checks.plan_text(df)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_returnflag" not in read and "l_tax" not in read
+
+
+def test_tpch_q10_q14_broadcast_dims(spark):
+    from mircv_project_spark.operators.relational import (
+        promo_revenue_share,
+        returned_item_revenue,
+    )
+
+    q10 = returned_item_revenue(
+        *[
+            spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+            for t in ("customer", "orders", "lineitem", "nation")
+        ]
+    )
+    plan = checks.plan_text(q10)
+    assert "BroadcastHashJoin" in plan
+    q14 = promo_revenue_share(
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/part.parquet"),
+    )
+    plan14 = checks.plan_text(q14)
+    assert "BroadcastHashJoin" in plan14
+    assert "CartesianProduct" not in plan14
