@@ -1151,6 +1151,34 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(out).select("conv_id", "turn_idx", "fp", "is_dup")
 
 
+def _q_streaming_kmv(spark, sf_dir):
+    """Streaming KMV sketch (applyInPandasWithState keyed by source,
+    state = the k-min hash list) under the BATCH sketch oracle: the
+    k-min merge is commutative/associative/idempotent, so the final
+    state after any micro-batch split equals the batch sketch — the
+    corpus arrives as two doc_id-split epochs and each source's
+    max-epoch row is its final state; the estimate derives via the ONE
+    shared Catalyst expression."""
+    from mircv_project_spark.streaming.kmv_stream import (
+        final_kmv_estimates,
+        run_streaming_kmv,
+    )
+
+    base = _tmpdir("mircv_skmv_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_kmv(spark, inp, out, ckpt).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_kmv(spark, inp, out, ckpt).awaitTermination(300)
+    return final_kmv_estimates(spark.read.parquet(out))
+
+
 def _q_streaming_funnel(spark, sf_dir):
     """Streaming ordered funnel (applyInPandasWithState, 3-long state
     per user) under the SAME oracle as the batch funnel: the events
@@ -1303,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming exact dedup: stateful per-fingerprint verdict,
         # oracle = min-key winner rule over the injected-dup corpus
         "streaming_dedup": _q_streaming_dedup,
+        # streaming KMV: final state == batch sketch (mergeable sketch)
+        "streaming_kmv": _q_streaming_kmv,
         # streaming ordered funnel: shares the BATCH funnel's SQL
         # oracle (streaming == batch under time-ordered epochs)
         "streaming_funnel": _q_streaming_funnel,

@@ -44,6 +44,16 @@ KMV_SALT = "kmv-"
 _TWO60 = float(1 << 60)  # 2^60, exactly representable
 
 
+def kmv_est_col(n_sketch: "F.Column", kth_hash: "F.Column", k: int = KMV_K):
+    """The ONE copy of the pinned estimator expression (shared by the
+    batch operator and the streaming-KMV gate so the two cannot
+    drift): exact sketch size below k, else (k-1)/U in micro-hash
+    space, round 6."""
+    return F.when(n_sketch < k, n_sketch.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1) * _TWO60) / kth_hash.cast("double"), 6)
+    )
+
+
 def _partial_kmin(k: int):
     def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -94,14 +104,7 @@ def kmv_distinct_tokens(
             .groupBy("source")
             .agg(F.count("*").alias("n_distinct"))
         )
-        est = F.when(
-            F.col("n_sketch") < k, F.col("n_sketch").cast("double")
-        ).otherwise(
-            F.round(
-                F.lit(float(k - 1) * _TWO60) / F.col("kth_hash").cast("double"),
-                6,
-            )
-        )
+        est = kmv_est_col(F.col("n_sketch"), F.col("kth_hash"), k)
         out = (
             exact.join(sketch, "source")
             .select(

@@ -1870,6 +1870,36 @@ SELECT ex.source AS source, n_distinct, kth_hash,
 FROM ex JOIN sk USING (source)
 """
 
+# streaming KMV shares the batch sketch computation (k-min merge is
+# commutative/associative/idempotent, so the final streaming state ==
+# the batch sketch with NO ordering contract); the stream can't know
+# the exact n_distinct, so this variant outputs the sketch fields only
+_KMV_STREAM_SQL = f"""WITH {_DOC_TOKENS},
+dt AS (
+    SELECT DISTINCT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+hh AS (
+    SELECT DISTINCT source,
+           CAST(('0x' || substr(md5('kmv-' || t), 1, 15))::UBIGINT
+                AS BIGINT) AS h
+    FROM dt
+),
+rk AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hh
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_sketch,
+       max(h) AS kth_hash,
+       CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+            ELSE round((15.0 * 1152921504606846976.0)
+                       / CAST(max(h) AS DOUBLE), 6)
+       END AS est
+FROM rk WHERE rn <= 16 GROUP BY source
+"""
+
 
 # cross-doc boilerplate: 3-grams occurring in >= 3 distinct docs
 # (params pinned to curation.BOILER_NGRAM / BOILER_MIN_DOCS — change
@@ -2405,6 +2435,8 @@ def pipeline_oracles() -> dict[str, str]:
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segmentation": _BPE_SEGMENT_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
+        # streaming final state == batch sketch (mergeable-sketch law)
+        "streaming_kmv": _KMV_STREAM_SQL,
         # prefix filtering is exact: same pair set as the direct join
         "jaccard_pairs_prefix": _JACCARD_PAIRS_SQL,
         "complete_prefix": _COMPLETE_PREFIX_SQL,

@@ -67,3 +67,57 @@ def test_partitioning_invariance(spark):
     assert [(r.source, r.n_distinct, r.kth_hash, r.est) for r in a] == [
         (r.source, r.n_distinct, r.kth_hash, r.est) for r in b
     ]
+
+
+def test_streaming_kmv_final_state_equals_batch(spark, tmp_path):
+    """Two micro-batches with overlapping and batch-2-only sources:
+    every source's final (max-epoch) sketch row must equal the batch
+    operator's sketch over the full corpus; a source absent from batch
+    2 keeps its batch-1 row."""
+    from mircv_project_spark.streaming.kmv_stream import (
+        final_kmv_estimates,
+        run_streaming_kmv,
+    )
+
+    rows1 = [
+        (0, " ".join(f"w{i}" for i in range(30)), "en", "sA", 0),
+        (1, "alpha beta gamma", "en", "sB", 0),  # absent from batch 2
+    ]
+    rows2 = [
+        (2, " ".join(f"w{i}" for i in range(20, 50)), "en", "sA", 0),
+        (3, " ".join(f"x{i}" for i in range(25)), "en", "sC", 0),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inp, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_kmv(spark, inp, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_kmv(spark, inp, out, ckpt).awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    # sA appears in both epochs, sB only in 1, sC only in 2
+    epochs = {
+        (r.source, r.epoch) for r in raw.select("source", "epoch").collect()
+    }
+    assert ("sA", 1) in epochs and ("sA", 2) in epochs
+    assert ("sB", 1) in epochs and ("sB", 2) not in epochs
+    assert ("sC", 1) in epochs
+
+    got = {
+        r.source: (r.n_sketch, r.kth_hash, r.est)
+        for r in final_kmv_estimates(raw).collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        r.source: (min(K.KMV_K, r.n_distinct), r.kth_hash, r.est)
+        for r in K.kmv_distinct_tokens(batch).collect()
+    }
+    assert got == want
