@@ -385,6 +385,15 @@ def _q_item_pagerank(spark, sf_dir):
     return item_pagerank(_events(spark, sf_dir))
 
 
+def _q_item_transitions(spark, sf_dir):
+    """Session-based Markov next-item counts: per current item the
+    top-3 next items by frequency, consecutive pairs under the suite's
+    deterministic (us, event_id) per-user order."""
+    from mircv_project_spark.operators.events import item_transitions
+
+    return item_transitions(_events(spark, sf_dir))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user (strictly-
     after chaining, 1-day conversion horizon), epoch-us timestamps."""
@@ -1434,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
         "complete_prefix": _q_complete_prefix,
         "item_pagerank": _q_item_pagerank,
+        "item_transitions": _q_item_transitions,
     }
 
 

@@ -485,3 +485,49 @@ def events_gapfill(
             F.last("close_value", ignorenulls=True).over(w), 6
         ).alias("last_value"),
     )
+
+
+TRANS_TOPK = 3
+
+
+def item_transitions(events: DataFrame, topk: int = TRANS_TOPK) -> DataFrame:
+    """Next-item transition table (the count side of a session-based
+    Markov recommender): per current item, the top-k most frequent NEXT
+    items across all users.  -> (cur, next_item, cnt, rank).
+
+    Pinned semantics (restated verbatim in the oracle — change both or
+    neither): items = props '$.k' (NULL items dropped BEFORE pairing,
+    so transitions skip item-less events); per user, events order by
+    (us, event_id) — the suite's shared deterministic order; a
+    transition is each consecutive pair (self-transitions kept); rank
+    (cnt desc, next asc), top k per current item.
+
+    Scale shape (100 TB): one user-keyed shuffle for the lead() window
+    (bounded per-user partitions), then a map-side-combined pair count
+    and a per-item top-k window over distinct next-items only."""
+    base = events.select(
+        F.col("user_id").alias("u"),
+        _us_col("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull())
+    w = Window.partitionBy("u").orderBy(F.col("us").asc(), F.col("eid").asc())
+    pairs = (
+        base.withColumn("next_item", F.lead("item").over(w))
+        .where(F.col("next_item").isNotNull())
+        .groupBy(F.col("item").alias("cur"), "next_item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wr = Window.partitionBy("cur").orderBy(
+        F.col("cnt").desc(), F.col("next_item").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= topk)
+        .select(
+            "cur",
+            "next_item",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1684,6 +1684,38 @@ FROM ranked WHERE rn <= {k}
 _COMPLETE_PREFIX_SQL = _complete_prefix_sql(COMPLETE_PREFIXES, COMPLETE_TOPK)
 
 
+# Next-item transitions (events.item_transitions).  Pins restated
+# verbatim: items = TRY_CAST props '$.k' with NULLs dropped BEFORE
+# pairing, per-user order (us, event_id), self-transitions kept,
+# rank (cnt desc, next asc) top 3.
+_ITEM_TRANSITIONS_SQL = """WITH base AS (
+    SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+),
+pairs AS (
+    SELECT item AS cur,
+           lead(item) OVER (PARTITION BY u ORDER BY us, eid) AS next_item
+    FROM base
+),
+cnts AS (
+    SELECT cur, next_item, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs WHERE next_item IS NOT NULL
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY cur ORDER BY cnt DESC, next_item ASC
+    ) AS rn
+    FROM cnts
+)
+SELECT CAST(cur AS BIGINT) AS cur, CAST(next_item AS BIGINT) AS next_item,
+       cnt, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
 def _pagerank_sql(iters: int) -> str:
     """Integer-state weighted PageRank over the item co-visitation
     graph (operators/graph.py), unrolled into `iters` CTE steps.  Pins
@@ -2441,6 +2473,7 @@ def pipeline_oracles() -> dict[str, str]:
         "jaccard_pairs_prefix": _JACCARD_PAIRS_SQL,
         "complete_prefix": _COMPLETE_PREFIX_SQL,
         "item_pagerank": _ITEM_PAGERANK_SQL,
+        "item_transitions": _ITEM_TRANSITIONS_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

@@ -455,3 +455,49 @@ def test_gapfill_grid_zeros_and_ffill(spark):
     assert got[(1, d0 + 2)] == (0, 0.0, 7.0)
     assert got[(1, d0 + 3)] == (1, 9.0, 9.0)
     assert got[(2, d0 + 1)] == (1, 2.5, 2.5)
+
+
+def test_item_transitions_hand_computed(spark):
+    """Null-item events are dropped BEFORE pairing (transitions skip
+    them), self-transitions count, ties rank (cnt desc, next asc)."""
+    import json
+
+    from mircv_project_spark.operators.events import item_transitions
+
+    rows = [
+        # user 1: 5 -> 6 -> (null skipped) -> 6 -> 7   (5->6, 6->6, 6->7)
+        (0, 1_000, 1, {"k": 5}),
+        (1, 2_000, 1, {"k": 6}),
+        (2, 3_000, 1, {"x": 1}),
+        (3, 4_000, 1, {"k": 6}),
+        (4, 5_000, 1, {"k": 7}),
+        # user 2: 5 -> 6, 6 -> 8   (makes 5->6 cnt 2; 6->8 ties 6->7)
+        (5, 1_000, 2, {"k": 5}),
+        (6, 2_000, 2, {"k": 6}),
+        (7, 3_000, 2, {"k": 8}),
+        # user 3: same-us tie broken by event_id: 9 (eid 8) -> 5 (eid 9)
+        (8, 7_000, 3, {"k": 9}),
+        (9, 7_000, 3, {"k": 5}),
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, us, u, "view", 1.0, json.dumps(p))
+            for eid, us, u, p in rows
+        ],
+        "event_id long, us long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    got = {
+        (r.cur, r.next_item): (r.cnt, r.rank)
+        for r in item_transitions(df).collect()
+    }
+    assert got == {
+        (5, 6): (2, 1),
+        (6, 6): (1, 1),   # ties with 6->7, 6->8: next asc
+        (6, 7): (1, 2),
+        (6, 8): (1, 3),
+        (9, 5): (1, 1),
+    }
