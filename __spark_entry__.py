@@ -385,6 +385,15 @@ def _q_item_pagerank(spark, sf_dir):
     return item_pagerank(_events(spark, sf_dir))
 
 
+def _q_item_communities(spark, sf_dir):
+    """Connected components over the strong co-visitation edges
+    (epsilon-guarded 0.99-quantile weight threshold), via the shared
+    min-label propagation; oracle = recursive-CTE closure."""
+    from mircv_project_spark.operators.graph import item_communities
+
+    return item_communities(_events(spark, sf_dir))
+
+
 def _q_item_transitions(spark, sf_dir):
     """Session-based Markov next-item counts: per current item the
     top-3 next items by frequency, consecutive pairs under the suite's
@@ -1444,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_prefix": _q_complete_prefix,
         "item_pagerank": _q_item_pagerank,
         "item_transitions": _q_item_transitions,
+        "item_communities": _q_item_communities,
     }
 
 

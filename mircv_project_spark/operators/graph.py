@@ -168,3 +168,73 @@ def item_pagerank(
             pr.unpersist()
         nodes.unpersist()
     return out
+
+
+COVISIT_Q = 0.99  # strong-edge quantile for the community graph
+_Q_EPS = 1e-6
+
+
+def item_communities(events: DataFrame) -> DataFrame:
+    """Connected components over the STRONG co-visitation edges ->
+    (item, community) with community = min reachable item id;
+    singletons (and items with only weak edges) label themselves.
+
+    Edge threshold is RELATIVE (an absolute weight is corpus-size-
+    dependent): keep edges with w >= ceil(q - 1e-6) where q is the
+    0.99 interpolated quantile of edge weights — the epsilon guard
+    keeps a sub-round-6 engine difference in the interpolation from
+    flipping integer-weight boundary edges (same percentile-parity
+    assumption as event_props_rollup, same guard idea as the prefix
+    join's ceil).  Components = dedup.dup_components' join-based
+    min-label propagation — graph machinery shared, not re-derived.
+
+    Scale shape: the quantile is the one O(edges) aggregate (collected
+    as a scalar); thresholding is a map filter; propagation rounds are
+    id-keyed joins bounded by the strong-edge diameter."""
+    from .dedup import dup_components
+
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        a, b = ui.alias("a"), ui.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.u") == F.col("b.u"))
+                & (F.col("a.item") < F.col("b.item")),
+            )
+            .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+            .agg(F.count("*").alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            q = e.agg(
+                F.percentile(F.col("w"), F.lit(COVISIT_Q)).alias("q")
+            ).collect()[0]["q"]
+            import math
+
+            thr = int(math.ceil(q - _Q_EPS))
+            pairs = e.where(F.col("w") >= thr).select(
+                F.col("ia").alias("id_a"), F.col("ib").alias("id_b")
+            )
+            comp = dup_components(pairs)
+            nodes = ui.select("item").distinct()
+            out = (
+                nodes.join(comp, nodes.item == comp.id, "left")
+                .select(
+                    "item",
+                    F.coalesce(F.col("component"), F.col("item"))
+                    .cast("long")
+                    .alias("community"),
+                )
+                .localCheckpoint()
+            )
+        finally:
+            e.unpersist()
+    finally:
+        ui.unpersist()
+    return out

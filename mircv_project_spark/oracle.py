@@ -1684,6 +1684,50 @@ FROM ranked WHERE rn <= {k}
 _COMPLETE_PREFIX_SQL = _complete_prefix_sql(COMPLETE_PREFIXES, COMPLETE_TOPK)
 
 
+# Item communities (graph.item_communities): connected components over
+# the strong co-visitation edges.  Pins restated verbatim: edges
+# (a < b) weighted by distinct co-visiting users, threshold =
+# ceil(quantile_cont(w, 0.99) - 1e-6) (the epsilon keeps a sub-round-6
+# interpolation difference from flipping integer boundary weights),
+# closure = recursive reachability, community = min reachable id,
+# weak/isolated items label themselves.
+_ITEM_COMMUNITIES_SQL = """WITH RECURSIVE ui AS (
+    SELECT DISTINCT user_id AS u,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+),
+e AS (
+    SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS w
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+    GROUP BY 1, 2
+),
+thr AS (
+    SELECT CAST(ceil(quantile_cont(w, 0.99) - 0.000001) AS BIGINT) AS t
+    FROM e
+),
+strong AS (SELECT ia, ib FROM e CROSS JOIN thr WHERE w >= t),
+edges AS (
+    SELECT ia AS src, ib AS dst FROM strong
+    UNION
+    SELECT ib AS src, ia AS dst FROM strong
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+comp AS (
+    SELECT src AS id, least(src, min(dst)) AS community
+    FROM reach GROUP BY src
+),
+nodes AS (SELECT DISTINCT item FROM ui)
+SELECT CAST(nodes.item AS BIGINT) AS item,
+       CAST(coalesce(comp.community, nodes.item) AS BIGINT) AS community
+FROM nodes LEFT JOIN comp ON nodes.item = comp.id
+"""
+
+
 # Next-item transitions (events.item_transitions).  Pins restated
 # verbatim: items = TRY_CAST props '$.k' with NULLs dropped BEFORE
 # pairing, per-user order (us, event_id), self-transitions kept,
@@ -2474,6 +2518,7 @@ def pipeline_oracles() -> dict[str, str]:
         "complete_prefix": _COMPLETE_PREFIX_SQL,
         "item_pagerank": _ITEM_PAGERANK_SQL,
         "item_transitions": _ITEM_TRANSITIONS_SQL,
+        "item_communities": _ITEM_COMMUNITIES_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

@@ -95,3 +95,26 @@ def test_null_and_malformed_props_dropped(spark):
     assert set(got) == {5, 6}
     want = _ref_pagerank([(1, 5), (1, 6), (2, 5), (2, 6)], G.PR_ITERS)
     assert got == want
+
+
+def test_item_communities_threshold_and_labels(spark):
+    """Two planted cliques joined by a weak bridge: the 0.99-quantile
+    threshold keeps only the strong edges, so the cliques stay separate
+    components; isolated items label themselves."""
+    # clique A = items 1,2 co-visited by 10 users; clique B = 5,6 by
+    # 10 users; bridge 2-5 by 1 user; isolated item 9 by 1 user
+    user_items = (
+        [(u, 1) for u in range(10)]
+        + [(u, 2) for u in range(10)]
+        + [(u + 100, 5) for u in range(10)]
+        + [(u + 100, 6) for u in range(10)]
+        + [(200, 2), (200, 5)]
+        + [(300, 9)]
+    )
+    df = _events_df(spark, user_items)
+    got = {r.item: r.community for r in G.item_communities(df).collect()}
+    # edge weights: (1,2)=10, (5,6)=10, (2,5)=1 (plus (1,?)...); the
+    # 0.99 quantile of [1, 10, 10] interpolates near 10 -> bridge cut
+    assert got[1] == 1 and got[2] == 1
+    assert got[5] == 5 and got[6] == 5
+    assert got[9] == 9
