@@ -325,23 +325,55 @@ def _q_bpe_segmentation(spark, sf_dir):
     return bpe_segment_corpus(spark, _docs(spark, sf_dir))
 
 
+_POS_STORE_CACHE: dict = {}
+
+
+def _positional_store(spark, sf_dir):
+    """Build + write the positional index once per (session, sf_dir) —
+    shared by the stored-phrase and proximity gate entries."""
+    from mircv_project_spark.operators.positional import (
+        build_positional_postings,
+        load_positional_postings,
+        write_positional_index,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _POS_STORE_CACHE:
+        store = _tmpdir("mircv_gate_posidx_")
+        write_positional_index(
+            build_positional_postings(_docs(spark, sf_dir)), store
+        )
+        _POS_STORE_CACHE[key] = store
+    return load_positional_postings(spark, _POS_STORE_CACHE[key])
+
+
 def _q_phrase_topk_positional(spark, sf_dir):
     """Phrase queries served from the PERSISTED positional index:
     build (bucket, term, id, positions), write bucket-partitioned
     parquet, reload, answer the pinned phrase set via the
     shifted-position array_intersect join chain — same oracle as the
     corpus-scan phrase path."""
-    from mircv_project_spark.operators.positional import (
-        build_positional_postings,
-        load_positional_postings,
-        phrase_topk_positional,
-        write_positional_index,
+    from mircv_project_spark.operators.positional import phrase_topk_positional
+
+    return phrase_topk_positional(
+        _positional_store(spark, sf_dir), oracle.PHRASE_SET, k=oracle.PHRASE_K
     )
 
-    store = _tmpdir("mircv_gate_posidx_")
-    write_positional_index(build_positional_postings(_docs(spark, sf_dir)), store)
-    return phrase_topk_positional(
-        load_positional_postings(spark, store), oracle.PHRASE_SET, k=oracle.PHRASE_K
+
+def _q_proximity_topk(spark, sf_dir):
+    """Sloppy-phrase proximity search from the positional store: full
+    existential within-slop ordered chains (slop 3) over the pinned
+    phrase set, nested higher-order-function expression, rank
+    (n_hits desc, id asc) top-10."""
+    from mircv_project_spark.operators.positional import (
+        proximity_topk_positional,
+    )
+
+    return proximity_topk_positional(
+        _positional_store(spark, sf_dir),
+        oracle.PHRASE_SET,
+        slop=oracle.PROX_SLOP,
+        k=oracle.PROX_K,
     )
 
 
@@ -1448,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_segmentation": _q_bpe_segmentation,
         "phrase_topk_positional": _q_phrase_topk_positional,
+        "proximity_topk": _q_proximity_topk,
         "kmv_distinct": _q_kmv_distinct,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
         "complete_prefix": _q_complete_prefix,

@@ -163,3 +163,101 @@ def _shift_by(i: int):
     """Closure-building helper: a bare lambda inside F.transform must
     keep single arity (the CLAUDE.md lambda-arity gotcha)."""
     return lambda p: p - i
+
+
+PROX_SLOP = 3
+PROX_K = 10
+
+
+def _exists_chain(parts_cols: list, slop: int):
+    """Nested existential chain over raw position arrays: a position
+    p0 of term 0 is a hit iff there exist ordered positions p1, p2, ...
+    with p_{i+1} in (p_i, p_i + slop].  FULL existential semantics —
+    greedy minimal-next chaining is NOT equivalent (pos2=[2,4],
+    pos3=[7], slop 3, p1=1: greedy picks 2 and dies, the 4-chain
+    succeeds), so both engines restate the nested EXISTS verbatim."""
+
+    n = len(parts_cols)
+
+    # closures built by named helpers, never default-arg lambdas —
+    # an extra default parameter flips Spark's inferred lambda arity
+    # to (element, index) (the CLAUDE.md gotcha)
+    def pred_given(i: int, prev):
+        def pred(p):
+            ok = (p > prev) & (p <= prev + slop)
+            if i < n - 1:
+                return ok & F.exists(parts_cols[i + 1], pred_given(i + 1, p))
+            return ok
+
+        return pred
+
+    def first(p0):
+        return F.exists(parts_cols[1], pred_given(1, p0))
+
+    return F.size(F.filter(parts_cols[0], first))
+
+
+def proximity_topk_positional(
+    pos_df: DataFrame,
+    phrases: list[tuple[str, str]],
+    slop: int = PROX_SLOP,
+    k: int = PROX_K,
+    n_buckets: int | None = config.POSTINGS_TERM_BUCKETS,
+) -> DataFrame:
+    """Sloppy-phrase (proximity) search from the positional store:
+    -> (qid, id, n_hits, rank) where n_hits counts first-term positions
+    that begin an ordered within-slop chain of all query terms
+    (slop = 1 degenerates to the exact-phrase adjacency).  Pinned:
+    rank (n_hits desc, id asc) top k; zero-hit docs emit nothing.
+
+    Same pruned-scan + id-keyed join shape as phrase_topk_positional;
+    the chain check is a nested higher-order-function expression over
+    the joined position arrays — per-doc cost bounded by the terms'
+    in-doc frequencies, no Python."""
+    parsed: list[tuple[str, list[str]]] = []
+    for qid, p in phrases:
+        ptoks = tokenize(p, False)
+        if len(ptoks) >= 2:
+            parsed.append((qid, ptoks))
+    all_terms = sorted({t for _, ptoks in parsed for t in ptoks})
+    pruned = pos_df
+    if n_buckets and "bucket" in pos_df.columns:
+        buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+        pruned = pruned.where(F.col("bucket").isin(buckets))
+    pruned = pruned.where(F.col("term").isin(all_terms)).persist()
+    try:
+        branches = []
+        for qid, ptoks in parsed:
+            parts = [
+                pruned.where(F.col("term") == t).select(
+                    "id", F.col("positions").alias(f"p{i}")
+                )
+                for i, t in enumerate(ptoks)
+            ]
+            joined = reduce(lambda l, r: l.join(r, "id"), parts)
+            hits = _exists_chain(
+                [F.col(f"p{i}") for i in range(len(ptoks))], slop
+            )
+            branches.append(
+                joined.select(
+                    F.lit(qid).alias("qid"),
+                    "id",
+                    hits.cast("long").alias("n_hits"),
+                ).where(F.col("n_hits") >= 1)
+            )
+        allm = reduce(DataFrame.unionByName, branches)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("n_hits").desc(), F.col("id").asc()
+        )
+        out = (
+            allm.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "qid", "id", "n_hits",
+                F.col("rank").cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        pruned.unpersist()
+    return out

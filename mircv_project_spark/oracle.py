@@ -1684,6 +1684,75 @@ FROM ranked WHERE rn <= {k}
 _COMPLETE_PREFIX_SQL = _complete_prefix_sql(COMPLETE_PREFIXES, COMPLETE_TOPK)
 
 
+PROX_SLOP = 3
+PROX_K = 10
+
+
+def _proximity_sql(
+    phrases: list[tuple[str, str]], slop: int, k: int
+) -> str:
+    """positional.proximity_topk_positional: sloppy-phrase matching
+    with FULL existential chain semantics (greedy minimal-next is NOT
+    equivalent — see the operator docstring's counterexample), the
+    nested EXISTS restated as nested list_filter lambdas.  n_hits =
+    first-term positions beginning an ordered within-slop chain; rank
+    (n_hits desc, id asc) top k; phrases reuse PHRASE_SET."""
+    branches = []
+    for qid, p in phrases:
+        toks = p.split(" ")
+        n = len(toks)
+        if n < 2:
+            continue
+
+        def inner(i: int) -> str:
+            cond = f"p{i} > p{i - 1} AND p{i} <= p{i - 1} + {slop}"
+            if i == n - 1:
+                return (
+                    f"len(list_filter(a{i}.ps, p{i} -> {cond})) > 0"
+                )
+            return (
+                f"len(list_filter(a{i}.ps, p{i} -> {cond} "
+                f"AND {inner(i + 1)})) > 0"
+            )
+
+        froms = "parr a0 " + " ".join(
+            f"JOIN parr a{i} ON a0.id = a{i}.id" for i in range(1, n)
+        )
+        where = " AND ".join(f"a{i}.term = '{toks[i]}'" for i in range(n))
+        hits = f"len(list_filter(a0.ps, p0 -> {inner(1)}))"
+        branches.append(
+            f"SELECT '{qid}' AS qid, a0.id AS id,"
+            f" CAST({hits} AS BIGINT) AS n_hits\n    FROM {froms}"
+            f"\n    WHERE {where}"
+        )
+    union = "\n    UNION ALL\n    ".join(branches)
+    return f"""WITH {_DOC_TOKENS},
+posx AS (
+    SELECT doc_id AS id, unnest(tokens) AS term,
+           unnest(range(len(tokens))) AS pos
+    FROM doctoks
+),
+parr AS (
+    SELECT id, term, list(pos ORDER BY pos) AS ps
+    FROM posx GROUP BY id, term
+),
+m AS (
+    {union}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY n_hits DESC, id ASC
+    ) AS rn
+    FROM m WHERE n_hits >= 1
+)
+SELECT qid, CAST(id AS BIGINT) AS id, n_hits, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
+_PROXIMITY_SQL = _proximity_sql(PHRASE_SET, PROX_SLOP, PROX_K)
+
+
 # Item communities (graph.item_communities): connected components over
 # the strong co-visitation edges.  Pins restated verbatim: edges
 # (a < b) weighted by distinct co-visiting users, threshold =
@@ -2464,6 +2533,7 @@ def pipeline_oracles() -> dict[str, str]:
         # the stored positional path must return EXACTLY the corpus-scan
         # phrase result — same oracle by design
         "phrase_topk_positional": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
+        "proximity_topk": _PROXIMITY_SQL,
         # relational OLAP suite over the TPC-H-shaped tables
         "tpch_pricing_summary": _TPCH_Q1_SQL,
         "tpch_top_orders": _TPCH_Q3_SQL,

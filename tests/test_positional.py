@@ -88,3 +88,45 @@ def test_store_roundtrip_prunes(spark, docs_df, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_proximity_existential_not_greedy(spark):
+    """The counterexample from the docstring: tokens place term b at
+    offsets 2 and 4 after a at 1, c at 7; slop 3.  A greedy
+    minimal-next chain (a1 -> b2 -> needs c in (2,5] -> fail) misses
+    the valid a1 -> b4 -> c7 chain — full existential semantics must
+    count the hit."""
+    #        pos: 0 1 2 3 4 5 6 7
+    text = "x a b x b x x c"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    pos = P.build_positional_postings(df)
+    got = P.proximity_topk_positional(
+        pos, [("q", "a b c")], slop=3, n_buckets=None
+    ).collect()
+    assert len(got) == 1 and got[0].n_hits == 1
+
+
+def test_proximity_slop1_equals_exact_phrase(spark, docs_df):
+    pos = P.build_positional_postings(docs_df)
+    a = (
+        P.proximity_topk_positional(pos, PHRASES, slop=1)
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    b = (
+        P.phrase_topk_positional(pos, [(q, p) for q, p in PHRASES if len(p.split()) >= 2])
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_proximity_counts_first_term_positions(spark):
+    # "a x b a b": a at 0 and 3; slop 2: a0 -> b2 ok, a3 -> b4 ok = 2
+    # hits; slop 1: only a3 -> b4 = 1 hit
+    df = spark.createDataFrame([(0, "a x b a b")], "doc_id long, text string")
+    pos = P.build_positional_postings(df)
+    two = P.proximity_topk_positional(pos, [("q", "a b")], slop=2, n_buckets=None).collect()
+    one = P.proximity_topk_positional(pos, [("q", "a b")], slop=1, n_buckets=None).collect()
+    assert two[0].n_hits == 2
+    assert one[0].n_hits == 1
