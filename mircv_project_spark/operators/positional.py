@@ -261,3 +261,30 @@ def proximity_topk_positional(
     finally:
         pruned.unpersist()
     return out
+
+
+def append_positional_epoch(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = config.POSTINGS_TERM_BUCKETS,
+) -> None:
+    """Grow a positional store with a NEW batch of documents — a pure
+    parquet append into the same bucket partitions.
+
+    Positional postings are per-(term, doc) rows and documents are
+    immutable, so incremental growth needs NO merge and NO stat
+    recompute (contrast streaming/incremental.compact_index, where
+    BM25 upper bounds depend on corpus-wide avgdl and runs must stay
+    docid-disjoint).  The caller's contract is append-only NEW doc ids;
+    each epoch's files are term-sorted internally, so row-group min/max
+    pruning still applies per file."""
+    pos = build_positional_postings(new_docs, id_col, text_col, n_buckets)
+    (
+        pos.repartition("bucket")
+        .sortWithinPartitions("term", "id")
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(path)
+    )

@@ -130,3 +130,29 @@ def test_proximity_counts_first_term_positions(spark):
     one = P.proximity_topk_positional(pos, [("q", "a b")], slop=1, n_buckets=None).collect()
     assert two[0].n_hits == 2
     assert one[0].n_hits == 1
+
+
+def test_incremental_epoch_append_equals_one_shot(spark, docs_df, tmp_path):
+    """Writing half the corpus then appending the rest must answer
+    phrase AND proximity queries identically to a one-shot store."""
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    d1 = docs_df.where(F.col("doc_id") < 3)
+    d2 = docs_df.where(F.col("doc_id") >= 3)
+    P.write_positional_index(P.build_positional_postings(d1), inc)
+    P.append_positional_epoch(d2, inc)
+    P.write_positional_index(P.build_positional_postings(docs_df), full)
+    for fn in (
+        lambda s: P.phrase_topk_positional(s, PHRASES),
+        lambda s: P.proximity_topk_positional(s, PHRASES, slop=2),
+    ):
+        a = (
+            fn(P.load_positional_postings(spark, inc))
+            .toPandas()
+            .sort_values(["qid", "rank"], ignore_index=True)
+        )
+        b = (
+            fn(P.load_positional_postings(spark, full))
+            .toPandas()
+            .sort_values(["qid", "rank"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
