@@ -426,6 +426,15 @@ def _q_item_communities(spark, sf_dir):
     return item_communities(_events(spark, sf_dir))
 
 
+def _q_session_paths(spark, sf_dir):
+    """Sequence mining: top-10 3-step event-type paths within
+    sessions (event_sessions' exact boundary rule), overlapping
+    windows, rank (cnt desc, path asc)."""
+    from mircv_project_spark.operators.events import session_paths
+
+    return session_paths(_events(spark, sf_dir))
+
+
 def _q_item_transitions(spark, sf_dir):
     """Session-based Markov next-item counts: per current item the
     top-3 next items by frequency, consecutive pairs under the suite's
@@ -1487,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_pagerank": _q_item_pagerank,
         "item_transitions": _q_item_transitions,
         "item_communities": _q_item_communities,
+        "session_paths": _q_session_paths,
     }
 
 

@@ -531,3 +531,79 @@ def item_transitions(events: DataFrame, topk: int = TRANS_TOPK) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+PATHS_K = 10
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_S,
+    k: int = PATHS_K,
+) -> DataFrame:
+    """Sequence mining over sessionized events: the top-k 3-step
+    event-type paths (overlapping windows) across all sessions.
+    -> (path, cnt, rank) with path = 'a>b>c'.
+
+    Pinned semantics (restated verbatim in the oracle — change both or
+    neither): sessions use event_sessions' EXACT boundary rule (strict
+    > gap on (us, event_id) NULLS LAST order); a path = three
+    consecutive events of the SAME session (lead()-based, overlapping);
+    rank (cnt desc, path asc) — deterministic total order — top k.
+
+    Scale shape: one user-keyed shuffle shared by the session flags and
+    the leads (same window), then a map-side-combined path count and a
+    driver-bounded top-k."""
+    gap_us = int(gap_seconds) * 1_000_000
+    base = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _us_col("ts").alias("us"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("event_type").alias("etype"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc_nulls_last(), F.col("eid").asc_nulls_last()
+    )
+    prev = F.lag("us").over(w)
+    flagged = base.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((F.col("us") - prev) > gap_us), 1).otherwise(0),
+    )
+    run = (
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1
+    )
+    marked = flagged.withColumn("sess", run.cast("long"))
+    trip = marked.select(
+        "user_id",
+        "sess",
+        "etype",
+        F.lead("etype", 1).over(w).alias("t1"),
+        F.lead("etype", 2).over(w).alias("t2"),
+        F.lead("sess", 1).over(w).alias("s1"),
+        F.lead("sess", 2).over(w).alias("s2"),
+    ).where(
+        F.col("t2").isNotNull()
+        & (F.col("s1") == F.col("sess"))
+        & (F.col("s2") == F.col("sess"))
+    )
+    counts = (
+        trip.select(
+            F.concat_ws(">", "etype", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("path").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("path").asc())
+            ).cast("long"),
+        )
+        .select("path", F.col("cnt").cast("long").alias("cnt"), "rank")
+    )

@@ -1797,6 +1797,51 @@ FROM nodes LEFT JOIN comp ON nodes.item = comp.id
 """
 
 
+# Session path mining (events.session_paths).  Pins restated verbatim:
+# event_sessions' boundary rule (strict > 28800 s on (us, event_id)
+# NULLS LAST order), paths = overlapping 3-step event-type windows
+# WITHIN one session, rank (cnt desc, path asc) top 10.
+_SESSION_PATHS_SQL = """WITH base AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
+           event_type AS etype
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 28800000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM base
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY us ASC NULLS LAST, eid ASC NULLS LAST)
+),
+marked AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id
+        ORDER BY us ASC NULLS LAST, eid ASC NULLS LAST
+        ROWS UNBOUNDED PRECEDING) - 1 AS sess
+    FROM flagged
+),
+trip AS (
+    SELECT etype, lead(etype, 1) OVER w AS t1, lead(etype, 2) OVER w AS t2,
+           sess, lead(sess, 1) OVER w AS s1, lead(sess, 2) OVER w AS s2
+    FROM marked
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY us ASC NULLS LAST, eid ASC NULLS LAST)
+),
+counts AS (
+    SELECT etype || '>' || t1 || '>' || t2 AS path,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM trip
+    WHERE t2 IS NOT NULL AND s1 = sess AND s2 = sess
+    GROUP BY 1
+)
+SELECT path, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, path ASC) AS BIGINT)
+           AS rank
+FROM counts ORDER BY cnt DESC, path ASC LIMIT 10
+"""
+
+
 # Next-item transitions (events.item_transitions).  Pins restated
 # verbatim: items = TRY_CAST props '$.k' with NULLs dropped BEFORE
 # pairing, per-user order (us, event_id), self-transitions kept,
@@ -2589,6 +2634,7 @@ def pipeline_oracles() -> dict[str, str]:
         "item_pagerank": _ITEM_PAGERANK_SQL,
         "item_transitions": _ITEM_TRANSITIONS_SQL,
         "item_communities": _ITEM_COMMUNITIES_SQL,
+        "session_paths": _SESSION_PATHS_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
         # recall-1.0 assumption guarded by

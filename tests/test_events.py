@@ -501,3 +501,33 @@ def test_item_transitions_hand_computed(spark):
         (6, 8): (1, 3),
         (9, 5): (1, 1),
     }
+
+
+def test_session_paths_boundary_and_overlap(spark):
+    """Paths never cross a session boundary; overlapping windows count;
+    ties rank path-asc."""
+    import json
+
+    from mircv_project_spark.operators.events import session_paths
+
+    h = 3_600_000_000  # 1h in us
+    rows = [
+        # user 1, one session: a b c d  -> paths a>b>c, b>c>d
+        (0, 0 * h, 1, "a"), (1, 1 * h, 1, "b"),
+        (2, 2 * h, 1, "c"), (3, 3 * h, 1, "d"),
+        # user 1, new session after a 9h gap: a b c -> a>b>c again
+        (4, 13 * h, 1, "a"), (5, 14 * h, 1, "b"), (6, 15 * h, 1, "c"),
+        # user 2: only 2 events in a session -> no path; the third
+        # event is 9h later, so b>c>a must NOT count
+        (7, 0 * h, 2, "b"), (8, 1 * h, 2, "c"), (9, 11 * h, 2, "a"),
+    ]
+    df = spark.createDataFrame(
+        [(eid, us, u, t, 1.0, json.dumps({"k": 1})) for eid, us, u, t in rows],
+        "event_id long, us long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    got = [(r.path, r.cnt, r.rank) for r in session_paths(df).collect()]
+    assert got == [("a>b>c", 2, 1), ("b>c>d", 1, 2)]
