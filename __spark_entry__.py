@@ -435,6 +435,15 @@ def _q_session_paths(spark, sf_dir):
     return session_paths(_events(spark, sf_dir))
 
 
+def _q_knn_join(spark, sf_dir):
+    """Exact kNN self-join: top-3 cosine neighbors per vector via the
+    chunk-pair BLAS shape; final scores/ranks in Catalyst (shared
+    cosine, round 6, (cos6 desc, nid asc))."""
+    from mircv_project_spark.operators.similarity import knn_join_exact
+
+    return knn_join_exact(_emb(spark, sf_dir))
+
+
 def _q_item_transitions(spark, sf_dir):
     """Session-based Markov next-item counts: per current item the
     top-3 next items by frequency, consecutive pairs under the suite's
@@ -1444,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snippet extraction — full-oracle
         "snippets": _q_snippets,
         "cosine_topk": _q_cosine_topk,
+        "knn_join": _q_knn_join,
         # MMR diversified top-k — full-oracle (unrolled greedy chain)
         "mmr_topk": _q_mmr_topk,
         # exact phrase queries (no positional index needed)

@@ -827,3 +827,123 @@ def mmr_topk(
     return spark.createDataFrame(
         out, "probe_id long, neighbor_id long, rank long, obj double"
     )
+
+
+KNN_JOIN_K = 3
+_KNN_PAD = 8
+_KNN_EPS = 1e-6
+
+
+def knn_join_exact(
+    embeddings: DataFrame,
+    k: int = KNN_JOIN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_size: int = 4096,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor SELF-join: every vector's top-k cosine
+    neighbors -> (id, nid, cos6, rank), rank (cos6 desc, nid asc) —
+    the third similarity surface beside threshold pairs
+    (embedding_near_dup) and probe-set top-k (cosine_topk).
+
+    Same distributed block-matrix shape as
+    embedding_near_dup_pairs_exact (chunk-pair Arrow BLAS tasks, n^2/2
+    FLOPs — the honest cost of exactness); each chunk-pair task emits
+    per-vector partial top-(k + pad) candidates PLUS everything within
+    _KNN_EPS of its k-th raw score (top-k is a mergeable aggregate, so
+    the global top-k is inside the union of partials; the epsilon pad
+    keeps a round-6 boundary tie from being cut by raw-float order —
+    the maxscore ROUND_EPS argument).  Final scores and ranks are
+    Catalyst: the ONE shared cosine (_dot/_norm), round 6, window
+    (cos6 desc, nid asc) — so the gate never compares numpy floats.
+    """
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    g = max(1, -(-n // chunk_size))
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(g)).cast("int").alias("chunk"),
+    )
+    pair_keys = spark.createDataFrame(
+        [(i, j) for i in range(g) for j in range(i, g)], "ci int, cj int"
+    )
+    left = base.join(F.broadcast(pair_keys), base.chunk == pair_keys.ci).select(
+        "ci", "cj", "id", "v", F.lit("L").alias("side")
+    )
+    right = base.join(
+        F.broadcast(pair_keys.where(F.col("ci") != F.col("cj"))),
+        base.chunk == pair_keys.cj,
+    ).select("ci", "cj", "id", "v", F.lit("R").alias("side"))
+    tagged = left.unionByName(right)
+    take = k + _KNN_PAD
+
+    def chunk_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lmask = pdf["side"].to_numpy() == "L"
+        lids = pdf["id"].to_numpy()[lmask]
+        X = np.stack(pdf["v"].to_numpy()[lmask]).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        if key[0] == key[1]:
+            S = Xn @ Xn.T
+            np.fill_diagonal(S, -np.inf)
+            rows = [(lids, lids, S)]
+        else:
+            rids = pdf["id"].to_numpy()[~lmask]
+            Y = np.stack(pdf["v"].to_numpy()[~lmask]).astype(np.float64)
+            Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+            S = Xn @ Yn.T
+            rows = [(lids, rids, S), (rids, lids, S.T)]
+        out_id, out_nid = [], []
+        for ids, nids, M in rows:
+            m = M.shape[1]
+            t = min(take, m)
+            part = np.argpartition(-M, t - 1, axis=1)[:, :t] if t < m else (
+                np.tile(np.arange(m), (M.shape[0], 1))
+            )
+            for r in range(M.shape[0]):
+                cols = part[r]
+                scores = M[r, cols]
+                kth = np.sort(scores)[::-1][min(k, len(scores)) - 1]
+                keep = M[r] >= kth - _KNN_EPS
+                keep_cols = np.nonzero(keep)[0]
+                out_id.extend([ids[r]] * len(keep_cols))
+                out_nid.extend(nids[keep_cols])
+        return pd.DataFrame(
+            {"id": np.asarray(out_id, dtype="int64"),
+             "nid": np.asarray(out_nid, dtype="int64")}
+        )
+
+    cand = tagged.groupBy("ci", "cj").applyInPandas(chunk_topk, "id long, nid long")
+    # cast to double BEFORE the fold — float32 products in the dot
+    # would diverge from the oracle's CAST-to-DOUBLE multiplies at
+    # round-6 boundaries (same reason cosine_topk goes through
+    # _as_double)
+    va = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("va"),
+    )
+    vb = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        _as_double(F.col(vec_col)).alias("vb"),
+    )
+    scored = (
+        cand.distinct()
+        .join(va, "id")
+        .join(vb, "nid")
+        .select(
+            "id", "nid",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cos6"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos6").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "nid", "cos6", F.col("rank").cast("long").alias("rank"))
+    )

@@ -719,6 +719,29 @@ def _cos6(a: str, b: str) -> str:
     )
 
 
+# Exact kNN self-join (similarity.knn_join_exact): every vector's
+# top-3 cosine neighbors, rank (cos6 desc, nid asc) — the direct
+# all-pairs restatement; the Spark side's chunked partial top-k with
+# the _KNN_EPS pad provably contains it.
+_KNN_JOIN_SQL = f"""WITH base AS (
+    SELECT vec_id AS id, embedding AS v FROM embeddings
+),
+pairs AS (
+    SELECT a.id AS id, b.id AS nid, {_cos6('a.v', 'b.v')} AS cos6
+    FROM base a JOIN base b ON a.id <> b.id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY cos6 DESC, nid ASC
+    ) AS rn
+    FROM pairs
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(nid AS BIGINT) AS nid, cos6,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
 def _mmr_sql(probe_ids, k: int, pool: int, lam: float) -> str:
     """MMR diversified top-k (operators/similarity.mmr_topk): the
     inherently-sequential greedy selection UNROLLED into k chained
@@ -2568,6 +2591,7 @@ def pipeline_oracles() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
+        "knn_join": _KNN_JOIN_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)
         "mmr_topk": _mmr_sql(PROBE_IDS, ANN_K, 20, 0.5),
         # exact duplicated-substring span coverage (fixed-width form of
