@@ -98,6 +98,53 @@ def _topk_query(standard: str, conjunctive: bool, parse: bool):
     return run
 
 
+def _filtered_topk_query(standard: str, conjunctive: bool):
+    """Metadata-filtered retrieval: candidates restricted to
+    role='assistant' turns, corpus-global df/idf/avgdl (see
+    topk.filtered_topk).  The allowed-docid set is computed from the
+    same deterministic docid assignment the index build uses."""
+    qset = oracle.CONJ_QUERY_SET if conjunctive else oracle.QUERY_SET
+
+    def run(spark, sf_dir):
+        idx = _index(spark, sf_dir, parse=False)
+        t = load_transcripts(spark, sf_dir)
+        t = assign_doc_ids(filter_indexable(t), scalable=True)
+        allowed = t.where(F.col("role") == "assistant").select("docid")
+        return topk.filtered_topk(
+            idx, qset, allowed, standard, k=oracle.TOPK_K, conjunctive=conjunctive
+        )
+
+    return run
+
+
+def _q_qld_topk(spark, sf_dir):
+    """Dirichlet query-likelihood top-k (operators/qld.py) — integer
+    micro-log10 quantized aggregate, mu=2048 pinned on both sides."""
+    from mircv_project_spark.operators.qld import qld_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return qld_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
+def _q_champion_lists(spark, sf_dir):
+    """Full-vocabulary champion table (per-term static top-m postings,
+    salted two-stage window — operators/champion.py)."""
+    from mircv_project_spark.operators.champion import champion_table
+
+    idx = _index(spark, sf_dir, parse=False)
+    return champion_table(idx)
+
+
+def _q_champion_topk(spark, sf_dir):
+    """BM25 served from champion lists only; oracle restates the same
+    pruned candidate set, so this gate is exact (recall vs the
+    exhaustive ranking is measured separately in tests/test_champion)."""
+    from mircv_project_spark.operators.champion import champion_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return champion_topk(idx, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+
+
 def _q_rm3_topk(spark, sf_dir):
     """RM3 pseudo-relevance feedback: first-pass BM25 top-10 ->
     relevance-model expansion terms -> 0.5-interpolated weighted BM25
@@ -1368,6 +1415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon": _q_lexicon,
         "bm25_topk": _topk_query(scoring.BM25, False, False),
         "tfidf_topk": _topk_query(scoring.TFIDF, False, False),
+        "bm25_topk_filtered": _filtered_topk_query(scoring.BM25, False),
+        "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
+        "qld_topk": _q_qld_topk,
+        "champion_lists": _q_champion_lists,
+        "bm25_topk_champion": _q_champion_topk,
         "bm25_topk_conjunctive": _topk_query(scoring.BM25, True, False),
         "tfidf_topk_conjunctive": _topk_query(scoring.TFIDF, True, False),
         # same oracles as bm25/tfidf_topk: the compressed-store scan and

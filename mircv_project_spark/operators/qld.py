@@ -1,0 +1,113 @@
+"""Query-likelihood ranking with Dirichlet smoothing (QLD).
+
+Third scoring standard beside BM25/TFIDF (``queryProcessor/Scorer.java``
+has only those two; QLD is the classic LM alternative — Zhai & Lafferty,
+"A Study of Smoothing Methods for Language Models Applied to Ad Hoc
+Information Retrieval", SIGIR 2001).  Rank-equivalent matched-terms
+form, so it runs off the same postings + lexicon tables:
+
+    log10 P(q|d) ~ sum_t qtf_t * log10(1 + tf_t / (mu * cf_t / C))
+                   + |q| * log10(mu / (dl + mu))
+
+where C = total token count, cf_t = collection frequency (both already
+in the lexicon), |q| = total count of IN-LEXICON query tokens, and the
+candidate set is docs matching >= 1 in-lexicon query term (docs with no
+match are never emitted — standard DAAT practice).
+
+Exactness contract (same discipline as operators/lm.py): each per-term
+weight and the per-doc length part are quantized to integer micro-log10
+units (round(log10(.) * 1e6) as BIGINT, half away from zero on both
+engines) BEFORE the per-doc sum, so the aggregate is exact integer
+arithmetic and shuffle-order-independent at round 6.  Pins (change the
+oracle too or neither):
+
+- mu = 2048 (dyadic, exactly representable);
+- inner ratio parenthesized (tf_double * C) / (mu * cf_double) — factors
+  cast to double BEFORE multiplying (BIGINT tf*C overflows at corpus
+  scale, and double semantics must match DuckDB's);
+- score = round(micro_total / 1e6, 6); ranking by micro_total desc
+  (integer — no float tie ambiguity), docid asc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .index_build import InvertedIndex
+from .topk import _EMPTY_SCHEMA, query_terms
+
+QLD_MU = 2048.0
+_MICRO = 1e6
+
+
+def qld_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    mu: float = QLD_MU,
+) -> DataFrame:
+    """-> DataFrame(qid string, docno string, rank long, score double)."""
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "cf")
+        .collect()
+    )
+    cf_by_term = {r["term"]: r["cf"] for r in lex}
+    qt_rows = [(q, t, c, cf_by_term[t]) for q, t, c in qt_rows if t in cf_by_term]
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    # |q| per query over in-lexicon tokens only (multiplicity preserved)
+    q_total: dict[str, int] = {}
+    for q, _, c, _ in qt_rows:
+        q_total[q] = q_total.get(q, 0) + c
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf int, cf long")
+
+    c_total = float(index.sum_doc_len)
+    matched = index.flat.join(F.broadcast(qt), "term")
+    w_micro = F.round(
+        F.log10(
+            F.lit(1.0)
+            + (F.col("tf").cast("double") * F.lit(c_total))
+            / (F.lit(mu) * F.col("cf").cast("double"))
+        )
+        * F.lit(_MICRO)
+    ).cast("long")
+
+    scored = (
+        matched.withColumn("wm", w_micro)
+        .groupBy("qid", "docid")
+        .agg(
+            F.sum(F.col("qtf").cast("long") * F.col("wm")).alias("tsum"),
+            F.max("doc_len").alias("doc_len"),
+        )
+    )
+    dl_micro = F.round(
+        F.log10(F.lit(mu) / (F.col("doc_len").cast("double") + F.lit(mu)))
+        * F.lit(_MICRO)
+    ).cast("long")
+    qmap = F.create_map(*[F.lit(x) for kv in q_total.items() for x in kv])
+    scored = scored.withColumn(
+        "micro", F.col("tsum") + qmap[F.col("qid")].cast("long") * dl_micro
+    )
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("micro").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("docid") - 1).cast("string").alias("docno"),
+            "rank",
+            F.round(F.col("micro") / F.lit(_MICRO), 6).alias("score"),
+        )
+    )

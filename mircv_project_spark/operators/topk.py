@@ -602,6 +602,61 @@ def topk_from_blocks_pruned(
     )
 
 
+def filtered_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    allowed: DataFrame,
+    standard: str = scoring.BM25,
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Metadata-filtered retrieval: exhaustive top-k restricted to the
+    docids in ``allowed`` (single ``docid`` column).
+
+    The reference engine has no doc-attribute filters (its docIndex
+    carries only docno/length, ``model/DocumentIndex.java:37-48``); this
+    is the faceted-search extension a transcript corpus needs (restrict
+    to role='assistant', a tool, a time range, ...).
+
+    Semantics pinned for the oracle gate:
+    - the filter restricts the CANDIDATE set only; df/idf/avgdl stay
+      corpus-global (standard IR practice — scores comparable across
+      filters, and the lexicon is not rebuilt per predicate);
+    - conjunctive mode requires all existing query terms within the
+      allowed subset (the filter applies before the nmatch test).
+
+    Scale shape: the attribute predicate is evaluated on the doc-
+    attribute table FIRST, then a left-semi join prunes the matched
+    postings on docid.  Matched postings are bounded by the query
+    terms' df (never the corpus), so the semi-join shuffles the small
+    side; with AQE a selective predicate turns the allowed side into a
+    broadcast.  On a real deployment the attribute table is co-bucketed
+    with doc_index on docid, making this a local join.
+    """
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    qt, n_required = _resolve_query_terms(
+        spark, qt_rows, {r["term"]: r["df"] for r in lex}
+    )
+    if qt is None:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    matched = index.flat.join(F.broadcast(qt), "term").join(
+        allowed.select("docid"), "docid", "left_semi"
+    )
+    return _score_and_rank(
+        matched, standard, index.n_docs, index.avgdl, k, conjunctive, n_required
+    )
+
+
 def trec_format(results: DataFrame, standard: str) -> DataFrame:
     """Project to the reference's TREC output shape
     (``QueryProcessorMain.java:112-118``): qid Q0 docno rank score STANDARD."""

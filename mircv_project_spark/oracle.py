@@ -193,6 +193,159 @@ ORDER BY qid, rank
 """
 
 
+def _filtered_topk_sql(queries, standard: str, conjunctive: bool, k: int) -> str:
+    """Metadata-filtered retrieval (operators/topk.filtered_topk):
+    candidates restricted to role='assistant' turns; df/idf/avgdl stay
+    corpus-global.  role='assistant' <=> doc_id % 4 == 1 — the
+    sources/transcripts._ROLES mapping restated verbatim (same pattern
+    as the conv-/lpad derivation in _PREFIX)."""
+    expr = _BM25 if standard == "bm25" else _TFIDF
+    conj_filter = (
+        "JOIN nreq r ON sc.qid = r.qid WHERE sc.nmatch = r.n_required"
+        if conjunctive
+        else ""
+    )
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+allowed AS (
+    SELECT d.docid
+    FROM docs d JOIN transcripts t USING (conv_id, turn_idx)
+    WHERE t.doc_id % 4 = 1
+),
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({expr})) AS raw_score,
+           count(*) AS nmatch
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN allowed a ON p.docid = a.docid
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+ranked AS (
+    SELECT sc.qid, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc
+    {conj_filter}
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def _qld_topk_sql(queries, k: int, mu: float = 2048.0) -> str:
+    """Dirichlet query-likelihood (operators/qld.py): matched-terms
+    rank-equivalent form, per-term weight and doc-length part quantized
+    to integer micro-log10 BEFORE the per-doc sum (exact BIGINT
+    aggregate — shuffle-order-independent).  Pins restated from qld.py:
+    mu=2048, (tf_double * C) / (mu * cf_double) parenthesization,
+    ranking on the integer micro total desc / docid asc."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+qq AS (
+    SELECT qid, CAST(sum(qtf) AS BIGINT) AS q_total FROM qexist GROUP BY qid
+),
+scored AS (
+    SELECT q.qid, p.docid,
+           CAST(sum(q.qtf * CAST(round(log10(
+               1 + (CAST(p.tf AS DOUBLE) * s.sum_doc_len)
+                   / ({mu} * CAST(l.cf AS DOUBLE))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS tsum,
+           max(dl.doc_len) AS doc_len
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+final AS (
+    SELECT sc.qid, sc.docid,
+           sc.tsum + qq.q_total * CAST(round(log10(
+               {mu} / (sc.doc_len + {mu})
+           ) * 1e6) AS BIGINT) AS micro
+    FROM scored sc JOIN qq USING (qid)
+),
+ranked AS (
+    SELECT qid, docid, micro,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY micro DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM final
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       round(micro / 1e6, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+CHAMPION_M = 32
+
+
+_CHAMPION_COEFF = (
+    "(p.tf / ((1.5 * (0.3 + (0.7 * (dl.doc_len / s.avgdl)))) + p.tf))"
+)
+
+_CHAMPION_CTE = """
+champ AS (
+    SELECT term, docid, tf FROM (
+        SELECT p.term, p.docid, p.tf,
+               row_number() OVER (
+                   PARTITION BY p.term
+                   ORDER BY {coeff} DESC, p.docid ASC
+               ) AS rn
+        FROM postings p
+        JOIN doclens dl ON p.docid = dl.docid
+        CROSS JOIN stats s
+    ) WHERE rn <= {m}
+)"""
+
+
+def _champion_table_sql(m: int) -> str:
+    """Champion lists (operators/champion.py): per-term top-m postings
+    under (bm25_coeff desc, docid asc) — pins restated from
+    champion.py; the coeff expression is the df-independent factor of
+    _BM25, identical parenthesization."""
+    cte = _CHAMPION_CTE.format(coeff=_CHAMPION_COEFF, m=m)
+    return f"""{_PREFIX}, {cte}
+SELECT term, docid, tf FROM champ
+ORDER BY term, docid
+"""
+
+
+def _champion_topk_sql(queries, standard: str, k: int, m: int) -> str:
+    """Serve path over champion-pruned candidates; df/idf/avgdl stay
+    corpus-global (champion.py pin)."""
+    expr = _BM25 if standard == "bm25" else _TFIDF
+    cte = _CHAMPION_CTE.format(coeff=_CHAMPION_COEFF, m=m)
+    return f"""{_PREFIX}, {_query_ctes(queries)}, {cte},
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({expr})) AS raw_score
+    FROM qexist q
+    JOIN champ p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+ranked AS (
+    SELECT sc.qid, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _rm3_sql(
     queries, k: int, fb_docs: int, fb_terms: int, lam: float
 ) -> str:
@@ -342,6 +495,19 @@ ORDER BY a.term
 """,
         "bm25_topk": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        # metadata-filtered retrieval (candidates restricted to
+        # role='assistant'; corpus-global stats — see _filtered_topk_sql)
+        "bm25_topk_filtered": _filtered_topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "bm25_filtered_conjunctive": _filtered_topk_sql(
+            CONJ_QUERY_SET, "bm25", True, TOPK_K
+        ),
+        # Dirichlet query-likelihood — third scoring standard (qld.py)
+        "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
+        # champion lists: static per-term top-m pruning + its serve path
+        "champion_lists": _champion_table_sql(CHAMPION_M),
+        "bm25_topk_champion": _champion_topk_sql(
+            QUERY_SET, "bm25", TOPK_K, CHAMPION_M
+        ),
         "bm25_topk_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         "tfidf_topk_conjunctive": _topk_sql(CONJ_QUERY_SET, "tfidf", True, TOPK_K),
         # alternate execution paths, same semantics -> same oracle:
