@@ -473,6 +473,15 @@ def _q_item_communities(spark, sf_dir):
     return item_communities(_events(spark, sf_dir))
 
 
+def _q_triangle_counts(spark, sf_dir):
+    """Per-item triangle counts over the co-visitation graph
+    (operators/graph.triangle_counts — degree-oriented wedge join;
+    the oracle enumerates the same triangles in id order)."""
+    from mircv_project_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_events(spark, sf_dir))
+
+
 def _q_session_paths(spark, sf_dir):
     """Sequence mining: top-10 3-step event-type paths within
     sessions (event_sessions' exact boundary rule), overlapping
@@ -760,6 +769,40 @@ def _q_tpch_promo_share(spark, sf_dir):
     from mircv_project_spark.operators.relational import promo_revenue_share
 
     return promo_revenue_share(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def _q_tpch_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customers-per-order-count distribution,
+    zero-order customers included via the left join; all-integer."""
+    from mircv_project_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    return customer_order_distribution(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def _q_tpch_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: top-10 largest orders among those with summed
+    line quantity > 200 (exact-cents threshold, pre-join HAVING)."""
+    from mircv_project_spark.operators.relational import large_volume_orders
+
+    return large_volume_orders(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_tpch_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs (brand, size, quantity) bands over
+    the lineitem-part join; exact micro-unit revenue."""
+    from mircv_project_spark.operators.relational import discounted_revenue
+
+    return discounted_revenue(
         _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
     )
 
@@ -1518,6 +1561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_forecast_revenue": _q_tpch_forecast_revenue,
         "tpch_returned_revenue": _q_tpch_returned_revenue,
         "tpch_promo_share": _q_tpch_promo_share,
+        "tpch_customer_distribution": _q_tpch_customer_distribution,
+        "tpch_large_orders": _q_tpch_large_orders,
+        "tpch_discounted_revenue": _q_tpch_discounted_revenue,
         # exact duplicated-span coverage (substring dedup)
         "dup_spans": _q_dup_spans,
         # distributed k-means + SemDeDup semantic dedup
@@ -1558,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_pagerank": _q_item_pagerank,
         "item_transitions": _q_item_transitions,
         "item_communities": _q_item_communities,
+        "triangle_counts": _q_triangle_counts,
         "session_paths": _q_session_paths,
     }
 

@@ -342,3 +342,127 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             6,
         ).alias("promo_share"),
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers (the left join is the point of the
+    query).  All-integer — trivially exact across engines.
+    -> (c_count, custdist), ordered by (custdist desc, c_count desc).
+
+    Scale shape: one outer equi-join on custkey (AQE picks the
+    strategy), one count per customer, one tiny re-agg over at most
+    max-order-count distinct groups."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("custdist").cast("long").alias("custdist"),
+        )
+    )
+
+
+Q18_QTY_CENTS = 200 * 100  # orders with total quantity > 200 (exact cents)
+Q18_K = 10
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = Q18_K,
+) -> DataFrame:
+    """TPC-H Q18 shape: top-k largest orders by total price among
+    orders whose summed line quantity exceeds the threshold.  Quantity
+    sums in exact cents; the threshold compare is integer (> 20000
+    cents == > 200.0) so no float boundary exists.  Ties pinned
+    (totalprice_c desc, o_orderkey asc).
+
+    Scale shape: the quantity sum is a lineitem-only partial agg on
+    l_orderkey (map-side combine), the HAVING filter runs before any
+    join, and only qualifying orders join customer/orders."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") > F.lit(Q18_QTY_CENTS))
+    )
+    joined = (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            _us("o_orderdate").alias("orderdate_us"),
+            _cents("o_totalprice").alias("totalprice_c"),
+            F.col("sum_qty_c").cast("long").alias("sum_qty_c"),
+        )
+    )
+    return joined.orderBy(
+        F.col("totalprice_c").desc(), F.col("o_orderkey").asc()
+    ).limit(k)
+
+
+# Q19 predicate bands: (brand, max p_size, qty lo, qty hi) — size from
+# 1, quantity endpoints inclusive, compared on the RAW parquet doubles
+# (the Q6 pin: quantize-then-compare would drift at the bounds).
+# Brands/sizes chosen to be non-empty on the driver corpora at every SF
+# (the synthetic part table has brands Brand#1..25).
+Q19_BANDS = [
+    ("Brand#11", 20, 1.0, 15.0),
+    ("Brand#12", 30, 10.0, 30.0),
+    ("Brand#13", 40, 20.0, 45.0),
+]
+
+
+def discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from lines matching any of three
+    (brand, size, quantity) bands — the classic OR-of-ANDs predicate
+    that exercises disjunctive pushdown over a join.
+    -> one row (revenue_u, n_lines), exact micro-unit sum.
+
+    Scale shape: the part-side predicate (brand IN ... AND size <=
+    max) prunes part BEFORE the join; the quantity bounds (>= min lo,
+    <= max hi across bands) prune lineitem at the scan; the exact
+    band pairing is evaluated on the joined rows."""
+    band = None
+    for brand, size_hi, qlo, qhi in Q19_BANDS:
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        band = cond if band is None else (band | cond)
+    brands = [b for b, _, _, _ in Q19_BANDS]
+    max_size = max(s for _, s, _, _ in Q19_BANDS)
+    qlo_min = min(q for _, _, q, _ in Q19_BANDS)
+    qhi_max = max(q for _, _, _, q in Q19_BANDS)
+    p = part.where(
+        F.col("p_brand").isin(brands)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_size")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    l = lineitem.where(
+        (F.col("l_quantity") >= qlo_min) & (F.col("l_quantity") <= qhi_max)
+    ).select("l_partkey", "l_quantity", _micro(disc_price).alias("rev_u"))
+    joined = l.join(p, l.l_partkey == p.p_partkey).where(band)
+    return joined.agg(
+        F.sum("rev_u").cast("long").alias("revenue_u"),
+        F.count("*").cast("long").alias("n_lines"),
+    )

@@ -1108,6 +1108,58 @@ SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END)
 FROM lines JOIN part ON l_partkey = p_partkey
 """
 
+
+# Q13 shape (relational.customer_order_distribution): zero-order
+# customers counted via the left join; all-integer.
+_TPCH_Q13_SQL = """WITH per_cust AS (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# Q18 shape (relational.large_volume_orders): threshold compare in
+# exact cents (> 20000), ties (totalprice_c desc, o_orderkey asc).
+_TPCH_Q18_SQL = """WITH qty AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_qty_c
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity * 100.0) AS BIGINT)) > 20000
+)
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       epoch_us(o.o_orderdate) AS orderdate_us,
+       CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS totalprice_c,
+       q.sum_qty_c
+FROM qty q
+JOIN orders o ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice_c DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# Q19 shape (relational.discounted_revenue): three (brand, size,
+# quantity) bands OR'd; quantity compared on the raw doubles (Q6 pin),
+# endpoints inclusive.
+_TPCH_Q19_SQL = """SELECT
+    CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0)
+                  AS BIGINT)) AS BIGINT) AS revenue_u,
+    CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 1.0 AND 15.0)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10.0 AND 30.0)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 40
+       AND l_quantity BETWEEN 20.0 AND 45.0)
+"""
+
 _TPCH_Q4_SQL = """SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
@@ -1986,6 +2038,40 @@ FROM nodes LEFT JOIN comp ON nodes.item = comp.id
 """
 
 
+# Per-item triangle counts (graph.triangle_counts) over the unweighted
+# co-visitation graph.  The oracle enumerates triangles in plain id
+# order (a < b < c); the engine's degree orientation finds the same
+# set — output is orientation-independent.  Items in no triangle emit
+# n_tri = 0.
+_TRIANGLE_COUNTS_SQL = """WITH ui AS MATERIALIZED (
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+),
+ed AS MATERIALIZED (
+    SELECT DISTINCT a.item AS x, b.item AS y
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+),
+tri AS MATERIALIZED (
+    SELECT e1.x AS a, e1.y AS b, e2.y AS c
+    FROM ed e1
+    JOIN ed e2 ON e2.x = e1.y
+    JOIN ed e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+members AS (
+    SELECT a AS item FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+nodes AS (SELECT DISTINCT item FROM ui)
+SELECT n.item, CAST(count(m.item) AS BIGINT) AS n_tri
+FROM nodes n LEFT JOIN members m ON m.item = n.item
+GROUP BY n.item
+ORDER BY n.item
+"""
+
+
 # Session path mining (events.session_paths).  Pins restated verbatim:
 # event_sessions' boundary rule (strict > 28800 s on (us, event_id)
 # NULLS LAST order), paths = overlapping 3-step event-type windows
@@ -2777,6 +2863,9 @@ def pipeline_oracles() -> dict[str, str]:
         "tpch_forecast_revenue": _TPCH_Q6_SQL,
         "tpch_returned_revenue": _TPCH_Q10_SQL,
         "tpch_promo_share": _TPCH_Q14_SQL,
+        "tpch_customer_distribution": _TPCH_Q13_SQL,
+        "tpch_large_orders": _TPCH_Q18_SQL,
+        "tpch_discounted_revenue": _TPCH_Q19_SQL,
         # distributed k-means (all-integer Lloyd state, unrolled
         # iterations) + SemDeDup within-cluster pruning — literals
         # pinned to operators/clustering.{KM_K,KM_ITERS,KM_MICRO,
@@ -2824,6 +2913,7 @@ def pipeline_oracles() -> dict[str, str]:
         "item_pagerank": _ITEM_PAGERANK_SQL,
         "item_transitions": _ITEM_TRANSITIONS_SQL,
         "item_communities": _ITEM_COMMUNITIES_SQL,
+        "triangle_counts": _TRIANGLE_COUNTS_SQL,
         "session_paths": _SESSION_PATHS_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-

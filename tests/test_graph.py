@@ -118,3 +118,46 @@ def test_item_communities_threshold_and_labels(spark):
     assert got[1] == 1 and got[2] == 1
     assert got[5] == 5 and got[6] == 5
     assert got[9] == 9
+
+
+def test_triangle_counts_planted(spark):
+    """A 4-clique (items 1-4), a dangling edge (4-7), and an isolated
+    item: K4 has C(3,2)=3 triangles per member; the dangling and
+    isolated items count 0."""
+    user_items = []
+    # 4-clique: one user per pair so every pair is co-visited
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    for u, (a, b) in enumerate(pairs):
+        user_items += [(u, a), (u, b)]
+    user_items += [(100, 4), (100, 7)]  # dangling edge
+    user_items += [(200, 9)]  # isolated
+    df = _events_df(spark, user_items)
+    got = {r.item: r.n_tri for r in G.triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 7: 0, 9: 0}
+
+
+def test_triangle_counts_orientation_independent(spark):
+    """The degree-oriented enumeration must match a brute-force count
+    on a slightly irregular graph (hub + two triangles sharing it)."""
+    import itertools
+
+    user_items = []
+    # hub 1 connected to 2..6; extra edges (2,3) and (5,6)
+    for u, it in enumerate([2, 3, 4, 5, 6]):
+        user_items += [(u, 1), (u, it)]
+    user_items += [(50, 2), (50, 3), (51, 5), (51, 6)]
+    df = _events_df(spark, user_items)
+    got = {r.item: r.n_tri for r in G.triangle_counts(df).collect()}
+
+    edges = {(1, i) for i in [2, 3, 4, 5, 6]} | {(2, 3), (5, 6)}
+    nodes = sorted({x for e in edges for x in e})
+    want = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            (min(a, b), max(a, b)) in edges
+            and (min(b, c), max(b, c)) in edges
+            and (min(a, c), max(a, c)) in edges
+        ):
+            for x in (a, b, c):
+                want[x] += 1
+    assert got == want

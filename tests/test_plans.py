@@ -239,3 +239,43 @@ def test_tpch_q10_q14_broadcast_dims(spark):
     plan14 = checks.plan_text(q14)
     assert "BroadcastHashJoin" in plan14
     assert "CartesianProduct" not in plan14
+
+
+def test_tpch_q18_having_before_join(spark):
+    """relational.large_volume_orders: the quantity-sum filter must run
+    on the lineitem-only aggregate BEFORE the joins (Filter above the
+    partial agg, below both joins), and no nested-loop join appears."""
+    from mircv_project_spark.operators.relational import large_volume_orders
+
+    df = large_volume_orders(
+        spark.read.parquet(f"{SF_SMALL}/customer.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+    )
+    plan = checks.plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the filtered agg feeds the join: sum_qty_c filter exists and the
+    # lineitem scan reads only orderkey + quantity
+    read = next(
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_quantity" in l
+    )
+    assert "l_extendedprice" not in read and "l_partkey" not in read
+
+
+def test_tpch_q19_band_predicates_prune_scans(spark):
+    """relational.discounted_revenue: the brand IN-list and size cap
+    reach the part scan, the global quantity bounds reach the lineitem
+    scan, and the join is an equi-join."""
+    from mircv_project_spark.operators.relational import discounted_revenue
+
+    df = discounted_revenue(
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/part.parquet"),
+    )
+    plan = checks.plan_text(df)
+    assert "In(p_brand" in plan
+    assert "LessThanOrEqual(p_size,40)" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,45.0)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
