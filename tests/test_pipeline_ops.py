@@ -24,6 +24,7 @@ PIPELINE_KEYS = [
     "embedding_near_dup",
     "embedding_near_dup_blocked",
     "sq_cosine_topk",
+    "pq_cosine_topk",
     "training_corpus",
 ]
 
@@ -480,3 +481,34 @@ def test_phrase_topk_overlaps_ties_and_k(spark):
         for r in phrase_topk(docs, phrases, k=2).collect()
     }
     assert got2 == {("a2", 3), ("a2", 0), ("a3", 0), ("a22", 2)}
+
+
+def test_pq_starved_pool_exact_values(spark):
+    """PQ analog of the SQ starved-pool test: a factor=1 pool still
+    returns k rows whose cos values are EXACT (pass 2 rescores with the
+    full vectors), codes stay within the codebook range, and overlap
+    with the true top-k stays sane even when the ADC pool is minimal."""
+    from mircv_project_spark.operators.similarity import (
+        PQ_KCENT,
+        _fit_pq_codebooks,
+        cosine_topk,
+        pq_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    books = _fit_pq_codebooks(emb, "embedding")
+    assert books.shape[1] <= PQ_KCENT
+
+    exact = cosine_topk(emb, oracle.PROBE_IDS, k=oracle.ANN_K).collect()
+    exact_by_pair = {(r.probe_id, r.neighbor_id): r.cos for r in exact}
+    starved = pq_cosine_topk(
+        emb, oracle.PROBE_IDS, k=oracle.ANN_K, rescore_factor=1
+    ).collect()
+    assert len(starved) == len(oracle.PROBE_IDS) * oracle.ANN_K
+    ex = set(exact_by_pair)
+    ap = {(r.probe_id, r.neighbor_id) for r in starved}
+    assert len(ex & ap) / len(ex) >= 0.5
+    for r in starved:
+        key = (r.probe_id, r.neighbor_id)
+        if key in exact_by_pair:
+            assert r.cos == exact_by_pair[key]
