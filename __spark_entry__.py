@@ -483,6 +483,62 @@ def _q_item_communities(spark, sf_dir):
     return item_communities(_events(spark, sf_dir))
 
 
+def _q_conversation_stats(spark, sf_dir):
+    """Per-conversation rollup over the transcript table — all-integer
+    (counts + epoch-micro span), textstats.conversation_stats."""
+    from mircv_project_spark.operators.textstats import conversation_stats
+
+    return conversation_stats(load_transcripts(spark, sf_dir))
+
+
+def _q_cdc_apply(spark, sf_dir):
+    """MERGE-INTO analog (operators/cdc.apply_changes): apply a
+    deterministic upsert/delete feed (last-wins by seq) to the
+    transcript table; feed derivation pinned in oracle._cdc_apply_sql."""
+    from mircv_project_spark.operators.cdc import apply_changes
+
+    t = load_transcripts(spark, sf_dir)
+    base = t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    docs = _docs(spark, sf_dir)
+    conv = F.concat(
+        F.lit("conv-"),
+        F.lpad(F.floor(F.col("doc_id") / 8).cast("string"), 12, "0"),
+    )
+
+    def feed(cond, turn, role, text, us, op, seq):
+        return docs.where(cond).select(
+            conv.alias("conv_id"),
+            turn.cast("int").alias("turn_idx"),
+            role.alias("role"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            us.cast("long").alias("us"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    did = F.col("doc_id")
+    snull = F.lit(None).cast("string")
+    changes = (
+        feed(did % 10 == 3, did % 8, F.lit("assistant"),
+             F.concat(F.lit("upd1-"), did.cast("string")), F.lit(1), "U", 1)
+        .unionByName(feed(did % 20 == 3, did % 8, F.lit("assistant"),
+                          F.concat(F.lit("upd2-"), did.cast("string")),
+                          F.lit(2), "U", 2))
+        .unionByName(feed(did % 10 == 7, did % 8, snull, snull,
+                          F.lit(None).cast("long"), "D", 1))
+        .unionByName(feed(did % 40 == 1, F.lit(8), F.lit("assistant"),
+                          F.concat(F.lit("ins-"), did.cast("string")),
+                          F.lit(3), "U", 1))
+        .unionByName(feed(did % 40 == 21, F.lit(9), snull, snull,
+                          F.lit(None).cast("long"), "D", 1))
+    )
+    return apply_changes(base, changes, ["conv_id", "turn_idx"])
+
+
 def _q_triangle_counts(spark, sf_dir):
     """Per-item triangle counts over the co-visitation graph
     (operators/graph.triangle_counts — degree-oriented wedge join;
@@ -1357,6 +1413,31 @@ def _q_streaming_kmv(spark, sf_dir):
     return final_kmv_estimates(spark.read.parquet(out))
 
 
+def _q_streaming_heavy_hitters(spark, sf_dir):
+    """Streaming SpaceSaving heavy hitters keyed by source under the
+    batch top-k oracle: at HH_CAP no eviction fires on the driver
+    corpora, so counts are exact and the final (max-epoch) top-k per
+    source equals the batch ranking regardless of micro-batching."""
+    from mircv_project_spark.streaming.heavy_hitters import (
+        final_heavy_hitters,
+        run_streaming_heavy_hitters,
+    )
+
+    base = _tmpdir("mircv_shh_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_heavy_hitters(spark, inp, out, ckpt).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_heavy_hitters(spark, inp, out, ckpt).awaitTermination(300)
+    return final_heavy_hitters(spark.read.parquet(out))
+
+
 def _q_streaming_funnel(spark, sf_dir):
     """Streaming ordered funnel (applyInPandasWithState, 3-long state
     per user) under the SAME oracle as the batch funnel: the events
@@ -1517,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         # streaming KMV: final state == batch sketch (mergeable sketch)
         "streaming_kmv": _q_streaming_kmv,
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         # streaming ordered funnel: shares the BATCH funnel's SQL
         # oracle (streaming == batch under time-ordered epochs)
         "streaming_funnel": _q_streaming_funnel,
@@ -1627,6 +1709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_transitions": _q_item_transitions,
         "item_communities": _q_item_communities,
         "triangle_counts": _q_triangle_counts,
+        "conversation_stats": _q_conversation_stats,
+        "cdc_apply": _q_cdc_apply,
         "session_paths": _q_session_paths,
     }
 

@@ -186,3 +186,39 @@ def top_keywords(
         .where(F.col("krank") <= k)
         .select("id", "term", "tf", "score", "krank")
     )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """-> per-conversation rollup over the transcript table:
+    (conv_id, n_turns, n_assistant, n_tool, n_tokens, first_us,
+    last_us).  The corpus-health summary a transcript pipeline runs
+    first — turn mix, tool-call rate, token volume, time span.
+
+    All-integer aggregate (counts + epoch-micro min/max) — exact across
+    engines and shuffle orders.  Pins (restated in the oracle):
+    n_tokens = sum of T1-T5 token counts over ALL turns (blank turns
+    count 0, NULL texts contribute nothing, all-NULL conversations
+    coalesce to 0); n_tool counts turns with a non-null tool.
+
+    Scale shape: one map-side tokenize (the count never materializes
+    the token array past the projection) + one conv_id-keyed partial
+    agg — the groupBy key is the table's natural clustering, so with a
+    conv_id-bucketed layout this is map-only."""
+    per = transcripts.select(
+        "conv_id",
+        F.when(F.col("role") == "assistant", 1).otherwise(0).alias("is_asst"),
+        F.when(F.col("tool").isNotNull(), 1).otherwise(0).alias("has_tool"),
+        F.size(tokens_col(F.col("text"))).alias("ntok"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    return (
+        per.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("is_asst").cast("long").alias("n_assistant"),
+            F.sum("has_tool").cast("long").alias("n_tool"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.min("us").cast("long").alias("first_us"),
+            F.max("us").cast("long").alias("last_us"),
+        )
+    )

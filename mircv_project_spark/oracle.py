@@ -756,6 +756,113 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
+def _conversation_stats_sql() -> str:
+    """Per-conversation rollup (textstats.conversation_stats).  The
+    transcripts derivation (conv/turn/role/tool/ts from doc_id) is
+    restated verbatim from sources/transcripts.load_transcripts; ts =
+    2024-01-01T00:00Z + doc_id seconds -> epoch micros (session tz is
+    UTC, session.py pin)."""
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           list_extract(['user', 'assistant', 'system', 'tool'],
+                        CAST(doc_id % 4 AS INTEGER) + 1) AS role,
+           CASE WHEN doc_id % 4 = 3 THEN 'grep' END AS tool,
+           1704067200000000 + doc_id * 1000000 AS us,
+           text
+    FROM documents
+),
+per AS (
+    SELECT conv_id,
+           CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_asst,
+           CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS has_tool,
+           len({_TOKENS_EXPR.format(col='text')}) AS ntok,
+           us
+    FROM t
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(is_asst) AS BIGINT) AS n_assistant,
+       CAST(sum(has_tool) AS BIGINT) AS n_tool,
+       CAST(coalesce(sum(ntok), 0) AS BIGINT) AS n_tokens,
+       CAST(min(us) AS BIGINT) AS first_us,
+       CAST(max(us) AS BIGINT) AS last_us
+FROM per GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
+def _cdc_apply_sql() -> str:
+    """CDC apply / MERGE INTO analog (operators/cdc.apply_changes).
+    The change feed is derived deterministically from documents —
+    restated verbatim on both sides (change both or neither):
+    upd1 = doc_id%10==3 (seq 1), upd2 = doc_id%20==3 (seq 2 — the
+    last-wins test, a subset of upd1), delete = doc_id%10==7, insert =
+    doc_id%40==1 at turn_idx 8 (absent from base), no-op delete =
+    doc_id%40==21 at turn_idx 9.  Winner = highest seq per key; 'D'
+    removes; payload rows replace whole rows."""
+    return """
+WITH t AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           list_extract(['user', 'assistant', 'system', 'tool'],
+                        CAST(doc_id % 4 AS INTEGER) + 1) AS role,
+           CASE WHEN doc_id % 4 = 3 THEN 'grep' END AS tool,
+           1704067200000000 + doc_id * 1000000 AS us,
+           text
+    FROM documents
+),
+base AS (SELECT conv_id, turn_idx, role, text, tool, us FROM t),
+changes AS (
+    SELECT conv_id, turn_idx, 'assistant' AS role,
+           'upd1-' || CAST(doc_id AS VARCHAR) AS text,
+           CAST(NULL AS VARCHAR) AS tool, CAST(1 AS BIGINT) AS us,
+           'U' AS op, CAST(1 AS BIGINT) AS seq
+    FROM t WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT conv_id, turn_idx, 'assistant',
+           'upd2-' || CAST(doc_id AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(2 AS BIGINT), 'U', CAST(2 AS BIGINT)
+    FROM t WHERE doc_id % 20 = 3
+    UNION ALL
+    SELECT conv_id, turn_idx, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), 'D', CAST(1 AS BIGINT)
+    FROM t WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT conv_id, CAST(8 AS INTEGER), 'assistant',
+           'ins-' || CAST(doc_id AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(3 AS BIGINT), 'U', CAST(1 AS BIGINT)
+    FROM t WHERE doc_id % 40 = 1
+    UNION ALL
+    SELECT conv_id, CAST(9 AS INTEGER), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), 'D', CAST(1 AS BIGINT)
+    FROM t WHERE doc_id % 40 = 21
+),
+latest AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY seq DESC
+        ) AS rn FROM changes
+    ) WHERE rn = 1
+),
+kept AS (
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM latest l
+        WHERE l.conv_id = b.conv_id AND l.turn_idx = b.turn_idx
+    )
+)
+SELECT conv_id, turn_idx, role, text, tool, us FROM kept
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, us FROM latest WHERE op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _simhash_sql(bits: int = 60) -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
@@ -2968,6 +3075,27 @@ def pipeline_oracles() -> dict[str, str]:
         "item_transitions": _ITEM_TRANSITIONS_SQL,
         "item_communities": _ITEM_COMMUNITIES_SQL,
         "triangle_counts": _TRIANGLE_COUNTS_SQL,
+        "conversation_stats": _conversation_stats_sql(),
+        "cdc_apply": _cdc_apply_sql(),
+        # streaming SpaceSaving == batch top-k at the pinned capacity
+        # (no eviction fires below HH_CAP distinct terms per source)
+        "streaming_heavy_hitters": f"""
+WITH tok AS (
+    SELECT source, unnest({_TOKENS_EXPR.format(col='text')}) AS term
+    FROM documents
+),
+cnt AS (
+    SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY source, term
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY cnt DESC, term ASC
+    ) AS rn FROM cnt
+)
+SELECT source, term, cnt FROM ranked WHERE rn <= 10
+ORDER BY source, term
+""",
         "session_paths": _SESSION_PATHS_SQL,
         # composite corpus-cleaning verdict (dedup + lang + quality +
         # token budget in one pass); the dedup leg shares the banding-
