@@ -483,6 +483,14 @@ def _q_item_communities(spark, sf_dir):
     return item_communities(_events(spark, sf_dir))
 
 
+def _q_term_suggest(spark, sf_dir):
+    """Bigram-continuation query suggestions for the pinned seed terms
+    (lm.next_term_suggest — 'users also typed')."""
+    from mircv_project_spark.operators.lm import next_term_suggest
+
+    return next_term_suggest(_docs(spark, sf_dir), oracle.SUGGEST_SEEDS)
+
+
 def _q_conversation_stats(spark, sf_dir):
     """Per-conversation rollup over the transcript table — all-integer
     (counts + epoch-micro span), textstats.conversation_stats."""
@@ -1122,6 +1130,20 @@ def _q_topk_compressed_ef(spark, sf_dir):
     )
 
 
+def _q_topk_compressed_pfor(spark, sf_dir):
+    """PForDelta-coded block store under the oracle gate end-to-end
+    (functions/codecs.pfor_* — patched frame-of-reference over d-gaps,
+    vectorized unpack on decode); ranking must still match the
+    exhaustive oracle."""
+    from mircv_project_spark.operators.topk import topk_from_blocks
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    idx = _index(spark, sf_dir, parse=False, codec="pfor")
+    return topk_from_blocks(
+        IndexReader.from_memory(idx), oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K
+    )
+
+
 def _topk_maxscore(standard: str, conjunctive: bool = False):
     """Driver-side MaxScore dynamic pruning under the oracle gate
     (both scoring standards and both modes — Scorer.java:85-162)."""
@@ -1587,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pruned_conjunctive": _pruned_conjunctive(scoring.BM25),
         "tfidf_pruned_conjunctive": _pruned_conjunctive(scoring.TFIDF),
         "bm25_topk_compressed_ef": _q_topk_compressed_ef,
+        "bm25_topk_compressed_pfor": _q_topk_compressed_pfor,
         "bm25_eval_metrics": _q_eval_metrics,
         # RM3 query expansion — full-oracle (chain restated in SQL)
         "bm25_rm3_topk": _q_rm3_topk,
@@ -1710,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_communities": _q_item_communities,
         "triangle_counts": _q_triangle_counts,
         "conversation_stats": _q_conversation_stats,
+        "term_suggest": _q_term_suggest,
         "cdc_apply": _q_cdc_apply,
         "session_paths": _q_session_paths,
     }

@@ -237,6 +237,88 @@ def ef_decode(buf: bytes, n: int, u: int) -> np.ndarray:
 EF = "ef"
 
 
+# -------------------------------- PForDelta --------------------------------
+# NewPFD-style patched frame-of-reference (Zukowski et al. 2006 / Yan
+# et al. 2009, "super-scalar RAM-CPU cache compression" / WWW'09): pick
+# the smallest bit width b covering >= 90% of the block's values,
+# bit-pack every value's low b bits MSB-first, and patch the outliers
+# ("exceptions") as (position, high-bits) VB side streams.  The decode
+# hot path is one vectorized unpackbits + matmul — no per-value branch —
+# which is the reason PFor family codecs beat VB at scan time on long
+# head-term blocks.
+#
+# Layout: [b: u8][n_exc: u32 LE][len_pos: u32 LE][len_high: u32 LE]
+#         [packed lows: ceil(n*b/8) bytes][pos VB][high VB]
+
+PFOR_COVERAGE = 0.9
+
+
+def _pack_bits(v: np.ndarray, b: int) -> bytes:
+    if b == 0 or v.size == 0:
+        return b""
+    shifts = np.arange(b - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
+    if b == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))[: n * b]
+    weights = (np.uint64(1) << np.arange(b - 1, -1, -1, dtype=np.uint64))
+    return bits.reshape(n, b).astype(np.uint64) @ weights
+
+
+def pfor_encode(values) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b"\x00" + (0).to_bytes(4, "little") * 3
+    need = int(math.ceil(PFOR_COVERAGE * n))
+    # exact vectorized bit_length (binary clz — no float log2 boundary
+    # error at exact powers of two)
+    widths = np.zeros(n, dtype=np.int64)
+    x = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= np.uint64(1 << s)
+        widths[m] += s
+        x[m] >>= np.uint64(s)
+    widths[v > 0] += 1
+    b = int(np.sort(widths)[need - 1])
+    mask = np.uint64((1 << b) - 1) if b else np.uint64(0)
+    lows = v & mask
+    exc = np.nonzero(widths > b)[0]
+    pos_b = vb_encode(exc.astype(np.uint64)) if exc.size else b""
+    high_b = (
+        vb_encode((v[exc] >> np.uint64(b)).astype(np.uint64)) if exc.size else b""
+    )
+    return (
+        bytes([b])
+        + int(exc.size).to_bytes(4, "little")
+        + len(pos_b).to_bytes(4, "little")
+        + len(high_b).to_bytes(4, "little")
+        + _pack_bits(lows, b)
+        + pos_b
+        + high_b
+    )
+
+
+def pfor_decode(buf: bytes, n: int) -> np.ndarray:
+    b = buf[0]
+    n_exc = int.from_bytes(buf[1:5], "little")
+    len_pos = int.from_bytes(buf[5:9], "little")
+    o = 13 + (n * b + 7) // 8
+    out = _unpack_bits(buf[13:o], n, b)
+    if n_exc:
+        pos = vb_decode(buf[o : o + len_pos], n_exc).astype(np.int64)
+        high = vb_decode(buf[o + len_pos :], n_exc)
+        out[pos] |= high << np.uint64(b)
+    return out
+
+
+PFOR = "pfor"
+
+
 # ------------------------------- block layout -------------------------------
 
 def block_size_for(n: int) -> int:
@@ -281,6 +363,8 @@ def encode_posting_blocks(docids, tfs, dls, codec: str = VB) -> list[dict]:
             # reference codec: absolute ids, u = block max (block-local
             # decode needs only the block's max_doc_id + n metadata)
             id_bytes = ef_encode(bids, u=int(bids[-1]))
+        elif codec == PFOR:
+            id_bytes = pfor_encode(gaps)
         elif codec == RAW:
             id_bytes = bids.tobytes()
         else:
@@ -313,6 +397,8 @@ def decode_block(block, codec: str = VB):
         ids = np.cumsum(gamma_decode(block["docids"], n), dtype=np.uint64)
     elif codec == EF:
         ids = ef_decode(block["docids"], n, block["max_doc_id"])
+    elif codec == PFOR:
+        ids = np.cumsum(pfor_decode(block["docids"], n), dtype=np.uint64)
     else:
         raise ValueError(f"unknown codec {codec!r}")
     tfs = unary_decode(block["tfs"], n)

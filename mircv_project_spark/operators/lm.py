@@ -46,7 +46,7 @@ the number of bigram occurrences whose context is w1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -359,3 +359,49 @@ def pmi_collocations(
     finally:
         tg.unpersist()
     return out
+
+
+SUGGEST_K = 3
+
+
+def next_term_suggest(
+    docs: DataFrame,
+    seeds: list[str],
+    k: int = SUGGEST_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (ctx, suggestion, cnt, srank): for each seed term, the top-k
+    most frequent FOLLOWING tokens in the corpus (query-completion by
+    bigram continuation — the "users also typed" serve path, the
+    simplest useful LM head over the same bigram stream the perplexity
+    filter consumes).
+
+    Pins (restated in the oracle): counts are corpus-wide bigram
+    occurrence counts (duplicates kept — the occurrence stream, not the
+    distinct set), rank = (cnt desc, suggestion asc), seeds absent from
+    any bigram emit nothing.
+
+    Scale shape: one tokenizer pass, map-side-combined bigram counts
+    (the only shuffle), seed filter broadcast; the rank window sees
+    only the seeds' continuation sets."""
+    spark = docs.sparkSession
+    grams = docs.select(
+        F.explode(grams_col(tokens_col(F.col(text_col)), 2)).alias("gram")
+    )
+    cnt = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    parts = F.split(F.col("gram"), " ")
+    pairs = cnt.select(
+        parts.getItem(0).alias("ctx"),
+        parts.getItem(1).alias("suggestion"),
+        "cnt",
+    )
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "ctx string")
+    cand = pairs.join(F.broadcast(seeds_df), "ctx")
+    w = Window.partitionBy("ctx").orderBy(
+        F.col("cnt").desc(), F.col("suggestion").asc()
+    )
+    return (
+        cand.withColumn("srank", F.row_number().over(w).cast("long"))
+        .where(F.col("srank") <= k)
+        .select("ctx", "suggestion", F.col("cnt").cast("long").alias("cnt"), "srank")
+    )

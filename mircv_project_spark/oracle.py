@@ -74,6 +74,10 @@ FUZZY_QUERY_SET: list[tuple[str, str]] = [
     ("f06", "warpcore spark"),
 ]
 
+# next-term suggestion seeds (lm.next_term_suggest) — common corpus
+# terms, one stopword context, and a no-bigram miss ("zzmissing")
+SUGGEST_SEEDS: list[str] = ["spark", "join", "the", "customer", "sort", "zzmissing"]
+
 CONJ_QUERY_SET: list[tuple[str, str]] = [
     ("c01", "spark join"),
     ("c02", "hash join merge"),
@@ -564,6 +568,7 @@ ORDER BY a.term
         # alternate execution paths, same semantics -> same oracle:
         # compressed block-store scan and driver-side MaxScore pruning
         "bm25_topk_compressed": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "bm25_topk_compressed_pfor": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_compressed": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_topk_maxscore": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_maxscore": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
@@ -860,6 +865,36 @@ SELECT conv_id, turn_idx, role, text, tool, us FROM kept
 UNION ALL
 SELECT conv_id, turn_idx, role, text, tool, us FROM latest WHERE op <> 'D'
 ORDER BY conv_id, turn_idx
+"""
+
+
+
+# bigram continuation suggestions (lm.next_term_suggest); a function
+# because _grams_expr is defined further down the module
+def _term_suggest_sql() -> str:
+    return f"""WITH toks AS (
+    SELECT {_TOKENS_EXPR.format(col='text')} AS t FROM documents
+),
+grams AS (
+    SELECT unnest({_grams_expr('t', 2)}) AS gram FROM toks
+),
+cnt AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM grams GROUP BY gram
+),
+pairs AS (
+    SELECT string_split(gram, ' ')[1] AS ctx,
+           string_split(gram, ' ')[2] AS suggestion, cnt
+    FROM cnt
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY ctx ORDER BY cnt DESC, suggestion ASC
+    ) AS BIGINT) AS srank
+    FROM pairs
+    WHERE ctx IN ('spark', 'join', 'the', 'customer', 'sort', 'zzmissing')
+)
+SELECT ctx, suggestion, cnt, srank FROM ranked WHERE srank <= 3
+ORDER BY ctx, srank
 """
 
 
@@ -3079,6 +3114,7 @@ def pipeline_oracles() -> dict[str, str]:
         "cdc_apply": _cdc_apply_sql(),
         # streaming SpaceSaving == batch top-k at the pinned capacity
         # (no eviction fires below HH_CAP distinct terms per source)
+        "term_suggest": _term_suggest_sql(),
         "streaming_heavy_hitters": f"""
 WITH tok AS (
     SELECT source, unnest({_TOKENS_EXPR.format(col='text')}) AS term

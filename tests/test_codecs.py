@@ -34,6 +34,26 @@ def test_gamma_roundtrip(vals):
     assert C.gamma_decode(C.gamma_encode(vals), len(vals)).tolist() == vals
 
 
+@given(st.lists(st.integers(min_value=0, max_value=2**50), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_pfor_roundtrip(vals):
+    assert C.pfor_decode(C.pfor_encode(vals), len(vals)).tolist() == vals
+
+
+def test_pfor_exception_patching():
+    """90% tiny values + 10% huge: b stays small (packed section stays
+    near n*b/8 bytes) and the outliers round-trip via the patch lists."""
+    import numpy as np
+
+    vals = [3] * 90 + [2**45 + i for i in range(10)]
+    buf = C.pfor_encode(vals)
+    assert buf[0] <= 2, buf[0]  # chosen width covers the 90% cluster
+    assert C.pfor_decode(buf, len(vals)).tolist() == vals
+    # degenerate cases: all-equal, all-zero, single value
+    for v in ([7] * 64, [0] * 33, [123456789]):
+        assert C.pfor_decode(C.pfor_encode(v), len(v)).tolist() == v
+
+
 def test_unary_reference_value_convention():
     # UnaryCompressor encodes v (not v-1): [3,10,1,2] -> bits
     # 1110 1111111111 0 10 110 -> the reference's golden bytes [-17,-3,96]
@@ -118,7 +138,7 @@ def test_gamma_known_values():
     assert C.gamma_encode([2, 5]) == np.packbits([0, 1, 0, 0, 0, 1, 0, 1]).tobytes()
 
 
-@pytest.mark.parametrize("codec", [C.VB, C.GAMMA, C.EF, C.RAW])
+@pytest.mark.parametrize("codec", [C.VB, C.GAMMA, C.EF, C.RAW, C.PFOR])
 @pytest.mark.parametrize("n", [1, 10, 100, 1000, 10000])
 def test_block_roundtrip_and_skip_walk(codec, n):
     """Mirror of CompressedPostingListTest.java:16-60: compress ->
