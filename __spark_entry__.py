@@ -136,6 +136,17 @@ def _q_fuzzy_topk(spark, sf_dir):
     return fuzzy_topk(idx, oracle.FUZZY_QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
 
 
+def _q_prefix_topk(spark, sf_dir):
+    """Wildcard (prefix*) BM25 via per-length substring equi-joins
+    (operators/fuzzy.prefix_topk); the oracle states starts_with."""
+    from mircv_project_spark.operators.fuzzy import prefix_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return prefix_topk(
+        idx, oracle.PREFIX_QUERY_SET, scoring.BM25, k=oracle.TOPK_K
+    )
+
+
 def _q_champion_lists(spark, sf_dir):
     """Full-vocabulary champion table (per-term static top-m postings,
     salted two-stage window — operators/champion.py)."""
@@ -1585,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
         "qld_topk": _q_qld_topk,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
+        "bm25_topk_prefix": _q_prefix_topk,
         "champion_lists": _q_champion_lists,
         "bm25_topk_champion": _q_champion_topk,
         "bm25_topk_conjunctive": _topk_query(scoring.BM25, True, False),

@@ -76,3 +76,45 @@ def fuzzy_topk(
     return _score_and_rank(
         matched, standard, index.n_docs, index.avgdl, k, False, {}
     )
+
+
+def prefix_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+) -> DataFrame:
+    """Wildcard (prefix*) retrieval: every lexicon term starting with
+    the query prefix contributes termscore once (wildcard-OR, qtf=1) —
+    Lucene's PrefixQuery semantics.  Each query is ONE prefix string.
+
+    Scale shape: expansion is a per-length substring EQUI-join (the
+    complete_prefix machinery — a starts_with join condition would
+    BNLJ the vocabulary): prefixes group by length, the lexicon gets a
+    substr(term, 1, L) key per distinct length, prefixes broadcast.
+    Downstream is the shared exhaustive-top-k tail.  The oracle states
+    the direct starts_with join.
+    """
+    spark = index.flat.sparkSession
+    pairs = [(qid, p) for qid, p in queries if p]
+    if not pairs:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    by_len: dict[int, list[tuple[str, str]]] = {}
+    for qid, p in pairs:
+        by_len.setdefault(len(p), []).append((qid, p))
+
+    expanded = None
+    for length, group in sorted(by_len.items()):
+        pdf = spark.createDataFrame(group, "qid string, prefix string")
+        keyed = index.lexicon.select(
+            "term", "df", F.substring("term", 1, length).alias("prefix")
+        )
+        part = keyed.join(F.broadcast(pdf), "prefix").select(
+            "qid", F.lit(1).alias("qtf"), "term", "df"
+        )
+        expanded = part if expanded is None else expanded.unionByName(part)
+
+    matched = index.flat.join(F.broadcast(expanded), "term")
+    return _score_and_rank(
+        matched, standard, index.n_docs, index.avgdl, k, False, {}
+    )

@@ -74,6 +74,17 @@ FUZZY_QUERY_SET: list[tuple[str, str]] = [
     ("f06", "warpcore spark"),
 ]
 
+# wildcard (prefix*) retrieval queries (operators/fuzzy.prefix_topk) —
+# mixed prefix lengths (the operator branches per distinct length), a
+# high-fanout single char, and a no-match prefix
+PREFIX_QUERY_SET: list[tuple[str, str]] = [
+    ("w01", "sp"),
+    ("w02", "que"),
+    ("w03", "cust"),
+    ("w04", "s"),
+    ("w05", "zz"),
+]
+
 # next-term suggestion seeds (lm.next_term_suggest) — common corpus
 # terms, one stopword context, and a no-bigram miss ("zzmissing")
 SUGGEST_SEEDS: list[str] = ["spark", "join", "the", "customer", "sort", "zzmissing"]
@@ -399,6 +410,43 @@ ORDER BY qid, rank
 """
 
 
+def _prefix_topk_sql(queries, standard: str, k: int) -> str:
+    """Wildcard (prefix*) retrieval (operators/fuzzy.prefix_topk):
+    every lexicon term starting with the prefix contributes termscore
+    once (qtf=1 wildcard-OR).  The oracle states the direct
+    starts_with join; the engine's per-length substring equi-join is
+    trivially equivalent (substr(t, 1, len(p)) == p <=> starts_with)."""
+    expr = (_BM25 if standard == "bm25" else _TFIDF).replace("q.df", "f.df")
+    rows = ", ".join(f"('{qid}', '{p}')" for qid, p in queries)
+    return f"""{_PREFIX},
+pq AS (SELECT * FROM (VALUES {rows}) v(qid, prefix)),
+fexp AS (
+    SELECT q.qid, l.term, l.df
+    FROM pq q JOIN lexicon l ON starts_with(l.term, q.prefix)
+),
+scored AS (
+    SELECT f.qid, p.docid,
+           sum({expr}) AS raw_score
+    FROM fexp f
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY f.qid, p.docid
+),
+ranked AS (
+    SELECT sc.qid, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _rm3_sql(
     queries, k: int, fb_docs: int, fb_terms: int, lam: float
 ) -> str:
@@ -558,6 +606,8 @@ ORDER BY a.term
         "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
+        # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
+        "bm25_topk_prefix": _prefix_topk_sql(PREFIX_QUERY_SET, "bm25", TOPK_K),
         # champion lists: static per-term top-m pruning + its serve path
         "champion_lists": _champion_table_sql(CHAMPION_M),
         "bm25_topk_champion": _champion_topk_sql(

@@ -52,3 +52,37 @@ def test_typos_recover_matches(spark, vb_index):
 def test_all_oov_query_empty(spark, vb_index):
     idx, _ = vb_index
     assert fuzzy_topk(idx, [("x", "warpcoreq zzzzzzz")], k=5).count() == 0
+
+
+def test_expansion_plans_are_equi_joins(spark, vb_index):
+    """The whole point of the deletion-key / substring-key formulations
+    is avoiding a vocabulary-wide nested-loop predicate join — pin it."""
+    from mircv_project_spark.operators.fuzzy import prefix_topk
+    from mircv_project_spark.plans import checks
+
+    idx, _ = vb_index
+    fz = fuzzy_topk(idx, oracle.FUZZY_QUERY_SET, scoring.BM25, k=10)
+    pf = prefix_topk(idx, oracle.PREFIX_QUERY_SET, scoring.BM25, k=10)
+    for df in (fz, pf):
+        plan = checks.plan_text(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_topk_matches_manual_expansion(spark, vb_index):
+    """prefix_topk == exhaustive_topk over the manually expanded term
+    list with qtf=1 per expanded term (the wildcard-OR semantics)."""
+    from mircv_project_spark.operators.fuzzy import prefix_topk
+    from mircv_project_spark.operators.topk import exhaustive_topk
+
+    idx, _ = vb_index
+    terms = [r["term"] for r in idx.lexicon.select("term").collect()]
+    prefix = "sp"
+    expansion = sorted(t for t in terms if t.startswith(prefix))
+    assert expansion, "corpus must have sp* terms"
+    got = prefix_topk(idx, [("w", prefix)], scoring.BM25, k=10).collect()
+    want = exhaustive_topk(idx, [("w", " ".join(expansion))], scoring.BM25, k=10).collect()
+    assert [(r.docno, r.rank, r.score) for r in got] == [
+        (r.docno, r.rank, r.score) for r in want
+    ]
