@@ -166,6 +166,19 @@ def _q_champion_topk(spark, sf_dir):
     return champion_topk(idx, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
 
 
+def _q_qld_topk_stored(spark, sf_dir):
+    """QLD served from the PERSISTED store through a term-pruned flat
+    view (IndexReader.as_index_view — blocks outside the query terms
+    never decode); same oracle as qld_topk."""
+    from mircv_project_spark.operators.qld import qld_topk
+    from mircv_project_spark.operators.topk import query_terms
+
+    reader = _stored_reader(spark, sf_dir)
+    terms = sorted({t for _, t, _ in query_terms(oracle.QUERY_SET, reader.parse)})
+    view = reader.as_index_view(terms=terms)
+    return qld_topk(view, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_rm3_topk(spark, sf_dir):
     """RM3 pseudo-relevance feedback: first-pass BM25 top-10 ->
     relevance-model expansion terms -> 0.5-interpolated weighted BM25
@@ -1595,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _filtered_topk_query(scoring.BM25, False),
         "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
         "qld_topk": _q_qld_topk,
+        "qld_topk_stored": _q_qld_topk_stored,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
         "champion_lists": _q_champion_lists,

@@ -604,6 +604,8 @@ ORDER BY a.term
         ),
         # Dirichlet query-likelihood — third scoring standard (qld.py)
         "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
+        # QLD over the persisted store via the term-pruned flat view
+        "qld_topk_stored": _qld_topk_sql(QUERY_SET, TOPK_K),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR

@@ -75,6 +75,40 @@ class IndexReader:
             term_buckets=int(stats["term_buckets"]),
         )
 
+    def as_index_view(self, terms: list[str] | None = None) -> "InvertedIndex":
+        """A flat-postings VIEW over the compressed store, so every
+        InvertedIndex-based serve path (filtered/fuzzy/prefix/QLD/
+        champion retrieval) runs against a persisted index too.  The
+        ``flat`` DataFrame decodes blocks lazily (one Arrow-batched
+        numpy decode per block — the same kernel as topk_from_blocks).
+
+        Catalyst cannot push a term filter below the mapInPandas decode
+        stage, so pass ``terms`` to prune the postings scan (bucket +
+        parquet min/max, the Q2 path) BEFORE any block decodes — the
+        caller knows its (expanded) term set up front on every serve
+        path.  terms=None decodes the whole store (gate-scale only)."""
+        from ..operators.topk import _decode_blocks_df
+
+        postings = (
+            self._prune(self.postings, sorted(set(terms)))
+            if terms is not None
+            else self.postings
+        )
+        blocks = postings.select("term", F.explode("blocks").alias("b"))
+        flat = _decode_blocks_df(blocks, self.codec)
+        return InvertedIndex(
+            tokenized=None,
+            doc_index=self.doc_index,
+            flat=flat,
+            postings=self.postings,
+            lexicon=self.lexicon,
+            n_docs=self.n_docs,
+            sum_doc_len=self.sum_doc_len,
+            parse=self.parse,
+            codec=self.codec,
+            term_buckets=self.term_buckets or 0,
+        )
+
     def _buckets_of(self, spark, terms: list[str]) -> list[int]:
         # driver-local hash, bit-identical to the F.xxhash64 that wrote
         # the bucket column (functions/hashing.py parity test) — a cold

@@ -29,13 +29,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--queries", default=None, help="TSV qid\\ttext (TREC batch)")
     p.add_argument("--query", default=None, help="single query text ('+...' = conjunctive)")
-    p.add_argument("--standard", default="bm25", choices=["bm25", "tfidf"])
+    p.add_argument("--standard", default="bm25",
+                   choices=["bm25", "tfidf", "qld"],
+                   help="qld = Dirichlet query likelihood (exhaustive "
+                        "view over the store, operators/qld.py)")
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--exhaustive", action="store_true",
                    help="distributed exhaustive scorer instead of MaxScore")
     p.add_argument("--algo", default="maxscore", choices=["maxscore", "bmw"],
                    help="driver-side DAAT pruner: the reference's MaxScore "
                         "or Block-Max WAND (operators/bmw.py); rank-identical")
+    p.add_argument("--mode", default="exact",
+                   choices=["exact", "fuzzy", "prefix"],
+                   help="fuzzy = Levenshtein-1 expansion (fuzzy-OR); "
+                        "prefix = wildcard prefix* retrieval; both serve "
+                        "from a term-pruned view of the store")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -70,12 +78,61 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
-    out = topk_df(reader, queries, args.standard, k=args.k,
-                  conjunctive=conjunctive)
+    if args.mode != "exact" or args.standard == "qld":
+        out = _expanded_mode_topk(reader, queries, args)
+    else:
+        out = topk_df(reader, queries, args.standard, k=args.k,
+                      conjunctive=conjunctive)
     for r in trec_format(out, args.standard).collect():
         print(f"{r['qid']} Q0 {r['docno']} {r['rank']} {r['score']} {r['standard']}")
     spark.stop()
     return 0
+
+
+def _expanded_mode_topk(reader, queries, args):
+    """Serve the expansion-based paths (fuzzy/prefix) and QLD from the
+    persisted store: resolve the (expanded) term set FIRST, build a
+    term-pruned flat view (blocks outside it never decode), then run
+    the InvertedIndex-based operator on the view."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.operators.fuzzy import fuzzy_topk, prefix_topk
+    from mircv_project_spark.operators.qld import qld_topk
+    from mircv_project_spark.operators.spell import deletion_keys_col
+    from mircv_project_spark.operators.topk import query_terms
+
+    spark = reader.lexicon.sparkSession
+    if args.mode == "prefix":
+        prefixes = sorted({text for _, text in queries})
+        conds = [F.col("term").startswith(p) for p in prefixes]
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        terms = [r["term"] for r in
+                 reader.lexicon.select("term").where(cond).collect()]
+        view = reader.as_index_view(terms=terms)
+        return prefix_topk(view, queries, args.standard, k=args.k)
+
+    qt = sorted({t for _, t, _ in query_terms(queries, reader.parse)})
+    if args.mode == "fuzzy":
+        qdf = spark.createDataFrame([(t,) for t in qt], "qterm string")
+        qkeys = qdf.select(
+            F.explode(deletion_keys_col(F.col("qterm"))).alias("k"), "qterm"
+        )
+        lkeys = reader.lexicon.select(
+            "term", F.explode(deletion_keys_col(F.col("term"))).alias("k")
+        )
+        terms = [
+            r["term"]
+            for r in lkeys.join(F.broadcast(qkeys), "k")
+            .where(F.levenshtein("qterm", "term") <= 1)
+            .select("term").distinct().collect()
+        ]
+        view = reader.as_index_view(terms=terms)
+        return fuzzy_topk(view, queries, args.standard, k=args.k)
+
+    view = reader.as_index_view(terms=qt)
+    return qld_topk(view, queries, k=args.k)
 
 
 def repl(reader, standard: str, k: int, stdin=None, stdout=None) -> None:

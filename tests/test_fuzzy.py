@@ -86,3 +86,50 @@ def test_prefix_topk_matches_manual_expansion(spark, vb_index):
     assert [(r.docno, r.rank, r.score) for r in got] == [
         (r.docno, r.rank, r.score) for r in want
     ]
+
+
+def test_store_view_serves_expansion_paths(spark, vb_index, tmp_path):
+    """CLI route: fuzzy / prefix / QLD served from a PERSISTED store
+    through IndexReader.as_index_view must be rank-identical to the
+    in-memory index, and the pruned view must only decode the
+    requested terms' blocks."""
+    from mircv_project_spark.operators.index_build import write_index
+    from mircv_project_spark.operators.qld import qld_topk
+    from mircv_project_spark.operators.topk import query_terms
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    idx, _ = vb_index
+    out = str(tmp_path / "index")
+    write_index(idx, out)
+    reader = IndexReader.from_dir(spark, out)
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["rank"], r["docno"], r["score"]) for r in df.collect()
+        )
+
+    # QLD through the term-pruned view
+    terms = sorted({t for _, t, _ in query_terms(oracle.QUERY_SET, False)})
+    view = reader.as_index_view(terms=terms)
+    assert rows(qld_topk(view, oracle.QUERY_SET, k=10)) == rows(
+        qld_topk(idx, oracle.QUERY_SET, k=10)
+    )
+    # the pruned view's flat contains ONLY the requested terms
+    extra = view.flat.select("term").distinct().collect()
+    assert {r["term"] for r in extra} <= set(terms)
+
+    # fuzzy through an expanded-term view (the scripts/query.py route)
+    expanded = [
+        r["term"]
+        for r in idx.lexicon.join(
+            spark.createDataFrame(
+                [(t,) for t in {t for _, t, _ in query_terms(oracle.FUZZY_QUERY_SET, False)}],
+                "qterm string",
+            ),
+            F.levenshtein(F.col("term"), F.col("qterm")) <= 1,
+        ).select("term").distinct().collect()
+    ]
+    fview = reader.as_index_view(terms=expanded)
+    assert rows(fuzzy_topk(fview, oracle.FUZZY_QUERY_SET, k=10)) == rows(
+        fuzzy_topk(idx, oracle.FUZZY_QUERY_SET, k=10)
+    )
