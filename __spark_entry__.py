@@ -179,6 +179,18 @@ def _q_qld_topk_stored(spark, sf_dir):
     return qld_topk(view, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid lexical + dense retrieval fused by RRF (operators/
+    hybrid.py): probe doc text drives BM25, probe embedding drives
+    cosine, integer RRF contributions sum exactly."""
+    from mircv_project_spark.operators.hybrid import hybrid_rrf_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return hybrid_rrf_topk(
+        idx, _emb(spark, sf_dir), _docs(spark, sf_dir), oracle.PROBE_IDS
+    )
+
+
 def _q_rm3_topk(spark, sf_dir):
     """RM3 pseudo-relevance feedback: first-pass BM25 top-10 ->
     relevance-model expansion terms -> 0.5-interpolated weighted BM25
@@ -1609,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
         "qld_topk": _q_qld_topk,
         "qld_topk_stored": _q_qld_topk_stored,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
         "champion_lists": _q_champion_lists,

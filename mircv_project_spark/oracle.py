@@ -606,6 +606,8 @@ ORDER BY a.term
         "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
         # QLD over the persisted store via the term-pruned flat view
         "qld_topk_stored": _qld_topk_sql(QUERY_SET, TOPK_K),
+        # hybrid BM25 + cosine with RRF fusion (probe doc = query)
+        "hybrid_rrf_topk": _hybrid_rrf_sql(PROBE_IDS, 10, 20),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
@@ -1150,6 +1152,87 @@ ranked AS (
 SELECT CAST(id AS BIGINT) AS id, CAST(nid AS BIGINT) AS nid, cos6,
        CAST(rn AS BIGINT) AS rank
 FROM ranked WHERE rn <= 3
+"""
+
+
+def _hybrid_rrf_sql(probe_ids, k: int, pool: int, c: int = 60) -> str:
+    """Hybrid BM25 + cosine retrieval fused by RRF
+    (operators/hybrid.py).  Pins restated: probe doc text = lexical
+    query, probe embedding = dense query, probe doc excluded from both
+    legs, per-system contribution round(1e6/(c+rank)) BIGINT, fusion
+    ties (fused desc, doc asc)."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""{_PREFIX},
+pq AS (
+    SELECT CAST(doc_id AS VARCHAR) AS qid, text AS qtext
+    FROM documents WHERE doc_id IN ({ids})
+),
+qtok AS (
+    SELECT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term FROM pq
+),
+qterms AS (
+    SELECT qid, term, CAST(count(*) AS BIGINT) AS qtf FROM qtok GROUP BY qid, term
+),
+qexist AS (
+    SELECT q.qid, q.term, q.qtf, l.df FROM qterms q JOIN lexicon l USING (term)
+),
+lscored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS raw_score
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+lexr AS (
+    SELECT qid, docid - 1 AS doc,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, 6) DESC, docid ASC
+           ) AS rn
+    FROM lscored
+    WHERE docid <> CAST(qid AS BIGINT) + 1
+),
+lexp AS (
+    SELECT qid, doc, CAST(round(1000000.0 / ({c} + rn)) AS BIGINT) AS cl
+    FROM lexr WHERE rn <= {pool}
+),
+dns AS (
+    SELECT CAST(p.vec_id AS VARCHAR) AS qid, b.vec_id AS doc,
+           {_cos6('p.embedding', 'b.embedding')} AS cos6
+    FROM embeddings p JOIN embeddings b ON b.vec_id <> p.vec_id
+    WHERE p.vec_id IN ({ids})
+),
+dnsr AS (
+    SELECT qid, doc,
+           row_number() OVER (
+               PARTITION BY qid ORDER BY cos6 DESC, doc ASC
+           ) AS rn
+    FROM dns
+),
+dnsp AS (
+    SELECT qid, doc, CAST(round(1000000.0 / ({c} + rn)) AS BIGINT) AS cd
+    FROM dnsr WHERE rn <= {pool}
+),
+fused AS (
+    SELECT coalesce(l.qid, d.qid) AS qid,
+           coalesce(l.doc, d.doc) AS doc,
+           coalesce(l.cl, 0) + coalesce(d.cd, 0) AS fm
+    FROM lexp l FULL OUTER JOIN dnsp d
+        ON l.qid = d.qid AND l.doc = d.doc
+),
+ranked AS (
+    SELECT qid, doc, fm,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY fm DESC, doc ASC
+           ) AS BIGINT) AS rank
+    FROM fused
+)
+SELECT qid, CAST(doc AS VARCHAR) AS docno, rank,
+       round(fm / 1000000.0, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
 """
 
 

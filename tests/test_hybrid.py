@@ -1,0 +1,65 @@
+"""Hybrid RRF retrieval (operators/hybrid.py): fusion really mixes the
+two systems, the probe never self-matches, and contributions are the
+pinned integers."""
+
+from pyspark.sql import functions as F
+
+from mircv_project_spark import oracle
+from mircv_project_spark.operators import scoring
+from mircv_project_spark.operators.hybrid import (
+    HYBRID_POOL,
+    RRF_C,
+    hybrid_rrf_topk,
+)
+from mircv_project_spark.operators.similarity import cosine_topk
+from mircv_project_spark.operators.topk import exhaustive_topk
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_hybrid_excludes_probe_and_mixes_systems(spark, vb_index):
+    idx, _ = vb_index
+    probes = oracle.PROBE_IDS
+    out = hybrid_rrf_topk(idx, _emb(spark), _docs(spark), probes, k=10)
+    rows = out.collect()
+    by_qid = {}
+    for r in rows:
+        assert r["docno"] != r["qid"]  # self excluded
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert set(by_qid) == {str(p) for p in probes}
+
+    # fusion mixes: across all probes, the hybrid top-10 must include
+    # docs from BOTH legs' top pools
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark).where(F.col("doc_id").isin(probes)).collect()
+    }
+    lex = exhaustive_topk(
+        idx, [(str(p), texts[p]) for p in probes], scoring.BM25, k=HYBRID_POOL
+    )
+    lex_docs = {(r["qid"], r["docno"]) for r in lex.collect()}
+    dns = cosine_topk(_emb(spark), probes, k=HYBRID_POOL)
+    dns_docs = {
+        (str(r["probe_id"]), str(r["neighbor_id"])) for r in dns.collect()
+    }
+    hyb = {(r["qid"], r["docno"]) for r in rows}
+    assert hyb & lex_docs, "no lexical doc survived fusion"
+    assert hyb & dns_docs, "no dense doc survived fusion"
+
+
+def test_hybrid_score_is_exact_rrf_sum(spark, vb_index):
+    """A doc in both legs scores round(1e6/(C+rl)) + round(1e6/(C+rd));
+    check the max possible fused score bound and the quantization."""
+    idx, _ = vb_index
+    out = hybrid_rrf_topk(idx, _emb(spark), _docs(spark), oracle.PROBE_IDS, k=10)
+    mx = round(round(1e6 / (RRF_C + 1)) * 2 / 1e6, 6)
+    for r in out.collect():
+        assert 0 < r["score"] <= mx
+        # fused micro is integral: score * 1e6 is an exact integer
+        assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-6
