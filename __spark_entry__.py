@@ -535,6 +535,22 @@ def _q_conversation_stats(spark, sf_dir):
     return conversation_stats(load_transcripts(spark, sf_dir))
 
 
+def _q_turn_windows(spark, sf_dir):
+    """Sliding 3-turn context windows per conversation
+    (operators/dialogue.turn_windows)."""
+    from mircv_project_spark.operators.dialogue import turn_windows
+
+    return turn_windows(load_transcripts(spark, sf_dir))
+
+
+def _q_assistant_token_spans(spark, sf_dir):
+    """Loss-mask token spans: per-turn [start, end) offsets within the
+    conversation token stream + is_target (dialogue.assistant_token_spans)."""
+    from mircv_project_spark.operators.dialogue import assistant_token_spans
+
+    return assistant_token_spans(load_transcripts(spark, sf_dir))
+
+
 def _q_cdc_apply(spark, sf_dir):
     """MERGE-INTO analog (operators/cdc.apply_changes): apply a
     deterministic upsert/delete feed (last-wins by seq) to the
@@ -1774,6 +1790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _q_conversation_stats,
         "term_suggest": _q_term_suggest,
         "cdc_apply": _q_cdc_apply,
+        "turn_windows": _q_turn_windows,
+        "assistant_token_spans": _q_assistant_token_spans,
         "session_paths": _q_session_paths,
     }
 

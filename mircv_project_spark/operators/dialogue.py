@@ -1,0 +1,91 @@
+"""Dialogue training-data preparation over the transcript table.
+
+Two shapes every chat-model pipeline needs between "raw transcripts"
+and "packed token sequences" (operators/pipeline.pack_sequences):
+
+- ``turn_windows``: sliding windows of W consecutive turns per
+  conversation, concatenated — the context-window sampling that turns
+  long conversations into bounded training examples;
+- ``assistant_token_spans``: per turn, its [start, end) token offsets
+  within the conversation's concatenated token stream plus the
+  is_target flag — the loss-mask computation (train on assistant
+  tokens only), done as exact integer prefix sums so it is
+  shuffle-order-independent.
+
+Pins (restated in the oracle — change both or neither):
+- turn order within a conversation is turn_idx asc; windows require
+  CONTIGUOUS turn_idx (lead(turn_idx, j) == turn_idx + j — restated,
+  not assumed, even though the synthetic corpus is always contiguous);
+- window text = concat_ws('\\n', texts) — BOTH engines' concat_ws
+  skips NULL elements (a NULL middle turn shortens the window text,
+  it does not null it);
+- token counts = T1-T5 tokens (functions/textnorm.tokens_col), NULL
+  text counts 0 (coalesce BEFORE the running sum);
+- spans: start = running sum of preceding turns' counts (window sum
+  ROWS UNBOUNDED PRECEDING minus own), is_target = role = 'assistant'.
+
+Scale shape: both are one conv_id-keyed window pass — map-only under a
+conv-bucketed layout; nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import tokens_col
+
+WINDOW_TURNS = 3
+
+
+def turn_windows(transcripts: DataFrame, w: int = WINDOW_TURNS) -> DataFrame:
+    """-> (conv_id, start_turn, text): every window of w contiguous
+    turns, text = concat_ws('\\n', turn texts)."""
+    win = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc())
+    cols = [F.col("text").alias("t0")]
+    contig = None
+    for j in range(1, w):
+        cols.append(F.lead("text", j).over(win).alias(f"t{j}"))
+        cond = F.lead("turn_idx", j).over(win) == F.col("turn_idx") + j
+        contig = cond if contig is None else (contig & cond)
+    # window expressions must be projected before they can be filtered
+    staged = (
+        transcripts.select(
+            "conv_id",
+            F.col("turn_idx").alias("start_turn"),
+            *cols,
+            contig.alias("_contig"),
+        )
+        .where(F.col("_contig"))
+    )
+    return staged.select(
+        "conv_id",
+        "start_turn",
+        F.concat_ws("\n", *[F.col(f"t{j}") for j in range(w)]).alias("text"),
+    )
+
+
+def assistant_token_spans(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, start_tok, end_tok, is_target): token
+    offsets of each turn within its conversation's concatenated token
+    stream, and whether the turn's tokens are loss targets."""
+    win = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.size(tokens_col(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("ntok"),
+        (F.col("role") == "assistant").alias("is_target"),
+    )
+    return per.select(
+        "conv_id",
+        "turn_idx",
+        (F.sum("ntok").over(win) - F.col("ntok")).cast("long").alias("start_tok"),
+        F.sum("ntok").over(win).cast("long").alias("end_tok"),
+        "is_target",
+    )

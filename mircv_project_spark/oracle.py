@@ -852,6 +852,63 @@ ORDER BY conv_id
 """
 
 
+_DIALOGUE_T = """
+WITH t AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           list_extract(['user', 'assistant', 'system', 'tool'],
+                        CAST(doc_id % 4 AS INTEGER) + 1) AS role,
+           text
+    FROM documents
+)"""
+
+
+def _turn_windows_sql(w: int) -> str:
+    """Sliding contiguous turn windows (operators/dialogue.turn_windows)
+    — contiguity restated as lead(turn_idx, j) == turn_idx + j;
+    concat_ws skips NULL turns in both engines (pinned)."""
+    leads = ", ".join(
+        f"lead(text, {j}) OVER w AS t{j}, lead(turn_idx, {j}) OVER w AS i{j}"
+        for j in range(1, w)
+    )
+    conds = " AND ".join(f"i{j} = start_turn + {j}" for j in range(1, w))
+    texts = ", ".join(f"t{j}" for j in range(w))
+    return f"""{_DIALOGUE_T},
+led AS (
+    SELECT conv_id, turn_idx AS start_turn, text AS t0, {leads}
+    FROM t
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ASC)
+)
+SELECT conv_id, start_turn, concat_ws(chr(10), {texts}) AS text
+FROM led WHERE {conds}
+ORDER BY conv_id, start_turn
+"""
+
+
+def _assistant_spans_sql() -> str:
+    """Loss-mask token spans (operators/dialogue.assistant_token_spans):
+    exact integer prefix sums of T1-T5 token counts, NULL text counts 0
+    (coalesced BEFORE the running sum)."""
+    return f"""{_DIALOGUE_T},
+per AS (
+    SELECT conv_id, turn_idx,
+           CAST(coalesce(len({_TOKENS_EXPR.format(col='text')}), 0) AS BIGINT)
+               AS ntok,
+           role = 'assistant' AS is_target
+    FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(sum(ntok) OVER w - ntok AS BIGINT) AS start_tok,
+       CAST(sum(ntok) OVER w AS BIGINT) AS end_tok,
+       is_target
+FROM per
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ASC
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _cdc_apply_sql() -> str:
     """CDC apply / MERGE INTO analog (operators/cdc.apply_changes).
     The change feed is derived deterministically from documents —
@@ -3247,6 +3304,8 @@ def pipeline_oracles() -> dict[str, str]:
         "triangle_counts": _TRIANGLE_COUNTS_SQL,
         "conversation_stats": _conversation_stats_sql(),
         "cdc_apply": _cdc_apply_sql(),
+        "turn_windows": _turn_windows_sql(3),
+        "assistant_token_spans": _assistant_spans_sql(),
         # streaming SpaceSaving == batch top-k at the pinned capacity
         # (no eviction fires below HH_CAP distinct terms per source)
         "term_suggest": _term_suggest_sql(),

@@ -1,0 +1,54 @@
+"""Dialogue prep (operators/dialogue.py): contiguity, NULL-turn
+concat behavior, and exact span arithmetic on a hand-built frame."""
+
+from mircv_project_spark.operators.dialogue import (
+    assistant_token_spans,
+    turn_windows,
+)
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_turn_windows_contiguity_and_nulls(spark):
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "a a"),
+            ("c1", 1, "assistant", None),  # NULL turn: skipped by concat_ws
+            ("c1", 2, "user", "c"),
+            ("c1", 4, "assistant", "e"),  # gap 2->4 breaks contiguity
+            ("c1", 5, "user", "f"),
+            ("c2", 0, "user", "x"),  # too short for any window
+        ],
+    )
+    got = {
+        (r["conv_id"], r["start_turn"]): r["text"]
+        for r in turn_windows(t, w=3).collect()
+    }
+    assert got == {("c1", 0): "a a\nc"}  # NULL middle turn skipped
+
+
+def test_assistant_token_spans_exact(spark):
+    t = _t(
+        spark,
+        [
+            ("c1", 0, "user", "a b c"),
+            ("c1", 1, "assistant", "d d"),
+            ("c1", 2, "tool", None),
+            ("c1", 3, "assistant", "e"),
+        ],
+    )
+    got = {
+        r["turn_idx"]: (r["start_tok"], r["end_tok"], r["is_target"])
+        for r in assistant_token_spans(t).collect()
+    }
+    assert got == {
+        0: (0, 3, False),
+        1: (3, 5, True),
+        2: (5, 5, False),  # NULL text: zero-width span
+        3: (5, 6, True),
+    }
