@@ -136,6 +136,16 @@ def _q_fuzzy_topk(spark, sf_dir):
     return fuzzy_topk(idx, oracle.FUZZY_QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
 
 
+def _q_boolean_topk(spark, sf_dir):
+    """Boolean +must/-not/should BM25 (operators/boolquery.py)."""
+    from mircv_project_spark.operators.boolquery import boolean_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return boolean_topk(
+        idx, oracle.BOOLEAN_QUERY_SET, scoring.BM25, k=oracle.TOPK_K
+    )
+
+
 def _q_prefix_topk(spark, sf_dir):
     """Wildcard (prefix*) BM25 via per-length substring equi-joins
     (operators/fuzzy.prefix_topk); the oracle states starts_with."""
@@ -1640,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
+        "bm25_topk_boolean": _q_boolean_topk,
         "champion_lists": _q_champion_lists,
         "bm25_topk_champion": _q_champion_topk,
         "bm25_topk_conjunctive": _topk_query(scoring.BM25, True, False),

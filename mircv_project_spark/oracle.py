@@ -74,6 +74,18 @@ FUZZY_QUERY_SET: list[tuple[str, str]] = [
     ("f06", "warpcore spark"),
 ]
 
+# boolean-syntax gate queries (operators/boolquery.py): +must / -not /
+# should mixes, an OOV MUST (dropped, b05) and an OOV NOT (excludes
+# nothing, b04)
+BOOLEAN_QUERY_SET: list[tuple[str, str]] = [
+    ("b01", "spark +join"),
+    ("b02", "query -slow"),
+    ("b03", "+hash +merge sort"),
+    ("b04", "customer -warpcore"),
+    ("b05", "+warpcore spark"),
+    ("b06", "-the spark"),
+]
+
 # wildcard (prefix*) retrieval queries (operators/fuzzy.prefix_topk) —
 # mixed prefix lengths (the operator branches per distinct length), a
 # high-fanout single char, and a no-match prefix
@@ -447,6 +459,80 @@ ORDER BY qid, rank
 """
 
 
+def _boolean_topk_sql(queries, standard: str, k: int) -> str:
+    """Boolean +must/-not/should retrieval (operators/boolquery.py).
+    The role parse happens on the RAW whitespace words (the tokenizer
+    strips +/- as punctuation, so roles must be peeled first) — the
+    same order the engine pins.  OOV terms drop from their role."""
+    expr = _BM25 if standard == "bm25" else _TFIDF
+    return f"""{_PREFIX},
+queries AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+words AS (
+    SELECT qid, unnest(string_split(qtext, ' ')) AS word FROM queries
+),
+roles AS (
+    SELECT qid,
+           CASE WHEN word LIKE '+%' THEN 'must'
+                WHEN word LIKE '-%' THEN 'not'
+                ELSE 'should' END AS role,
+           CASE WHEN word LIKE '+%' OR word LIKE '-%'
+                THEN substr(word, 2) ELSE word END AS raw
+    FROM words
+),
+wtok AS (
+    SELECT qid, role, unnest({_TOKENS_EXPR.format(col='raw')}) AS term
+    FROM roles
+),
+sterms AS (
+    SELECT w.qid, w.term,
+           CAST(count(*) AS BIGINT) AS qtf,
+           bool_or(w.role = 'must') AS is_must,
+           any_value(l.df) AS df
+    FROM wtok w JOIN lexicon l USING (term)
+    WHERE w.role IN ('must', 'should')
+    GROUP BY w.qid, w.term
+),
+nmust AS (
+    SELECT qid, CAST(count(*) FILTER (is_must) AS BIGINT) AS n_required
+    FROM sterms GROUP BY qid
+),
+nterms AS (
+    SELECT DISTINCT w.qid, w.term
+    FROM wtok w JOIN lexicon l USING (term)
+    WHERE w.role = 'not'
+),
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({expr})) AS raw_score,
+           CAST(count(*) FILTER (q.is_must) AS BIGINT) AS nm
+    FROM sterms q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+kept AS (
+    SELECT sc.* FROM scored sc
+    JOIN nmust r ON sc.qid = r.qid AND sc.nm = r.n_required
+    WHERE NOT EXISTS (
+        SELECT 1 FROM nterms n JOIN postings p2 USING (term)
+        WHERE n.qid = sc.qid AND p2.docid = sc.docid
+    )
+),
+ranked AS (
+    SELECT qid, docid, round(raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, 6) DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM kept
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _rm3_sql(
     queries, k: int, fb_docs: int, fb_terms: int, lam: float
 ) -> str:
@@ -612,6 +698,8 @@ ORDER BY a.term
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
         "bm25_topk_prefix": _prefix_topk_sql(PREFIX_QUERY_SET, "bm25", TOPK_K),
+        # boolean +must/-not/should syntax
+        "bm25_topk_boolean": _boolean_topk_sql(BOOLEAN_QUERY_SET, "bm25", TOPK_K),
         # champion lists: static per-term top-m pruning + its serve path
         "champion_lists": _champion_table_sql(CHAMPION_M),
         "bm25_topk_champion": _champion_topk_sql(
