@@ -136,6 +136,15 @@ def _q_fuzzy_topk(spark, sf_dir):
     return fuzzy_topk(idx, oracle.FUZZY_QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
 
 
+def _q_ltr_features(spark, sf_dir):
+    """LTR feature vectors (bm25/tfidf/qld + match shape) for the BM25
+    top-20 candidate pool per query (operators/ltr.py)."""
+    from mircv_project_spark.operators.ltr import ltr_features
+
+    idx = _index(spark, sf_dir, parse=False)
+    return ltr_features(idx, oracle.QUERY_SET)
+
+
 def _q_boolean_topk(spark, sf_dir):
     """Boolean +must/-not/should BM25 (operators/boolquery.py)."""
     from mircv_project_spark.operators.boolquery import boolean_topk
@@ -1651,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_boolean": _q_boolean_topk,
+        "ltr_features": _q_ltr_features,
         "champion_lists": _q_champion_lists,
         "bm25_topk_champion": _q_champion_topk,
         "bm25_topk_conjunctive": _topk_query(scoring.BM25, True, False),

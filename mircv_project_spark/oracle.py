@@ -533,6 +533,53 @@ ORDER BY qid, rank
 """
 
 
+def _ltr_features_sql(queries, pool: int, mu: float = 2048.0) -> str:
+    """LTR feature export (operators/ltr.py): BM25 top-pool candidates
+    with all three scoring standards + match-shape features in one
+    aggregate; qld pins restated from _qld_topk_sql."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+qq AS (
+    SELECT qid, CAST(sum(qtf) AS BIGINT) AS q_total FROM qexist GROUP BY qid
+),
+feat AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS bm25_raw,
+           sum(q.qtf * ({_TFIDF})) AS tfidf_raw,
+           CAST(sum(q.qtf * CAST(round(log10(
+               1 + (CAST(p.tf AS DOUBLE) * s.sum_doc_len)
+                   / ({mu} * CAST(l.cf AS DOUBLE))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS tsum,
+           CAST(count(*) AS BIGINT) AS n_match,
+           max(dl.doc_len) AS doc_len
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+final AS (
+    SELECT f.*,
+           f.tsum + qq.q_total * CAST(round(log10(
+               {mu} / (f.doc_len + {mu})
+           ) * 1e6) AS BIGINT) AS qld_micro
+    FROM feat f JOIN qq USING (qid)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY round(bm25_raw, 6) DESC, docid ASC
+    ) AS rn FROM final
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno,
+       round(bm25_raw, 6) AS bm25,
+       round(tfidf_raw, 6) AS tfidf,
+       round(qld_micro / 1e6, 6) AS qld,
+       n_match, CAST(doc_len AS BIGINT) AS doc_len
+FROM ranked WHERE rn <= {pool}
+ORDER BY qid, rn
+"""
+
+
 def _rm3_sql(
     queries, k: int, fb_docs: int, fb_terms: int, lam: float
 ) -> str:
@@ -700,6 +747,8 @@ ORDER BY a.term
         "bm25_topk_prefix": _prefix_topk_sql(PREFIX_QUERY_SET, "bm25", TOPK_K),
         # boolean +must/-not/should syntax
         "bm25_topk_boolean": _boolean_topk_sql(BOOLEAN_QUERY_SET, "bm25", TOPK_K),
+        # LTR feature export over BM25 top-20 candidates
+        "ltr_features": _ltr_features_sql(QUERY_SET, 20),
         # champion lists: static per-term top-m pruning + its serve path
         "champion_lists": _champion_table_sql(CHAMPION_M),
         "bm25_topk_champion": _champion_topk_sql(
