@@ -145,6 +145,15 @@ def _q_ltr_features(spark, sf_dir):
     return ltr_features(idx, oracle.QUERY_SET)
 
 
+def _q_training_triplets(spark, sf_dir):
+    """Contrastive (positive, hard-negative) pairs per query for
+    retrieval-model training (operators/ltr.training_triplets)."""
+    from mircv_project_spark.operators.ltr import training_triplets
+
+    idx = _index(spark, sf_dir, parse=False)
+    return training_triplets(idx, _docs(spark, sf_dir), oracle.QUERY_SET)
+
+
 def _q_boolean_topk(spark, sf_dir):
     """Boolean +must/-not/should BM25 (operators/boolquery.py)."""
     from mircv_project_spark.operators.boolquery import boolean_topk
@@ -1661,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_boolean": _q_boolean_topk,
         "ltr_features": _q_ltr_features,
+        "training_triplets": _q_training_triplets,
         "champion_lists": _q_champion_lists,
         "bm25_topk_champion": _q_champion_topk,
         "bm25_topk_conjunctive": _topk_query(scoring.BM25, True, False),

@@ -122,3 +122,93 @@ def ltr_features(
             F.col("doc_len").cast("long").alias("doc_len"),
         )
     )
+
+
+TRIPLET_POS = 2
+TRIPLET_NEG = 3
+
+
+def training_triplets(
+    index: InvertedIndex,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    n_pos: int = TRIPLET_POS,
+    n_neg: int = TRIPLET_NEG,
+) -> DataFrame:
+    """-> (qid, pos_docno, pos_grade, neg_docno, neg_rank): contrastive
+    training triplets for a retrieval model — every (positive, hard
+    negative) pair per query.
+
+    Pins (restated in oracle._triplets_sql — change both or neither):
+    over the full BM25 candidate ranking, positives = the first n_pos
+    docs (by rank) matching ALL in-lexicon query terms; hard negatives
+    = the first n_neg docs matching only SOME — the highest-scoring
+    partial matches, the classic hard-negative mining rule (Karpukhin
+    et al. 2020) grounded in the conjunctive-match relevance proxy.
+    No pool cut on the side selection: a fixed pool saturates with
+    full matches as the corpus grows (measured: 50 was all-full at
+    sf0.01) and silently empties the negatives.  Queries lacking
+    either side emit nothing (e.g. single-term queries have no
+    partial matches).  pos_grade carries the matched-term count.
+
+    Scale shape: one pooled retrieval pass whose aggregate already
+    counts matched terms; mining adds one window split and an
+    n_pos x n_neg per-query cross join of two tiny ranked heads.
+    """
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    out_schema = (
+        "qid string, pos_docno string, pos_grade int,"
+        " neg_docno string, neg_rank long"
+    )
+    if not qt_rows:
+        return spark.createDataFrame([], out_schema)
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    df_by_term = {r["term"]: r["df"] for r in lex}
+    qt_rows = [
+        (q, t, c, df_by_term[t]) for q, t, c in qt_rows if t in df_by_term
+    ]
+    if not qt_rows:
+        return spark.createDataFrame([], out_schema)
+    n_required: dict[str, int] = {}
+    for q, _, _, _ in qt_rows:
+        n_required[q] = n_required.get(q, 0) + 1
+    qt = spark.createDataFrame(
+        qt_rows, "qid string, term string, qtf int, df long"
+    )
+    bm25 = scoring.bm25_col(
+        F.col("tf"), F.col("doc_len"), F.col("df"), index.n_docs, index.avgdl
+    )
+    pooled = (
+        index.flat.join(F.broadcast(qt), "term")
+        .withColumn("contrib", F.col("qtf") * bm25)
+        .groupBy("qid", "docid")
+        .agg(F.sum("contrib").alias("raw"), F.count("*").alias("nmatch"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("raw"), 6).desc(), F.col("docid").asc()
+    )
+    pooled = pooled.withColumn("rank", F.row_number().over(w).cast("long"))
+    req = F.create_map(*[F.lit(x) for kv in n_required.items() for x in kv])
+    pooled = pooled.withColumn("full", F.col("nmatch") == req[F.col("qid")])
+
+    wside = Window.partitionBy("qid", "full").orderBy(F.col("rank").asc())
+    sided = pooled.withColumn("sr", F.row_number().over(wside))
+    pos = sided.where(F.col("full") & (F.col("sr") <= n_pos)).select(
+        "qid",
+        (F.col("docid") - 1).cast("string").alias("pos_docno"),
+        F.col("nmatch").cast("int").alias("pos_grade"),
+    )
+    neg = sided.where(~F.col("full") & (F.col("sr") <= n_neg)).select(
+        "qid",
+        (F.col("docid") - 1).cast("string").alias("neg_docno"),
+        F.col("rank").alias("neg_rank"),
+    )
+    return pos.join(neg, "qid").select(
+        "qid", "pos_docno", "pos_grade", "neg_docno", "neg_rank"
+    )

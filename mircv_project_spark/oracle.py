@@ -694,6 +694,50 @@ ORDER BY a.qid
 """
 
 
+def _triplets_sql(queries, n_pos: int, n_neg: int) -> str:
+    """Contrastive training triplets (operators/ltr.training_triplets):
+    over the full BM25 candidate ranking, positives = first n_pos
+    FULL-conjunctive matches by rank, hard negatives = first n_neg
+    PARTIAL matches by rank (no pool cut — pins restated from
+    ltr.py)."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS raw_score,
+           CAST(count(*) AS BIGINT) AS nmatch
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+pooled AS (
+    SELECT sc.qid, sc.docid, sc.nmatch,
+           sc.nmatch = r.n_required AS is_full,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc JOIN nreq r ON sc.qid = r.qid
+),
+sided AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid, is_full ORDER BY rank ASC
+    ) AS sr
+    FROM pooled
+)
+SELECT p.qid,
+       CAST(p.docid - 1 AS VARCHAR) AS pos_docno,
+       CAST(p.nmatch AS INTEGER) AS pos_grade,
+       CAST(n.docid - 1 AS VARCHAR) AS neg_docno,
+       n.rank AS neg_rank
+FROM sided p JOIN sided n ON p.qid = n.qid
+WHERE p.is_full AND p.sr <= {n_pos}
+  AND NOT n.is_full AND n.sr <= {n_neg}
+ORDER BY p.qid, pos_docno, neg_docno
+"""
+
+
 def oracle_queries() -> dict[str, str]:
     """name -> DuckDB SQL, keys matching __spark_entry__.queries()."""
     out = {
@@ -749,6 +793,8 @@ ORDER BY a.term
         "bm25_topk_boolean": _boolean_topk_sql(BOOLEAN_QUERY_SET, "bm25", TOPK_K),
         # LTR feature export over BM25 top-20 candidates
         "ltr_features": _ltr_features_sql(QUERY_SET, 20),
+        # contrastive (positive, hard-negative) training pairs
+        "training_triplets": _triplets_sql(QUERY_SET, 2, 3),
         # champion lists: static per-term top-m pruning + its serve path
         "champion_lists": _champion_table_sql(CHAMPION_M),
         "bm25_topk_champion": _champion_topk_sql(

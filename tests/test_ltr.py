@@ -34,3 +34,40 @@ def test_features_agree_with_standalone_rankers(vb_index):
             assert row["qld"] == ql_scores[key]
             checked_ql += 1
     assert checked_tf > 10 and checked_ql > 10  # real overlap, not vacuous
+
+
+def test_triplets_semantics(spark, vb_index):
+    """Positives match ALL in-lexicon query terms, negatives only
+    some; both come from the BM25 pool; pair counts bounded."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.operators.ltr import training_triplets
+    from mircv_project_spark.operators.topk import query_terms
+
+    idx, _ = vb_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = training_triplets(idx, docs, oracle.QUERY_SET).collect()
+    assert rows
+
+    lex_terms = {r["term"] for r in idx.lexicon.select("term").collect()}
+    by_query = {}
+    for q, t, _ in query_terms(oracle.QUERY_SET, False):
+        if t in lex_terms:
+            by_query.setdefault(q, set()).add(t)
+    doc_terms = {}
+    for r in idx.flat.select("term", "docid").collect():
+        doc_terms.setdefault(r["docid"] - 1, set()).add(r["term"])
+
+    per_q = {}
+    for r in rows:
+        need = by_query[r["qid"]]
+        assert need <= doc_terms[int(r["pos_docno"])]
+        assert not need <= doc_terms[int(r["neg_docno"])]
+        assert r["pos_grade"] == len(need)
+        per_q.setdefault(r["qid"], set()).add(
+            (r["pos_docno"], r["neg_docno"])
+        )
+    for q, pairs in per_q.items():
+        assert len(pairs) <= 2 * 3
+    # single-term queries: every pool doc is a full match -> no negatives
+    assert "q05" not in per_q
