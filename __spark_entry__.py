@@ -219,6 +219,15 @@ def _q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+def _q_rocchio_topk(spark, sf_dir):
+    """Rocchio vector-space feedback (operators/rocchio.py): integer-
+    scaled tf-idf centroid expansion, exact BIGINT aggregates."""
+    from mircv_project_spark.operators.rocchio import rocchio_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return rocchio_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_rm3_topk(spark, sf_dir):
     """RM3 pseudo-relevance feedback: first-pass BM25 top-10 ->
     relevance-model expansion terms -> 0.5-interpolated weighted BM25
@@ -1699,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_eval_metrics": _q_eval_metrics,
         # RM3 query expansion — full-oracle (chain restated in SQL)
         "bm25_rm3_topk": _q_rm3_topk,
+        "rocchio_topk": _q_rocchio_topk,
         "lexicon_streaming": _q_lexicon_streaming,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,

@@ -694,6 +694,68 @@ ORDER BY a.qid
 """
 
 
+def _rocchio_sql(queries, k: int, fb_docs: int, fb_terms: int) -> str:
+    """Rocchio feedback (operators/rocchio.py): integer-scaled
+    vector-space expansion — all five pinned stages restated (stage-1
+    rounded BM25 ranking, micro-quantized tf-idf doc vectors, exact
+    centroid sums, 2*fb_docs-scaled weights, integer final scores)."""
+    wq = (
+        "CAST(round(1000000.0 * (1 + log10(p.tf))"
+        " * log10(s.n_docs / l.df)) AS BIGINT)"
+    )
+    return f"""{_ranked_ctes(queries, "bm25", False)},
+fb AS (SELECT qid, docid FROM ranked WHERE rank <= {fb_docs}),
+fbt AS (
+    SELECT f.qid, p.term, {wq} AS wq
+    FROM fb f
+    JOIN postings p ON p.docid = f.docid
+    JOIN lexicon l USING (term)
+    CROSS JOIN stats s
+),
+cent AS (
+    SELECT qid, term, CAST(sum(wq) AS BIGINT) AS cs
+    FROM fbt GROUP BY qid, term
+),
+qw_orig AS (
+    SELECT q.qid, q.term,
+           {fb_docs} * q.qtf * 1000000 + coalesce(c.cs, 0) AS qw
+    FROM qexist q LEFT JOIN cent c ON q.qid = c.qid AND q.term = c.term
+),
+qw_exp AS (
+    SELECT qid, term, cs AS qw FROM (
+        SELECT c.*, row_number() OVER (
+            PARTITION BY c.qid ORDER BY c.cs DESC, c.term ASC
+        ) AS er
+        FROM cent c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM qexist q
+            WHERE q.qid = c.qid AND q.term = c.term
+        )
+    ) WHERE er <= {fb_terms}
+),
+sel AS (SELECT * FROM qw_orig UNION ALL SELECT * FROM qw_exp),
+fscored AS (
+    SELECT w.qid, p.docid, CAST(sum(w.qw * {wq}) AS BIGINT) AS scaled
+    FROM sel w
+    JOIN postings p USING (term)
+    JOIN lexicon l USING (term)
+    CROSS JOIN stats s
+    GROUP BY w.qid, p.docid
+),
+franked AS (
+    SELECT qid, docid, scaled,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY scaled DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM fscored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       round(scaled / 1e12, 6) AS score
+FROM franked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _triplets_sql(queries, n_pos: int, n_neg: int) -> str:
     """Contrastive training triplets (operators/ltr.training_triplets):
     over the full BM25 candidate ranking, positives = first n_pos
@@ -831,6 +893,7 @@ ORDER BY a.term
         "bm25_pruned_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         "tfidf_pruned_conjunctive": _topk_sql(CONJ_QUERY_SET, "tfidf", True, TOPK_K),
         # RM3 pseudo-relevance feedback (params pinned to operators/rm3.py)
+        "rocchio_topk": _rocchio_sql(QUERY_SET, TOPK_K, 10, 5),
         "bm25_rm3_topk": _rm3_sql(QUERY_SET, TOPK_K, 10, 5, 0.5),
         # Elias-Fano-coded store (reference byte layout) end-to-end
         "bm25_topk_compressed_ef": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
