@@ -970,6 +970,76 @@ def _q_tpch_discounted_revenue(spark, sf_dir):
     )
 
 
+def _q_tpch_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two pinned nations,
+    both directions, per ship year; endpoint filters prune both fact
+    sides before the big joins."""
+    from mircv_project_spark.operators.relational import volume_shipping
+
+    return volume_shipping(
+        *[_tbl(spark, sf_dir, t) for t in (
+            "customer", "orders", "lineitem", "supplier", "nation"
+        )]
+    )
+
+
+def _q_tpch_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's supplier share of ASIA's PROMO
+    revenue per order year; all dims broadcast, one double division."""
+    from mircv_project_spark.operators.relational import national_market_share
+
+    return national_market_share(
+        *[_tbl(spark, sf_dir, t) for t in (
+            "customer", "orders", "lineitem", "supplier", "nation",
+            "region", "part"
+        )]
+    )
+
+
+def _q_tpch_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: retailprice as unit cost): profit per
+    (supplier nation, order year); per-row micro quantization."""
+    from mircv_project_spark.operators.relational import product_type_profit
+
+    return product_type_profit(
+        *[_tbl(spark, sf_dir, t) for t in (
+            "orders", "lineitem", "supplier", "nation", "part"
+        )]
+    )
+
+
+def _q_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) tied at the max quarterly revenue;
+    integer-exact max, all ties emitted."""
+    from mircv_project_spark.operators.relational import top_supplier
+
+    return top_supplier(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "supplier")
+    )
+
+
+def _q_tpch_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: small-quantity revenue for one brand; the
+    20%-of-average threshold cross-multiplied to pure integers."""
+    from mircv_project_spark.operators.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def _q_tpch_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: per-nation rollup): above-average
+    positive-balance customers with no orders; integer threshold."""
+    from mircv_project_spark.operators.relational import idle_rich_customers
+
+    return idle_rich_customers(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
 def _q_phrase_topk(spark, sf_dir):
     """Exact phrase queries without a positional index: n-gram
     equality over the token stream, overlap-counting, rank =
@@ -1786,6 +1856,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_customer_distribution": _q_tpch_customer_distribution,
         "tpch_large_orders": _q_tpch_large_orders,
         "tpch_discounted_revenue": _q_tpch_discounted_revenue,
+        "tpch_volume_shipping": _q_tpch_volume_shipping,
+        "tpch_market_share": _q_tpch_market_share,
+        "tpch_product_profit": _q_tpch_product_profit,
+        "tpch_top_supplier": _q_tpch_top_supplier,
+        "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
+        "tpch_idle_rich_customers": _q_tpch_idle_rich_customers,
         # exact duplicated-span coverage (substring dedup)
         "dup_spans": _q_dup_spans,
         # distributed k-means + SemDeDup semantic dedup

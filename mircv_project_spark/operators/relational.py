@@ -466,3 +466,306 @@ def discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         F.sum("rev_u").cast("long").alias("revenue_u"),
         F.count("*").cast("long").alias("n_lines"),
     )
+
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_8"
+Q7_LO = "1995-01-01 00:00:00"  # naive epoch 788918400000000 us
+Q7_HI = "1997-01-01 00:00:00"  # naive epoch 852076800000000 us
+
+
+def volume_shipping(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, per ship year — supplier's nation on the lineitem
+    side, customer's nation on the orders side.
+    -> (supp_nation, cust_nation, l_year, revenue_u), exact micro sums.
+
+    Scale shape: nation (25 rows) broadcasts onto supplier and
+    customer; BOTH endpoint filters prune their fact side BEFORE the
+    big joins (supplier-side via the broadcast suppkey join, customer
+    rows via the nation filter), so only the two nations' rows reach
+    the orderkey equi-join.  Year extraction is calendar math on the
+    NTZ column — tz-free on both engines."""
+    pair = [nation_a, nation_b]
+    nat = nation.where(F.col("n_name").isin(pair)).select(
+        "n_nationkey", "n_name"
+    )
+    sup = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )),
+        customer.c_nationkey == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    lines = lineitem.where(
+        (F.col("l_shipdate") >= _ntz(Q7_LO))
+        & (F.col("l_shipdate") < _ntz(Q7_HI))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        _micro(disc_price).alias("rev_u"),
+    )
+    return (
+        lines.join(F.broadcast(sup), lines.l_suppkey == sup.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lines.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_u").cast("long").alias("revenue_u"))
+    )
+
+
+Q8_NATION = "NATION_8"
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_LO = "1995-01-01 00:00:00"
+Q8_HI = "1997-01-01 00:00:00"
+
+
+def national_market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier share of a region's
+    revenue for one part type, per order year.
+    -> (o_year, nation_u, total_u, mkt_share); integer sums, the share
+    is ONE double division, round 6 (0 when the nation shipped
+    nothing that year — the sums stay exact either way).
+
+    Scale shape: part (type-filtered), supplier+nation, and the
+    region-pruned nation list all broadcast; lineitem is pruned by the
+    broadcast partkey join before touching orders; orders⋈customer
+    stays a key-partitioned equi-join."""
+    p = part.where(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    asia_keys = nation.join(
+        F.broadcast(region.where(F.col("r_name") == Q8_REGION).select("r_regionkey")),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("an_key"))
+    cust = customer.join(
+        F.broadcast(asia_keys), customer.c_nationkey == F.col("an_key")
+    ).select("c_custkey")
+    ords = orders.where(
+        (F.col("o_orderdate") >= _ntz(Q8_LO))
+        & (F.col("o_orderdate") < _ntz(Q8_HI))
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    lines = lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", _micro(disc_price).alias("rev_u")
+    )
+    j = (
+        lines.join(F.broadcast(p), lines.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), lines.l_suppkey == sup.s_suppkey)
+        .join(ords, lines.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == Q8_NATION, F.col("rev_u")).otherwise(F.lit(0))
+        ).cast("long").alias("nation_u"),
+        F.sum("rev_u").cast("long").alias("total_u"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_u",
+        "total_u",
+        F.round(
+            F.col("nation_u").cast("double") / F.col("total_u").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+Q9_NAME_PIECE = "widget"
+
+
+def product_type_profit(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the synthetic schema has no partsupp,
+    so p_retailprice stands in for ps_supplycost as the unit cost):
+    profit per (supplier nation, order year) over parts whose name
+    contains the pinned piece.  amount = price*(1-disc) −
+    retailprice*qty, quantized to micro-units per row BEFORE the sum.
+    -> (n_name, o_year, profit_u).
+
+    Scale shape: name-filtered part and supplier⋈nation broadcast;
+    lineitem pruned by the partkey broadcast join; lineitem⋈orders
+    stays key-partitioned."""
+    p = part.where(F.col("p_name").contains(Q9_NAME_PIECE)).select(
+        "p_partkey", "p_retailprice"
+    )
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .join(
+            orders.select(
+                "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+            ),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(_micro(amount)).cast("long").alias("profit_u"))
+    )
+
+
+Q15_LO = "1996-01-01 00:00:00"
+Q15_HI = "1996-04-01 00:00:00"  # naive epoch 828316800000000 us
+
+
+def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum revenue
+    over one ship quarter — revenue in exact micro-units, so the max
+    and the equality against it are integer-exact (every tied supplier
+    is emitted, the textbook's correctness subtlety).
+    -> (s_suppkey, s_name, revenue_u).
+
+    Scale shape: per-supplier partial agg on the pruned scan, then an
+    all-reduce max (a 1-row broadcast) instead of a rank shuffle."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= _ntz(Q15_LO))
+            & (F.col("l_shipdate") < _ntz(Q15_HI))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_micro(disc_price)).alias("revenue_u"))
+    )
+    mx = rev.agg(F.max("revenue_u").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.revenue_u == F.col("mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("revenue_u").cast("long").alias("revenue_u"),
+        )
+    )
+
+
+Q17_BRAND = "Brand#11"
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand's parts — lines with quantity below 20% of that part's
+    average quantity.  The threshold compare is cross-multiplied into
+    pure integers (qty_c * 5 * cnt < sum_qty_c) so no float boundary
+    exists; avg_yearly derived from the exact cents sum, round 6.
+    -> one row (avg_yearly, n_lines).
+
+    Scale shape: brand-filtered part broadcasts twice (stats pass and
+    revenue pass); the per-part avg is a partial agg over the pruned
+    lineitem join, itself broadcast back (group count == brand's part
+    count, driver-small by the brand filter)."""
+    p = part.where(F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    l = lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey).select(
+        F.col("l_partkey").alias("pk"),
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+    )
+    stats = l.groupBy("pk").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count("*").alias("cnt")
+    ).select(F.col("pk").alias("spk"), "sum_qty_c", "cnt")
+    small = l.join(F.broadcast(stats), l.pk == stats.spk).where(
+        F.col("qty_c") * F.lit(5) * F.col("cnt") < F.col("sum_qty_c")
+    )
+    agg = small.agg(
+        F.sum("price_c").alias("sum_price_c"), F.count("*").alias("n_lines")
+    )
+    return agg.select(
+        F.round(
+            F.coalesce(F.col("sum_price_c"), F.lit(0)).cast("double")
+            / F.lit(700.0),
+            6,
+        ).alias("avg_yearly"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+Q22_IDLE_CUTOFF = "1999-01-01 00:00:00"  # naive epoch 915148800000000 us
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted: the synthetic schema has no c_phone,
+    so the per-nation rollup replaces the phone-prefix rollup, and
+    "no orders" is pinned to "no orders since Q22_IDLE_CUTOFF" — the
+    synthetic order law gives every customer early orders, which would
+    make the literal textbook anti-join vacuous at every SF):
+    customers with above-average positive account balance and no
+    recent orders, counted per nation.  The avg compare is
+    cross-multiplied into pure integers (acctbal_c * cnt_pos >
+    sum_pos_c) — no float threshold; the no-recent-orders test is a
+    left-anti equi-join on the date-pruned orders scan.
+    -> (n_name, numcust, totacctbal_c).
+
+    Scale shape: the positive-balance avg is a 1-row broadcast; the
+    anti-join on custkey is the only shuffle; nation broadcasts."""
+    c = customer.select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("acctbal_c")
+    )
+    pos = c.where(F.col("acctbal_c") > 0).agg(
+        F.sum("acctbal_c").alias("sum_pos_c"), F.count("*").alias("cnt_pos")
+    )
+    rich = c.join(F.broadcast(pos), F.col("acctbal_c") * F.col("cnt_pos") > F.col("sum_pos_c"))
+    idle = rich.join(
+        orders.where(F.col("o_orderdate") >= _ntz(Q22_IDLE_CUTOFF)).select(
+            "o_custkey"
+        ),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            idle.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("acctbal_c").cast("long").alias("totacctbal_c"),
+        )
+    )

@@ -1801,6 +1801,134 @@ WHERE EXISTS (
 GROUP BY 1
 """
 
+# Q7: volume between NATION_3 and NATION_8 (both directions) per ship
+# year in [1995-01-01, 1997-01-01); year() on the naive timestamp is
+# tz-free calendar math on both engines
+_TPCH_Q7_SQL = """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+                           * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_u
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE epoch_us(l_shipdate) >= 788918400000000
+  AND epoch_us(l_shipdate) < 852076800000000
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""
+
+# Q8: NATION_8 suppliers' share of ASIA customers' PROMO-part revenue
+# per order year in [1995-01-01, 1997-01-01); integer sums, one double
+# division round 6
+_TPCH_Q8_SQL = """WITH j AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           n1.n_name AS supp_nation,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0)
+                AS BIGINT) AS rev_u
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      AND epoch_us(o_orderdate) >= 788918400000000
+      AND epoch_us(o_orderdate) < 852076800000000
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN rev_u ELSE 0 END)
+            AS BIGINT) AS nation_u,
+       CAST(sum(rev_u) AS BIGINT) AS total_u,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN rev_u
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_u) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY 1
+"""
+
+# Q9 (adapted — no partsupp in the synthetic schema, p_retailprice
+# stands in for ps_supplycost): per-row amount quantized to micro
+# BEFORE the sum; parts whose name contains 'widget'
+_TPCH_Q9_SQL = """SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+                            - p_retailprice * l_quantity) * 1000000.0)
+                     AS BIGINT)) AS BIGINT) AS profit_u
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE contains(p_name, 'widget')
+GROUP BY 1, 2
+"""
+
+# Q15: every supplier tied at the max quarterly revenue (integer-exact
+# max/equality); ship window [1996-01-01, 1996-04-01)
+_TPCH_Q15_SQL = """WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+                               * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_u
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= 820454400000000
+      AND epoch_us(l_shipdate) < 828316800000000
+    GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, revenue_u
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue_u = (SELECT max(revenue_u) FROM rev)
+"""
+
+# Q17: Brand#11 lines with quantity below 20% of the part's average —
+# threshold cross-multiplied to integers (qty_c * 5 * cnt < sum_qty_c)
+_TPCH_Q17_SQL = """WITH l AS (
+    SELECT l_partkey AS pk,
+           CAST(round(l_quantity * 100.0) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#11'
+),
+stats AS (
+    SELECT pk, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM l GROUP BY 1
+)
+SELECT round(CAST(coalesce(sum(price_c), 0) AS DOUBLE) / 700.0, 6)
+           AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM l JOIN stats USING (pk)
+WHERE qty_c * 5 * cnt < sum_qty_c
+"""
+
+# Q22 (adapted — no c_phone; per-nation rollup; "idle" = no orders
+# since 1999-01-01, the literal no-orders-ever test being vacuous on
+# the synthetic order law): above-average positive balance
+# cross-multiplied to integers, anti-join on the date-pruned orders
+_TPCH_Q22_SQL = """WITH c AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100.0) AS BIGINT) AS acctbal_c
+    FROM customer
+),
+pos AS (
+    SELECT CAST(sum(acctbal_c) AS BIGINT) AS sum_pos_c,
+           CAST(count(*) AS BIGINT) AS cnt_pos
+    FROM c WHERE acctbal_c > 0
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(acctbal_c) AS BIGINT) AS totacctbal_c
+FROM c CROSS JOIN pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE acctbal_c * cnt_pos > sum_pos_c
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND epoch_us(o.o_orderdate) >= 915148800000000)
+GROUP BY 1
+"""
+
 
 def _phrase_topk_sql(phrases: list[tuple[str, str]], k: int) -> str:
     """operators/phrase.phrase_topk: exact (overlap-counting) phrase
@@ -3497,6 +3625,12 @@ def pipeline_oracles() -> dict[str, str]:
         "tpch_customer_distribution": _TPCH_Q13_SQL,
         "tpch_large_orders": _TPCH_Q18_SQL,
         "tpch_discounted_revenue": _TPCH_Q19_SQL,
+        "tpch_volume_shipping": _TPCH_Q7_SQL,
+        "tpch_market_share": _TPCH_Q8_SQL,
+        "tpch_product_profit": _TPCH_Q9_SQL,
+        "tpch_top_supplier": _TPCH_Q15_SQL,
+        "tpch_small_qty_revenue": _TPCH_Q17_SQL,
+        "tpch_idle_rich_customers": _TPCH_Q22_SQL,
         # distributed k-means (all-integer Lloyd state, unrolled
         # iterations) + SemDeDup within-cluster pruning — literals
         # pinned to operators/clustering.{KM_K,KM_ITERS,KM_MICRO,

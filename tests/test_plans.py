@@ -279,3 +279,80 @@ def test_tpch_q19_band_predicates_prune_scans(spark):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "LessThanOrEqual(l_quantity,45.0)" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q7_q8_endpoint_filters_prune_before_big_joins(spark):
+    """relational.volume_shipping / national_market_share: the dims
+    ride BroadcastHashJoins, the date windows reach their fact scans,
+    and no BNLJ appears."""
+    from mircv_project_spark.operators.relational import (
+        national_market_share,
+        volume_shipping,
+    )
+
+    q7 = volume_shipping(
+        *[
+            spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+            for t in ("customer", "orders", "lineitem", "supplier", "nation")
+        ]
+    )
+    plan = checks.plan_text(q7)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    q8 = national_market_share(
+        *[
+            spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+            for t in (
+                "customer", "orders", "lineitem", "supplier", "nation",
+                "region", "part",
+            )
+        ]
+    )
+    plan8 = checks.plan_text(q8)
+    assert plan8.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(p_type,PROMO)" in plan8
+    assert "GreaterThanOrEqual(o_orderdate" in plan8
+    assert "BroadcastNestedLoopJoin" not in plan8
+
+
+def test_tpch_q15_q17_pruned_scans(spark):
+    """relational.top_supplier: the quarter window reaches the lineitem
+    scan.  small_quantity_revenue: the brand filter reaches the part
+    scan and both passes stay equi-joins."""
+    from mircv_project_spark.operators.relational import (
+        small_quantity_revenue,
+        top_supplier,
+    )
+
+    q15 = top_supplier(
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/supplier.parquet"),
+    )
+    plan = checks.plan_text(q15)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+    q17 = small_quantity_revenue(
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/part.parquet"),
+    )
+    plan17 = checks.plan_text(q17)
+    assert "EqualTo(p_brand,Brand#11)" in plan17
+    assert "BroadcastNestedLoopJoin" not in plan17
+
+
+def test_tpch_q22_anti_join_on_pruned_orders(spark):
+    """relational.idle_rich_customers: the no-recent-orders test is a
+    LeftAnti equi-join and the cutoff reaches the orders scan."""
+    from mircv_project_spark.operators.relational import idle_rich_customers
+
+    df = idle_rich_customers(
+        spark.read.parquet(f"{SF_SMALL}/customer.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/nation.parquet"),
+    )
+    plan = checks.plan_text(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
