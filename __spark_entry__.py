@@ -1040,6 +1040,17 @@ def _q_tpch_idle_rich_customers(spark, sf_dir):
     )
 
 
+def _q_substring_topk(spark, sf_dir):
+    """Literal substring search (trigram-pruned grep over RAW text):
+    rarest-trigram candidate prune (exact by construction) + contains
+    verify, rank (n_hits desc, id asc) top-10."""
+    from mircv_project_spark.operators.substring import substring_topk
+
+    return substring_topk(
+        _docs(spark, sf_dir), oracle.SUBSTR_SET, k=oracle.SUBSTR_K
+    )
+
+
 def _q_phrase_topk(spark, sf_dir):
     """Exact phrase queries without a positional index: n-gram
     equality over the token stream, overlap-counting, rank =
@@ -1845,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": _q_mmr_topk,
         # exact phrase queries (no positional index needed)
         "phrase_topk": _q_phrase_topk,
+        "substring_topk": _q_substring_topk,
         # relational OLAP suite (TPC-H Q1/Q3/Q4 shapes)
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_top_orders": _q_tpch_top_orders,

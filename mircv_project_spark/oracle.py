@@ -55,6 +55,20 @@ PHRASE_SET: list[tuple[str, str]] = [
     ("p06", "sort merge batch"),
 ]
 
+# literal substring-search gate patterns (operators/substring.py) —
+# RAW-text containment (no tokenization): word pairs, a cross-word
+# fragment ("art ba" spans "part batch"), a mid-word overlap, and a
+# long fragment that matches nothing at some SFs
+SUBSTR_K = 10
+SUBSTR_SET: list[tuple[str, str]] = [
+    ("s01", "batch batch"),
+    ("s02", "merge slow"),
+    ("s03", "row vector"),
+    ("s04", "art ba"),
+    ("s05", "window wind"),
+    ("s06", "he fast k"),
+]
+
 # auto-completion gate prefixes (operators/spell.complete_prefix) —
 # mixed lengths (the operator branches per distinct length), a
 # many-completion prefix ("s" — exercises the k-cut) and a no-match one
@@ -1930,6 +1944,35 @@ GROUP BY 1
 """
 
 
+def _substring_topk_sql(patterns: list[tuple[str, str]], k: int) -> str:
+    """operators/substring.substring_topk: literal RAW-text containment
+    ranked by NON-overlapping occurrence count ((len − len(replace)) /
+    len(pat) — identical arithmetic on both engines); rank = (n_hits
+    desc, id asc), top k.  The oracle is the direct contains() scan —
+    the engine's rarest-trigram candidate prune is exact by
+    construction (containment implies containing every trigram), so no
+    prune parameter appears here."""
+    branches = []
+    for qid, pat in patterns:
+        esc = pat.replace("'", "''")
+        branches.append(
+            f"""    SELECT '{qid}' AS qid, CAST(doc_id AS BIGINT) AS id,
+           CAST((len(text) - len(replace(text, '{esc}', '')))
+                // {len(pat)} AS BIGINT) AS n_hits
+    FROM documents WHERE contains(text, '{esc}')"""
+        )
+    union = "\n    UNION ALL\n".join(branches)
+    return f"""WITH m AS (
+{union}
+)
+SELECT qid, id, n_hits,
+       CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY n_hits DESC, id ASC) AS BIGINT) AS rank
+FROM m
+QUALIFY rank <= {k}
+"""
+
+
 def _phrase_topk_sql(phrases: list[tuple[str, str]], k: int) -> str:
     """operators/phrase.phrase_topk: exact (overlap-counting) phrase
     occurrence counts via n-gram equality, one branch per distinct
@@ -3610,6 +3653,9 @@ def pipeline_oracles() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(4),
         # exact phrase queries over the n-gram stream
         "phrase_topk": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
+        # literal substring search (trigram-pruned grep; prune exact
+        # by construction, oracle = direct contains scan)
+        "substring_topk": _substring_topk_sql(SUBSTR_SET, SUBSTR_K),
         # the stored positional path must return EXACTLY the corpus-scan
         # phrase result — same oracle by design
         "phrase_topk_positional": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
