@@ -219,6 +219,15 @@ def _q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+def _q_bm25f_topk(spark, sf_dir):
+    """BM25F (operators/bm25f.py): conversation-level field-weighted
+    BM25, assistant turns weighted 2x; integer tfw/dlw sums."""
+    from mircv_project_spark.operators.bm25f import bm25f_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return bm25f_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_rocchio_topk(spark, sf_dir):
     """Rocchio vector-space feedback (operators/rocchio.py): integer-
     scaled tf-idf centroid expansion, exact BIGINT aggregates."""
@@ -1790,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RM3 query expansion — full-oracle (chain restated in SQL)
         "bm25_rm3_topk": _q_rm3_topk,
         "rocchio_topk": _q_rocchio_topk,
+        "bm25f_topk": _q_bm25f_topk,
         "lexicon_streaming": _q_lexicon_streaming,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,

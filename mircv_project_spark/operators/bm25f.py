@@ -1,0 +1,136 @@
+"""BM25F — field-weighted passage retrieval over conversations.
+
+The reference scores flat documents only (queryProcessor/Scorer.java
+has no field concept); real engines weight fields before saturation
+and serve passages, not whole threads.  This implements the standard
+weighted-field-concatenation form of BM25F (Robertson/Zaragoza 2009,
+§6) with the PASSAGE as the retrieval unit: every contiguous
+PASS_TURNS-turn window of a conversation (starts 0..PASS_SMAX) is a
+pseudo-document whose term frequencies and length are FIELD-WEIGHTED
+sums over its member turns,
+
+    tfw(t, p) = Σ_turns∈p w(role) · tf(t, turn)     (exact integer)
+    dlw(p)    = Σ_turns∈p w(role) · doc_len(turn)   (exact integer)
+
+with integer weights w(assistant) = W_ASSISTANT = 2, w(other) = 1
+(role ⟺ doc_id % 4 == 1 — the transcripts-source law, same pin as
+bm25_topk_filtered).  The saturation runs the engine's exact BM25
+parenthesization (operators/scoring.py) on passage-level stats:
+df = passages containing the term, N = passage count, avgdl =
+Σ dlw / N.  The passage unit matters beyond serving granularity: at
+conversation granularity this corpus' common terms appear in EVERY
+conversation (idf ≡ 0, the gate would be vacuous); passage df varies.
+
+Tail conversations may have fewer than TURNS_PER_CONV turns — a
+window start s exists iff the conversation has ≥1 turn in
+[s, s+PASS_TURNS-1]; shorter windows keep their (smaller) exact dlw.
+
+Rank (round(score,6) desc, conv_id asc, w_start asc), top k; queries
+tokenize through the engine's own pipeline (parse=False — DuckDB has
+no stem()).
+
+Scale shape (100 TB): each doc explodes into ≤PASS_TURNS member rows
+(a constant ×3, map-side); the postings⋈membership join is a plain
+docid equi-join (membership is corpus-sized — never broadcast); then
+one (term, conv, ws) partial agg and the standard broadcast-query-
+terms join + one (qid, conv, ws) aggregate.  Same shuffle profile as
+exhaustive_topk with (conv, ws) as the doc key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .index_build import InvertedIndex
+from .topk import query_terms
+
+W_ASSISTANT = 2
+PASS_TURNS = 3
+PASS_SMAX = 5  # TURNS_PER_CONV - PASS_TURNS
+
+
+def _weight_col():
+    """w = 2 for assistant turns (docno % 4 == 1), else 1."""
+    return F.when(
+        (F.col("docno").cast("long") % 4) == 1, F.lit(W_ASSISTANT)
+    ).otherwise(F.lit(1))
+
+
+def _membership(doc_index: DataFrame) -> DataFrame:
+    """docid -> the ≤PASS_TURNS window starts containing its turn."""
+    lo = F.greatest(F.lit(0), F.col("turn_idx") - F.lit(PASS_TURNS - 1))
+    hi = F.least(F.lit(PASS_SMAX), F.col("turn_idx"))
+    return doc_index.select(
+        "docid",
+        "conv_id",
+        _weight_col().alias("w"),
+        "doc_len",
+        F.explode(F.sequence(lo, hi)).alias("ws"),
+    )
+
+
+def bm25f_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """-> DataFrame(qid string, conv_id string, w_start long,
+    rank long, score double)."""
+    spark = index.flat.sparkSession
+    empty = "qid string, conv_id string, w_start long, rank long, score double"
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], empty)
+
+    member = _membership(index.doc_index)
+    plen = member.groupBy("conv_id", "ws").agg(
+        F.sum(F.col("w") * F.col("doc_len")).alias("dlw")
+    )
+    pstats = plen.agg(
+        F.count("*").alias("n_pass"), F.sum("dlw").alias("sum_dlw")
+    ).collect()[0]
+    n_pass, avgdlw = pstats["n_pass"], pstats["sum_dlw"] / pstats["n_pass"]
+
+    terms = sorted({t for _, t, _ in qt_rows})
+    ppost = (
+        index.flat.where(F.col("term").isin(terms))
+        .join(member.select("docid", "conv_id", "w", "ws"), "docid")
+        .groupBy("term", "conv_id", "ws")
+        .agg(F.sum(F.col("w") * F.col("tf")).alias("tfw"))
+    )
+    pdf = ppost.groupBy("term").agg(F.count("*").alias("df"))
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf int")
+
+    # exact scoring.BM25 parenthesization on passage-level stats
+    coeff = F.col("tfw") / (
+        (
+            F.lit(1.5)
+            * (F.lit(0.3) + (F.lit(0.7) * (F.col("dlw") / F.lit(avgdlw))))
+        )
+        + F.col("tfw")
+    )
+    contrib = F.col("qtf") * (
+        coeff * F.log10(F.lit(float(n_pass)) / F.col("df"))
+    )
+    scored = (
+        ppost.join(F.broadcast(pdf), "term")
+        .join(F.broadcast(qt), "term")
+        .join(plen, ["conv_id", "ws"])
+        .groupBy("qid", "conv_id", "ws")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("conv_id").asc(), F.col("ws").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "conv_id",
+            F.col("ws").cast("long").alias("w_start"),
+            "rank",
+            "score",
+        )
+    )

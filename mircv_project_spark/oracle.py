@@ -1944,6 +1944,87 @@ GROUP BY 1
 """
 
 
+def _bm25f_sql(queries, k: int) -> str:
+    """operators/bm25f.bm25f_topk: field-weighted PASSAGE BM25 —
+    passages = contiguous 3-turn windows (starts 0..5; a start exists
+    iff ≥1 member turn exists), tfw/dlw are exact integer
+    field-weighted sums (w=2 for assistant turns, doc_id%4==1, the
+    transcripts-source law), the saturation restates scoring.BM25's
+    exact parenthesization on passage stats (df = passages containing
+    the term, N = passage count, avgdl = Σ dlw / N); rank (round 6
+    desc, conv_id asc, w_start asc)."""
+    return f"""WITH transcripts AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           text
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, conv_id, turn_idx, text FROM transcripts
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+wtok AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS w,
+           {_TOKENS_EXPR.format(col='text')} AS tokens
+    FROM docs
+),
+member AS (
+    SELECT conv_id, w, tokens,
+           unnest(range(greatest(0, turn_idx - 2),
+                        least(5, turn_idx) + 1)) AS ws
+    FROM wtok
+),
+plen AS (
+    SELECT conv_id, ws, CAST(sum(w * len(tokens)) AS BIGINT) AS dlw
+    FROM member GROUP BY 1, 2
+),
+ppost AS (
+    SELECT conv_id, ws, term, CAST(sum(w) AS BIGINT) AS tfw
+    FROM (SELECT conv_id, ws, w, unnest(tokens) AS term FROM member)
+    GROUP BY 1, 2, 3
+),
+plex AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ppost GROUP BY 1),
+pstats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pass,
+           CAST(sum(dlw) AS DOUBLE) / count(*) AS avgdlw
+    FROM plen
+),
+queries AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+qtok AS (
+    SELECT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term FROM queries
+),
+qterms AS (
+    SELECT qid, term, CAST(count(*) AS BIGINT) AS qtf FROM qtok GROUP BY 1, 2
+),
+qexist AS (
+    SELECT q.qid, q.term, q.qtf, l.df FROM qterms q JOIN plex l USING (term)
+),
+scored AS (
+    SELECT q.qid, p.conv_id, p.ws,
+           sum(q.qtf * ((p.tfw / ((1.5 * (0.3 + (0.7 * (dl.dlw / s.avgdlw))))
+                                  + p.tfw))
+                        * log10(s.n_pass / q.df))) AS raw
+    FROM qexist q
+    JOIN ppost p USING (term)
+    JOIN plen dl ON p.conv_id = dl.conv_id AND p.ws = dl.ws
+    CROSS JOIN pstats s
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT qid, conv_id, CAST(ws AS BIGINT) AS w_start,
+           round(raw, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw, 6) DESC, conv_id ASC, ws ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT qid, conv_id, w_start, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def _substring_topk_sql(patterns: list[tuple[str, str]], k: int) -> str:
     """operators/substring.substring_topk: literal RAW-text containment
     ranked by NON-overlapping occurrence count ((len − len(replace)) /
@@ -3656,6 +3737,8 @@ def pipeline_oracles() -> dict[str, str]:
         # literal substring search (trigram-pruned grep; prune exact
         # by construction, oracle = direct contains scan)
         "substring_topk": _substring_topk_sql(SUBSTR_SET, SUBSTR_K),
+        # conversation-level field-weighted BM25 (assistant turns w=2)
+        "bm25f_topk": _bm25f_sql(QUERY_SET, TOPK_K),
         # the stored positional path must return EXACTLY the corpus-scan
         # phrase result — same oracle by design
         "phrase_topk_positional": _phrase_topk_sql(PHRASE_SET, PHRASE_K),

@@ -1,0 +1,121 @@
+"""BM25F passage retrieval vs an independent pure-Python replication
+of the field-weighted sliding-window model (operators/bm25f.py
+docstring) over the sf0.001 corpus; oracle equality at sf0.01 is
+covered by the gate entry bm25f_topk."""
+
+import math
+from collections import defaultdict
+
+from mircv_project_spark.operators.bm25f import (
+    PASS_SMAX,
+    PASS_TURNS,
+    W_ASSISTANT,
+    bm25f_topk,
+)
+from mircv_project_spark.operators.topk import query_terms
+from mircv_project_spark.oracle import QUERY_SET
+
+
+def _python_bm25f(doc_rows, flat_rows, queries, k):
+    """doc_rows: [(docid, docno, conv_id, turn_idx, doc_len)],
+    flat_rows: [(term, docid, tf)]."""
+    meta = {d: (c, t) for d, _, c, t, _ in doc_rows}
+    w = {
+        d: (W_ASSISTANT if int(n) % 4 == 1 else 1)
+        for d, n, _, _, _ in doc_rows
+    }
+
+    def windows(turn):
+        return range(max(0, turn - (PASS_TURNS - 1)), min(PASS_SMAX, turn) + 1)
+
+    dlw = defaultdict(int)
+    for d, _, c, t, dl in doc_rows:
+        for ws in windows(t):
+            dlw[(c, ws)] += w[d] * dl
+    tfw = defaultdict(int)  # (term, conv, ws) -> weighted tf
+    for term, docid, tf in flat_rows:
+        c, t = meta[docid]
+        for ws in windows(t):
+            tfw[(term, c, ws)] += w[docid] * tf
+    df = defaultdict(int)
+    post = defaultdict(list)
+    for (term, c, ws), v in tfw.items():
+        df[term] += 1
+        post[term].append((c, ws, v))
+    n_pass = len(dlw)
+    avgdlw = sum(dlw.values()) / n_pass
+
+    out = {}
+    for qid, term_tfs in queries.items():
+        raw = defaultdict(float)
+        for t, qtf in term_tfs.items():
+            if t not in post:
+                continue
+            idf = math.log10(n_pass / df[t])
+            for c, ws, v in post[t]:
+                coeff = v / (
+                    (1.5 * (0.3 + (0.7 * (dlw[(c, ws)] / avgdlw)))) + v
+                )
+                raw[(c, ws)] += qtf * (coeff * idf)
+        ranked = sorted(
+            ((round(s, 6), c, ws) for (c, ws), s in raw.items()),
+            key=lambda x: (-x[0], x[1], x[2]),
+        )
+        if ranked:
+            out[qid] = [
+                (c, ws, i + 1, s) for i, (s, c, ws) in enumerate(ranked[:k])
+            ]
+    return out
+
+
+def test_bm25f_matches_independent_python_model(spark, vb_index):
+    idx, _ = vb_index
+    got = bm25f_topk(idx, QUERY_SET, k=10).collect()
+    doc_rows = [
+        (r["docid"], r["docno"], r["conv_id"], r["turn_idx"], r["doc_len"])
+        for r in idx.doc_index.collect()
+    ]
+    flat_rows = [
+        (r["term"], r["docid"], r["tf"]) for r in idx.flat.collect()
+    ]
+    queries = {}
+    for qid, term, qtf in query_terms(QUERY_SET, idx.parse):
+        queries.setdefault(qid, {})[term] = qtf
+    exp = _python_bm25f(doc_rows, flat_rows, queries, 10)
+    got_by_q = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["qid"], r["rank"])):
+        got_by_q[r["qid"]].append(
+            (r["conv_id"], r["w_start"], r["rank"], r["score"])
+        )
+    assert dict(got_by_q) == exp
+
+
+def test_bm25f_weighting_changes_the_ranking(spark, vb_index):
+    """Sanity: with w(assistant)=1 the model degenerates to unweighted
+    passage BM25 — the 2x weighting must actually move scores or
+    order, else the gate tests nothing field-specific."""
+    import mircv_project_spark.operators.bm25f as m
+
+    idx, _ = vb_index
+    weighted = {
+        (r["qid"], r["rank"]): (r["conv_id"], r["w_start"], r["score"])
+        for r in bm25f_topk(idx, QUERY_SET, k=10).collect()
+    }
+    orig = m.W_ASSISTANT
+    try:
+        m.W_ASSISTANT = 1
+        flat = {
+            (r["qid"], r["rank"]): (r["conv_id"], r["w_start"], r["score"])
+            for r in bm25f_topk(idx, QUERY_SET, k=10).collect()
+        }
+    finally:
+        m.W_ASSISTANT = orig
+    assert weighted != flat
+
+
+def test_bm25f_scores_are_not_all_zero(spark, vb_index):
+    """The passage unit exists precisely because conversation-level
+    idf collapses on this corpus — guard that passage idf is live."""
+    idx, _ = vb_index
+    rows = bm25f_topk(idx, QUERY_SET, k=10).collect()
+    assert any(r["score"] > 0 for r in rows)
