@@ -219,6 +219,15 @@ def _q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+def _q_more_like_this(spark, sf_dir):
+    """Lexical more-like-this (operators/mlt.py): micro-quantized
+    tf-idf cosine over the inverted index, exact integer dots."""
+    from mircv_project_spark.operators.mlt import more_like_this
+
+    idx = _index(spark, sf_dir, parse=False)
+    return more_like_this(idx, oracle.MLT_PROBE_DOCNOS, k=oracle.MLT_K)
+
+
 def _q_bm25f_topk(spark, sf_dir):
     """BM25F (operators/bm25f.py): conversation-level field-weighted
     BM25, assistant turns weighted 2x; integer tfw/dlw sums."""
@@ -1800,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rm3_topk": _q_rm3_topk,
         "rocchio_topk": _q_rocchio_topk,
         "bm25f_topk": _q_bm25f_topk,
+        "more_like_this": _q_more_like_this,
         "lexicon_streaming": _q_lexicon_streaming,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,

@@ -69,6 +69,11 @@ SUBSTR_SET: list[tuple[str, str]] = [
     ("s06", "he fast k"),
 ]
 
+# more-like-this gate probes (operators/mlt.py) — docnos (raw doc_id)
+# valid at every SF (corpora have >= 500 docs)
+MLT_K = 10
+MLT_PROBE_DOCNOS: list[int] = [3, 77, 250, 444]
+
 # auto-completion gate prefixes (operators/spell.complete_prefix) —
 # mixed lengths (the operator branches per distinct length), a
 # many-completion prefix ("s" — exercises the k-cut) and a no-match one
@@ -1944,6 +1949,52 @@ GROUP BY 1
 """
 
 
+def _mlt_sql(probe_docnos: list[int], k: int) -> str:
+    """operators/mlt.more_like_this: lexical tf-idf cosine — vectors
+    micro-quantized per (doc, term) exactly like rocchio (BIGINT dot
+    products), norms one IEEE sqrt per doc, cos = dot/(pn·n) round 6,
+    probe excluded, rank (cos desc, docid asc)."""
+    pids = ", ".join(str(int(d) + 1) for d in probe_docnos)
+    return f"""{_PREFIX},
+vec AS (
+    SELECT p.docid, p.term,
+           CAST(round(1000000.0 * (1 + log10(p.tf))
+                      * log10(s.n_docs / l.df)) AS BIGINT) AS wq
+    FROM postings p JOIN lexicon l USING (term) CROSS JOIN stats s
+),
+norms AS (
+    SELECT docid, sqrt(CAST(sum(wq * wq) AS DOUBLE)) AS nrm
+    FROM vec GROUP BY 1
+),
+probes AS (
+    SELECT docid AS pid, term, wq AS pwq FROM vec WHERE docid IN ({pids})
+),
+dots AS (
+    SELECT pr.pid, v.docid, CAST(sum(v.wq * pr.pwq) AS BIGINT) AS dot
+    FROM vec v JOIN probes pr USING (term)
+    WHERE v.docid <> pr.pid
+    GROUP BY 1, 2
+),
+mscored AS (
+    SELECT d.pid, d.docid,
+           round(CAST(d.dot AS DOUBLE) / (pn.nrm * n.nrm), 6) AS cos
+    FROM dots d
+    JOIN norms pn ON pn.docid = d.pid
+    JOIN norms n ON n.docid = d.docid
+),
+mranked AS (
+    SELECT pid, docid, cos,
+           CAST(row_number() OVER (
+               PARTITION BY pid ORDER BY cos DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM mscored
+)
+SELECT CAST(pid - 1 AS VARCHAR) AS probe_docno,
+       CAST(docid - 1 AS VARCHAR) AS docno, rank, cos
+FROM mranked WHERE rank <= {k}
+"""
+
+
 def _bm25f_sql(queries, k: int) -> str:
     """operators/bm25f.bm25f_topk: field-weighted PASSAGE BM25 —
     passages = contiguous 3-turn windows (starts 0..5; a start exists
@@ -3737,8 +3788,10 @@ def pipeline_oracles() -> dict[str, str]:
         # literal substring search (trigram-pruned grep; prune exact
         # by construction, oracle = direct contains scan)
         "substring_topk": _substring_topk_sql(SUBSTR_SET, SUBSTR_K),
-        # conversation-level field-weighted BM25 (assistant turns w=2)
+        # field-weighted passage BM25 (assistant turns w=2)
         "bm25f_topk": _bm25f_sql(QUERY_SET, TOPK_K),
+        # lexical more-like-this (micro-quantized tf-idf cosine)
+        "more_like_this": _mlt_sql(MLT_PROBE_DOCNOS, MLT_K),
         # the stored positional path must return EXACTLY the corpus-scan
         # phrase result — same oracle by design
         "phrase_topk_positional": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
