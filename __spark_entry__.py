@@ -1149,6 +1149,24 @@ def _q_pq_cosine_topk(spark, sf_dir):
     return pq_cosine_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
 
 
+def _q_ivfpq_cosine_topk(spark, sf_dir):
+    """IVF-PQ composed serve path (similarity.ivfpq_cosine_topk) in
+    the exact-recovery regime: nprobe == IVF_CENTROIDS makes the pool
+    identical to pq_cosine_topk's, whose pinned layout measured recall
+    1.0 at sf0.001/0.01/0.1 — shares the exhaustive cosine oracle."""
+    from mircv_project_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        ivfpq_cosine_topk,
+    )
+
+    return ivfpq_cosine_topk(
+        _emb(spark, sf_dir),
+        oracle.PROBE_IDS,
+        k=oracle.ANN_K,
+        nprobe=IVF_CENTROIDS,
+    )
+
+
 def _q_sq_cosine_topk(spark, sf_dir):
     """Scalar-quantized (SQ8) cosine top-k: pass 1 ranks by an integer
     dot over int8-range codes (4x fewer scan bytes than float32 — the
@@ -1913,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exhaustive at the pinned rescore factor, hence oracle-gated
         "sq_cosine_topk": _q_sq_cosine_topk,
         "pq_cosine_topk": _q_pq_cosine_topk,
+        "ivfpq_cosine_topk": _q_ivfpq_cosine_topk,
         # composite corpus-cleaning verdict (dedup ∘ lang ∘ quality ∘
         # token budget), single tokenizer pass, full SQL oracle
         "training_corpus": _q_training_corpus,

@@ -1146,3 +1146,122 @@ def pq_cosine_topk(
     finally:
         coded.unpersist()
     return out
+
+
+def ivfpq_cosine_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    rescore_factor: int = PQ_RESCORE,
+    seed: int = IVF_SEED,
+) -> DataFrame:
+    """IVF-PQ cosine top-k — the production FAISS serve shape, composed
+    from the two quantizers already gated separately: the IVF coarse
+    quantizer prunes the SCAN (only vectors in each probe's `nprobe`
+    nearest cells are touched), PQ ADC ranks WITHIN the probed cells
+    over the 16-byte code column only, and the top k·rescore_factor
+    pool fetches full vectors for the exact cosine.
+
+    Ranking semantics identical to ``cosine_topk`` whenever the pool
+    contains the true top-k.  The GATE runs nprobe == n_centroids
+    (probe every cell): the candidate pool is then exactly
+    pq_cosine_topk's, whose pinned (PQ_M=16, PQ_KCENT=256, seed 99,
+    rescore 8) layout measured recall 1.0 at sf0.001/0.01/0.1 — so the
+    gate shares the exhaustive cosine oracle BY CONSTRUCTION (same
+    contract as ivf/lsh_cosine_topk_exact).  The production regime
+    (nprobe=IVF_NPROBE) keeps a pytest recall floor + a scan-fraction
+    assertion instead.
+
+    Scale: both fits are bounded driver samples; pass 1 reads (cell,
+    code) only — cells equi-join against the broadcast probe-cell
+    list, the float column never leaves storage; pass 2 equi-joins the
+    tiny pool back to the vectors."""
+    spark = embeddings.sparkSession
+    C = _fit_centroids(embeddings, vec_col, n_centroids, seed)
+    books = _fit_pq_codebooks(embeddings, vec_col)
+    if C is None or books is None:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, rank long, cos double"
+        )
+    m, kc, ds = books.shape
+    cell = _assign_udf(C)
+    base = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("nid"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("cell", cell(F.col("v")))
+        .withColumn("code", _pq_codes_udf(books)(F.col("v")))
+        .withColumn("n", _norm(F.col("v")))
+        .persist()
+    )
+    try:
+        probe_rows = base.where(F.col("nid").isin(probe_ids)).collect()
+        pc, luts = [], []
+        for r in probe_rows:
+            pv = np.asarray(r["v"], dtype=np.float64)
+            pvn = pv / max(np.linalg.norm(pv), 1e-12)
+            cells = np.argsort(-(C @ pvn))[: min(nprobe, len(C))]
+            pc.extend((int(r["nid"]), int(c)) for c in cells)
+            lut = np.concatenate(
+                [books[i] @ pvn[i * ds : (i + 1) * ds] for i in range(m)]
+            )
+            luts.append(
+                (int(r["nid"]), [float(x) for x in pv], [float(x) for x in lut])
+            )
+        probe_cells = spark.createDataFrame(pc, "pid long, cell int")
+        probes = spark.createDataFrame(
+            luts, "pid long, pv array<double>, lut array<double>"
+        )
+
+        wq = Window.partitionBy("pid").orderBy(
+            F.col("adc").desc(), F.col("nid").asc()
+        )
+        pool = (
+            base.select("nid", "cell", "code")
+            .join(F.broadcast(probe_cells), "cell")
+            .join(F.broadcast(probes.select("pid", "lut")), "pid")
+            .where(F.col("nid") != F.col("pid"))
+            .select(
+                "pid",
+                "nid",
+                _adc_col(F.col("lut"), F.col("code"), m, kc).alias("adc"),
+            )
+            .withColumn("qrank", F.row_number().over(wq))
+            .where(F.col("qrank") <= k * rescore_factor)
+            .select("pid", "nid")
+        )
+        cos = F.round(
+            _dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("n")), 6
+        )
+        cand = (
+            pool.join(base.select("nid", "v", "n"), "nid")
+            .join(
+                F.broadcast(
+                    probes.select("pid", "pv", _norm(F.col("pv")).alias("pn"))
+                ),
+                "pid",
+            )
+            .select("pid", "nid", cos.alias("cos"))
+        )
+        w = Window.partitionBy("pid").orderBy(
+            F.col("cos").desc(), F.col("nid").asc()
+        )
+        out = (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("pid").alias("probe_id"),
+                F.col("nid").alias("neighbor_id"),
+                "rank",
+                "cos",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        base.unpersist()
+    return out

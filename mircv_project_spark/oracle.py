@@ -3841,6 +3841,9 @@ def pipeline_oracles() -> dict[str, str]:
         # PQ-ADC with exact rescore: pool provably contains the true
         # top-k at the pinned rescore factor (similarity.PQ_RESCORE)
         "pq_cosine_topk": _COSINE_TOPK_SQL,
+        # IVF-PQ at nprobe == IVF_CENTROIDS: pool == pq_cosine_topk's
+        # by construction (same codebooks/rescore), recall 1.0 pinned
+        "ivfpq_cosine_topk": _COSINE_TOPK_SQL,
         # real binary decode (PPM P6) through mapInPandas vs the md5
         # byte stream restated in SQL
         "ppm_image_features": _PPM_FEATURES_SQL,

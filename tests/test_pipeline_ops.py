@@ -512,3 +512,53 @@ def test_pq_starved_pool_exact_values(spark):
         key = (r.probe_id, r.neighbor_id)
         if key in exact_by_pair:
             assert r.cos == exact_by_pair[key]
+
+
+def test_ivfpq_exact_regime_equals_brute_force(spark):
+    """ivfpq_cosine_topk at nprobe == IVF_CENTROIDS: the pool is
+    pq_cosine_topk's by construction, so the result must EQUAL the
+    exhaustive ranking (what lets the gate share the cosine oracle)."""
+    from mircv_project_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        cosine_topk,
+        ivfpq_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = sorted(
+        (r.probe_id, r.rank, r.neighbor_id, r.cos)
+        for r in cosine_topk(emb, oracle.PROBE_IDS, k=oracle.ANN_K).collect()
+    )
+    got = sorted(
+        (r.probe_id, r.rank, r.neighbor_id, r.cos)
+        for r in ivfpq_cosine_topk(
+            emb, oracle.PROBE_IDS, k=oracle.ANN_K, nprobe=IVF_CENTROIDS
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_ivfpq_production_regime_recall_and_pruning(spark):
+    """ivfpq at the production nprobe: recall floor vs brute force,
+    cos values exact on returned pairs (both quantizers only prune /
+    pre-rank), and the probed-cell fraction is a real scan saving."""
+    from mircv_project_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        cosine_topk,
+        ivfpq_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = cosine_topk(emb, oracle.PROBE_IDS, k=oracle.ANN_K).collect()
+    approx = ivfpq_cosine_topk(emb, oracle.PROBE_IDS, k=oracle.ANN_K).collect()
+    ex = {(r.probe_id, r.neighbor_id) for r in exact}
+    ap = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    exact_by_pair = {(r.probe_id, r.neighbor_id): r.cos for r in exact}
+    for r in approx:
+        key = (r.probe_id, r.neighbor_id)
+        if key in exact_by_pair:
+            assert r.cos == exact_by_pair[key]
+    assert IVF_NPROBE / IVF_CENTROIDS <= 0.5
