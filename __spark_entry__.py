@@ -219,6 +219,15 @@ def _q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+def _q_clarity_scores(spark, sf_dir):
+    """Clarity QPP (operators/qpp.py): KL(relevance model || collection
+    model) in exact integer micro-log10 arithmetic."""
+    from mircv_project_spark.operators.qpp import clarity_scores
+
+    idx = _index(spark, sf_dir, parse=False)
+    return clarity_scores(idx, oracle.QUERY_SET)
+
+
 def _q_more_like_this(spark, sf_dir):
     """Lexical more-like-this (operators/mlt.py): micro-quantized
     tf-idf cosine over the inverted index, exact integer dots."""
@@ -1828,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rocchio_topk": _q_rocchio_topk,
         "bm25f_topk": _q_bm25f_topk,
         "more_like_this": _q_more_like_this,
+        "clarity_scores": _q_clarity_scores,
         "lexicon_streaming": _q_lexicon_streaming,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,

@@ -1949,6 +1949,52 @@ GROUP BY 1
 """
 
 
+def _clarity_sql(queries, fb_docs: int) -> str:
+    """operators/qpp.clarity_scores: Clarity QPP — relevance model
+    micro-quantized to BIGINT (wq >= 1 kept), W exact integer
+    normalizer, per-term KL contribution in integer micro-log10 units
+    with the (wq·CF)/(W·cf) parenthesization (factors to DOUBLE before
+    multiplying), S = Σ wq·cq exact, clarity = round(S/(W·1e6), 6)."""
+    return f"""{_ranked_ctes(queries, "bm25", False)},
+fb AS (SELECT qid, docid, score FROM ranked WHERE rank <= {fb_docs}),
+wraw AS (
+    SELECT fb.qid, p.term, sum(fb.score * p.tf / dl.doc_len) AS w
+    FROM fb
+    JOIN postings p ON p.docid = fb.docid
+    JOIN doclens dl ON dl.docid = fb.docid
+    GROUP BY 1, 2
+),
+wq AS (
+    SELECT * FROM (
+        SELECT qid, term, CAST(round(1000000.0 * w) AS BIGINT) AS wq
+        FROM wraw
+    ) WHERE wq >= 1
+),
+wtot AS (
+    SELECT qid, CAST(sum(wq) AS BIGINT) AS w_total,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM wq GROUP BY 1
+),
+cft AS (SELECT CAST(sum(cf) AS BIGINT) AS cf_total FROM lexicon),
+contrib AS (
+    SELECT w.qid,
+           w.wq * CAST(round(1000000.0 * log10(
+               (CAST(w.wq AS DOUBLE) * CAST(c.cf_total AS DOUBLE))
+               / (CAST(t.w_total AS DOUBLE) * CAST(l.cf AS DOUBLE))
+           )) AS BIGINT) AS c
+    FROM wq w
+    JOIN lexicon l USING (term)
+    JOIN wtot t ON t.qid = w.qid
+    CROSS JOIN cft c
+)
+SELECT s.qid, t.n_terms, t.w_total,
+       round(CAST(s.s AS DOUBLE)
+             / (CAST(t.w_total AS DOUBLE) * 1000000.0), 6) AS clarity
+FROM (SELECT qid, CAST(sum(c) AS BIGINT) AS s FROM contrib GROUP BY 1) s
+JOIN wtot t ON t.qid = s.qid
+"""
+
+
 def _mlt_sql(probe_docnos: list[int], k: int) -> str:
     """operators/mlt.more_like_this: lexical tf-idf cosine — vectors
     micro-quantized per (doc, term) exactly like rocchio (BIGINT dot
@@ -3792,6 +3838,8 @@ def pipeline_oracles() -> dict[str, str]:
         "bm25f_topk": _bm25f_sql(QUERY_SET, TOPK_K),
         # lexical more-like-this (micro-quantized tf-idf cosine)
         "more_like_this": _mlt_sql(MLT_PROBE_DOCNOS, MLT_K),
+        # Clarity QPP (integer micro-log10 KL, params pinned to qpp.py)
+        "clarity_scores": _clarity_sql(QUERY_SET, 10),
         # the stored positional path must return EXACTLY the corpus-scan
         # phrase result — same oracle by design
         "phrase_topk_positional": _phrase_topk_sql(PHRASE_SET, PHRASE_K),

@@ -1,0 +1,97 @@
+"""Clarity QPP vs an independent pure-Python replication of the
+pinned chain (operators/qpp.py docstring) over the sf0.001 corpus;
+oracle equality at sf0.01 is covered by the gate entry
+clarity_scores."""
+
+import math
+from collections import defaultdict
+
+from mircv_project_spark.operators.qpp import QPP_FB_DOCS, clarity_scores
+from mircv_project_spark.operators.topk import query_terms
+from mircv_project_spark.oracle import QUERY_SET
+
+
+def _bm25(tf, dl, df, n_docs, avgdl):
+    return (tf / ((1.5 * (0.3 + (0.7 * (dl / avgdl)))) + tf)) * math.log10(
+        n_docs / df
+    )
+
+
+def _python_clarity(flat_rows, n_docs, avgdl, queries, fb_docs):
+    postings = defaultdict(list)
+    doc_terms = defaultdict(list)
+    df = defaultdict(int)
+    cf_total = 0
+    for term, docid, tf, dl in flat_rows:
+        postings[term].append((docid, tf, dl))
+        doc_terms[docid].append((term, tf, dl))
+        df[term] += 1
+        cf_total += tf
+    cf = defaultdict(int)
+    for term, docid, tf, dl in flat_rows:
+        cf[term] += tf
+
+    out = {}
+    for qid, term_tfs in queries.items():
+        qex = {t: n for t, n in term_tfs.items() if t in postings}
+        if not qex:
+            continue
+        raw = defaultdict(float)
+        for t, qtf in qex.items():
+            for docid, tf, dl in postings[t]:
+                raw[docid] += qtf * _bm25(tf, dl, df[t], n_docs, avgdl)
+        ranked = sorted(
+            ((round(s, 6), -d) for d, s in raw.items()),
+            key=lambda x: (-x[0], -x[1]),
+        )
+        fb = [(-nd, s) for s, nd in ranked[:fb_docs]]
+        w = defaultdict(float)
+        for docid, score in fb:
+            for term, tf, dl in doc_terms[docid]:
+                w[term] += score * tf / dl
+        wq = {
+            t: math.floor(1e6 * v + 0.5)
+            for t, v in w.items()
+            if math.floor(1e6 * v + 0.5) >= 1
+        }
+        if not wq:
+            continue
+        W = sum(wq.values())
+        s_sum = 0
+        for t, q in wq.items():
+            cq = math.floor(
+                1e6
+                * math.log10((float(q) * float(cf_total)) / (float(W) * float(cf[t])))
+                + 0.5
+            )
+            s_sum += q * cq
+        out[qid] = (len(wq), W, round(s_sum / (W * 1e6), 6))
+    return out
+
+
+def test_clarity_matches_independent_python_model(spark, vb_index):
+    idx, _ = vb_index
+    got = {
+        r["qid"]: (r["n_terms"], r["w_total"], r["clarity"])
+        for r in clarity_scores(idx, QUERY_SET).collect()
+    }
+    flat_rows = [
+        (r["term"], r["docid"], r["tf"], r["doc_len"])
+        for r in idx.flat.collect()
+    ]
+    queries = {}
+    for qid, term, qtf in query_terms(QUERY_SET, idx.parse):
+        queries.setdefault(qid, {})[term] = qtf
+    exp = _python_clarity(
+        flat_rows, idx.n_docs, idx.avgdl, queries, QPP_FB_DOCS
+    )
+    assert got == exp
+
+
+def test_clarity_discriminates(spark, vb_index):
+    """Sanity: clarity over the pinned query set is not constant (the
+    point of QPP is to separate specific from collection-like
+    queries)."""
+    idx, _ = vb_index
+    vals = [r["clarity"] for r in clarity_scores(idx, QUERY_SET).collect()]
+    assert len(vals) >= 2 and len(set(vals)) >= 2
