@@ -792,6 +792,15 @@ def _q_events_gapfill(spark, sf_dir):
     return events_gapfill(_events(spark, sf_dir))
 
 
+def _q_event_anomalies(spark, sf_dir):
+    """Hourly count anomalies per event type (|z| > 2 over the dense
+    hour grid) — integer stats, bit-identical double z² on both
+    engines."""
+    from mircv_project_spark.operators.events import event_anomalies
+
+    return event_anomalies(_events(spark, sf_dir))
+
+
 def _q_event_range_join(spark, sf_dir):
     """Interval join: every (purchase, click) pair within the prior
     hour via a bucketized equi-join — no nested-loop range scan."""
@@ -1891,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "events_sliding_counts": _q_events_sliding_counts,
         "events_gapfill": _q_events_gapfill,
+        "event_anomalies": _q_event_anomalies,
         # deterministic shuffled shard export + train/val/test split
         "export_shards": _q_export_shards,
         "train_split": _q_train_split,

@@ -607,3 +607,68 @@ def session_paths(
         )
         .select("path", F.col("cnt").cast("long").alias("cnt"), "rank")
     )
+
+
+US_PER_HOUR = 3_600_000_000
+ANOM_Z2 = 4.0  # |z| > 2
+
+
+def event_anomalies(events: DataFrame, z2_threshold: float = ANOM_Z2) -> DataFrame:
+    """-> (event_type, hour_h, cnt, z2): hourly count anomalies per
+    event type — hours whose count deviates from the type's mean by
+    more than 2 population standard deviations (z² > ANOM_Z2), over
+    the DENSE hour grid (zero-count hours included; silence is an
+    anomaly too).
+
+    Exactness contract: counts/H/Σc/Σc² are exact BIGINTs; the z²
+    test and the reported z² cast every factor to DOUBLE BEFORE
+    multiplying (the pmi discipline — BIGINT products like H·Σc²
+    overflow at scale, and DuckDB promotes where Spark wraps), so
+    both engines evaluate bit-identical IEEE expressions:
+    z² = (H·c − S)² / (H·Q − S²), anomaly iff z² · denominator-form
+    > 4 · (H·Q − S²) — a variance-0 type has H·c−S ≡ 0 and can never
+    flag, so the division is always live on emitted rows.
+
+    Scale shape (100 TB): one (type, hour) partial agg over the scan;
+    the dense grid is types × hours (driver-tiny at any scale) and
+    broadcast onto the counts; per-type stats are a ~|types|-row agg."""
+    base = events.select(
+        "event_type",
+        F.floor(_us_col("ts") / F.lit(US_PER_HOUR)).cast("long").alias("h"),
+    )
+    h0, h1 = base.agg(F.min("h"), F.max("h")).collect()[0]
+    if h0 is None:
+        return events.sparkSession.createDataFrame(
+            [], "event_type string, hour_h long, cnt long, z2 double"
+        )
+    spark = events.sparkSession
+    hours = spark.range(int(h0), int(h1) + 1).select(F.col("id").alias("h"))
+    types = base.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    cnts = base.groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    dense = grid.join(cnts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    st = dense.groupBy("event_type").agg(
+        F.count("*").alias("hh"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    dd = (
+        F.col("hh").cast("double") * F.col("c").cast("double")
+        - F.col("s").cast("double")
+    )
+    vnum = (
+        F.col("hh").cast("double") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    return (
+        dense.join(F.broadcast(st), "event_type")
+        .where(dd * dd > F.lit(float(z2_threshold)) * vnum)
+        .select(
+            "event_type",
+            F.col("h").cast("long").alias("hour_h"),
+            F.col("c").cast("long").alias("cnt"),
+            F.round(dd * dd / vnum, 6).alias("z2"),
+        )
+    )

@@ -1949,6 +1949,39 @@ GROUP BY 1
 """
 
 
+_EVENT_ANOMALIES_SQL = """WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h
+    FROM events
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+hours AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds),
+grid AS (SELECT t.event_type, hrs.h
+         FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN hours hrs),
+cnts AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+         FROM b GROUP BY 1, 2),
+dense AS (
+    SELECT g.event_type, g.h, coalesce(c.c, 0) AS c
+    FROM grid g LEFT JOIN cnts c ON g.event_type = c.event_type AND g.h = c.h
+),
+st AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS hh,
+           CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+    FROM dense GROUP BY 1
+)
+SELECT d.event_type, CAST(d.h AS BIGINT) AS hour_h, CAST(d.c AS BIGINT) AS cnt,
+       round((CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
+             * (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
+             / (CAST(st.hh AS DOUBLE) * CAST(st.q AS DOUBLE)
+                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)), 6) AS z2
+FROM dense d JOIN st USING (event_type)
+WHERE (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
+      * (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
+      > 4.0 * (CAST(st.hh AS DOUBLE) * CAST(st.q AS DOUBLE)
+               - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+"""
+
+
 def _clarity_sql(queries, fb_docs: int) -> str:
     """operators/qpp.clarity_scores: Clarity QPP — relevance model
     micro-quantized to BIGINT (wq >= 1 kept), W exact integer
@@ -3990,4 +4023,7 @@ ORDER BY source, term
         "snippets": _snippets_sql(QUERY_SET, 10),
         # per-user daily resample + forward-fill gap-fill
         "events_gapfill": _EVENTS_GAPFILL_SQL,
+        # hourly count anomalies (dense grid, integer stats, pinned
+        # double-before-multiply z² form, threshold 4.0)
+        "event_anomalies": _EVENT_ANOMALIES_SQL,
     }

@@ -531,3 +531,54 @@ def test_session_paths_boundary_and_overlap(spark):
     )
     got = [(r.path, r.cnt, r.rank) for r in session_paths(df).collect()]
     assert got == [("a>b>c", 2, 1), ("b>c>d", 1, 2)]
+
+
+def test_event_anomalies_python_model_and_edges(spark):
+    """event_anomalies vs a pure-Python replication over sf0.001, plus
+    the two contract edges: a constant-rate type never flags, and a
+    zero-count hour CAN flag (silence is an anomaly)."""
+    from collections import defaultdict
+
+    from mircv_project_spark.operators.events import event_anomalies
+    from tests.conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    got = sorted(
+        (r["event_type"], r["hour_h"], r["cnt"], r["z2"])
+        for r in event_anomalies(ev).collect()
+    )
+
+    rows = ev.select("event_type", "ts").collect()
+    hs = [
+        (r["event_type"], int((r["ts"].timestamp() * 1e6) // 3_600_000_000))
+        for r in rows
+    ]
+    h0 = min(h for _, h in hs)
+    h1 = max(h for _, h in hs)
+    cnt = defaultdict(int)
+    for t, h in hs:
+        cnt[(t, h)] += 1
+    types = sorted({t for t, _ in hs})
+    exp = []
+    for t in types:
+        c = [cnt.get((t, h), 0) for h in range(h0, h1 + 1)]
+        H, S, Q = float(len(c)), float(sum(c)), float(sum(x * x for x in c))
+        for i, x in enumerate(c):
+            dd = H * float(x) - S
+            vnum = H * Q - S * S
+            if dd * dd > 4.0 * vnum:
+                exp.append((t, h0 + i, x, round(dd * dd / vnum, 6)))
+    assert got == sorted(exp)
+    assert got, "gate would be vacuous"
+
+    # constant-rate type: one event every hour -> variance 0 -> no flag
+    import datetime as dt
+
+    const = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 1, "steady", 0.0, "{}")
+            for i in range(24)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    assert event_anomalies(const).collect() == []
