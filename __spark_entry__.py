@@ -534,6 +534,15 @@ def _q_proximity_topk(spark, sf_dir):
     )
 
 
+def _q_quantile_sketch(spark, sf_dir):
+    """Mergeable bottom-k-by-hash quantile sketch per source, exact
+    regime (k=4096 >= every group at every SF — the sample IS the
+    group); mapInPandas partial k-min is the merge property."""
+    from mircv_project_spark.operators.sketches import quantile_sketch
+
+    return quantile_sketch(_docs(spark, sf_dir))
+
+
 def _q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per source: deterministic k=16
     minimum md5-hash values -> cardinality estimate, exact count
@@ -1969,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_positional": _q_phrase_topk_positional,
         "proximity_topk": _q_proximity_topk,
         "kmv_distinct": _q_kmv_distinct,
+        "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
         "complete_prefix": _q_complete_prefix,
         "item_pagerank": _q_item_pagerank,

@@ -118,3 +118,81 @@ def kmv_distinct_tokens(
     finally:
         toks.unpersist()
     return out
+
+
+QSK_K = 4096
+QSK_SALT = "qsk-"
+QSK_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def _partial_kmin_v(k: int):
+    """Per-Arrow-batch bottom-k by (h) per source, VALUE riding along —
+    the mergeable-sample property (bottom-k of a union == bottom-k of
+    the per-part bottom-ks)."""
+
+    def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield (
+                pdf.sort_values(["source", "h"])
+                .groupby("source", sort=False)
+                .head(k)[["source", "h", "v"]]
+            )
+
+    return f
+
+
+def quantile_sketch(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = QSK_K,
+    qs: tuple = QSK_QS,
+) -> DataFrame:
+    """-> (source, n_sample, q25, q50, q75, q90): per-source quantile
+    estimates from a MERGEABLE bottom-k-by-hash uniform sample — the
+    quantile member of the sketch family beside KMV (cardinality) and
+    the heavy-hitter map.
+
+    The sample key is the deterministic 60-bit md5 hash of the salted
+    row id (salt 'qsk-', independent of the shard/split/pack coins):
+    the k rows with smallest hash are a uniform k-subset, identical on
+    both engines and under ANY partitioning; merging partial bottom-ks
+    is exact (bottom-k of a union == bottom-k of per-part bottom-ks),
+    which is what stage 1's mapInPandas partial k-min exploits —
+    bounded memory, map-side, no global sort of values.
+
+    Estimates are linear-interpolated quantiles over the SAMPLE
+    (Spark percentile() == DuckDB quantile_cont at round 6 — the
+    event_props_rollup pin).  GATE regime: k = 4096 >= every group at
+    every SF, so the sample IS the group and the estimate is exact
+    (the kmv below-k discipline); the approximate regime (k << n,
+    bounded error) lives in pytest.
+
+    Scale shape (100 TB): stage 1 touches each row once map-side and
+    emits <= k rows per (partition, source); stage 2 shuffles sketch
+    rows only."""
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        hash60_col(
+            F.concat(F.lit(QSK_SALT), F.col(id_col).cast("string"))
+        ).alias("h"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    partial = base.mapInPandas(
+        _partial_kmin_v(k), schema="source string, h long, v long"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    sample = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    aggs = [F.count("*").cast("long").alias("n_sample")] + [
+        F.round(F.percentile(F.col("v"), F.lit(q)), 6).alias(
+            f"q{int(q * 100)}"
+        )
+        for q in qs
+    ]
+    return sample.groupBy("source").agg(*aggs)

@@ -3315,6 +3315,19 @@ _BPE_SEGMENT_SQL = _bpe_segment_sql(8)
 # est = round((15.0 * 2^60) / double(kth smallest DISTINCT hash), 6),
 # exact sketch size when fewer than k distinct hashes; exact
 # n_distinct carried beside as the verification column.
+# quantile sketch, exact regime: QSK_K >= every per-source group at
+# every SF, so the bottom-k-by-hash sample is the whole group and the
+# estimate equals the plain linear-interpolated quantile (Spark
+# percentile == DuckDB quantile_cont at round 6, the props-rollup pin)
+_QUANTILE_SKETCH_SQL = """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sample,
+       round(quantile_cont(n_chars, 0.25), 6) AS q25,
+       round(quantile_cont(n_chars, 0.5), 6) AS q50,
+       round(quantile_cont(n_chars, 0.75), 6) AS q75,
+       round(quantile_cont(n_chars, 0.9), 6) AS q90
+FROM documents GROUP BY 1
+"""
+
 _KMV_DISTINCT_SQL = f"""WITH {_DOC_TOKENS},
 dt AS (
     SELECT DISTINCT d.source AS source, x.t AS t
@@ -3939,6 +3952,10 @@ def pipeline_oracles() -> dict[str, str]:
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segmentation": _BPE_SEGMENT_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
+        # quantile sketch in the exact regime (k=4096 >= every group
+        # at every SF, so the bottom-k sample IS the group — the kmv
+        # below-k discipline; approximate regime in pytest)
+        "quantile_sketch": _QUANTILE_SKETCH_SQL,
         # streaming final state == batch sketch (mergeable-sketch law)
         "streaming_kmv": _KMV_STREAM_SQL,
         # prefix filtering is exact: same pair set as the direct join

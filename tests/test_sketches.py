@@ -121,3 +121,53 @@ def test_streaming_kmv_final_state_equals_batch(spark, tmp_path):
         for r in K.kmv_distinct_tokens(batch).collect()
     }
     assert got == want
+
+
+def test_quantile_sketch_exact_regime_and_approx_error(spark):
+    """quantile_sketch: at k >= group size the estimate equals the
+    exact linear-interpolated quantile (the gate regime); at k << n
+    the bottom-k-by-hash sample keeps each estimate within a loose
+    rank-error band of the exact value."""
+    import numpy as np
+
+    from mircv_project_spark.operators.sketches import quantile_sketch
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exact_rows = docs.select("source", "n_chars").collect()
+    by_src = {}
+    for r in exact_rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+
+    big = {
+        r["source"]: r
+        for r in quantile_sketch(docs, k=4096).collect()
+    }
+    for src, vals in by_src.items():
+        assert big[src]["n_sample"] == len(vals)
+        assert big[src]["q50"] == round(
+            float(np.percentile(sorted(vals), 50)), 6
+        )
+
+    small = {
+        r["source"]: r for r in quantile_sketch(docs, k=24).collect()
+    }
+    for src, vals in by_src.items():
+        assert small[src]["n_sample"] == min(24, len(vals))
+        exact_med = float(np.percentile(sorted(vals), 50))
+        spread = max(vals) - min(vals) or 1
+        assert abs(small[src]["q50"] - exact_med) <= 0.5 * spread
+
+
+def test_quantile_sketch_partitioning_invariant(spark):
+    """The sample is keyed on a deterministic row-id hash — any
+    repartitioning must produce the identical sketch."""
+    from mircv_project_spark.operators.sketches import quantile_sketch
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    a = sorted(map(tuple, quantile_sketch(docs, k=24).collect()))
+    b = sorted(
+        map(tuple, quantile_sketch(docs.repartition(17), k=24).collect())
+    )
+    assert a == b
