@@ -583,6 +583,15 @@ def _q_item_pagerank(spark, sf_dir):
     return item_pagerank(_events(spark, sf_dir))
 
 
+def _q_item_bfs(spark, sf_dir):
+    """Min-hop BFS (<= 3) from pinned seed items over the strong
+    co-visitation graph; all-integer distances, join-based frontier
+    expansion; oracle = unrolled MATERIALIZED level CTEs."""
+    from mircv_project_spark.operators.graph import item_bfs
+
+    return item_bfs(_events(spark, sf_dir), oracle.BFS_SEEDS)
+
+
 def _q_item_communities(spark, sf_dir):
     """Connected components over the strong co-visitation edges
     (epsilon-guarded 0.99-quantile weight threshold), via the shared
@@ -1984,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_pagerank": _q_item_pagerank,
         "item_transitions": _q_item_transitions,
         "item_communities": _q_item_communities,
+        "item_bfs": _q_item_bfs,
         "triangle_counts": _q_triangle_counts,
         "conversation_stats": _q_conversation_stats,
         "term_suggest": _q_term_suggest,

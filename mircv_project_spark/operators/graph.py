@@ -347,3 +347,77 @@ def triangle_counts(events: DataFrame) -> DataFrame:
     finally:
         und.unpersist()
     return out
+
+
+BFS_HOPS = 3
+
+
+def item_bfs(events: DataFrame, seeds: list[int], max_hops: int = BFS_HOPS) -> DataFrame:
+    """-> (seed, item, dist): min-hop distances (<= max_hops) from each
+    pinned seed item over the STRONG co-visitation graph — the
+    traversal member of the graph family beside PageRank / triangles /
+    communities.  All-integer (hop counts), so trivially hash-exact.
+
+    Pinned semantics (restated in the unrolled-CTE oracle — change
+    both sides or neither): edges/threshold are item_communities'
+    exactly (half-pairs ia < ib, keep w >= ceil(q99(w) − 1e-6), then
+    symmetrize); seeds always emit their dist-0 row, even isolated;
+    level k = neighbors of level k−1 not seen at any earlier level
+    (join-based frontier expansion — the distributed BFS step).
+
+    Scale shape (100 TB): each hop is one edge-keyed equi-join of the
+    frontier against the strong-edge table plus an anti-join against
+    the visited set; frontiers localCheckpoint per hop so Catalyst
+    never replans the whole chain (the dup_components lesson).  Hop
+    count is a constant — no convergence loop."""
+    import math
+
+    spark = events.sparkSession
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count("*").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        q = e.agg(
+            F.percentile(F.col("w"), F.lit(COVISIT_Q)).alias("q")
+        ).collect()[0]["q"]
+        if q is None:  # no edges at all
+            thr = 0
+        else:
+            thr = int(math.ceil(q - _Q_EPS))
+        strong = e.where(F.col("w") >= thr).select("ia", "ib")
+        edges = strong.unionByName(
+            strong.select(
+                F.col("ib").alias("ia"), F.col("ia").alias("ib")
+            )
+        ).localCheckpoint()
+    finally:
+        e.unpersist()
+
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in seeds], "seed long, item long, dist long"
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(edges, frontier.item == edges.ia)
+            .select("seed", F.col("ib").alias("item"))
+            .distinct()
+            .join(dist.select("seed", "item"), ["seed", "item"], "left_anti")
+            .select("seed", "item", F.lit(hop).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist

@@ -74,6 +74,10 @@ SUBSTR_SET: list[tuple[str, str]] = [
 MLT_K = 10
 MLT_PROBE_DOCNOS: list[int] = [3, 77, 250, 444]
 
+# BFS gate seeds (operators/graph.item_bfs) — item ids (props $.k is
+# 0..99 at every SF); isolated seeds still emit their dist-0 row
+BFS_SEEDS: list[int] = [0, 7, 13]
+
 # auto-completion gate prefixes (operators/spell.complete_prefix) —
 # mixed lengths (the operator branches per distinct length), a
 # many-completion prefix ("s" — exercises the k-cut) and a no-match one
@@ -1947,6 +1951,60 @@ WHERE acctbal_c * cnt_pos > sum_pos_c
                   AND epoch_us(o.o_orderdate) >= 915148800000000)
 GROUP BY 1
 """
+
+
+def _item_bfs_sql(seeds: list[int], max_hops: int) -> str:
+    """operators/graph.item_bfs: min-hop BFS over the strong
+    co-visitation edges — edge derivation and ceil(q99 − 1e-6)
+    threshold restated from item_communities; levels unrolled
+    (MATERIALIZED — the unrolled-chain pin), level k = neighbors of
+    level k−1 not seen earlier; seeds always emit dist 0."""
+    vals = ", ".join(f"({int(s)})" for s in seeds)
+    parts = [
+        f"""WITH ui AS MATERIALIZED (
+    SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+e AS MATERIALIZED (
+    SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS w
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+    GROUP BY 1, 2
+),
+thr AS (SELECT CAST(ceil(quantile_cont(w, 0.99) - 1e-6) AS BIGINT) AS t FROM e),
+se AS MATERIALIZED (SELECT ia, ib FROM e CROSS JOIN thr WHERE w >= t),
+edges AS MATERIALIZED (
+    SELECT ia, ib FROM se UNION ALL SELECT ib AS ia, ia AS ib FROM se
+),
+d0 AS MATERIALIZED (
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS item,
+           CAST(0 AS BIGINT) AS dist
+    FROM (VALUES {vals}) s(seed)
+),
+a0 AS MATERIALIZED (SELECT seed, item FROM d0)"""
+    ]
+    for h in range(1, int(max_hops) + 1):
+        parts.append(
+            f""",
+d{h} AS MATERIALIZED (
+    SELECT f.seed, f.item, CAST({h} AS BIGINT) AS dist FROM (
+        SELECT DISTINCT d.seed, e.ib AS item
+        FROM d{h - 1} d JOIN edges e ON d.item = e.ia
+    ) f
+    WHERE NOT EXISTS (
+        SELECT 1 FROM a{h - 1} p WHERE p.seed = f.seed AND p.item = f.item
+    )
+),
+a{h} AS MATERIALIZED (
+    SELECT seed, item FROM a{h - 1}
+    UNION ALL SELECT seed, item FROM d{h}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM d{h}" for h in range(0, int(max_hops) + 1)
+    )
+    parts.append(f"\n{union}\n")
+    return "".join(parts)
 
 
 _EVENT_ANOMALIES_SQL = """WITH b AS (
@@ -3964,6 +4022,9 @@ def pipeline_oracles() -> dict[str, str]:
         "item_pagerank": _ITEM_PAGERANK_SQL,
         "item_transitions": _ITEM_TRANSITIONS_SQL,
         "item_communities": _ITEM_COMMUNITIES_SQL,
+        # min-hop BFS over the strong co-visitation graph (seeds and
+        # hop bound pinned; edge threshold shared with communities)
+        "item_bfs": _item_bfs_sql(BFS_SEEDS, 3),
         "triangle_counts": _TRIANGLE_COUNTS_SQL,
         "conversation_stats": _conversation_stats_sql(),
         "cdc_apply": _cdc_apply_sql(),

@@ -161,3 +161,64 @@ def test_triangle_counts_orientation_independent(spark):
             for x in (a, b, c):
                 want[x] += 1
     assert got == want
+
+
+def test_item_bfs_python_model_and_isolated_seed(spark):
+    """item_bfs vs a pure-Python BFS over the same strong-edge rule at
+    sf0.001, plus the isolated-seed pin (dist-0 row always emitted —
+    seed 9999 is not an item)."""
+    import math
+    from collections import defaultdict
+
+    from mircv_project_spark.operators.graph import item_bfs
+    from tests.conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    got = sorted(
+        (r["seed"], r["item"], r["dist"])
+        for r in item_bfs(ev, [0, 7, 13, 9999]).collect()
+    )
+
+    import json
+
+    rows = ev.select("user_id", "props").collect()
+    ui = {
+        (r["user_id"], int(json.loads(r["props"])["k"]))
+        for r in rows
+        if json.loads(r["props"]).get("k") is not None
+    }
+    by_user = defaultdict(set)
+    for u, i in ui:
+        by_user[u].add(i)
+    w = defaultdict(int)
+    for items in by_user.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                w[(s[x], s[y])] += 1
+    ws = sorted(w.values())
+    # linear-interpolated 0.99 quantile (numpy 'linear' == percentile)
+    import numpy as np
+
+    q = float(np.percentile(ws, 99))
+    thr = math.ceil(q - 1e-6)
+    adj = defaultdict(set)
+    for (a, b), v in w.items():
+        if v >= thr:
+            adj[a].add(b)
+            adj[b].add(a)
+    exp = []
+    for seed in [0, 7, 13, 9999]:
+        dist = {seed: 0}
+        frontier = [seed]
+        for hop in range(1, 4):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        exp.extend((seed, i, d) for i, d in dist.items())
+    assert got == sorted(exp)
+    assert (9999, 9999, 0) in got
