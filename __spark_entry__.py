@@ -1801,6 +1801,20 @@ def _q_turns_per_window(spark, sf_dir):
     )
 
 
+def _q_pr_curve(spark, sf_dir):
+    """trec_eval stage: 11-point interpolated precision-recall of the
+    BM25 run against the synthetic qrels; integer recall test."""
+    from mircv_project_spark.operators.evaluation import (
+        pr_curve,
+        synthetic_qrels,
+    )
+
+    idx = _index(spark, sf_dir, parse=False)
+    run = topk.exhaustive_topk(idx, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+    qrels = synthetic_qrels(_docs(spark, sf_dir), oracle.QUERY_SET)
+    return pr_curve(run, qrels, k=oracle.TOPK_K)
+
+
 def _q_eval_metrics(spark, sf_dir):
     """trec_eval stage: per-query MAP@10 / nDCG@10 of the BM25 run
     against deterministic synthetic qrels (SURVEY §5.1)."""
@@ -1859,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed_ef": _q_topk_compressed_ef,
         "bm25_topk_compressed_pfor": _q_topk_compressed_pfor,
         "bm25_eval_metrics": _q_eval_metrics,
+        "bm25_pr_curve": _q_pr_curve,
         # RM3 query expansion — full-oracle (chain restated in SQL)
         "bm25_rm3_topk": _q_rm3_topk,
         "rocchio_topk": _q_rocchio_topk,

@@ -91,3 +91,47 @@ def evaluate_run(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+def pr_curve(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """11-point interpolated precision-recall curve per query — the
+    third trec_eval artifact beside MAP/nDCG (SURVEY §5.1).
+
+    -> (qid, level, p_interp): level L = recall threshold L/10,
+    p_interp(L) = max precision over ranks whose recall reaches L,
+    0.0 when no rank does; queries with no relevant docs are omitted
+    (trec_eval behavior, same as evaluate_run).
+
+    Exactness: the recall test is cross-multiplied to pure integers
+    (10·cum_rel >= L·R — no float recall ever exists); precision
+    cum_rel/rank is one double division per rank, the max over them
+    is order-independent, round 6 once at the end."""
+    spark = run.sparkSession
+    run_k = run.where(F.col("rank") <= k)
+    j = run_k.join(qrels, ["qid", "docno"], "left").withColumn(
+        "rel", (F.coalesce(F.col("grade"), F.lit(0)) > 0).cast("int")
+    )
+    w = Window.partitionBy("qid").orderBy("rank")
+    pr = j.select(
+        "qid", "rank", F.sum("rel").over(w).cast("long").alias("cum")
+    )
+    rtot = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("r_total"))
+    levels = spark.range(0, 11).select(F.col("id").cast("long").alias("level"))
+    grid = rtot.crossJoin(F.broadcast(levels))
+    qual = (
+        grid.join(pr, "qid")
+        .where(
+            F.lit(10) * F.col("cum") >= F.col("level") * F.col("r_total")
+        )
+        .groupBy("qid", "level")
+        .agg(
+            F.max(
+                F.col("cum").cast("double") / F.col("rank").cast("double")
+            ).alias("p")
+        )
+    )
+    return grid.join(qual, ["qid", "level"], "left").select(
+        "qid",
+        "level",
+        F.round(F.coalesce(F.col("p"), F.lit(0.0)), 6).alias("p_interp"),
+    )

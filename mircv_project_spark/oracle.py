@@ -717,6 +717,44 @@ ORDER BY a.qid
 """
 
 
+def _pr_curve_sql(queries, standard: str, k: int) -> str:
+    """operators/evaluation.pr_curve: 11-point interpolated precision
+    — recall test cross-multiplied to integers (10·cum >= L·R),
+    p_interp = round(max cum/rank, 6) or 0.0, no-relevant queries
+    omitted; run/qrels derivations shared with _eval_sql."""
+    return f"""{_ranked_ctes(queries, standard, False)},
+dterm AS (
+    SELECT DISTINCT docid, term
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+),
+qrels AS (
+    SELECT q.qid, d.docid, least(count(*), 3) AS grade
+    FROM (SELECT DISTINCT qid, term FROM qterms) q
+    JOIN dterm d USING (term)
+    GROUP BY 1, 2
+),
+runk AS (SELECT qid, docid, rank FROM ranked WHERE rank <= {k}),
+pr AS (
+    SELECT r.qid, r.rank,
+           CAST(sum(CASE WHEN coalesce(g.grade, 0) > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY r.qid ORDER BY r.rank) AS BIGINT) AS cum
+    FROM runk r LEFT JOIN qrels g ON r.qid = g.qid AND r.docid = g.docid
+),
+rtot AS (SELECT qid, CAST(count(*) AS BIGINT) AS r_total FROM qrels GROUP BY 1),
+lv AS (SELECT CAST(unnest(range(0, 11)) AS BIGINT) AS level),
+grid AS (SELECT t.qid, t.r_total, l.level FROM rtot t CROSS JOIN lv l),
+qual AS (
+    SELECT g.qid, g.level,
+           max(CAST(p.cum AS DOUBLE) / CAST(p.rank AS DOUBLE)) AS p
+    FROM grid g JOIN pr p ON p.qid = g.qid
+    WHERE 10 * p.cum >= g.level * g.r_total
+    GROUP BY 1, 2
+)
+SELECT g.qid, g.level, round(coalesce(q.p, 0.0), 6) AS p_interp
+FROM grid g LEFT JOIN qual q ON q.qid = g.qid AND q.level = g.level
+"""
+
+
 def _rocchio_sql(queries, k: int, fb_docs: int, fb_terms: int) -> str:
     """Rocchio feedback (operators/rocchio.py): integer-scaled
     vector-space expansion — all five pinned stages restated (stage-1
@@ -922,6 +960,7 @@ ORDER BY a.term
         "bm25_topk_compressed_ef": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
+        "bm25_pr_curve": _pr_curve_sql(QUERY_SET, "bm25", TOPK_K),
     }
     # streaming-ingestion compaction must yield the batch lexicon
     out["lexicon_streaming"] = out["lexicon"]

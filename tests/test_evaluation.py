@@ -1,0 +1,51 @@
+"""Hand-computed checks for the evaluation stage (MAP/nDCG oracle
+equality is covered by the gate entry bm25_eval_metrics; the PR curve
+by bm25_pr_curve).  These pin the textbook arithmetic on a tiny run
+where every value is computable by hand."""
+
+from mircv_project_spark.operators.evaluation import pr_curve
+
+
+def _run_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "qid string, docno string, rank long, score double"
+    )
+
+
+def _qrels_df(spark, rows):
+    return spark.createDataFrame(rows, "qid string, docno string, grade int")
+
+
+def test_pr_curve_hand_computed(spark):
+    """R=2 relevant, retrieved at ranks 1 and 3 of 3:
+    recall after rank 1 = 1/2, after 3 = 1.  precision: 1/1, 1/2, 2/3.
+    Levels 0-5 (recall <= 0.5): max precision over ranks with
+    10*cum >= L*2 → rank 1 qualifies for L<=5 → p=1.0.
+    Levels 6-10: only rank 3 qualifies → p=2/3."""
+    run = _run_df(
+        spark,
+        [("q", "a", 1, 3.0), ("q", "b", 2, 2.0), ("q", "c", 3, 1.0)],
+    )
+    qrels = _qrels_df(spark, [("q", "a", 1), ("q", "c", 2)])
+    got = {
+        r["level"]: r["p_interp"] for r in pr_curve(run, qrels, k=10).collect()
+    }
+    assert got == {
+        **{lv: 1.0 for lv in range(0, 6)},
+        **{lv: round(2 / 3, 6) for lv in range(6, 11)},
+    }
+
+
+def test_pr_curve_unreached_levels_are_zero_and_no_rel_omitted(spark):
+    """A run that never retrieves the only relevant doc: level 0
+    qualifies trivially (10*0 >= 0*R) with precision 0/... — max over
+    cum=0 ranks is 0.0; levels 1+ have no qualifying rank → 0.0.
+    A query with NO relevant docs emits nothing."""
+    run = _run_df(
+        spark, [("q", "x", 1, 1.0), ("empty", "y", 1, 1.0)]
+    )
+    qrels = _qrels_df(spark, [("q", "z", 3)])
+    rows = pr_curve(run, qrels, k=10).collect()
+    assert {r["qid"] for r in rows} == {"q"}
+    assert all(r["p_interp"] == 0.0 for r in rows)
+    assert len(rows) == 11
