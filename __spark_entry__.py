@@ -534,6 +534,23 @@ def _q_proximity_topk(spark, sf_dir):
     )
 
 
+def _q_uw_proximity_topk(spark, sf_dir):
+    """Unordered-window proximity (#uwN, width 6) from the positional
+    store: every query term within the window around first-term
+    anchors, any order; flat existentials, rank (n_hits desc, id
+    asc) top-10."""
+    from mircv_project_spark.operators.positional import (
+        uw_proximity_topk_positional,
+    )
+
+    return uw_proximity_topk_positional(
+        _positional_store(spark, sf_dir),
+        oracle.PHRASE_SET,
+        width=oracle.UW_WIDTH,
+        k=oracle.PROX_K,
+    )
+
+
 def _q_quantile_sketch(spark, sf_dir):
     """Mergeable bottom-k-by-hash quantile sketch per source, exact
     regime (k=4096 >= every group at every SF — the sample IS the
@@ -2001,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segmentation": _q_bpe_segmentation,
         "phrase_topk_positional": _q_phrase_topk_positional,
         "proximity_topk": _q_proximity_topk,
+        "uw_proximity_topk": _q_uw_proximity_topk,
         "kmv_distinct": _q_kmv_distinct,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,

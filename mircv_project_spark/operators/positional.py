@@ -288,3 +288,97 @@ def append_positional_epoch(
         .mode("append")
         .parquet(path)
     )
+
+
+UW_WIDTH = 6  # unordered-window width in tokens (Indri #uwN's N)
+
+
+def _uw_hits(parts_cols: list, width: int):
+    """Unordered-window hit count: anchor positions p of term 0 such
+    that EVERY other term has a position within [p-(W-1), p+(W-1)].
+    Flat (non-nested) existentials — order between the other terms
+    does not matter, which is exactly what distinguishes #uwN from
+    the ordered slop chain."""
+
+    def near(p):
+        def q_ok(q):
+            return (q >= p - (width - 1)) & (q <= p + (width - 1))
+
+        return q_ok
+
+    def anchor_ok(p):
+        cond = None
+        for c in parts_cols[1:]:
+            e = F.exists(c, near(p))
+            cond = e if cond is None else (cond & e)
+        return cond
+
+    return F.size(F.filter(parts_cols[0], anchor_ok))
+
+
+def uw_proximity_topk_positional(
+    pos_df: DataFrame,
+    phrases: list[tuple[str, str]],
+    width: int = UW_WIDTH,
+    k: int = PROX_K,
+    n_buckets: int | None = config.POSTINGS_TERM_BUCKETS,
+) -> DataFrame:
+    """Unordered-window proximity (Indri's #uwN) from the positional
+    store: -> (qid, id, n_hits, rank) where n_hits counts first-term
+    anchor positions around which every query term occurs within
+    width-1 tokens, in ANY order — the symmetric sibling of
+    proximity_topk_positional's ordered chains.  Pinned: anchor = the
+    query's FIRST token's positions (restated verbatim in the
+    oracle), rank (n_hits desc, id asc) top k, zero-hit docs emit
+    nothing.
+
+    Same pruned-scan + id-keyed join shape as the ordered operator;
+    the window check is flat per-term existentials over the joined
+    position arrays — no Python, per-doc cost bounded by in-doc tf."""
+    parsed: list[tuple[str, list[str]]] = []
+    for qid, p in phrases:
+        ptoks = tokenize(p, False)
+        if len(ptoks) >= 2:
+            parsed.append((qid, ptoks))
+    all_terms = sorted({t for _, ptoks in parsed for t in ptoks})
+    pruned = pos_df
+    if n_buckets and "bucket" in pos_df.columns:
+        buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+        pruned = pruned.where(F.col("bucket").isin(buckets))
+    pruned = pruned.where(F.col("term").isin(all_terms)).persist()
+    try:
+        branches = []
+        for qid, ptoks in parsed:
+            parts = [
+                pruned.where(F.col("term") == t).select(
+                    "id", F.col("positions").alias(f"p{i}")
+                )
+                for i, t in enumerate(ptoks)
+            ]
+            joined = reduce(lambda l, r: l.join(r, "id"), parts)
+            hits = _uw_hits(
+                [F.col(f"p{i}") for i in range(len(ptoks))], width
+            )
+            branches.append(
+                joined.select(
+                    F.lit(qid).alias("qid"),
+                    "id",
+                    hits.cast("long").alias("n_hits"),
+                ).where(F.col("n_hits") >= 1)
+            )
+        allm = reduce(DataFrame.unionByName, branches)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("n_hits").desc(), F.col("id").asc()
+        )
+        out = (
+            allm.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "qid", "id", "n_hits",
+                F.col("rank").cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        pruned.unpersist()
+    return out

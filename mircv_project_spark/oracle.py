@@ -3103,6 +3103,64 @@ FROM ranked WHERE rn <= {k}
 
 _PROXIMITY_SQL = _proximity_sql(PHRASE_SET, PROX_SLOP, PROX_K)
 
+UW_WIDTH = 6
+
+
+def _uw_proximity_sql(
+    phrases: list[tuple[str, str]], width: int, k: int
+) -> str:
+    """positional.uw_proximity_topk_positional: unordered-window
+    matching — n_hits = FIRST-term anchor positions p with every other
+    term having a position in [p-(W-1), p+(W-1)], any order; flat
+    per-term existentials (no chain); rank (n_hits desc, id asc)."""
+    w = int(width) - 1
+    branches = []
+    for qid, p in phrases:
+        toks = p.split(" ")
+        n = len(toks)
+        if n < 2:
+            continue
+        others = " AND ".join(
+            f"len(list_filter(a{i}.ps, q -> q >= p0 - {w} AND q <= p0 + {w})) > 0"
+            for i in range(1, n)
+        )
+        froms = "parr a0 " + " ".join(
+            f"JOIN parr a{i} ON a0.id = a{i}.id" for i in range(1, n)
+        )
+        where = " AND ".join(f"a{i}.term = '{toks[i]}'" for i in range(n))
+        hits = f"len(list_filter(a0.ps, p0 -> {others}))"
+        branches.append(
+            f"SELECT '{qid}' AS qid, a0.id AS id,"
+            f" CAST({hits} AS BIGINT) AS n_hits\n    FROM {froms}"
+            f"\n    WHERE {where}"
+        )
+    union = "\n    UNION ALL\n    ".join(branches)
+    return f"""WITH {_DOC_TOKENS},
+posx AS (
+    SELECT doc_id AS id, unnest(tokens) AS term,
+           unnest(range(len(tokens))) AS pos
+    FROM doctoks
+),
+parr AS (
+    SELECT id, term, list(pos ORDER BY pos) AS ps
+    FROM posx GROUP BY id, term
+),
+m AS (
+    {union}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY n_hits DESC, id ASC
+    ) AS rn
+    FROM m WHERE n_hits >= 1
+)
+SELECT qid, CAST(id AS BIGINT) AS id, n_hits, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
+_UW_PROXIMITY_SQL = _uw_proximity_sql(PHRASE_SET, UW_WIDTH, PROX_K)
+
 
 # Item communities (graph.item_communities): connected components over
 # the strong co-visitation edges.  Pins restated verbatim: edges
@@ -3987,6 +4045,8 @@ def pipeline_oracles() -> dict[str, str]:
         # phrase result — same oracle by design
         "phrase_topk_positional": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
         "proximity_topk": _PROXIMITY_SQL,
+        # unordered-window proximity (#uwN; anchor = first term)
+        "uw_proximity_topk": _UW_PROXIMITY_SQL,
         # relational OLAP suite over the TPC-H-shaped tables
         "tpch_pricing_summary": _TPCH_Q1_SQL,
         "tpch_top_orders": _TPCH_Q3_SQL,

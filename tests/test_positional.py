@@ -156,3 +156,44 @@ def test_incremental_epoch_append_equals_one_shot(spark, docs_df, tmp_path):
             .sort_values(["qid", "rank"], ignore_index=True)
         )
         pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_uw_proximity_finds_reversed_order(spark):
+    """#uw matches terms in ANY order within the window — the ordered
+    chain must miss a reversed pair the unordered operator finds."""
+    df = spark.createDataFrame(
+        [(0, "join spark data"), (1, "spark x join"), (2, "spark far far far far far far join")],
+        "doc_id long, text string",
+    )
+    pos = P.build_positional_postings(df)
+    uw = {
+        (r["id"], r["n_hits"])
+        for r in P.uw_proximity_topk_positional(
+            pos, [("q", "spark join")], width=3, k=10
+        ).collect()
+    }
+    # doc 0: anchor 'spark'@1, 'join'@0 within 2 back -> hit (reversed)
+    # doc 1: 'spark'@0, 'join'@2 within width-1=2 -> hit
+    # doc 2: distance 7 > 2 -> no hit
+    assert uw == {(0, 1), (1, 1)}
+    ordered = {
+        r["id"]
+        for r in P.proximity_topk_positional(
+            pos, [("q", "spark join")], slop=2, k=10
+        ).collect()
+    }
+    assert 0 not in ordered and 1 in ordered
+
+
+def test_uw_anchor_counts_are_per_first_term_position(spark):
+    """n_hits counts FIRST-term anchors, overlapping windows included."""
+    df = spark.createDataFrame(
+        [(0, "spark join spark join spark")], "doc_id long, text string"
+    )
+    pos = P.build_positional_postings(df)
+    rows = P.uw_proximity_topk_positional(
+        pos, [("q", "spark join")], width=2, k=10
+    ).collect()
+    # anchors 'spark'@0,2,4: @0 has join@1, @2 has join@1 and @3,
+    # @4 has join@3 -> all 3 anchors hit
+    assert [(r["id"], r["n_hits"]) for r in rows] == [(0, 3)]
