@@ -219,6 +219,18 @@ def _q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+def _q_hybrid_combmnz_topk(spark, sf_dir):
+    """CombMNZ fusion over the same two legs as RRF: per-system pool
+    min-max normalization in integer micro units, fused = n_systems ×
+    exact integer sum."""
+    from mircv_project_spark.operators.hybrid import hybrid_combmnz_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return hybrid_combmnz_topk(
+        idx, _emb(spark, sf_dir), _docs(spark, sf_dir), oracle.PROBE_IDS
+    )
+
+
 def _q_clarity_scores(spark, sf_dir):
     """Clarity QPP (operators/qpp.py): KL(relevance model || collection
     model) in exact integer micro-log10 arithmetic."""
@@ -825,6 +837,14 @@ def _q_events_gapfill(spark, sf_dir):
     from mircv_project_spark.operators.events import events_gapfill
 
     return events_gapfill(_events(spark, sf_dir))
+
+
+def _q_item_popularity(spark, sf_dir):
+    """Time-decayed item popularity: per-event weight 2^-age_days
+    quantized to integer micro units before the exact sum."""
+    from mircv_project_spark.operators.events import item_popularity_decayed
+
+    return item_popularity_decayed(_events(spark, sf_dir))
 
 
 def _q_event_anomalies(spark, sf_dir):
@@ -1859,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": _q_qld_topk,
         "qld_topk_stored": _q_qld_topk_stored,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_boolean": _q_boolean_topk,
@@ -1951,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_counts": _q_events_sliding_counts,
         "events_gapfill": _q_events_gapfill,
         "event_anomalies": _q_event_anomalies,
+        "item_popularity": _q_item_popularity,
         # deterministic shuffled shard export + train/val/test split
         "export_shards": _q_export_shards,
         "train_split": _q_train_split,

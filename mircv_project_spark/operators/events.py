@@ -672,3 +672,47 @@ def event_anomalies(events: DataFrame, z2_threshold: float = ANOM_Z2) -> DataFra
             F.round(dd * dd / vnum, 6).alias("z2"),
         )
     )
+
+
+DECAY_HALF_LIFE_DAYS = 1  # dyadic: weight = 2^-age_days exactly
+
+
+def item_popularity_decayed(events: DataFrame, k: int = 10) -> DataFrame:
+    """-> (item, n_events, pop_u, rank): exponentially time-decayed
+    item popularity — each event contributes 2^(-age_days) where
+    age_days = max_day − event_day (integer UTC day indices), i.e. a
+    one-day half-life.  The recommendation-freshness primitive.
+
+    Exactness contract: 2^-a is exactly representable in double for
+    a <= 1074, and both engines compute the SAME power from the SAME
+    integer age, but a float SUM of many such terms is shuffle-order-
+    dependent — so each contribution is quantized to integer micro
+    units FIRST (round(1e6 · 2^-age) — 0 beyond age 20, documented)
+    and the aggregate is an exact BIGINT sum.  Rank (pop_u desc, item
+    asc), top k; reported pop = pop_u (integer micro units, exact).
+
+    Scale shape (100 TB): max_day is one scalar agg; the decay weight
+    is a map-side expression; one (item) partial agg."""
+    base = events.select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        _day_col("ts").alias("day"),
+    ).where(F.col("item").isNotNull())
+    mx = base.agg(F.max("day")).collect()[0][0]
+    if mx is None:
+        return events.sparkSession.createDataFrame(
+            [], "item long, n_events long, pop_u long, rank long"
+        )
+    contrib = F.round(
+        F.lit(1_000_000.0)
+        * F.pow(F.lit(2.0), -(F.lit(int(mx)) - F.col("day")).cast("double"))
+    ).cast("long")
+    agg = base.groupBy("item").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(contrib).cast("long").alias("pop_u"),
+    )
+    w = Window.orderBy(F.col("pop_u").desc(), F.col("item").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("item", "n_events", "pop_u", "rank")
+    )

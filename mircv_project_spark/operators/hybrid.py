@@ -116,3 +116,97 @@ def hybrid_rrf_topk(
             F.round(F.col("fm") / F.lit(_MICRO), 6).alias("score"),
         )
     )
+
+
+def _norm_u(s_col, mn_col, mx_col):
+    """Pool-relative min-max normalization quantized to exact integer
+    micro units; a constant pool (max == min) pins every member to
+    1e6 (all equally best) — restated verbatim in the oracle."""
+    return F.when(mx_col == mn_col, F.lit(1_000_000).cast("long")).otherwise(
+        F.round(
+            F.lit(_MICRO) * (s_col - mn_col) / (mx_col - mn_col)
+        ).cast("long")
+    )
+
+
+def hybrid_combmnz_topk(
+    index: InvertedIndex,
+    embeddings: DataFrame,
+    docs: DataFrame,
+    probe_ids: list[int],
+    k: int = HYBRID_K,
+    pool: int = HYBRID_POOL,
+) -> DataFrame:
+    """CombMNZ fusion (Fox & Shaw 1994) — the score-aware sibling of
+    RRF: per system, pool scores min-max normalize to [0, 1e6] integer
+    micro units (inputs are the systems' ROUND-6 scores, so the
+    normalization arithmetic is identical on both engines); fused =
+    n_systems_retrieving(d) × Σ norm_u(d) — an exact BIGINT product of
+    exact integers.  Query model, pools, self-exclusion, and ties all
+    shared with hybrid_rrf_topk.
+
+    -> (qid string, docno string, rank long, score double) with
+    score = round(fused / 1e6, 6) (range [0, 4] for two systems)."""
+    spark = index.flat.sparkSession
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(probe_ids))
+        .select("doc_id", "text")
+        .collect()
+    }
+    queries = [
+        (str(p), texts[p]) for p in probe_ids if texts.get(p) is not None
+    ]
+
+    lex = exhaustive_topk(index, queries, scoring.BM25, k=pool + 1)
+    w_lex = Window.partitionBy("qid").orderBy(F.col("rank").asc())
+    w_pool = Window.partitionBy("qid")
+    lexp = (
+        lex.where(F.col("docno") != F.col("qid"))
+        .withColumn("lrank", F.row_number().over(w_lex))
+        .where(F.col("lrank") <= pool)
+        .withColumn("mn", F.min("score").over(w_pool))
+        .withColumn("mx", F.max("score").over(w_pool))
+        .select(
+            "qid",
+            F.col("docno").cast("long").alias("doc"),
+            _norm_u(F.col("score"), F.col("mn"), F.col("mx")).alias("cu"),
+        )
+    )
+
+    dense = cosine_topk(embeddings, probe_ids, k=pool)
+    w_dp = Window.partitionBy("probe_id")
+    dnsp = (
+        dense.withColumn("mn", F.min("cos").over(w_dp))
+        .withColumn("mx", F.max("cos").over(w_dp))
+        .select(
+            F.col("probe_id").cast("string").alias("qid"),
+            F.col("neighbor_id").alias("doc"),
+            _norm_u(F.col("cos"), F.col("mn"), F.col("mx")).alias("cu"),
+        )
+    )
+
+    fused = (
+        lexp.unionByName(dnsp)
+        .groupBy("qid", "doc")
+        .agg(
+            F.sum("cu").alias("su"),
+            F.count("*").alias("nsys"),
+        )
+        .select(
+            "qid", "doc", (F.col("nsys") * F.col("su")).alias("fm")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("fm").desc(), F.col("doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("doc").cast("string").alias("docno"),
+            "rank",
+            F.round(F.col("fm") / F.lit(_MICRO), 6).alias("score"),
+        )
+    )

@@ -908,6 +908,7 @@ ORDER BY a.term
         "qld_topk_stored": _qld_topk_sql(QUERY_SET, TOPK_K),
         # hybrid BM25 + cosine with RRF fusion (probe doc = query)
         "hybrid_rrf_topk": _hybrid_rrf_sql(PROBE_IDS, 10, 20),
+        "hybrid_combmnz_topk": _hybrid_combmnz_sql(PROBE_IDS, 10, 20),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
@@ -2046,6 +2047,35 @@ a{h} AS MATERIALIZED (
     return "".join(parts)
 
 
+# time-decayed item popularity: weight = 2^-age_days quantized to
+# integer micro units per event BEFORE the sum (a float sum of powers
+# is shuffle-order-dependent); day = floor(epoch_us/86400e6) (the
+# cohort pin); rank (pop_u desc, item asc) top 10
+_ITEM_POPULARITY_SQL = """WITH b AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+           CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+mx AS (SELECT max(day) AS m FROM b),
+c AS (
+    SELECT item,
+           CAST(round(1000000.0 * power(2.0, -CAST(m - day AS DOUBLE)))
+                AS BIGINT) AS cu
+    FROM b CROSS JOIN mx
+),
+agg AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cu) AS BIGINT) AS pop_u
+    FROM c GROUP BY 1
+)
+SELECT item, n_events, pop_u,
+       CAST(row_number() OVER (ORDER BY pop_u DESC, item ASC) AS BIGINT)
+           AS rank
+FROM agg
+QUALIFY rank <= 10
+"""
+
 _EVENT_ANOMALIES_SQL = """WITH b AS (
     SELECT event_type,
            CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h
@@ -2076,6 +2106,98 @@ WHERE (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       * (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       > 4.0 * (CAST(st.hh AS DOUBLE) * CAST(st.q AS DOUBLE)
                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+"""
+
+
+def _hybrid_combmnz_sql(probe_ids, k: int, pool: int) -> str:
+    """operators/hybrid.hybrid_combmnz_topk: CombMNZ over the same two
+    legs as RRF — per-system pool min-max normalization quantized to
+    integer micro units (constant pool -> 1e6 for every member), fused
+    = n_systems × Σ norm_u, ties (fused desc, doc asc)."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    norm = (
+        "CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT) "
+        "ELSE CAST(round(1000000.0 * (s6 - mn) / (mx - mn)) AS BIGINT) END"
+    )
+    return f"""{_PREFIX},
+pq AS (
+    SELECT CAST(doc_id AS VARCHAR) AS qid, text AS qtext
+    FROM documents WHERE doc_id IN ({ids})
+),
+qtok AS (
+    SELECT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term FROM pq
+),
+qterms AS (
+    SELECT qid, term, CAST(count(*) AS BIGINT) AS qtf FROM qtok GROUP BY qid, term
+),
+qexist AS (
+    SELECT q.qid, q.term, q.qtf, l.df FROM qterms q JOIN lexicon l USING (term)
+),
+lscored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS raw_score
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+lexr AS (
+    SELECT qid, docid - 1 AS doc, round(raw_score, 6) AS s6,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, 6) DESC, docid ASC
+           ) AS rn
+    FROM lscored
+    WHERE docid <> CAST(qid AS BIGINT) + 1
+),
+lexpool AS (SELECT qid, doc, s6 FROM lexr WHERE rn <= {pool}),
+lexp AS (
+    SELECT qid, doc, {norm} AS cu FROM (
+        SELECT qid, doc, s6,
+               min(s6) OVER (PARTITION BY qid) AS mn,
+               max(s6) OVER (PARTITION BY qid) AS mx
+        FROM lexpool
+    )
+),
+dns AS (
+    SELECT CAST(p.vec_id AS VARCHAR) AS qid, b.vec_id AS doc,
+           {_cos6('p.embedding', 'b.embedding')} AS s6
+    FROM embeddings p JOIN embeddings b ON b.vec_id <> p.vec_id
+    WHERE p.vec_id IN ({ids})
+),
+dnsr AS (
+    SELECT qid, doc, s6,
+           row_number() OVER (
+               PARTITION BY qid ORDER BY s6 DESC, doc ASC
+           ) AS rn
+    FROM dns
+),
+dnspool AS (SELECT qid, doc, s6 FROM dnsr WHERE rn <= {pool}),
+dnsp AS (
+    SELECT qid, doc, {norm} AS cu FROM (
+        SELECT qid, doc, s6,
+               min(s6) OVER (PARTITION BY qid) AS mn,
+               max(s6) OVER (PARTITION BY qid) AS mx
+        FROM dnspool
+    )
+),
+fused AS (
+    SELECT qid, doc,
+           CAST(count(*) * sum(cu) AS BIGINT) AS fm
+    FROM (SELECT * FROM lexp UNION ALL SELECT * FROM dnsp)
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT qid, doc, fm,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY fm DESC, doc ASC
+           ) AS BIGINT) AS rank
+    FROM fused
+)
+SELECT qid, CAST(doc AS VARCHAR) AS docno, rank,
+       round(fm / 1000000.0, 6) AS score
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -4203,4 +4325,6 @@ ORDER BY source, term
         # hourly count anomalies (dense grid, integer stats, pinned
         # double-before-multiply z² form, threshold 4.0)
         "event_anomalies": _EVENT_ANOMALIES_SQL,
+        # time-decayed item popularity (2^-age micro-quantized)
+        "item_popularity": _ITEM_POPULARITY_SQL,
     }

@@ -582,3 +582,29 @@ def test_event_anomalies_python_model_and_edges(spark):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
     )
     assert event_anomalies(const).collect() == []
+
+
+def test_item_popularity_decay_hand_computed(spark):
+    """Two items: 'fresh' has 1 event on the max day, 'stale' has 4
+    events 2 days earlier — decay must rank fresh (1e6) over stale
+    (4 * 250000 = 1e6, tie broken item asc... use 3 events to avoid
+    the tie: 3 * 250000 = 750000 < 1e6)."""
+    import datetime as dt
+
+    from mircv_project_spark.operators.events import item_popularity_decayed
+
+    d0 = dt.datetime(2024, 1, 10)
+    rows = [(0, d0, 1, "view", 0.0, '{"k": 1}')]
+    rows += [
+        (i + 1, d0 - dt.timedelta(days=2), 1, "view", 0.0, '{"k": 2}')
+        for i in range(3)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    got = [
+        (r["item"], r["n_events"], r["pop_u"], r["rank"])
+        for r in item_popularity_decayed(ev).collect()
+    ]
+    assert got == [(1, 1, 1_000_000, 1), (2, 3, 750_000, 2)]

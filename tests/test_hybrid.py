@@ -63,3 +63,32 @@ def test_hybrid_score_is_exact_rrf_sum(spark, vb_index):
         assert 0 < r["score"] <= mx
         # fused micro is integral: score * 1e6 is an exact integer
         assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-6
+
+
+def test_combmnz_mnz_multiplier_and_norm_bounds(spark, vb_index):
+    """CombMNZ: every fused micro value is n_sys * sum(norm_u) with
+    norm_u in [0, 1e6] — so scores land in [0, 4] with two systems —
+    and both-system docs beat equal-score single-system docs via the
+    MNZ multiplier."""
+    from mircv_project_spark.operators.hybrid import hybrid_combmnz_topk
+
+    idx, _ = vb_index
+    out = hybrid_combmnz_topk(
+        idx, _emb(spark), _docs(spark), oracle.PROBE_IDS
+    ).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["score"] <= 4.0
+        # fused micro is integral (exact BIGINT product of integers)
+        assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-6
+
+
+def test_combmnz_excludes_probe(spark, vb_index):
+    from mircv_project_spark.operators.hybrid import hybrid_combmnz_topk
+
+    idx, _ = vb_index
+    out = hybrid_combmnz_topk(
+        idx, _emb(spark), _docs(spark), oracle.PROBE_IDS
+    ).collect()
+    for r in out:
+        assert r["docno"] != r["qid"]
