@@ -207,6 +207,75 @@ def _q_qld_topk_stored(spark, sf_dir):
     return qld_topk(view, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+_TOMB_CACHE: dict = {}
+_VACUUM_CACHE: dict = {}
+
+
+def _tombstoned_store(spark, sf_dir) -> str:
+    """The shared gate store with the pinned delete feed applied ONCE:
+    tombstone every doc with docno % 10 == 3 (oracle.DELETE_MOD/REM,
+    restated verbatim in both delete-gate oracles).  Tombstones are a
+    side parquet dir — entries that don't opt into deletes never see
+    them."""
+    from mircv_project_spark.sources.index_store import append_tombstones
+
+    _stored_reader(spark, sf_dir)  # ensure the store exists
+    store = _STORE_CACHE[(id(spark), sf_dir)]
+    key = (id(spark), sf_dir)
+    if key not in _TOMB_CACHE:
+        docnos = [
+            r["docno"]
+            for r in spark.read.parquet(f"{store}/doc_index")
+            .where((F.col("docid") - 1) % oracle.DELETE_MOD == oracle.DELETE_REM)
+            .select((F.col("docid") - 1).alias("docno"))
+            .collect()
+        ]
+        append_tombstones(spark, store, [int(d) for d in docnos])
+        _TOMB_CACHE[key] = True
+    return store
+
+
+def _q_bm25_topk_deleted(spark, sf_dir):
+    """Query-time delete masking (Lucene liveDocs): tombstoned docs
+    vanish from results, surviving scores unchanged (stats stay
+    pre-delete until vacuum)."""
+    from mircv_project_spark.operators.topk import query_terms
+    from mircv_project_spark.sources.index_store import (
+        IndexReader,
+        masked_index_view,
+        read_tombstones,
+    )
+
+    store = _tombstoned_store(spark, sf_dir)
+    reader = IndexReader.from_dir(spark, store)
+    tomb = read_tombstones(spark, store)
+    terms = sorted({t for _, t, _ in query_terms(oracle.QUERY_SET, reader.parse)})
+    view = masked_index_view(reader, tomb, terms)
+    return topk.exhaustive_topk(view, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+
+
+def _q_bm25_topk_vacuumed(spark, sf_dir):
+    """Physical deletes: vacuum_index rewrites the store without the
+    tombstoned docs (original docids preserved) and recomputes
+    df/N/avgdl/UBs — scores shift accordingly."""
+    from mircv_project_spark.operators.topk import query_terms
+    from mircv_project_spark.sources.index_store import (
+        IndexReader,
+        vacuum_index,
+    )
+
+    store = _tombstoned_store(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _VACUUM_CACHE:
+        out = _tmpdir("mircv_gate_vacuum_")
+        vacuum_index(spark, store, out)
+        _VACUUM_CACHE[key] = out
+    reader = IndexReader.from_dir(spark, _VACUUM_CACHE[key])
+    terms = sorted({t for _, t, _ in query_terms(oracle.QUERY_SET, reader.parse)})
+    view = reader.as_index_view(terms=terms)
+    return topk.exhaustive_topk(view, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+
+
 def _q_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid lexical + dense retrieval fused by RRF (operators/
     hybrid.py): probe doc text drives BM25, probe embedding drives
@@ -1880,6 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk_stored": _q_qld_topk_stored,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
+        "bm25_topk_deleted": _q_bm25_topk_deleted,
+        "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_boolean": _q_boolean_topk,

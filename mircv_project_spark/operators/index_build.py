@@ -520,7 +520,9 @@ def write_index(index: InvertedIndex, out_dir: str) -> None:
     index.doc_index.repartitionByRange(
         max(1, index.n_docs // 4_000_000), "docid"
     ).write.mode("overwrite").parquet(f"{out_dir}/doc_index")
-    stats = index.tokenized.sparkSession.createDataFrame(
+    # session from postings, not tokenized — view-backed indexes
+    # (masked/vacuumed stores) carry tokenized=None
+    stats = index.postings.sparkSession.createDataFrame(
         [
             (
                 index.n_docs,

@@ -909,6 +909,10 @@ ORDER BY a.term
         # hybrid BM25 + cosine with RRF fusion (probe doc = query)
         "hybrid_rrf_topk": _hybrid_rrf_sql(PROBE_IDS, 10, 20),
         "hybrid_combmnz_topk": _hybrid_combmnz_sql(PROBE_IDS, 10, 20),
+        # deletes: query-time mask (stats pre-delete) and physical
+        # vacuum (stats recomputed, original docids preserved)
+        "bm25_topk_deleted": _topk_deleted_sql(QUERY_SET, "bm25", TOPK_K),
+        "bm25_topk_vacuumed": _topk_vacuumed_sql(QUERY_SET, TOPK_K),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
@@ -2106,6 +2110,102 @@ WHERE (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       * (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       > 4.0 * (CAST(st.hh AS DOUBLE) * CAST(st.q AS DOUBLE)
                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+"""
+
+
+# delete-gate rule: docs with docno % 10 == 3 are tombstoned — i.e.
+# (docid - 1) % 10 == 3 in the oracle's docid space; restated verbatim
+# by the two gate entries (change both sides or neither)
+DELETE_MOD, DELETE_REM = 10, 3
+
+
+def _topk_deleted_sql(queries, standard: str, k: int) -> str:
+    """index_store.masked_index_view semantics (Lucene liveDocs):
+    deleted docs vanish from candidates/results, every surviving doc's
+    SCORE is unchanged (corpus stats stay pre-delete) — so the oracle
+    filters the full ranking and re-ranks by the same rounded-score
+    tie rule."""
+    return f"""{_ranked_ctes(queries, standard, False)},
+kept AS (
+    SELECT qid, docid, score FROM ranked
+    WHERE (docid - 1) % {DELETE_MOD} <> {DELETE_REM}
+),
+rr AS (
+    SELECT qid, docid, score,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM kept
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM rr WHERE rank <= {k}
+"""
+
+
+def _topk_vacuumed_sql(queries, k: int) -> str:
+    """index_store.vacuum_index semantics: deleted docs physically
+    gone — docids keep their ORIGINAL assignment (no renumber), but
+    df/N/avgdl/scores all recompute over the survivors."""
+    return f"""
+WITH transcripts AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           text
+    FROM documents
+),
+docs0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) AS BIGINT) AS docid,
+           conv_id, turn_idx, text
+    FROM transcripts
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+docs AS (
+    SELECT * FROM docs0 WHERE (docid - 1) % {DELETE_MOD} <> {DELETE_REM}
+),
+tokend AS (
+    SELECT docid, conv_id, turn_idx,
+           {_TOKENS_EXPR.format(col='text')} AS tokens
+    FROM docs
+),
+doclens AS (
+    SELECT docid, conv_id, turn_idx, CAST(len(tokens) AS BIGINT) AS doc_len
+    FROM tokend
+),
+postings AS (
+    SELECT docid, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+    GROUP BY docid, term
+),
+lexicon AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM postings GROUP BY term
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_len) AS BIGINT) AS sum_doc_len,
+           CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+    FROM doclens
+), {_query_ctes(queries)},
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS raw_score
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+ranked AS (
+    SELECT sc.qid, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
 """
 
 

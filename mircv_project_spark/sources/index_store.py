@@ -186,3 +186,122 @@ class IndexReader:
                 blocks=blocks,
             )
         return out
+
+
+# ------------------------- deletes (tombstones) -------------------------
+#
+# The right-to-be-forgotten path the reference lacks.  Lucene
+# liveDocs semantics, pinned on both gate sides:
+# - append_tombstones is a pure parquet APPEND of docnos (idempotent
+#   under duplicates — readers distinct());
+# - a MASKED read excludes deleted docs from candidates/results but
+#   keeps corpus statistics (N, avgdl, df, UBs) PRE-delete — deletes
+#   are a visibility mask until vacuum, exactly like segment deletes
+#   before a merge;
+# - vacuum_index rewrites the store WITHOUT the deleted docs,
+#   preserving original docids, and recomputes postings/lexicon/stats
+#   post-delete (the merge that makes deletes physical).
+
+
+def append_tombstones(spark: SparkSession, path: str, docnos: list[int]) -> None:
+    """Record deletions (docno = the external doc id) — pure append."""
+    spark.createDataFrame(
+        [(int(d),) for d in docnos], "docno long"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/tombstones")
+
+
+def read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """-> distinct DataFrame(docno long), or None when no tombstones
+    were ever written."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/tombstones").distinct()
+    except AnalysisException:
+        return None
+
+
+def masked_index_view(
+    reader: IndexReader,
+    tombstones: DataFrame,
+    terms: list[str] | None = None,
+) -> InvertedIndex:
+    """as_index_view with deleted docs anti-joined out of the decoded
+    posting stream.  Stats stay PRE-delete by design (visibility-mask
+    semantics); every InvertedIndex serve path becomes delete-aware
+    through this one filter.
+
+    Scale: the tombstone set anti-joins on docid AFTER the term-pruned
+    block decode — only the query terms' postings pay the join, and
+    the delete list broadcasts (it is small relative to the corpus by
+    the time vacuum runs)."""
+    view = reader.as_index_view(terms)
+    dead = tombstones.select((F.col("docno") + 1).alias("docid")).distinct()
+    flat = view.flat.join(F.broadcast(dead), "docid", "left_anti")
+    doc_index = reader.doc_index.join(
+        F.broadcast(dead), "docid", "left_anti"
+    )
+    return InvertedIndex(
+        tokenized=None,
+        doc_index=doc_index,
+        flat=flat,
+        postings=view.postings,
+        lexicon=view.lexicon,
+        n_docs=reader.n_docs,
+        sum_doc_len=reader.sum_doc_len,
+        parse=reader.parse,
+        codec=reader.codec,
+        term_buckets=reader.term_buckets or 0,
+    )
+
+
+def vacuum_index(spark: SparkSession, path: str, out_dir: str) -> None:
+    """Rewrite the store at `path` into `out_dir` with every
+    tombstoned doc physically removed: postings re-aggregated from the
+    surviving flat stream (original docids preserved — no renumber),
+    lexicon/UBs and corpus stats recomputed post-delete.  A no-op copy
+    when no tombstones exist.
+
+    Scale: this is the store-wide merge by nature (same cost class as
+    compaction); the surviving stream flows straight back through
+    aggregate_postings' salted two-stage shuffle."""
+    from ..operators.index_build import aggregate_postings, lexicon_from_runs
+
+    reader = IndexReader.from_dir(spark, path)
+    tomb = read_tombstones(spark, path)
+    if tomb is None:
+        tomb = spark.createDataFrame([], "docno long")
+    dead = tomb.select((F.col("docno") + 1).alias("docid")).distinct()
+    doc_index = reader.doc_index.join(
+        F.broadcast(dead), "docid", "left_anti"
+    ).persist()
+    try:
+        st = doc_index.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        n_docs, sum_dl = int(st["n"]), int(st["s"] or 0)
+        flat = reader.as_index_view().flat.join(
+            F.broadcast(dead), "docid", "left_anti"
+        )
+        postings = aggregate_postings(
+            flat,
+            n_docs,
+            sum_dl / max(n_docs, 1),
+            codec=reader.codec,
+        )
+        lexicon = lexicon_from_runs(postings, n_docs)
+        new = InvertedIndex(
+            tokenized=None,
+            doc_index=doc_index,
+            flat=flat,
+            postings=postings,
+            lexicon=lexicon,
+            n_docs=n_docs,
+            sum_doc_len=sum_dl,
+            parse=reader.parse,
+            codec=reader.codec,
+            term_buckets=reader.term_buckets or 0,
+        )
+        write_index(new, out_dir)
+    finally:
+        doc_index.unpersist()
