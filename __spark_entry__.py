@@ -235,6 +235,22 @@ def _tombstoned_store(spark, sf_dir) -> str:
     return store
 
 
+def _q_percolate(spark, sf_dir):
+    """Reverse search: which stored queries conjunctively match each
+    document (the Elasticsearch percolator shape)."""
+    from mircv_project_spark.operators.percolate import percolate
+
+    return percolate(_docs(spark, sf_dir), oracle.QUERY_SET)
+
+
+def _q_facet_counts(spark, sf_dir):
+    """Per-query facet counts (source, lang) over the FULL disjunctive
+    match set — the result-set aggregation side of the engine."""
+    from mircv_project_spark.operators.facets import facet_counts
+
+    return facet_counts(_docs(spark, sf_dir), oracle.QUERY_SET)
+
+
 def _q_bm25_topk_deleted(spark, sf_dir):
     """Query-time delete masking (Lucene liveDocs): tombstoned docs
     vanish from results, surviving scores unchanged (stats stay
@@ -1950,6 +1966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
+        "percolate": _q_percolate,
+        "facet_counts": _q_facet_counts,
         "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,

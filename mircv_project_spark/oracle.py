@@ -913,6 +913,9 @@ ORDER BY a.term
         # vacuum (stats recomputed, original docids preserved)
         "bm25_topk_deleted": _topk_deleted_sql(QUERY_SET, "bm25", TOPK_K),
         "bm25_topk_vacuumed": _topk_vacuumed_sql(QUERY_SET, TOPK_K),
+        # reverse search + result-set aggregations
+        "percolate": _percolate_sql(QUERY_SET),
+        "facet_counts": _facets_sql(QUERY_SET),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
@@ -2110,6 +2113,62 @@ WHERE (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       * (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       > 4.0 * (CAST(st.hh AS DOUBLE) * CAST(st.q AS DOUBLE)
                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+"""
+
+
+def _percolate_sql(queries) -> str:
+    """operators/percolate.percolate: a stored query matches a doc iff
+    EVERY distinct normalized query term occurs in it (conjunctive
+    containment in reverse); (doc_id, qid, n_terms) per match."""
+    return f"""WITH {_DOC_TOKENS},
+q AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+qinv AS (
+    SELECT DISTINCT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term
+    FROM q
+),
+need AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_terms FROM qinv GROUP BY 1),
+dt AS (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM doctoks
+),
+hit AS (
+    SELECT d.doc_id, i.qid, CAST(count(*) AS BIGINT) AS n_have
+    FROM dt d JOIN qinv i USING (term)
+    GROUP BY 1, 2
+)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id, h.qid, n.n_terms
+FROM hit h JOIN need n ON n.qid = h.qid
+WHERE h.n_have = n.n_terms
+"""
+
+
+def _facets_sql(queries) -> str:
+    """operators/facets.facet_counts: disjunctive match set (>= 1
+    query term in the doc) faceted over source and lang; empty
+    buckets emit nothing."""
+    return f"""WITH {_DOC_TOKENS},
+q AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+qinv AS (
+    SELECT DISTINCT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term
+    FROM q
+),
+dt AS (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM doctoks
+),
+matched AS (
+    SELECT DISTINCT i.qid, d.doc_id
+    FROM dt d JOIN qinv i USING (term)
+),
+j AS (
+    SELECT m.qid, doc.source, doc.lang
+    FROM matched m JOIN documents doc ON doc.doc_id = m.doc_id
+)
+SELECT qid, 'source' AS facet, source AS value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1, 3
+UNION ALL
+SELECT qid, 'lang' AS facet, lang AS value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1, 3
 """
 
 
