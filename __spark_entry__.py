@@ -235,6 +235,24 @@ def _tombstoned_store(spark, sf_dir) -> str:
     return store
 
 
+def _q_msm_topk(spark, sf_dir):
+    """Min-should-match retrieval (>= least(2, |query|) in-lexicon
+    terms, the Lucene clamp); standard BM25 scoring over qualifiers."""
+    from mircv_project_spark.operators.queryops import msm_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return msm_topk(idx, oracle.QUERY_SET, m=2, k=oracle.TOPK_K)
+
+
+def _q_synonym_topk(spark, sf_dir):
+    """Query-time synonym expansion (pinned oracle.SYN_MAP; colliding
+    expansions sum weights, OOV expansions drop)."""
+    from mircv_project_spark.operators.queryops import synonym_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return synonym_topk(idx, oracle.QUERY_SET, oracle.SYN_MAP, k=oracle.TOPK_K)
+
+
 def _q_percolate(spark, sf_dir):
     """Reverse search: which stored queries conjunctively match each
     document (the Elasticsearch percolator shape)."""
@@ -1967,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "percolate": _q_percolate,
+        "bm25_topk_msm": _q_msm_topk,
+        "bm25_topk_synonyms": _q_synonym_topk,
         "facet_counts": _q_facet_counts,
         "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,

@@ -78,6 +78,15 @@ MLT_PROBE_DOCNOS: list[int] = [3, 77, 250, 444]
 # 0..99 at every SF); isolated seeds still emit their dist-0 row
 BFS_SEEDS: list[int] = [0, 7, 13]
 
+# query-time synonym map (operators/queryops.synonym_topk) — two
+# in-vocab expansions plus one OOV target ('quick' never tokenizes out
+# of this corpus), exercising the OOV-drop rule
+SYN_MAP: dict[str, list[str]] = {
+    "join": ["merge"],
+    "sort": ["order"],
+    "fast": ["quick"],
+}
+
 # auto-completion gate prefixes (operators/spell.complete_prefix) —
 # mixed lengths (the operator branches per distinct length), a
 # many-completion prefix ("s" — exercises the k-cut) and a no-match one
@@ -916,6 +925,9 @@ ORDER BY a.term
         # reverse search + result-set aggregations
         "percolate": _percolate_sql(QUERY_SET),
         "facet_counts": _facets_sql(QUERY_SET),
+        # query-DSL completeness (params pinned to operators/queryops)
+        "bm25_topk_msm": _msm_sql(QUERY_SET, 2, TOPK_K),
+        "bm25_topk_synonyms": _synonym_sql(QUERY_SET, SYN_MAP, TOPK_K),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
@@ -2113,6 +2125,80 @@ WHERE (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       * (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       > 4.0 * (CAST(st.hh AS DOUBLE) * CAST(st.q AS DOUBLE)
                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+"""
+
+
+def _msm_sql(queries, m: int, k: int) -> str:
+    """operators/queryops.msm_topk: min-should-match — a doc qualifies
+    with >= least(m, n_required) matching in-lexicon terms (the Lucene
+    clamp); scoring/rank = the standard BM25 path."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS raw_score,
+           count(*) AS nmatch
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+msm AS (
+    SELECT sc.* FROM scored sc JOIN nreq r ON sc.qid = r.qid
+    WHERE sc.nmatch >= least({m}, r.n_required)
+),
+ranked AS (
+    SELECT qid, docid, round(raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, 6) DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM msm
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _synonym_sql(queries, syn_map: dict, k: int) -> str:
+    """operators/queryops.synonym_topk: each original term expands to
+    itself plus SYN_MAP[t] at its weight; colliding expansions SUM
+    their weights; OOV expansions drop like OOV originals."""
+    pairs = ", ".join(
+        f"('{s}', '{d}')" for s, ds in sorted(syn_map.items()) for d in ds
+    )
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+syn AS (SELECT * FROM (VALUES {pairs}) s(src, dst)),
+qexp AS (
+    SELECT qid, term, CAST(sum(qtf) AS BIGINT) AS qtf FROM (
+        SELECT qid, term, qtf FROM qterms
+        UNION ALL
+        SELECT qt.qid, s.dst AS term, qt.qtf FROM qterms qt
+        JOIN syn s ON qt.term = s.src
+    ) GROUP BY 1, 2
+),
+qx AS (
+    SELECT e.qid, e.term, e.qtf, l.df FROM qexp e JOIN lexicon l USING (term)
+),
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS raw_score
+    FROM qx q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+ranked AS (
+    SELECT qid, docid, round(raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, 6) DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
 """
 
 

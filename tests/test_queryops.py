@@ -1,0 +1,63 @@
+"""Edge semantics for min-should-match and synonym expansion (oracle
+equality at sf0.01 is covered by bm25_topk_msm / bm25_topk_synonyms)."""
+
+from mircv_project_spark.operators import scoring, topk
+from mircv_project_spark.operators.queryops import msm_topk, synonym_topk
+from mircv_project_spark.oracle import QUERY_SET, SYN_MAP
+
+
+def test_msm_clamps_and_interpolates_between_or_and_and(spark, vb_index):
+    """msm=1 == the plain OR ranking; msm=huge == conjunctive; msm=2
+    sits between (for multi-term queries it drops 1-match docs)."""
+    idx, _ = vb_index
+    or_run = {
+        (r["qid"], r["rank"]): (r["docno"], r["score"])
+        for r in topk.exhaustive_topk(
+            idx, QUERY_SET, scoring.BM25, k=10
+        ).collect()
+    }
+    m1 = {
+        (r["qid"], r["rank"]): (r["docno"], r["score"])
+        for r in msm_topk(idx, QUERY_SET, m=1, k=10).collect()
+    }
+    assert m1 == or_run
+
+    conj = {
+        (r["qid"], r["rank"]): (r["docno"], r["score"])
+        for r in topk.exhaustive_topk(
+            idx, QUERY_SET, scoring.BM25, k=10, conjunctive=True
+        ).collect()
+    }
+    mbig = {
+        (r["qid"], r["rank"]): (r["docno"], r["score"])
+        for r in msm_topk(idx, QUERY_SET, m=10_000, k=10).collect()
+    }
+    assert mbig == conj
+
+    m2 = msm_topk(idx, QUERY_SET, m=2, k=10).collect()
+    assert m2 and {r["qid"] for r in m2}
+
+
+def test_synonyms_change_rankings_and_oov_is_noop(spark, vb_index):
+    """The in-vocab expansions must move at least one query's ranking;
+    an all-OOV synonym map must reproduce the plain run exactly."""
+    idx, _ = vb_index
+    base = {
+        (r["qid"], r["rank"]): r["docno"]
+        for r in topk.exhaustive_topk(
+            idx, QUERY_SET, scoring.BM25, k=10
+        ).collect()
+    }
+    syn = {
+        (r["qid"], r["rank"]): r["docno"]
+        for r in synonym_topk(idx, QUERY_SET, SYN_MAP, k=10).collect()
+    }
+    assert syn != base
+
+    noop = {
+        (r["qid"], r["rank"]): r["docno"]
+        for r in synonym_topk(
+            idx, QUERY_SET, {"join": ["zzmissing"]}, k=10
+        ).collect()
+    }
+    assert noop == base
