@@ -253,6 +253,16 @@ def _q_synonym_topk(spark, sf_dir):
     return synonym_topk(idx, oracle.QUERY_SET, oracle.SYN_MAP, k=oracle.TOPK_K)
 
 
+def _q_search_after(spark, sf_dir):
+    """Cursor pagination (search_after): page 2 of the BM25 ranking
+    via the strictly-after (score, docid) cursor — must equal global
+    ranks 11..20 exactly."""
+    from mircv_project_spark.operators.queryops import search_after_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return search_after_topk(idx, oracle.QUERY_SET, page=2, k=oracle.TOPK_K)
+
+
 def _q_percolate(spark, sf_dir):
     """Reverse search: which stored queries conjunctively match each
     document (the Elasticsearch percolator shape)."""
@@ -1987,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": _q_percolate,
         "bm25_topk_msm": _q_msm_topk,
         "bm25_topk_synonyms": _q_synonym_topk,
+        "bm25_topk_page2": _q_search_after,
         "facet_counts": _q_facet_counts,
         "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,

@@ -149,3 +149,116 @@ def synonym_topk(
             "score",
         )
     )
+
+
+def search_after_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    page: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Cursor pagination (Elasticsearch search_after): page p of the
+    BM25 ranking WITHOUT a deep offset — each page re-runs the query
+    with a strictly-after predicate on the previous page's last
+    (score, docid) cursor, so the engine only ever ranks k survivors
+    instead of materializing p·k rows per query.
+
+    The cursor order is the engine's total ranking order
+    (round(score,6) desc, docid asc): rows after cursor (cs, cd) are
+    score < cs OR (score == cs AND docid > cd).  Emitted ranks are the
+    GLOBAL ranks ((page-1)·k + i) — restated in the oracle as the
+    plain rank window sliced to the page, which the cursor recursion
+    must equal exactly.
+
+    Scale note: the repeated per-page scoring is the standard
+    search_after trade (stateless cursors, no deep materialization);
+    each page's post-filter ranking is top-k over a shrinking set."""
+    from .topk import exhaustive_topk
+
+    spark = index.flat.sparkSession
+    empty = "qid string, docno string, rank long, score double"
+    if page < 1:
+        raise ValueError("page >= 1")
+    full = exhaustive_topk(index, queries, scoring.BM25, k=k)
+    if page == 1:
+        return full
+    # walk pages via the cursor — each step filters strictly-after
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], empty)
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    df_by_term = {r["term"]: r["df"] for r in lex}
+    rows = [
+        (q, t, c, df_by_term[t]) for q, t, c in qt_rows if t in df_by_term
+    ]
+    if not rows:
+        return spark.createDataFrame([], empty)
+    qt = spark.createDataFrame(
+        rows, "qid string, term string, qtf int, df long"
+    )
+    s = scoring.bm25_col(
+        F.col("tf"), F.col("doc_len"), F.col("df"), index.n_docs, index.avgdl
+    )
+    scored = (
+        index.flat.join(F.broadcast(qt), "term")
+        .withColumn("contrib", F.col("qtf") * s)
+        .groupBy("qid", "docid")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .persist()
+    )
+    try:
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        )
+        cur_rows = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .groupBy("qid")
+            .agg(F.min("score").alias("cs"), F.max(
+                F.when(F.col("rn") == k, F.col("docid"))
+            ).alias("cd"))
+            .collect()
+        )
+        page_df = None
+        for p in range(2, page + 1):
+            live = [
+                (r["qid"], float(r["cs"]), int(r["cd"]))
+                for r in cur_rows
+                if r["cd"] is not None  # fewer than k results: done
+            ]
+            if not live:  # every query exhausted — stop walking
+                return spark.createDataFrame([], empty)
+            cur = spark.createDataFrame(live, "qid string, cs double, cd long")
+            after = scored.join(F.broadcast(cur), "qid").where(
+                (F.col("score") < F.col("cs"))
+                | ((F.col("score") == F.col("cs")) & (F.col("docid") > F.col("cd")))
+            )
+            page_df = (
+                after.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k)
+            )
+            if p < page:
+                cur_rows = (
+                    page_df.groupBy("qid")
+                    .agg(
+                        F.min("score").alias("cs"),
+                        F.max(
+                            F.when(F.col("rn") == k, F.col("docid"))
+                        ).alias("cd"),
+                    )
+                    .collect()
+                )
+        out = page_df.select(
+            "qid",
+            (F.col("docid") - 1).cast("string").alias("docno"),
+            (F.col("rn") + F.lit((page - 1) * k)).cast("long").alias("rank"),
+            "score",
+        ).localCheckpoint()
+    finally:
+        scored.unpersist()
+    return out

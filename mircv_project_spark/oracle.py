@@ -928,6 +928,8 @@ ORDER BY a.term
         # query-DSL completeness (params pinned to operators/queryops)
         "bm25_topk_msm": _msm_sql(QUERY_SET, 2, TOPK_K),
         "bm25_topk_synonyms": _synonym_sql(QUERY_SET, SYN_MAP, TOPK_K),
+        # cursor pagination: page 2 == global ranks 11..20
+        "bm25_topk_page2": _search_after_sql(QUERY_SET, 2, TOPK_K),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
@@ -2199,6 +2201,17 @@ ranked AS (
 )
 SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _search_after_sql(queries, page: int, k: int) -> str:
+    """operators/queryops.search_after_topk: the cursor recursion must
+    equal the plain global ranking sliced to the page — the oracle IS
+    that slice."""
+    lo, hi = (page - 1) * k + 1, page * k
+    return f"""{_ranked_ctes(queries, "bm25", False)}
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank BETWEEN {lo} AND {hi}
 """
 
 

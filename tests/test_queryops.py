@@ -61,3 +61,24 @@ def test_synonyms_change_rankings_and_oov_is_noop(spark, vb_index):
         ).collect()
     }
     assert noop == base
+
+
+def test_search_after_pages_tile_the_global_ranking(spark, vb_index):
+    """Pages 1..3 via the cursor must tile the plain top-30 exactly
+    (ranks, docnos, scores), and a page past the result set is empty."""
+    from mircv_project_spark.operators.queryops import search_after_topk
+
+    idx, _ = vb_index
+    full = {
+        (r["qid"], r["rank"]): (r["docno"], r["score"])
+        for r in topk.exhaustive_topk(
+            idx, QUERY_SET, scoring.BM25, k=30
+        ).collect()
+    }
+    tiled = {}
+    for p in (1, 2, 3):
+        for r in search_after_topk(idx, QUERY_SET, page=p, k=10).collect():
+            tiled[(r["qid"], r["rank"])] = (r["docno"], r["score"])
+    assert tiled == full
+    deep = search_after_topk(idx, QUERY_SET, page=1000, k=10).collect()
+    assert deep == []
