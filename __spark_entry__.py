@@ -725,6 +725,14 @@ def _q_item_pagerank(spark, sf_dir):
     return item_pagerank(_events(spark, sf_dir))
 
 
+def _q_item_similarity(spark, sf_dir):
+    """Item-item CF cosine over binary user vectors (exact integer
+    intersections/degrees, one sqrt + one divide round 6), top-3."""
+    from mircv_project_spark.operators.graph import item_similarity_topk
+
+    return item_similarity_topk(_events(spark, sf_dir))
+
+
 def _q_item_bfs(spark, sf_dir):
     """Min-hop BFS (<= 3) from pinned seed items over the strong
     co-visitation graph; all-integer distances, join-based frontier
@@ -2169,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_transitions": _q_item_transitions,
         "item_communities": _q_item_communities,
         "item_bfs": _q_item_bfs,
+        "item_similarity": _q_item_similarity,
         "triangle_counts": _q_triangle_counts,
         "conversation_stats": _q_conversation_stats,
         "term_suggest": _q_term_suggest,

@@ -41,7 +41,7 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -421,3 +421,77 @@ def item_bfs(events: DataFrame, seeds: list[int], max_hops: int = BFS_HOPS) -> D
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return dist
+
+
+ITEMSIM_K = 3
+
+
+def item_similarity_topk(events: DataFrame, k: int = ITEMSIM_K) -> DataFrame:
+    """-> (item, neighbor, n_common, sim, rank): item-item
+    collaborative-filtering cosine over BINARY user vectors —
+    sim(a, b) = |U_a ∩ U_b| / sqrt(|U_a| · |U_b|) — the recommender
+    scoring the co-visitation graph ops (pagerank/communities/
+    transitions) rank structure over.
+
+    Exactness: intersection and degree counts are exact integers; the
+    norm product is one sqrt of an exact integer product (factors cast
+    to double BEFORE multiplying — the pmi overflow pin) and the
+    division rounds to 6.  Rank (sim desc, neighbor asc) top k per
+    item; items sharing no user emit nothing.
+
+    Scale shape (100 TB): the user-item incidence dedups once; the
+    per-user self-join is the item-CF candidate generator (bounded by
+    per-user item counts — cap heavy users upstream, same note as
+    _covisit_edges); degrees broadcast onto the pair aggregate."""
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        deg = ui.groupBy("item").agg(F.count("*").alias("d"))
+        a, b = ui.alias("a"), ui.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.u") == F.col("b.u"))
+                & (F.col("a.item") != F.col("b.item")),
+            )
+            .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("nb"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        sim = F.round(
+            F.col("n_common").cast("double")
+            / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double")),
+            6,
+        )
+        scored = (
+            common.join(
+                F.broadcast(deg.select(F.col("item").alias("item"), F.col("d").alias("da"))),
+                "item",
+            )
+            .join(
+                F.broadcast(deg.select(F.col("item").alias("nb"), F.col("d").alias("db"))),
+                "nb",
+            )
+            .select("item", "nb", "n_common", sim.alias("sim"))
+        )
+        w = Window.partitionBy("item").orderBy(
+            F.col("sim").desc(), F.col("nb").asc()
+        )
+        out = (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("item").cast("long").alias("item"),
+                F.col("nb").cast("long").alias("neighbor"),
+                F.col("n_common").cast("long").alias("n_common"),
+                "sim",
+                "rank",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        ui.unpersist()
+    return out

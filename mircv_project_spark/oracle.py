@@ -2014,6 +2014,38 @@ GROUP BY 1
 """
 
 
+_ITEM_SIMILARITY_SQL = """WITH ui AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+deg AS (SELECT item, CAST(count(*) AS BIGINT) AS d FROM ui GROUP BY 1),
+common AS (
+    SELECT a.item AS item, b.item AS nb, CAST(count(*) AS BIGINT) AS n_common
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item <> b.item
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT c.item, c.nb, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)),
+                 6) AS sim
+    FROM common c
+    JOIN deg da ON da.item = c.item
+    JOIN deg db ON db.item = c.nb
+),
+ranked AS (
+    SELECT item, nb AS neighbor, n_common, sim,
+           CAST(row_number() OVER (
+               PARTITION BY item ORDER BY sim DESC, nb ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT item, neighbor, n_common, sim, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _item_bfs_sql(seeds: list[int], max_hops: int) -> str:
     """operators/graph.item_bfs: min-hop BFS over the strong
     co-visitation edges — edge derivation and ceil(q99 − 1e-6)
@@ -4504,6 +4536,8 @@ def pipeline_oracles() -> dict[str, str]:
         # min-hop BFS over the strong co-visitation graph (seeds and
         # hop bound pinned; edge threshold shared with communities)
         "item_bfs": _item_bfs_sql(BFS_SEEDS, 3),
+        # item-item CF cosine (binary user vectors, exact intersections)
+        "item_similarity": _ITEM_SIMILARITY_SQL,
         "triangle_counts": _TRIANGLE_COUNTS_SQL,
         "conversation_stats": _conversation_stats_sql(),
         "cdc_apply": _cdc_apply_sql(),

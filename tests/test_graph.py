@@ -222,3 +222,36 @@ def test_item_bfs_python_model_and_isolated_seed(spark):
         exp.extend((seed, i, d) for i, d in dist.items())
     assert got == sorted(exp)
     assert (9999, 9999, 0) in got
+
+
+def test_item_similarity_hand_computed(spark):
+    """Tiny CF example: users {1,2} share items, cosine by hand."""
+    import datetime as dt
+
+    from mircv_project_spark.operators.graph import item_similarity_topk
+
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # item 1: users {1,2}; item 2: users {1,2,3}; item 3: user {3}
+    for u, i in [(1, 1), (2, 1), (1, 2), (2, 2), (3, 2), (3, 3)]:
+        rows.append((eid, t, u, "view", 0.0, '{"k": %d}' % i))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r["item"], r["neighbor"]): (r["n_common"], r["sim"], r["rank"])
+        for r in item_similarity_topk(ev, k=3).collect()
+    }
+    import math
+
+    s12 = round(2 / math.sqrt(2 * 3), 6)
+    s23 = round(1 / math.sqrt(3 * 1), 6)
+    assert got == {
+        (1, 2): (2, s12, 1),
+        (2, 1): (2, s12, 1),
+        (2, 3): (1, s23, 2),
+        (3, 2): (1, s23, 1),
+    }
