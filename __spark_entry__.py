@@ -253,6 +253,15 @@ def _q_synonym_topk(spark, sf_dir):
     return synonym_topk(idx, oracle.QUERY_SET, oracle.SYN_MAP, k=oracle.TOPK_K)
 
 
+def _q_conv_maxp(spark, sf_dir):
+    """Max-passage conversation retrieval: conv score = best member
+    turn's round-6 BM25 (long-document pooling)."""
+    from mircv_project_spark.operators.bm25f import conv_maxp_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return conv_maxp_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_search_after(spark, sf_dir):
     """Cursor pagination (search_after): page 2 of the BM25 ranking
     via the strictly-after (score, docid) cursor — must equal global
@@ -2006,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_msm": _q_msm_topk,
         "bm25_topk_synonyms": _q_synonym_topk,
         "bm25_topk_page2": _q_search_after,
+        "conv_maxp_topk": _q_conv_maxp,
         "facet_counts": _q_facet_counts,
         "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import scoring
 from .index_build import InvertedIndex
 from .topk import query_terms
 
@@ -133,4 +134,48 @@ def bm25f_topk(
             "rank",
             "score",
         )
+    )
+
+
+def conv_maxp_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Max-passage conversation retrieval — the standard long-document
+    pooling strategy (a thread is relevant if its BEST turn is):
+    conversation score = max over member turns of the turn's ROUND-6
+    BM25 score, rank (score desc, conv_id asc, best docno asc is not
+    needed — the max is per conv), top k.  Ties inside a conversation
+    resolve by the engine's turn ranking (round-6 desc, docid asc), so
+    best_docno is deterministic too.
+
+    -> DataFrame(qid string, conv_id string, best_docno string,
+    rank long, score double).
+
+    Scale shape: the turn ranking is the standard exhaustive path; the
+    pooling is ONE (qid, conv) max over its output — no second scan."""
+    from .topk import exhaustive_topk
+
+    spark = index.flat.sparkSession
+    turns = exhaustive_topk(index, queries, scoring.BM25, k=2_000_000_000)
+    dmap = index.doc_index.select(
+        (F.col("docid") - 1).cast("string").alias("docno"), "conv_id"
+    )
+    j = turns.join(dmap, "docno")
+    w_best = Window.partitionBy("qid", "conv_id").orderBy(
+        F.col("score").desc(), F.col("docno").cast("long").asc()
+    )
+    best = (
+        j.withColumn("brn", F.row_number().over(w_best))
+        .where(F.col("brn") == 1)
+        .select("qid", "conv_id", F.col("docno").alias("best_docno"), "score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("conv_id").asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "conv_id", "best_docno", "rank", "score")
     )

@@ -930,6 +930,8 @@ ORDER BY a.term
         "bm25_topk_synonyms": _synonym_sql(QUERY_SET, SYN_MAP, TOPK_K),
         # cursor pagination: page 2 == global ranks 11..20
         "bm25_topk_page2": _search_after_sql(QUERY_SET, 2, TOPK_K),
+        # max-passage long-document pooling
+        "conv_maxp_topk": _conv_maxp_sql(QUERY_SET, TOPK_K),
         # fuzzy-term retrieval (Levenshtein-1 expansion, fuzzy-OR)
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
@@ -2233,6 +2235,35 @@ ranked AS (
 )
 SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _conv_maxp_sql(queries, k: int) -> str:
+    """operators/bm25f.conv_maxp_topk: max-passage pooling — conv
+    score = max member turn's round-6 BM25, best turn = the engine's
+    turn-order winner (score desc, docid asc), conv rank (score desc,
+    conv_id asc)."""
+    return f"""{_ranked_ctes(queries, "bm25", False)},
+withconv AS (
+    SELECT r.qid, r.docid, r.score, d.conv_id
+    FROM ranked r JOIN docs d ON d.docid = r.docid
+),
+best AS (
+    SELECT qid, conv_id, docid, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid, conv_id ORDER BY score DESC, docid ASC
+        ) AS brn FROM withconv
+    ) WHERE brn = 1
+),
+cr AS (
+    SELECT qid, conv_id, docid, score,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, conv_id ASC
+           ) AS BIGINT) AS rank
+    FROM best
+)
+SELECT qid, conv_id, CAST(docid - 1 AS VARCHAR) AS best_docno, rank, score
+FROM cr WHERE rank <= {k}
 """
 
 

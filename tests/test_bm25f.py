@@ -119,3 +119,43 @@ def test_bm25f_scores_are_not_all_zero(spark, vb_index):
     idx, _ = vb_index
     rows = bm25f_topk(idx, QUERY_SET, k=10).collect()
     assert any(r["score"] > 0 for r in rows)
+
+
+def test_conv_maxp_is_max_over_member_turns(spark, vb_index):
+    """The pooled conv score must equal the max round-6 turn score of
+    its members, and the best_docno must be that turn."""
+    from collections import defaultdict
+
+    from mircv_project_spark.operators import scoring, topk
+    from mircv_project_spark.operators.bm25f import conv_maxp_topk
+
+    idx, _ = vb_index
+    turns = topk.exhaustive_topk(
+        idx, QUERY_SET, scoring.BM25, k=1_000_000
+    ).collect()
+    conv_of = {
+        str(r["docid"] - 1): r["conv_id"] for r in idx.doc_index.collect()
+    }
+    best = {}
+    for r in sorted(turns, key=lambda r: (r["qid"], -r["score"], int(r["docno"]))):
+        key = (r["qid"], conv_of[r["docno"]])
+        if key not in best:
+            best[key] = (r["docno"], r["score"])
+    exp = defaultdict(list)
+    for (qid, conv), (dn, s) in best.items():
+        exp[qid].append((s, conv, dn))
+    expected = {}
+    for qid, rows in exp.items():
+        rows.sort(key=lambda x: (-x[0], x[1]))
+        expected[qid] = [
+            (conv, dn, i + 1, s) for i, (s, conv, dn) in enumerate(rows[:10])
+        ]
+    got = defaultdict(list)
+    for r in sorted(
+        conv_maxp_topk(idx, QUERY_SET, k=10).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    ):
+        got[r["qid"]].append(
+            (r["conv_id"], r["best_docno"], r["rank"], r["score"])
+        )
+    assert dict(got) == expected
