@@ -1714,6 +1714,41 @@ def _pruned_conjunctive(standard: str):
     return run
 
 
+_DELTA_CACHE: dict = {}
+
+
+def _stream_delta(spark, sf_dir) -> str:
+    """Run the two-micro-batch streaming ingestion ONCE per (session,
+    sf_dir); the pinned split conv-000000000032 makes epoch 0 the
+    corpus prefix (shared by lexicon_streaming and the as-of gate)."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.streaming import incremental as S
+
+    key = (id(spark), sf_dir)
+    if key not in _DELTA_CACHE:
+        base = _tmpdir("mircv_stream_gate_")
+        inp, delta, ckpt = f"{base}/in", f"{base}/delta", f"{base}/ckpt"
+        t = filter_indexable(load_transcripts(spark, sf_dir))
+        split = "conv-000000000032"
+        t.where(F.col("conv_id") < split).coalesce(1).write.mode("overwrite").parquet(inp)
+        S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
+        t.where(F.col("conv_id") >= split).coalesce(1).write.mode("append").parquet(inp)
+        S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
+        _DELTA_CACHE[key] = delta
+    return _DELTA_CACHE[key]
+
+
+def _q_lexicon_asof(spark, sf_dir):
+    """Time-travel read of the streaming delta store: the lexicon AS
+    OF epoch 0 must equal the batch lexicon derivation over the pinned
+    first-micro-batch prefix — the epoch partitioning is the snapshot
+    log."""
+    from mircv_project_spark.streaming.incremental import asof_lexicon
+
+    return asof_lexicon(spark, _stream_delta(spark, sf_dir), epoch=0)
+
+
 def _q_lexicon_streaming(spark, sf_dir):
     """Streaming-ingestion path under the oracle gate: the transcripts
     arrive as two Structured-Streaming micro-batches (arrival order ==
@@ -1724,14 +1759,7 @@ def _q_lexicon_streaming(spark, sf_dir):
 
     from mircv_project_spark.streaming import incremental as S
 
-    base = _tmpdir("mircv_stream_gate_")
-    inp, delta, ckpt = f"{base}/in", f"{base}/delta", f"{base}/ckpt"
-    t = filter_indexable(load_transcripts(spark, sf_dir))
-    split = "conv-000000000032"
-    t.where(F.col("conv_id") < split).coalesce(1).write.mode("overwrite").parquet(inp)
-    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
-    t.where(F.col("conv_id") >= split).coalesce(1).write.mode("append").parquet(inp)
-    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
+    delta = _stream_delta(spark, sf_dir)
     idx = S.compact_index(spark, delta, parse=False)
     return idx.lexicon.select(
         "term",
@@ -2057,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "clarity_scores": _q_clarity_scores,
         "lexicon_streaming": _q_lexicon_streaming,
+        "lexicon_asof": _q_lexicon_asof,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,
         # streaming exact dedup: stateful per-fingerprint verdict,

@@ -903,6 +903,57 @@ SELECT a.term, a.df, a.cf,
 FROM lexagg a CROSS JOIN stats s
 ORDER BY a.term
 """,
+        # time-travel read: the lexicon AS OF epoch 0 == the lexicon
+        # over the pinned first-micro-batch prefix (conv_id <
+        # 'conv-000000000032', the same split the streaming gate feeds)
+        "lexicon_asof": f"""WITH transcripts AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           text
+    FROM documents
+),
+docs AS (
+    SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) AS BIGINT) AS docid,
+           conv_id, turn_idx, text
+    FROM transcripts
+    WHERE text IS NOT NULL AND trim(text) <> ''
+      AND conv_id < 'conv-000000000032'
+),
+tokend AS (
+    SELECT docid, {_TOKENS_EXPR.format(col='text')} AS tokens FROM docs
+),
+doclens AS (
+    SELECT docid, CAST(len(tokens) AS BIGINT) AS doc_len FROM tokend
+),
+postings AS (
+    SELECT docid, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+    GROUP BY docid, term
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+    FROM doclens
+),
+lexagg AS (
+    SELECT p.term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(p.tf) AS BIGINT) AS cf,
+           max(p.tf / ((1.5 * (0.3 + (0.7 * (dl.doc_len / s.avgdl)))) + p.tf)) AS mbc,
+           max(1 + log10(p.tf)) AS mtc
+    FROM postings p
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY p.term
+)
+SELECT a.term, a.df, a.cf,
+       round(log10(s.n_docs / a.df), 6) AS idf,
+       round(a.mbc * log10(s.n_docs / a.df), 6) AS bm25_ub,
+       round(a.mtc * log10(s.n_docs / a.df), 6) AS tfidf_ub
+FROM lexagg a CROSS JOIN stats s
+ORDER BY a.term
+""",
         "bm25_topk": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         # metadata-filtered retrieval (candidates restricted to

@@ -291,3 +291,46 @@ def run_turns_per_window(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def asof_lexicon(spark: SparkSession, delta_dir: str, epoch: int) -> DataFrame:
+    """Time-travel read: the lexicon (with corpus stats) AS OF
+    ingestion epoch E — the epoch-partitioned delta layout IS the
+    snapshot log, so reading partitions batch <= E reconstructs
+    exactly the post-epoch-E index state; no snapshot files, no
+    tombstones, O(prefix) work.
+
+    -> (term, df, cf, idf, bm25_ub, tfidf_ub) with idf/UBs computed at
+    the AS-OF n_docs/avgdl (round 6) — the same derivation the batch
+    lexicon gate pins, restricted to the prefix.
+
+    Scale shape: partition pruning on `batch` keeps unread epochs out
+    of the scan entirely; one (term) aggregate over the prefix rows."""
+    from ..operators import scoring
+
+    flat = spark.read.parquet(f"{delta_dir}/flat").where(
+        F.col("batch") <= int(epoch)
+    )
+    di = spark.read.parquet(f"{delta_dir}/doc_index").where(
+        F.col("batch") <= int(epoch)
+    )
+    st = di.agg(F.count("*").alias("n"), F.sum("doc_len").alias("s")).collect()[0]
+    n_docs = int(st["n"])
+    avgdl = int(st["s"] or 0) / max(n_docs, 1)
+
+    coeff = scoring.bm25_coeff_col(F.col("tf"), F.col("doc_len"), avgdl)
+    agg = flat.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max(coeff).alias("mbc"),
+        F.max(scoring.tfidf_coeff_col(F.col("tf"))).alias("mtc"),
+    )
+    idf = scoring.idf_col(F.col("df"), n_docs)
+    return agg.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.round(idf, 6).alias("idf"),
+        F.round(F.col("mbc") * idf, 6).alias("bm25_ub"),
+        F.round(F.col("mtc") * idf, 6).alias("tfidf_ub"),
+    )

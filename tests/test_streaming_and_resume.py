@@ -588,3 +588,41 @@ def test_streaming_range_join_pairs_cross_batches(spark, tmp_path):
     assert got[(1, 0)].lag_us == 10 * us
     assert got[(4, 2)].lag_us == 2980 * us
     assert got[(4, 2)].user_id == 2
+
+
+def test_asof_last_epoch_equals_full_lexicon(spark, tmp_path):
+    """asof_lexicon at the newest epoch must equal the compacted
+    index's lexicon exactly (same derivation, full prefix)."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.operators.index_build import filter_indexable
+    from mircv_project_spark.sources.transcripts import load_transcripts
+    from mircv_project_spark.streaming import incremental as S
+
+    base = str(tmp_path)
+    inp, delta, ckpt = f"{base}/in", f"{base}/delta", f"{base}/ckpt"
+    t = filter_indexable(load_transcripts(spark, "/root/testdata/sf0.001"))
+    split = "conv-000000000032"
+    t.where(F.col("conv_id") < split).coalesce(1).write.mode("overwrite").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
+    t.where(F.col("conv_id") >= split).coalesce(1).write.mode("append").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(300)
+
+    last = (
+        spark.read.parquet(f"{delta}/flat")
+        .agg(F.max("batch"))
+        .collect()[0][0]
+    )
+    asof = {
+        r["term"]: (r["df"], r["cf"], r["idf"], r["bm25_ub"], r["tfidf_ub"])
+        for r in S.asof_lexicon(spark, delta, epoch=int(last)).collect()
+    }
+    idx = S.compact_index(spark, delta, parse=False)
+    full = {
+        r["term"]: (
+            r["df"], r["cf"], round(r["idf"], 6),
+            round(r["bm25_ub"], 6), round(r["tfidf_ub"], 6),
+        )
+        for r in idx.lexicon.collect()
+    }
+    assert asof == full
