@@ -235,6 +235,14 @@ def _tombstoned_store(spark, sf_dir) -> str:
     return store
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis,
+    deterministic md5 coin): top-20 per source by quantized ln(u)/w."""
+    from mircv_project_spark.operators.curation import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir))
+
+
 def _q_msm_topk(spark, sf_dir):
     """Min-should-match retrieval (>= least(2, |query|) in-lexicon
     terms, the Lucene clamp); standard BM25 scoring over qualifiers."""
@@ -2040,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "percolate": _q_percolate,
+        "weighted_sample": _q_weighted_sample,
         "bm25_topk_msm": _q_msm_topk,
         "bm25_topk_synonyms": _q_synonym_topk,
         "bm25_topk_page2": _q_search_after,

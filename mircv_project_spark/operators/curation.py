@@ -630,3 +630,59 @@ def adaptive_quality_filter(
         "domain_p50",
         (F.col("quality") >= F.col("domain_p50")).alias("keep"),
     )
+
+
+WS_SALT = "wsample"
+WS_N = 20
+_WS_SCALE = 1_000_000_000_000.0  # 1e12: ln(u)/w quantization (micro is too coarse for large w)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int = WS_N,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, n per group — the
+    Efraimidis-Spirakis (2006) one-pass reservoir scheme with the
+    repo's deterministic-coin discipline instead of a RNG:
+
+        u(id)  = (hash60('wsample-' || id) + 1) / 2^60   in (0, 1]
+        key    = u^(1/w)  — rank by the monotone ln form ln(u)/w,
+                 quantized to round(1e12 · ln(u)/w) BIGINT (ties id
+                 asc); the top-n keys per group are exactly a
+                 w-weighted sample without replacement.
+
+    Heavier docs draw keys nearer 0 (ln u < 0 shrinks under /w), so
+    selection probability scales with weight — the quality-weighted
+    corpus subsampling step of a training pipeline, reproducible
+    across runs/partitionings because the coin is content-keyed.
+
+    Zero/negative weights are excluded up front (E-S requires w > 0 —
+    pinned, restated in the oracle).
+
+    -> (source, id, w, key_q, rank); rank = (key_q desc, id asc) <= n.
+
+    Scale shape: one map-side key computation + one per-group top-n
+    window (or the partial-k-min pattern at extreme group counts)."""
+    base = docs.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).where(F.col("w") > 0)
+    u = (
+        hash60_col(F.concat(F.lit(WS_SALT + "-"), F.col("id").cast("string")))
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key_q = F.round(F.lit(_WS_SCALE) * F.log(u) / F.col("w")).cast("long")
+    keyed = base.withColumn("key_q", key_q)
+    win = Window.partitionBy("source").orderBy(
+        F.col("key_q").desc(), F.col("id").asc()
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= n)
+        .select("source", "id", "w", "key_q", "rank")
+    )

@@ -976,6 +976,8 @@ ORDER BY a.term
         # reverse search + result-set aggregations
         "percolate": _percolate_sql(QUERY_SET),
         "facet_counts": _facets_sql(QUERY_SET),
+        # Efraimidis-Spirakis weighted sampling (deterministic coin)
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         # query-DSL completeness (params pinned to operators/queryops)
         "bm25_topk_msm": _msm_sql(QUERY_SET, 2, TOPK_K),
         "bm25_topk_synonyms": _synonym_sql(QUERY_SET, SYN_MAP, TOPK_K),
@@ -2212,6 +2214,30 @@ WHERE (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       * (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       > 4.0 * (CAST(st.hh AS DOUBLE) * CAST(st.q AS DOUBLE)
                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+"""
+
+
+_WEIGHTED_SAMPLE_SQL = """WITH base AS (
+    SELECT source, CAST(doc_id AS BIGINT) AS id,
+           CAST(n_chars AS DOUBLE) AS w
+    FROM documents WHERE n_chars > 0
+),
+keyed AS (
+    SELECT source, id, w,
+           CAST(round(1000000000000.0 * ln(
+               (CAST(CAST(('0x' || substr(md5('wsample-' || CAST(id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS DOUBLE) + 1.0)
+               / 1152921504606846976.0
+           ) / w) AS BIGINT) AS key_q
+    FROM base
+),
+ranked AS (
+    SELECT source, id, w, key_q,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY key_q DESC, id ASC
+           ) AS BIGINT) AS rank
+    FROM keyed
+)
+SELECT source, id, w, key_q, rank FROM ranked WHERE rank <= 20
 """
 
 

@@ -436,3 +436,26 @@ def test_adaptive_quality_filter_median_rule(spark):
     mid = sorted((got[i].quality for i in (0, 1, 2)))[1]
     assert got[0].domain_p50 == round(mid, 6)
     assert sum(got[i].keep for i in (0, 1, 2)) == 2
+
+
+def test_weighted_sample_properties(spark):
+    """E-S mechanics: a doc with overwhelming weight always wins its
+    group, zero-weight docs are excluded, and the sample is
+    partitioning-invariant (content-keyed coin)."""
+    from mircv_project_spark.operators.curation import weighted_sample
+
+    rows = [(i, "t", "en", "g", 10) for i in range(50)]
+    rows.append((999, "t", "en", "g", 10_000_000))  # overwhelming weight
+    rows.append((998, "t", "en", "g", 0))           # excluded (w <= 0)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = weighted_sample(docs, n=5).collect()
+    ids = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert len(ids) == 5
+    assert 999 in ids      # ln(u)/1e7 ~ 0 beats every w=10 key
+    assert 998 not in ids  # zero weight excluded
+
+    a = sorted(map(tuple, weighted_sample(docs, n=5).collect()))
+    b = sorted(map(tuple, weighted_sample(docs.repartition(13), n=5).collect()))
+    assert a == b
