@@ -1199,6 +1199,42 @@ def _q_tpch_discounted_revenue(spark, sf_dir):
     )
 
 
+_SPARK_TPCH_Q1 = """WITH base AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity * 100.0) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 1000000.0) AS BIGINT) AS disc_u,
+           CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0)
+                AS BIGINT) AS disc_price_u,
+           CAST(round(((l_extendedprice * (1.0 - l_discount))
+                       * (1.0 + l_tax)) * 1000000.0) AS BIGINT) AS charge_u
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP_NTZ'1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+       CAST(sum(disc_price_u) AS BIGINT) AS sum_disc_price_u,
+       CAST(sum(charge_u) AS BIGINT) AS sum_charge_u,
+       round(sum(qty_c) / (count(*) * 100.0D), 6) AS avg_qty,
+       round(sum(price_c) / (count(*) * 100.0D), 6) AS avg_price,
+       round(sum(disc_u) / (count(*) * 1000000.0D), 6) AS avg_disc
+FROM base
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_tpch_pricing_summary_sql(spark, sf_dir):
+    """The SAME Q1 through the pure spark.sql() surface (temp view +
+    SQL text) — Catalyst compiles both APIs to the same plan, and this
+    entry proves the engine's SQL half against the identical oracle.
+    The NTZ literal comparison stays parquet-pushable exactly like the
+    DataFrame form's to_timestamp_ntz literal."""
+    _tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SPARK_TPCH_Q1)
+
+
 def _q_tpch_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: shipping volume between two pinned nations,
     both directions, per ship year; endpoint filters prune both fact
@@ -2174,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_customer_distribution": _q_tpch_customer_distribution,
         "tpch_large_orders": _q_tpch_large_orders,
         "tpch_discounted_revenue": _q_tpch_discounted_revenue,
+        "tpch_pricing_summary_sql": _q_tpch_pricing_summary_sql,
         "tpch_volume_shipping": _q_tpch_volume_shipping,
         "tpch_market_share": _q_tpch_market_share,
         "tpch_product_profit": _q_tpch_product_profit,

@@ -4578,6 +4578,8 @@ def pipeline_oracles() -> dict[str, str]:
         "tpch_customer_distribution": _TPCH_Q13_SQL,
         "tpch_large_orders": _TPCH_Q18_SQL,
         "tpch_discounted_revenue": _TPCH_Q19_SQL,
+        # the spark.sql() surface runs the SAME Q1 (same oracle)
+        "tpch_pricing_summary_sql": _TPCH_Q1_SQL,
         "tpch_volume_shipping": _TPCH_Q7_SQL,
         "tpch_market_share": _TPCH_Q8_SQL,
         "tpch_product_profit": _TPCH_Q9_SQL,

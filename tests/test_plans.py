@@ -356,3 +356,15 @@ def test_tpch_q22_anti_join_on_pruned_orders(spark):
     plan = checks.plan_text(df)
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_sparksql_q1_pushes_ntz_filter(spark):
+    """The pure spark.sql() surface must push the NTZ cutoff to the
+    scan exactly like the DataFrame form (same Catalyst plan class)."""
+    import __spark_entry__ as E
+
+    df = E._q_tpch_pricing_summary_sql(spark, SF_SMALL)
+    plan = checks.plan_text(df)
+    assert "LessThanOrEqual(l_shipdate" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read
