@@ -2040,6 +2040,15 @@ def _q_turns_per_window(spark, sf_dir):
     )
 
 
+def _q_ranker_comparison(spark, sf_dir):
+    """Paired per-query AP@10 comparison of BM25 vs QLD against the
+    synthetic qrels — the evaluation suite's sign-test row."""
+    from mircv_project_spark.operators.evaluation import ranker_comparison
+
+    idx = _index(spark, sf_dir, parse=False)
+    return ranker_comparison(idx, _docs(spark, sf_dir), oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_pr_curve(spark, sf_dir):
     """trec_eval stage: 11-point interpolated precision-recall of the
     BM25 run against the synthetic qrels; integer recall test."""
@@ -2123,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed_pfor": _q_topk_compressed_pfor,
         "bm25_eval_metrics": _q_eval_metrics,
         "bm25_pr_curve": _q_pr_curve,
+        "ranker_comparison": _q_ranker_comparison,
         # RM3 query expansion — full-oracle (chain restated in SQL)
         "bm25_rm3_topk": _q_rm3_topk,
         "rocchio_topk": _q_rocchio_topk,

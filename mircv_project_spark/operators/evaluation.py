@@ -135,3 +135,35 @@ def pr_curve(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         "level",
         F.round(F.coalesce(F.col("p"), F.lit(0.0)), 6).alias("p_interp"),
     )
+
+
+def ranker_comparison(
+    index, docs: DataFrame, queries: list[tuple[str, str]], k: int = 10
+) -> DataFrame:
+    """Paired per-query comparison of the two scoring families — BM25
+    vs Dirichlet QLD — by AP@k against the synthetic qrels: the sign
+    test's contingency row, computed per query so the verdict is
+    auditable (which queries each model wins, not just the tally).
+
+    winner compares the ROUND-6 APs (exact on both engines); queries
+    with no relevant docs are omitted (trec_eval behavior, same as
+    evaluate_run).  -> (qid, ap_bm25, ap_qld, winner)."""
+    from . import scoring
+    from .qld import qld_topk
+    from .topk import exhaustive_topk
+
+    qrels = synthetic_qrels(docs, queries)
+    eb = evaluate_run(
+        exhaustive_topk(index, queries, scoring.BM25, k=k), qrels, k=k
+    ).select("qid", F.col("ap").alias("ap_bm25"))
+    eq = evaluate_run(qld_topk(index, queries, k=k), qrels, k=k).select(
+        "qid", F.col("ap").alias("ap_qld")
+    )
+    winner = (
+        F.when(F.col("ap_bm25") > F.col("ap_qld"), F.lit("bm25"))
+        .when(F.col("ap_bm25") < F.col("ap_qld"), F.lit("qld"))
+        .otherwise(F.lit("tie"))
+    )
+    return eb.join(eq, "qid").select(
+        "qid", "ap_bm25", "ap_qld", winner.alias("winner")
+    )

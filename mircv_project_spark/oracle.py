@@ -764,6 +764,97 @@ FROM grid g LEFT JOIN qual q ON q.qid = g.qid AND q.level = g.level
 """
 
 
+def _ranker_cmp_sql(queries, k: int, mu: float = 2048.0) -> str:
+    """operators/evaluation.ranker_comparison: per-query AP@k of BM25
+    vs QLD (both rankings and the qrels derivation restated with
+    renamed CTEs), winner by the ROUND-6 APs, no-relevant queries
+    omitted."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+dterm AS (
+    SELECT DISTINCT docid, term
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+),
+qrels AS (
+    SELECT q.qid, d.docid, least(count(*), 3) AS grade
+    FROM (SELECT DISTINCT qid, term FROM qterms) q
+    JOIN dterm d USING (term)
+    GROUP BY 1, 2
+),
+rtot AS (SELECT qid, count(*) AS r_total FROM qrels GROUP BY qid),
+bsc AS (
+    SELECT q.qid, p.docid, sum(q.qtf * ({_BM25})) AS raw
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+),
+brk AS (
+    SELECT qid, docid, row_number() OVER (
+        PARTITION BY qid ORDER BY round(raw, 6) DESC, docid ASC
+    ) AS rank
+    FROM bsc
+),
+qq AS (SELECT qid, CAST(sum(qtf) AS BIGINT) AS q_total FROM qexist GROUP BY qid),
+qsc AS (
+    SELECT q.qid, p.docid,
+           CAST(sum(q.qtf * CAST(round(log10(
+               1 + (CAST(p.tf AS DOUBLE) * s.sum_doc_len)
+                   / ({mu} * CAST(l.cf AS DOUBLE))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS tsum,
+           max(dl.doc_len) AS doc_len
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+),
+qfin AS (
+    SELECT sc.qid, sc.docid,
+           sc.tsum + qq.q_total * CAST(round(log10(
+               {mu} / (sc.doc_len + {mu})
+           ) * 1e6) AS BIGINT) AS micro
+    FROM qsc sc JOIN qq USING (qid)
+),
+qrk AS (
+    SELECT qid, docid, row_number() OVER (
+        PARTITION BY qid ORDER BY micro DESC, docid ASC
+    ) AS rank
+    FROM qfin
+),
+bap AS (
+    SELECT j.qid, round(sum(j.rel * j.cum / j.rank) / t.r_total, 6) AS ap
+    FROM (
+        SELECT r.qid, r.rank,
+               CASE WHEN coalesce(g.grade, 0) > 0 THEN 1 ELSE 0 END AS rel,
+               sum(CASE WHEN coalesce(g.grade, 0) > 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY r.qid ORDER BY r.rank) AS cum
+        FROM brk r LEFT JOIN qrels g ON r.qid = g.qid AND r.docid = g.docid
+        WHERE r.rank <= {k}
+    ) j JOIN rtot t ON t.qid = j.qid
+    GROUP BY j.qid, t.r_total
+),
+qap AS (
+    SELECT j.qid, round(sum(j.rel * j.cum / j.rank) / t.r_total, 6) AS ap
+    FROM (
+        SELECT r.qid, r.rank,
+               CASE WHEN coalesce(g.grade, 0) > 0 THEN 1 ELSE 0 END AS rel,
+               sum(CASE WHEN coalesce(g.grade, 0) > 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY r.qid ORDER BY r.rank) AS cum
+        FROM qrk r LEFT JOIN qrels g ON r.qid = g.qid AND r.docid = g.docid
+        WHERE r.rank <= {k}
+    ) j JOIN rtot t ON t.qid = j.qid
+    GROUP BY j.qid, t.r_total
+)
+SELECT b.qid, b.ap AS ap_bm25, q.ap AS ap_qld,
+       CASE WHEN b.ap > q.ap THEN 'bm25'
+            WHEN b.ap < q.ap THEN 'qld'
+            ELSE 'tie' END AS winner
+FROM bap b JOIN qap q ON q.qid = b.qid
+"""
+
+
 def _rocchio_sql(queries, k: int, fb_docs: int, fb_terms: int) -> str:
     """Rocchio feedback (operators/rocchio.py): integer-scaled
     vector-space expansion — all five pinned stages restated (stage-1
@@ -1038,6 +1129,8 @@ ORDER BY a.term
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
         "bm25_pr_curve": _pr_curve_sql(QUERY_SET, "bm25", TOPK_K),
+        # paired BM25-vs-QLD AP comparison (sign-test contingency row)
+        "ranker_comparison": _ranker_cmp_sql(QUERY_SET, TOPK_K),
     }
     # streaming-ingestion compaction must yield the batch lexicon
     out["lexicon_streaming"] = out["lexicon"]

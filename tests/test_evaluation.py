@@ -49,3 +49,41 @@ def test_pr_curve_unreached_levels_are_zero_and_no_rel_omitted(spark):
     assert {r["qid"] for r in rows} == {"q"}
     assert all(r["p_interp"] == 0.0 for r in rows)
     assert len(rows) == 11
+
+
+def test_ranker_comparison_consistency(spark, vb_index):
+    """The comparison row must restate evaluate_run's APs for both
+    rankers and the winner must follow the round-6 compare."""
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators import scoring, topk
+    from mircv_project_spark.operators.evaluation import (
+        evaluate_run,
+        ranker_comparison,
+        synthetic_qrels,
+    )
+    from mircv_project_spark.operators.qld import qld_topk
+
+    idx, _ = vb_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["qid"]: (r["ap_bm25"], r["ap_qld"], r["winner"])
+        for r in ranker_comparison(idx, docs, oracle.QUERY_SET).collect()
+    }
+    qrels = synthetic_qrels(docs, oracle.QUERY_SET)
+    eb = {
+        r["qid"]: r["ap"]
+        for r in evaluate_run(
+            topk.exhaustive_topk(idx, oracle.QUERY_SET, scoring.BM25, k=10),
+            qrels,
+        ).collect()
+    }
+    eq = {
+        r["qid"]: r["ap"]
+        for r in evaluate_run(
+            qld_topk(idx, oracle.QUERY_SET, k=10), qrels
+        ).collect()
+    }
+    assert set(got) == set(eb) == set(eq)
+    for qid, (ab, aq, w) in got.items():
+        assert ab == eb[qid] and aq == eq[qid]
+        assert w == ("bm25" if ab > aq else "qld" if ab < aq else "tie")
