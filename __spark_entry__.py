@@ -117,6 +117,19 @@ def _filtered_topk_query(standard: str, conjunctive: bool):
     return run
 
 
+def _q_scoped_stats_topk(spark, sf_dir):
+    """Per-VIEW-stats filtered retrieval: df/N/avgdl recomputed over
+    the role='assistant' subset (topk.filtered_topk_scoped_stats) —
+    the contrast to bm25_topk_filtered's corpus-global stats."""
+    idx = _index(spark, sf_dir, parse=False)
+    t = load_transcripts(spark, sf_dir)
+    t = assign_doc_ids(filter_indexable(t), scalable=True)
+    allowed = t.where(F.col("role") == "assistant").select("docid")
+    return topk.filtered_topk_scoped_stats(
+        idx, oracle.QUERY_SET, allowed, scoring.BM25, k=oracle.TOPK_K
+    )
+
+
 def _q_qld_topk(spark, sf_dir):
     """Dirichlet query-likelihood top-k (operators/qld.py) — integer
     micro-log10 quantized aggregate, mu=2048 pinned on both sides."""
@@ -967,6 +980,14 @@ def _q_snippets(spark, sf_dir):
     from mircv_project_spark.operators.snippets import best_snippets
 
     return best_snippets(_docs(spark, sf_dir), oracle.QUERY_SET)
+
+
+def _q_events_cube(spark, sf_dir):
+    """Full OLAP CUBE over (event_type, UTC day) — rollup plus the
+    per-day cross-type subtotals (grouping bitmask lvl=2)."""
+    from mircv_project_spark.operators.events import events_cube
+
+    return events_cube(_events(spark, sf_dir))
 
 
 def _q_events_gapfill(spark, sf_dir):
@@ -2086,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _topk_query(scoring.BM25, False, False),
         "tfidf_topk": _topk_query(scoring.TFIDF, False, False),
         "bm25_topk_filtered": _filtered_topk_query(scoring.BM25, False),
+        "bm25_topk_scoped_stats": _q_scoped_stats_topk,
         "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
         "qld_topk": _q_qld_topk,
         "qld_topk_stored": _q_qld_topk_stored,
@@ -2191,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily resample + gap-fill
         "event_range_join": _q_event_range_join,
         "events_rollup": _q_events_rollup,
+        "events_cube": _q_events_cube,
         "events_sliding_counts": _q_events_sliding_counts,
         "events_gapfill": _q_events_gapfill,
         "event_anomalies": _q_event_anomalies,

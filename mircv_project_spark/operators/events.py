@@ -716,3 +716,26 @@ def item_popularity_decayed(events: DataFrame, k: int = 10) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("item", "n_events", "pop_u", "rank")
     )
+
+
+def events_cube(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """-> (event_type, day, lvl, n_events, total_value): the full OLAP
+    CUBE over (event_type, UTC day index) — everything events_rollup
+    emits PLUS the per-day cross-type subtotals ROLLUP cannot express
+    (grouping bitmask lvl = 2 rows); same day derivation and rounding
+    as the rollup gate."""
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        _day_col(ts_col).alias("day"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return base.cube("event_type", "day").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )

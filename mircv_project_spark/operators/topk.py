@@ -668,3 +668,60 @@ def trec_format(results: DataFrame, standard: str) -> DataFrame:
         "score",
         F.lit(standard.upper()).alias("standard"),
     )
+
+
+def filtered_topk_scoped_stats(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    allowed: DataFrame,
+    standard: str = scoring.BM25,
+    k: int = 10,
+) -> DataFrame:
+    """filtered_topk's OTHER design point: per-VIEW statistics.  Where
+    filtered_topk keeps df/idf/avgdl corpus-global (scores comparable
+    across filters), this recomputes df, N, and avgdl over the allowed
+    subset — the Lucene per-field-stats analog, the right choice when
+    the view IS the collection (e.g. ranking assistant turns as their
+    own corpus).  Terms absent from the subset drop like OOV terms.
+
+    Scale shape: one semi-join prunes the query terms' postings to the
+    subset; the subset df is a tiny per-term count over those pruned
+    postings (bounded by query-term df); stats are one agg over the
+    filtered doc index."""
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    terms = sorted({t for _, t, _ in qt_rows})
+
+    adl = index.doc_index.join(allowed.select("docid"), "docid", "left_semi")
+    st = adl.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n_f = int(st["n"])
+    if n_f == 0:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    avgdl_f = int(st["s"]) / n_f
+
+    fpost = (
+        index.flat.where(F.col("term").isin(terms))
+        .join(allowed.select("docid"), "docid", "left_semi")
+        .persist()
+    )
+    try:
+        fdf = {
+            r["term"]: r["df"]
+            for r in fpost.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+        qt, _ = _resolve_query_terms(spark, qt_rows, fdf)
+        if qt is None:
+            return spark.createDataFrame([], _EMPTY_SCHEMA)
+        matched = fpost.join(F.broadcast(qt), "term")
+        out = _score_and_rank(
+            matched, standard, n_f, avgdl_f, k, False, {}
+        ).localCheckpoint()
+    finally:
+        fpost.unpersist()
+    return out

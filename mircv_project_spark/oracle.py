@@ -309,6 +309,53 @@ ORDER BY qid, rank
 """
 
 
+def _filtered_scoped_sql(queries, k: int) -> str:
+    """operators/topk.filtered_topk_scoped_stats: the per-VIEW-stats
+    design point — df/N/avgdl recomputed over the role='assistant'
+    subset (doc_id % 4 == 1); terms absent from the subset drop."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+allowed AS (
+    SELECT d.docid
+    FROM docs d JOIN transcripts t USING (conv_id, turn_idx)
+    WHERE t.doc_id % 4 = 1
+),
+fstats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl.doc_len) AS DOUBLE) / count(*) AS avgdl
+    FROM allowed a JOIN doclens dl ON dl.docid = a.docid
+),
+fdf AS (
+    SELECT p.term, CAST(count(*) AS BIGINT) AS df
+    FROM postings p JOIN allowed a ON p.docid = a.docid
+    WHERE p.term IN (SELECT term FROM qexist)
+    GROUP BY 1
+),
+fscored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ((p.tf / ((1.5 * (0.3 + (0.7 * (dl.doc_len / s.avgdl))))
+                                 + p.tf))
+                        * log10(s.n_docs / f.df))) AS raw_score
+    FROM qexist q
+    JOIN fdf f ON f.term = q.term
+    JOIN postings p ON p.term = q.term
+    JOIN allowed a ON p.docid = a.docid
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN fstats s
+    GROUP BY q.qid, p.docid
+),
+franked AS (
+    SELECT qid, docid, round(raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, 6) DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM fscored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM franked WHERE rank <= {k}
+"""
+
+
 def _qld_topk_sql(queries, k: int, mu: float = 2048.0) -> str:
     """Dirichlet query-likelihood (operators/qld.py): matched-terms
     rank-equivalent form, per-term weight and doc-length part quantized
@@ -1050,6 +1097,8 @@ ORDER BY a.term
         # metadata-filtered retrieval (candidates restricted to
         # role='assistant'; corpus-global stats — see _filtered_topk_sql)
         "bm25_topk_filtered": _filtered_topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        # the per-view-stats design point (df/N/avgdl over the subset)
+        "bm25_topk_scoped_stats": _filtered_scoped_sql(QUERY_SET, TOPK_K),
         "bm25_filtered_conjunctive": _filtered_topk_sql(
             CONJ_QUERY_SET, "bm25", True, TOPK_K
         ),
@@ -4417,6 +4466,19 @@ FROM l JOIN r ON r.user_id = l.user_id
 # OLAP ROLLUP over (event_type, UTC day index); lvl = grouping bitmask
 # (Spark grouping_id == DuckDB GROUPING(a, b), first arg most
 # significant — verified 0/1/3 on both engines)
+_EVENTS_CUBE_SQL = """WITH e AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+)
+SELECT event_type, day,
+       CAST(grouping(event_type, day) AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM e GROUP BY CUBE(event_type, day)
+"""
+
 _EVENTS_ROLLUP_SQL = """WITH e AS (
     SELECT event_type,
            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
@@ -4805,6 +4867,8 @@ ORDER BY source, term
         # inner joins emit on arrival, watermarks only bound state
         "streaming_range_join": _EVENT_RANGE_JOIN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
+        # full CUBE (adds the per-day cross-type subtotals, lvl=2)
+        "events_cube": _EVENTS_CUBE_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,
         # deterministic shuffled shard export + train/val/test split
         "export_shards": _EXPORT_SHARDS_SQL,

@@ -82,3 +82,40 @@ def test_search_after_pages_tile_the_global_ranking(spark, vb_index):
     assert tiled == full
     deep = search_after_topk(idx, QUERY_SET, page=1000, k=10).collect()
     assert deep == []
+
+
+def test_scoped_stats_differ_from_global_stats(spark, vb_index):
+    """The per-view-stats variant must genuinely re-rank or re-score
+    relative to corpus-global filtered retrieval (else the gate pair
+    tests one thing twice)."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.operators.index_build import filter_indexable
+    from mircv_project_spark.sources.transcripts import (
+        assign_doc_ids,
+        load_transcripts,
+    )
+
+    idx, _ = vb_index
+    t = assign_doc_ids(
+        filter_indexable(load_transcripts(spark, "/root/testdata/sf0.001")),
+        scalable=True,
+    )
+    allowed = t.where(F.col("role") == "assistant").select("docid")
+    glob = {
+        (r["qid"], r["docno"]): r["score"]
+        for r in topk.filtered_topk(
+            idx, QUERY_SET, allowed, scoring.BM25, k=10
+        ).collect()
+    }
+    scoped = {
+        (r["qid"], r["docno"]): r["score"]
+        for r in topk.filtered_topk_scoped_stats(
+            idx, QUERY_SET, allowed, scoring.BM25, k=10
+        ).collect()
+    }
+    assert scoped and glob
+    assert scoped != glob
+    # both rank only allowed docs (docno % 4 == 1 is the role law)
+    for _, dn in list(scoped) + list(glob):
+        assert int(dn) % 4 == 1
