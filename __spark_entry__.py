@@ -130,6 +130,15 @@ def _q_scoped_stats_topk(spark, sf_dir):
     )
 
 
+def _q_suffix_topk(spark, sf_dir):
+    """Leading-wildcard (*suffix) retrieval via the reversed-term
+    per-length equi-join (fuzzy.suffix_topk)."""
+    from mircv_project_spark.operators.fuzzy import suffix_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return suffix_topk(idx, oracle.SUFFIX_QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_qld_topk(spark, sf_dir):
     """Dirichlet query-likelihood top-k (operators/qld.py) — integer
     micro-log10 quantized aggregate, mu=2048 pinned on both sides."""
@@ -2124,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
+        "bm25_topk_suffix": _q_suffix_topk,
         "bm25_topk_boolean": _q_boolean_topk,
         "ltr_features": _q_ltr_features,
         "training_triplets": _q_training_triplets,

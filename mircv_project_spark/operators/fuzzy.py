@@ -118,3 +118,48 @@ def prefix_topk(
     return _score_and_rank(
         matched, standard, index.n_docs, index.avgdl, k, False, {}
     )
+
+
+def suffix_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+) -> DataFrame:
+    """Leading-wildcard (*suffix) retrieval — the classic reversed-term
+    trick: a suffix match on term == a prefix match on reverse(term),
+    so the expansion is the SAME per-length substring equi-join as
+    prefix_topk over a reversed-term key (Lucene's
+    ReversedWildcardFilter).  Every matching term contributes once
+    (wildcard-OR, qtf=1); each query is ONE suffix string.
+
+    Scale shape: identical to prefix_topk — the reversed key is a
+    map-side expression on the driver-small lexicon scan, suffixes
+    broadcast, downstream is the shared exhaustive tail.  A production
+    store would persist reverse(term) as an indexed column; computing
+    it per query batch reads only lexicon rows."""
+    spark = index.flat.sparkSession
+    pairs = [(qid, s) for qid, s in queries if s]
+    if not pairs:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    by_len: dict[int, list[tuple[str, str]]] = {}
+    for qid, s in pairs:
+        by_len.setdefault(len(s), []).append((qid, s[::-1]))
+
+    expanded = None
+    for length, group in sorted(by_len.items()):
+        sdf = spark.createDataFrame(group, "qid string, rsuf string")
+        keyed = index.lexicon.select(
+            "term",
+            "df",
+            F.substring(F.reverse(F.col("term")), 1, length).alias("rsuf"),
+        )
+        part = keyed.join(F.broadcast(sdf), "rsuf").select(
+            "qid", F.lit(1).alias("qtf"), "term", "df"
+        )
+        expanded = part if expanded is None else expanded.unionByName(part)
+
+    matched = index.flat.join(F.broadcast(expanded), "term")
+    return _score_and_rank(
+        matched, standard, index.n_docs, index.avgdl, k, False, {}
+    )

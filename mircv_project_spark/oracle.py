@@ -121,6 +121,16 @@ BOOLEAN_QUERY_SET: list[tuple[str, str]] = [
 # wildcard (prefix*) retrieval queries (operators/fuzzy.prefix_topk) —
 # mixed prefix lengths (the operator branches per distinct length), a
 # high-fanout single char, and a no-match prefix
+# leading-wildcard (*suffix) retrieval queries (fuzzy.suffix_topk) —
+# mixed lengths, a high-fanout single char, and a no-match suffix
+SUFFIX_QUERY_SET: list[tuple[str, str]] = [
+    ("x01", "er"),
+    ("x02", "ow"),
+    ("x03", "ch"),
+    ("x04", "n"),
+    ("x05", "zz"),
+]
+
 PREFIX_QUERY_SET: list[tuple[str, str]] = [
     ("w01", "sp"),
     ("w02", "que"),
@@ -514,6 +524,43 @@ pq AS (SELECT * FROM (VALUES {rows}) v(qid, prefix)),
 fexp AS (
     SELECT q.qid, l.term, l.df
     FROM pq q JOIN lexicon l ON starts_with(l.term, q.prefix)
+),
+scored AS (
+    SELECT f.qid, p.docid,
+           sum({expr}) AS raw_score
+    FROM fexp f
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY f.qid, p.docid
+),
+ranked AS (
+    SELECT sc.qid, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def _suffix_topk_sql(queries, standard: str, k: int) -> str:
+    """Leading-wildcard (*suffix) retrieval (operators/fuzzy.
+    suffix_topk): every lexicon term ENDING with the suffix
+    contributes once (qtf=1).  The oracle states the direct ends_with
+    join; the engine's reversed-term per-length equi-join is trivially
+    equivalent (substr(reverse(t), 1, len(s)) == reverse(s))."""
+    expr = (_BM25 if standard == "bm25" else _TFIDF).replace("q.df", "f.df")
+    rows = ", ".join(f"('{qid}', '{p}')" for qid, p in queries)
+    return f"""{_PREFIX},
+sq AS (SELECT * FROM (VALUES {rows}) v(qid, suf)),
+fexp AS (
+    SELECT q.qid, l.term, l.df
+    FROM sq q JOIN lexicon l ON ends_with(l.term, q.suf)
 ),
 scored AS (
     SELECT f.qid, p.docid,
@@ -1129,6 +1176,7 @@ ORDER BY a.term
         "bm25_topk_fuzzy": _fuzzy_topk_sql(FUZZY_QUERY_SET, "bm25", TOPK_K),
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
         "bm25_topk_prefix": _prefix_topk_sql(PREFIX_QUERY_SET, "bm25", TOPK_K),
+        "bm25_topk_suffix": _suffix_topk_sql(SUFFIX_QUERY_SET, "bm25", TOPK_K),
         # boolean +must/-not/should syntax
         "bm25_topk_boolean": _boolean_topk_sql(BOOLEAN_QUERY_SET, "bm25", TOPK_K),
         # LTR feature export over BM25 top-20 candidates

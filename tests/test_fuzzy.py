@@ -133,3 +133,42 @@ def test_store_view_serves_expansion_paths(spark, vb_index, tmp_path):
     assert rows(fuzzy_topk(fview, oracle.FUZZY_QUERY_SET, k=10)) == rows(
         fuzzy_topk(idx, oracle.FUZZY_QUERY_SET, k=10)
     )
+
+
+def test_suffix_equals_manual_endswith_expansion(spark, vb_index):
+    """The reversed-term equi-join must equal a manual ends-with
+    expansion fed through the same wildcard-OR scorer."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.operators import scoring
+    from mircv_project_spark.operators.fuzzy import suffix_topk
+    from mircv_project_spark.operators.topk import _score_and_rank
+
+    idx, _ = vb_index
+    qs = [("x1", "er"), ("x2", "ow"), ("x3", "zz")]
+    got = sorted(
+        map(tuple, suffix_topk(idx, qs, k=10).collect())
+    )
+    spark_ = idx.flat.sparkSession
+    exp = None
+    for qid, suf in qs:
+        terms = [
+            r["term"]
+            for r in idx.lexicon.where(F.col("term").endswith(suf)).collect()
+        ]
+        if not terms:
+            continue
+        part = idx.lexicon.where(F.col("term").isin(terms)).select(
+            F.lit(qid).alias("qid"), F.lit(1).alias("qtf"), "term", "df"
+        )
+        exp = part if exp is None else exp.unionByName(part)
+    matched = idx.flat.join(F.broadcast(exp), "term")
+    want = sorted(
+        map(
+            tuple,
+            _score_and_rank(
+                matched, scoring.BM25, idx.n_docs, idx.avgdl, 10, False, {}
+            ).collect(),
+        )
+    )
+    assert got == want and got
