@@ -130,6 +130,23 @@ def _q_scoped_stats_topk(spark, sf_dir):
     )
 
 
+def _q_recency_topk(spark, sf_dir):
+    """Recency-boosted BM25 (queryops.recency_topk): multiplicative
+    2^(-age/1024s) decay quantized to micro per doc before the
+    product."""
+    from mircv_project_spark.operators.queryops import recency_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    t = assign_doc_ids(filter_indexable(load_transcripts(spark, sf_dir)), scalable=True)
+    doc_ts = t.select(
+        "docid",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("ts_s"),
+    )
+    return recency_topk(idx, doc_ts, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_suffix_topk(spark, sf_dir):
     """Leading-wildcard (*suffix) retrieval via the reversed-term
     per-length equi-join (fuzzy.suffix_topk)."""
@@ -2134,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_suffix": _q_suffix_topk,
+        "bm25_topk_recency": _q_recency_topk,
         "bm25_topk_boolean": _q_boolean_topk,
         "ltr_features": _q_ltr_features,
         "training_triplets": _q_training_triplets,

@@ -262,3 +262,61 @@ def search_after_topk(
     finally:
         scored.unpersist()
     return out
+
+
+RECENCY_HL_S = 1024  # half-life in seconds
+
+
+def recency_topk(
+    index: InvertedIndex,
+    doc_ts: DataFrame,
+    queries: list[tuple[str, str]],
+    half_life_s: int = RECENCY_HL_S,
+    k: int = 10,
+) -> DataFrame:
+    """Recency-boosted retrieval — prefer fresh turns: boosted score =
+    round(score6 · decay_u / 1e6, 6) where
+
+        decay_u = round(1e6 · 2^(−age_s / half_life_s)) as BIGINT,
+        age_s   = max corpus ts_s − doc ts_s  (exact integer seconds).
+
+    The multiplicative-decay shape every time-aware ranker uses; the
+    decay factor quantizes to integer micro units per doc BEFORE the
+    product (the item_popularity discipline), so the only float steps
+    are one pow per doc and one product+round per result — identical
+    on both engines.  Rank (boosted desc, docid asc), top k.
+
+    ``doc_ts``: (docid, ts_s long) — the doc-attribute side table
+    (at scale co-bucketed with doc_index on docid)."""
+    from .topk import exhaustive_topk
+
+    spark = index.flat.sparkSession
+    base = exhaustive_topk(index, queries, scoring.BM25, k=2_000_000_000)
+    mx = doc_ts.agg(F.max("ts_s")).collect()[0][0]
+    decay_u = F.round(
+        F.lit(1_000_000.0)
+        * F.pow(
+            F.lit(2.0),
+            -(F.lit(int(mx)) - F.col("ts_s")).cast("double")
+            / F.lit(float(half_life_s)),
+        )
+    ).cast("long")
+    ts = doc_ts.select(
+        (F.col("docid") - 1).cast("string").alias("docno"),
+        decay_u.alias("decay_u"),
+    )
+    boosted = base.join(ts, "docno").select(
+        "qid",
+        "docno",
+        F.round(
+            F.col("score") * F.col("decay_u").cast("double") / F.lit(1e6), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docno").cast("long").asc()
+    )
+    return (
+        boosted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "docno", "rank", "score")
+    )

@@ -548,6 +548,42 @@ ORDER BY qid, rank
 """
 
 
+def _recency_topk_sql(queries, half_life_s: int, k: int) -> str:
+    """operators/queryops.recency_topk: boosted = round(score6 ·
+    decay_u / 1e6, 6), decay_u = round(1e6 · 2^(−age_s/HL)) BIGINT,
+    age over the transcripts ts law (ts_s = 1704067200 + doc_id — the
+    conversation_stats pin), max over INDEXED docs; re-rank (boosted
+    desc, docid asc)."""
+    return f"""{_ranked_ctes(queries, "bm25", False)},
+dts AS (
+    SELECT d.docid, CAST(1704067200 + t.doc_id AS BIGINT) AS ts_s
+    FROM docs d JOIN transcripts t USING (conv_id, turn_idx)
+),
+mx AS (SELECT max(ts_s) AS m FROM dts),
+dec AS (
+    SELECT docid,
+           CAST(round(1000000.0 * power(2.0,
+               -CAST(m - ts_s AS DOUBLE) / {float(half_life_s)}
+           )) AS BIGINT) AS decay_u
+    FROM dts CROSS JOIN mx
+),
+boosted AS (
+    SELECT r.qid, r.docid,
+           round(r.score * CAST(d.decay_u AS DOUBLE) / 1000000.0, 6) AS score
+    FROM ranked r JOIN dec d ON d.docid = r.docid
+),
+rr AS (
+    SELECT qid, docid, score,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM boosted
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM rr WHERE rank <= {k}
+"""
+
+
 def _suffix_topk_sql(queries, standard: str, k: int) -> str:
     """Leading-wildcard (*suffix) retrieval (operators/fuzzy.
     suffix_topk): every lexicon term ENDING with the suffix
@@ -1177,6 +1213,8 @@ ORDER BY a.term
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
         "bm25_topk_prefix": _prefix_topk_sql(PREFIX_QUERY_SET, "bm25", TOPK_K),
         "bm25_topk_suffix": _suffix_topk_sql(SUFFIX_QUERY_SET, "bm25", TOPK_K),
+        # recency-boosted ranking (half-life 1024 s, micro decay)
+        "bm25_topk_recency": _recency_topk_sql(QUERY_SET, 1024, TOPK_K),
         # boolean +must/-not/should syntax
         "bm25_topk_boolean": _boolean_topk_sql(BOOLEAN_QUERY_SET, "bm25", TOPK_K),
         # LTR feature export over BM25 top-20 candidates

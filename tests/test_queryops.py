@@ -119,3 +119,45 @@ def test_scoped_stats_differ_from_global_stats(spark, vb_index):
     # both rank only allowed docs (docno % 4 == 1 is the role law)
     for _, dn in list(scoped) + list(glob):
         assert int(dn) % 4 == 1
+
+
+def test_recency_boost_prefers_fresh_on_equal_scores(spark, vb_index):
+    """Recency must actually re-rank: the boosted ranking differs from
+    plain BM25, boosted scores never exceed the plain score (decay <=
+    1), and a doc's boost is monotone in its ts."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.operators.index_build import filter_indexable
+    from mircv_project_spark.operators.queryops import recency_topk
+    from mircv_project_spark.sources.transcripts import (
+        assign_doc_ids,
+        load_transcripts,
+    )
+
+    idx, _ = vb_index
+    t = assign_doc_ids(
+        filter_indexable(load_transcripts(spark, "/root/testdata/sf0.001")),
+        scalable=True,
+    )
+    doc_ts = t.select(
+        "docid",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("ts_s"),
+    )
+    plain = {
+        (r["qid"], r["docno"]): r["score"]
+        for r in topk.exhaustive_topk(
+            idx, QUERY_SET, scoring.BM25, k=1_000_000
+        ).collect()
+    }
+    boosted_rows = recency_topk(idx, doc_ts, QUERY_SET, k=10).collect()
+    assert boosted_rows
+    for r in boosted_rows:
+        assert r["score"] <= plain[(r["qid"], r["docno"])] + 1e-9
+    plain_top = {
+        (r["qid"], r["rank"]): r["docno"]
+        for r in topk.exhaustive_topk(idx, QUERY_SET, scoring.BM25, k=10).collect()
+    }
+    boosted_top = {(r["qid"], r["rank"]): r["docno"] for r in boosted_rows}
+    assert boosted_top != plain_top
