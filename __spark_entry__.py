@@ -63,6 +63,39 @@ def _q_doc_index(spark, sf_dir):
     )
 
 
+def _q_index_stats(spark, sf_dir):
+    """Index observability report: one row of build-level integers
+    (doc/term/posting/occurrence counts, max df, length extremes) —
+    the health numbers an operator dashboards after every build."""
+    idx = _index(spark, sf_dir, parse=False)
+    flat_agg = idx.flat.agg(
+        F.count("*").alias("n_postings"),
+        F.sum("tf").alias("n_occurrences"),
+    ).collect()[0]
+    lex_agg = idx.lexicon.agg(
+        F.count("*").alias("n_terms"), F.max("df").alias("max_df")
+    ).collect()[0]
+    dl = idx.doc_index.agg(
+        F.min("doc_len").alias("min_dl"), F.max("doc_len").alias("max_dl")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(idx.n_docs),
+                int(idx.sum_doc_len),
+                int(lex_agg["n_terms"]),
+                int(lex_agg["max_df"]),
+                int(flat_agg["n_postings"]),
+                int(flat_agg["n_occurrences"]),
+                int(dl["min_dl"]),
+                int(dl["max_dl"]),
+            )
+        ],
+        "n_docs long, sum_doc_len long, n_terms long, max_df long,"
+        " n_postings long, n_occurrences long, min_dl long, max_dl long",
+    )
+
+
 def _q_collection_stats(spark, sf_dir):
     idx = _index(spark, sf_dir, parse=False)
     n_terms = idx.lexicon.count()
@@ -2129,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- IR engine (reference parity) ---
         "doc_index": _q_doc_index,
         "collection_stats": _q_collection_stats,
+        "index_stats": _q_index_stats,
         "lexicon": _q_lexicon,
         "bm25_topk": _topk_query(scoring.BM25, False, False),
         "tfidf_topk": _topk_query(scoring.TFIDF, False, False),

@@ -1175,6 +1175,17 @@ SELECT a.term, a.df, a.cf,
 FROM lexagg a CROSS JOIN stats s
 ORDER BY a.term
 """,
+        # build-level observability integers (all exact counts)
+        "index_stats": f"""{_PREFIX}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
+       (SELECT CAST(sum(doc_len) AS BIGINT) FROM doclens) AS sum_doc_len,
+       (SELECT CAST(count(*) AS BIGINT) FROM lexicon) AS n_terms,
+       (SELECT CAST(max(df) AS BIGINT) FROM lexicon) AS max_df,
+       (SELECT CAST(count(*) AS BIGINT) FROM postings) AS n_postings,
+       (SELECT CAST(sum(tf) AS BIGINT) FROM postings) AS n_occurrences,
+       (SELECT CAST(min(doc_len) AS BIGINT) FROM doclens) AS min_dl,
+       (SELECT CAST(max(doc_len) AS BIGINT) FROM doclens) AS max_dl
+""",
         "bm25_topk": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         # metadata-filtered retrieval (candidates restricted to
