@@ -179,9 +179,8 @@ def search_after_topk(
     empty = "qid string, docno string, rank long, score double"
     if page < 1:
         raise ValueError("page >= 1")
-    full = exhaustive_topk(index, queries, scoring.BM25, k=k)
     if page == 1:
-        return full
+        return exhaustive_topk(index, queries, scoring.BM25, k=k)
     # walk pages via the cursor — each step filters strictly-after
     qt_rows = query_terms(queries, index.parse)
     if not qt_rows:
