@@ -368,3 +368,29 @@ def test_sparksql_q1_pushes_ntz_filter(spark):
     assert "LessThanOrEqual(l_shipdate" in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "l_orderkey" not in read
+
+
+def test_session_ops_plans_have_no_nested_loops(spark, vb_index):
+    """The session's join-heavy operators must all compile to hash
+    joins (broadcast or shuffled) — a BroadcastNestedLoopJoin or
+    CartesianProduct anywhere is a scale regression."""
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators.bm25f import bm25f_topk
+    from mircv_project_spark.operators.facets import facet_counts
+    from mircv_project_spark.operators.mlt import more_like_this
+    from mircv_project_spark.operators.percolate import percolate
+    from mircv_project_spark.operators.substring import substring_topk
+
+    idx, _ = vb_index
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    frames = {
+        "substring": substring_topk(docs, oracle.SUBSTR_SET[:2]),
+        "mlt": more_like_this(idx, oracle.MLT_PROBE_DOCNOS[:2]),
+        "bm25f": bm25f_topk(idx, oracle.QUERY_SET[:2]),
+        "percolate": percolate(docs, oracle.QUERY_SET[:2]),
+        "facets": facet_counts(docs, oracle.QUERY_SET[:2]),
+    }
+    for name, df in frames.items():
+        plan = checks.plan_text(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
