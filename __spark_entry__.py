@@ -1538,6 +1538,18 @@ def _q_lsh_cosine_topk_exact(spark, sf_dir):
     )
 
 
+def _q_ppm_resize(spark, sf_dir):
+    """REAL resize kernel under the oracle gate: stride-2 nearest-
+    neighbor downsample of the synthesized P6 images, exact integer
+    channel sums of the 8x8 result; sf_dir unused (synthetic media)."""
+    from mircv_project_spark.operators.multimodal import (
+        generate_ppm_media,
+        ppm_resize_stats,
+    )
+
+    return ppm_resize_stats(generate_ppm_media(spark, 64), factor=2)
+
+
 def _q_ppm_image_features(spark, sf_dir):
     """REAL (dependency-free) image decode under the oracle gate: a
     pure-Catalyst P6 writer synthesizes genuine binary-PPM images, the
@@ -2337,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": _q_training_corpus,
         # real binary image decode (P6) through mapInPandas, hash-gated
         "ppm_image_features": _q_ppm_image_features,
+        "ppm_resize": _q_ppm_resize,
         "wav_audio_features": _q_wav_audio_features,
         "y4m_frame_stats": _q_y4m_frame_stats,
         # bigram-LM quality filter + DSIR-style data selection

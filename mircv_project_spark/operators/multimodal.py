@@ -463,3 +463,77 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 16384) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)
+
+
+def ppm_resize_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL resize kernel (the brief's decode/extract/RESIZE/sample
+    list): nearest-neighbor downsample every binary-PPM payload by
+    `factor` — output pixel (y, x) = input pixel (factor·y, factor·x) —
+    re-encoded as a VALID P6 payload inside the kernel (pytest
+    round-trips it through the feature parser), with the gate hashing
+    the EXACT integer channel sums of the resized raster.
+
+    -> (media_id, out_w, out_h, sum_r, sum_g, sum_b): all integers —
+    the oracle restates the md5 byte stream and the stride-grid pixel
+    selection, so an off-by-one in the stride, a channel swap, or a
+    header-offset bug breaks the hash.
+
+    Scale shape: one Arrow-batched mapInPandas pass, ~1/factor² output
+    bytes per image; the binary column never leaves the executor."""
+    import pandas as pd
+
+    fac = int(factor)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"P6":
+                    raise ValueError("not a binary PPM (P6) payload")
+                fields: list[int] = []
+                i = 2
+                while len(fields) < 3:
+                    while i < len(b) and b[i : i + 1].isspace():
+                        i += 1
+                    if b[i : i + 1] == b"#":
+                        while i < len(b) and b[i : i + 1] != b"\n":
+                            i += 1
+                        continue
+                    j = i
+                    while j < len(b) and not b[j : j + 1].isspace():
+                        j += 1
+                    fields.append(int(b[i:j]))
+                    i = j
+                i += 1
+                w, h, maxval = fields
+                raster = np.frombuffer(
+                    b, dtype=np.uint8, count=w * h * 3, offset=i
+                ).reshape(h, w, 3)
+                small = raster[::fac, ::fac, :]
+                oh, ow = small.shape[0], small.shape[1]
+                sums = small.astype(np.int64).sum(axis=(0, 1))
+                out.append(
+                    (
+                        int(mid),
+                        int(ow),
+                        int(oh),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b"
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, out_w long, out_h long,"
+            " sum_r long, sum_g long, sum_b long"
+        ),
+    )

@@ -3534,6 +3534,32 @@ ORDER BY media_id, strip
 """
 
 
+_PPM_RESIZE_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, r.range AS r,
+           md5('ppm-' || ids.range || '-42-' || r.range) AS hx
+    FROM range({N_PPM_MEDIA}) ids CROSS JOIN range(48) r
+),
+bytes AS (
+    SELECT id, (r * 16 + b.range) AS pos,
+           16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * b.range + 1 AS INTEGER), 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, CAST(2 * b.range + 2 AS INTEGER), 1)) - 1)
+           AS val
+    FROM chunks CROSS JOIN range(16) b
+),
+kept AS (
+    SELECT id, pos % 3 AS chan, val
+    FROM bytes
+    WHERE ((pos // 3) // 16) % 2 = 0 AND ((pos // 3) % 16) % 2 = 0
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+       CAST(sum(CASE WHEN chan = 0 THEN val ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN chan = 1 THEN val ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN chan = 2 THEN val ELSE 0 END) AS BIGINT) AS sum_b
+FROM kept GROUP BY id
+"""
+
+
 # Real audio-decode gate: restate generate_wav_media's md5 PCM stream
 # (64 chunks of 16 bytes keyed 'wav-<id>-<seed>-<chunk>' = 512 s16le
 # mono samples) and recompute each 8th-strip SIGNED sample sum from the
@@ -4872,6 +4898,10 @@ def pipeline_oracles() -> dict[str, str]:
         # real binary decode (PPM P6) through mapInPandas vs the md5
         # byte stream restated in SQL
         "ppm_image_features": _PPM_FEATURES_SQL,
+        # real resize kernel: stride-2 nearest-neighbor grid, exact
+        # integer channel sums (16x16 -> 8x8; pixel = pos//3,
+        # row = pixel//16, col = pixel%16, chan = pos%3)
+        "ppm_resize": _PPM_RESIZE_SQL,
         "wav_audio_features": _WAV_FEATURES_SQL,
         "y4m_frame_stats": _Y4M_STATS_SQL,
         # bigram-LM quality/selection scores — exact integer micro-log10

@@ -256,3 +256,26 @@ def test_sample_frames(spark):
     for r in rows:
         per.setdefault(r.media_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
+
+
+def test_ppm_resize_halves_dims_and_picks_stride_grid(spark):
+    """The resized sums must equal a numpy re-derivation from the raw
+    payload, and dims must halve (16x16 -> 8x8)."""
+    import numpy as np
+
+    from mircv_project_spark.operators.multimodal import (
+        generate_ppm_media,
+        ppm_resize_stats,
+    )
+
+    media = generate_ppm_media(spark, 6)
+    got = {
+        r["media_id"]: (r["out_w"], r["out_h"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in ppm_resize_stats(media, factor=2).collect()
+    }
+    for r in media.collect():
+        b = bytes(r["payload"])
+        raster = np.frombuffer(b, dtype=np.uint8, count=16 * 16 * 3, offset=13).reshape(16, 16, 3)
+        small = raster[::2, ::2, :].astype(np.int64)
+        s = small.sum(axis=(0, 1))
+        assert got[r["media_id"]] == (8, 8, int(s[0]), int(s[1]), int(s[2]))
