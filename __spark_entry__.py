@@ -1617,6 +1617,30 @@ def _q_wav_audio_features(spark, sf_dir):
     )
 
 
+def _q_y4m_frame_sample(spark, sf_dir):
+    """REAL frame-sampling under the oracle gate: every 2nd frame's
+    plane stats (same sum mapping as y4m_frame_stats); the oracle is
+    the frame-stats SQL restricted to even frame indices."""
+    from mircv_project_spark.operators.multimodal import (
+        Y4M_H,
+        Y4M_W,
+        generate_y4m_media,
+        y4m_frame_sample,
+    )
+
+    media = generate_y4m_media(spark, oracle.N_Y4M_MEDIA, seed=42)
+    stats = y4m_frame_sample(media, stride=2)
+    plane = float(Y4M_W * Y4M_H * 255)
+    return stats.select(
+        "media_id",
+        "frame_idx",
+        *[
+            F.round(F.col(c).cast("double") * F.lit(plane)).cast("long").alias(a)
+            for c, a in (("y_mean", "y_sum"), ("u_mean", "u_sum"), ("v_mean", "v_sum"))
+        ],
+    )
+
+
 def _q_y4m_frame_stats(spark, sf_dir):
     """REAL (dependency-free) VIDEO decode under the oracle gate: a
     pure-Catalyst YUV4MPEG2 writer synthesizes genuine C444 streams, the
@@ -2352,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_resize": _q_ppm_resize,
         "wav_audio_features": _q_wav_audio_features,
         "y4m_frame_stats": _q_y4m_frame_stats,
+        "y4m_frame_sample": _q_y4m_frame_sample,
         # bigram-LM quality filter + DSIR-style data selection
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "lm_importance": _q_lm_importance,

@@ -537,3 +537,37 @@ def ppm_resize_stats(media: DataFrame, factor: int = 2) -> DataFrame:
             " sum_r long, sum_g long, sum_b long"
         ),
     )
+
+
+def y4m_frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame-sampling kernel (the brief's decode/extract/resize/
+    FRAME-SAMPLE list): emit stats for every `stride`-th frame only
+    (frame_idx % stride == 0) — the keyframe-thinning step a video
+    pipeline runs before feature extraction.  Same per-plane means as
+    y4m_frame_stats; the parse walks the stream (Y4M has no frame
+    index; a seekable container would skip I/O, this skips compute and
+    output volume).
+    -> (media_id, frame_idx, y_mean, u_mean, v_mean)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ym, um, vm = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, _, frames = _parse_y4m(bytes(payload))
+                for i, (y, u, v) in enumerate(frames):
+                    if i % stride:
+                        continue
+                    ids.append(mid)
+                    idxs.append(i)
+                    ym.append(np.float32(y.mean() / 255.0))
+                    um.append(np.float32(u.mean() / 255.0))
+                    vm.append(np.float32(v.mean() / 255.0))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "y_mean": pd.Series(ym, dtype="float32"),
+                 "u_mean": pd.Series(um, dtype="float32"),
+                 "v_mean": pd.Series(vm, dtype="float32")}
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(run, Y4M_STATS_SCHEMA)

@@ -4904,6 +4904,11 @@ def pipeline_oracles() -> dict[str, str]:
         "ppm_resize": _PPM_RESIZE_SQL,
         "wav_audio_features": _WAV_FEATURES_SQL,
         "y4m_frame_stats": _Y4M_STATS_SQL,
+        # frame sampling: the SAME stats restricted to even frames
+        "y4m_frame_sample": _Y4M_STATS_SQL.replace(
+            "GROUP BY id, pos // 192",
+            "GROUP BY id, pos // 192 HAVING (pos // 192) % 2 = 0"
+        ),
         # bigram-LM quality/selection scores — exact integer micro-log10
         # sums on both sides (order-independent across engines)
         "bigram_lm_ppl": _BIGRAM_LM_PPL_SQL,

@@ -279,3 +279,25 @@ def test_ppm_resize_halves_dims_and_picks_stride_grid(spark):
         small = raster[::2, ::2, :].astype(np.int64)
         s = small.sum(axis=(0, 1))
         assert got[r["media_id"]] == (8, 8, int(s[0]), int(s[1]), int(s[2]))
+
+
+def test_y4m_frame_sample_is_strided_subset(spark):
+    """Sampled rows must be exactly the even-index subset of the full
+    frame stats (identical means on shared frames)."""
+    from mircv_project_spark.operators.multimodal import (
+        generate_y4m_media,
+        y4m_frame_sample,
+        y4m_frame_stats,
+    )
+
+    media = generate_y4m_media(spark, 4)
+    full = {
+        (r["media_id"], r["frame_idx"]): (r["y_mean"], r["u_mean"], r["v_mean"])
+        for r in y4m_frame_stats(media).collect()
+    }
+    sampled = {
+        (r["media_id"], r["frame_idx"]): (r["y_mean"], r["u_mean"], r["v_mean"])
+        for r in y4m_frame_sample(media, stride=2).collect()
+    }
+    assert sampled == {k: v for k, v in full.items() if k[1] % 2 == 0}
+    assert sampled and len(sampled) < len(full)
