@@ -765,6 +765,23 @@ def _q_uw_proximity_topk(spark, sf_dir):
     )
 
 
+def _q_sdm_topk(spark, sf_dir):
+    """Sequential Dependence Model ranking (Metzler & Croft 2005) from
+    the positional store: Dirichlet-smoothed unigram + exact-adjacency
+    (#1) + unordered-window (#uw8) features, micro-quantized BIGINT
+    before the sums, lambda triple (0.75, 0.125, 0.125) applied as the
+    integer (6, 1, 1)/8.  Pins mirrored in oracle._sdm_sql."""
+    from mircv_project_spark.operators.sdm import sdm_topk
+
+    return sdm_topk(
+        _positional_store(spark, sf_dir),
+        oracle.PHRASE_SET,
+        k=oracle.SDM_K,
+        mu=oracle.SDM_MU,
+        width=oracle.SDM_W,
+    )
+
+
 def _q_quantile_sketch(spark, sf_dir):
     """Mergeable bottom-k-by-hash quantile sketch per source, exact
     regime (k=4096 >= every group at every SF — the sample IS the
@@ -2193,6 +2210,21 @@ def _q_eval_metrics(spark, sf_dir):
     return evaluate_run(run, qrels, k=oracle.TOPK_K)
 
 
+def _q_mrr_metrics(spark, sf_dir):
+    """trec_eval stage completion: per-query reciprocal rank /
+    recall@10 / success@10 of the BM25 run against the same synthetic
+    qrels as the MAP/nDCG gate."""
+    from mircv_project_spark.operators.evaluation import (
+        mrr_metrics,
+        synthetic_qrels,
+    )
+
+    idx = _index(spark, sf_dir, parse=False)
+    run = topk.exhaustive_topk(idx, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+    qrels = synthetic_qrels(_docs(spark, sf_dir), oracle.QUERY_SET)
+    return mrr_metrics(run, qrels, k=oracle.TOPK_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR engine (reference parity) ---
@@ -2251,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed_ef": _q_topk_compressed_ef,
         "bm25_topk_compressed_pfor": _q_topk_compressed_pfor,
         "bm25_eval_metrics": _q_eval_metrics,
+        "bm25_mrr_metrics": _q_mrr_metrics,
         "bm25_pr_curve": _q_pr_curve,
         "ranker_comparison": _q_ranker_comparison,
         # RM3 query expansion — full-oracle (chain restated in SQL)
@@ -2387,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_positional": _q_phrase_topk_positional,
         "proximity_topk": _q_proximity_topk,
         "uw_proximity_topk": _q_uw_proximity_topk,
+        "sdm_topk": _q_sdm_topk,
         "kmv_distinct": _q_kmv_distinct,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,

@@ -137,6 +137,47 @@ def pr_curve(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def mrr_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """Reciprocal rank / recall@k / success@k per query — the remaining
+    trec_eval headline numbers beside MAP/nDCG/PR (recip_rank,
+    recall_N, success_N).
+
+    -> (qid, rr, recall, success): rr = 1/rank of the FIRST relevant
+    result in the top-k (0.0 when none), recall = |relevant in top-k| /
+    R, success = 1 if any relevant in top-k else 0.  Queries with no
+    relevant docs are omitted (trec_eval behavior, same as
+    evaluate_run).
+
+    Exactness: first-rank and hit counts are integers (min/count aggs);
+    rr and recall are ONE double division each, rounded 6 — no float
+    accumulations anywhere."""
+    run_k = run.where(F.col("rank") <= k)
+    j = run_k.join(qrels, ["qid", "docno"], "left").where(
+        F.coalesce(F.col("grade"), F.lit(0)) > 0
+    )
+    per_q = j.groupBy("qid").agg(
+        F.min("rank").cast("long").alias("frank"),
+        F.count("*").cast("long").alias("hits"),
+    )
+    r_tot = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("r_total"))
+    return r_tot.join(per_q, "qid", "left").select(
+        "qid",
+        F.round(
+            F.when(
+                F.col("frank").isNotNull(),
+                F.lit(1.0) / F.col("frank").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rr"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).cast("double")
+            / F.col("r_total").cast("double"),
+            6,
+        ).alias("recall"),
+        F.col("frank").isNotNull().cast("int").alias("success"),
+    )
+
+
 def ranker_comparison(
     index, docs: DataFrame, queries: list[tuple[str, str]], k: int = 10
 ) -> DataFrame:

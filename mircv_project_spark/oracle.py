@@ -894,6 +894,43 @@ FROM grid g LEFT JOIN qual q ON q.qid = g.qid AND q.level = g.level
 """
 
 
+def _mrr_sql(queries, standard: str, k: int) -> str:
+    """operators/evaluation.mrr_metrics: reciprocal rank / recall@k /
+    success@k — first-rank and hit counts integer, rr and recall ONE
+    double division each rounded 6, rr = 0.0 / success = 0 when no
+    relevant in top-k, no-relevant queries omitted; run/qrels
+    derivations shared with _eval_sql."""
+    return f"""{_ranked_ctes(queries, standard, False)},
+dterm AS (
+    SELECT DISTINCT docid, term
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+),
+qrels AS (
+    SELECT q.qid, d.docid, least(count(*), 3) AS grade
+    FROM (SELECT DISTINCT qid, term FROM qterms) q
+    JOIN dterm d USING (term)
+    GROUP BY 1, 2
+),
+runk AS (SELECT qid, docid, rank FROM ranked WHERE rank <= {k}),
+hitq AS (
+    SELECT r.qid, CAST(min(r.rank) AS BIGINT) AS frank,
+           CAST(count(*) AS BIGINT) AS hits
+    FROM runk r JOIN qrels g ON r.qid = g.qid AND r.docid = g.docid
+    WHERE g.grade > 0
+    GROUP BY r.qid
+),
+rtot AS (SELECT qid, CAST(count(*) AS BIGINT) AS r_total FROM qrels GROUP BY 1)
+SELECT t.qid,
+       round(CASE WHEN h.frank IS NOT NULL
+                  THEN 1.0 / CAST(h.frank AS DOUBLE) ELSE 0.0 END, 6) AS rr,
+       round(CAST(coalesce(h.hits, 0) AS DOUBLE)
+             / CAST(t.r_total AS DOUBLE), 6) AS recall,
+       CAST(CASE WHEN h.frank IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS success
+FROM rtot t LEFT JOIN hitq h ON h.qid = t.qid
+"""
+
+
 def _ranker_cmp_sql(queries, k: int, mu: float = 2048.0) -> str:
     """operators/evaluation.ranker_comparison: per-query AP@k of BM25
     vs QLD (both rankings and the qrels derivation restated with
@@ -1275,6 +1312,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # trec_eval stage: MAP@k / nDCG@k of the BM25 run vs synthetic qrels
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
         "bm25_pr_curve": _pr_curve_sql(QUERY_SET, "bm25", TOPK_K),
+        "bm25_mrr_metrics": _mrr_sql(QUERY_SET, "bm25", TOPK_K),
         # paired BM25-vs-QLD AP comparison (sign-test contingency row)
         "ranker_comparison": _ranker_cmp_sql(QUERY_SET, TOPK_K),
     }
@@ -3946,6 +3984,143 @@ FROM ranked WHERE rn <= {k}
 
 _UW_PROXIMITY_SQL = _uw_proximity_sql(PHRASE_SET, UW_WIDTH, PROX_K)
 
+SDM_MU = 2048.0
+SDM_W = 8
+SDM_K = 10
+
+
+def _sdm_sql(
+    queries: list[tuple[str, str]], k: int, mu: float = SDM_MU, width: int = SDM_W
+) -> str:
+    """operators/sdm.sdm_topk: Sequential Dependence Model ranking —
+    Dirichlet-smoothed unigram + ordered-bigram (#1) + unordered-window
+    (#uw8) features, each micro-quantized BIGINT before the sum, lambda
+    triple applied as integers (6, 1, 1) with one final /8.  Pins
+    restated verbatim from sdm.py (change both sides or neither):
+    mu=2048 dyadic, W=8, smoothing parenthesization (tf_double +
+    (mu*cf_double)/C) / (dl_double + mu), OOV unigrams dropped via the
+    lex join, zero-cf bigram features contribute 0, candidates = docs
+    matching >= 1 in-lexicon unigram, rank (micro desc, id asc)."""
+    qt_rows: list[tuple[str, str, int]] = []
+    qb_rows: list[tuple[str, str, str, int]] = []
+    for qid, text in queries:
+        toks = text.split(" ")
+        ucounts: dict[str, int] = {}
+        for t in toks:
+            ucounts[t] = ucounts.get(t, 0) + 1
+        for t, qtf in sorted(ucounts.items()):
+            qt_rows.append((qid, t, qtf))
+        bcounts: dict[tuple[str, str], int] = {}
+        for a, b in zip(toks, toks[1:]):
+            bcounts[(a, b)] = bcounts.get((a, b), 0) + 1
+        for (a, b), btf in sorted(bcounts.items()):
+            qb_rows.append((qid, a, b, btf))
+    qt_vals = ", ".join(f"('{q}', '{t}', {n})" for q, t, n in qt_rows)
+    qb_vals = ", ".join(
+        f"('{q}', '{a}', '{b}', {n})" for q, a, b, n in qb_rows
+    )
+    w = int(width) - 1
+    mu_lit = f"{mu:.1f}"
+
+    def feat(tf: str, cfx: str) -> str:
+        return (
+            f"CAST(round(log10((CAST({tf} AS DOUBLE)"
+            f" + ({mu_lit} * CAST({cfx} AS DOUBLE)) / s.c)"
+            f" / (CAST(c.dl AS DOUBLE) + {mu_lit})) * 1000000.0) AS BIGINT)"
+        )
+
+    return f"""WITH {_DOC_TOKENS},
+posx AS (
+    SELECT doc_id AS id, unnest(tokens) AS term,
+           unnest(range(len(tokens))) AS pos
+    FROM doctoks
+),
+parr AS (
+    SELECT id, term, list(pos ORDER BY pos) AS ps
+    FROM posx GROUP BY id, term
+),
+lex AS (SELECT term, CAST(sum(len(ps)) AS BIGINT) AS cf FROM parr GROUP BY term),
+dl AS (SELECT id, CAST(sum(len(ps)) AS BIGINT) AS dl FROM parr GROUP BY id),
+stats AS (SELECT CAST(sum(len(ps)) AS DOUBLE) AS c FROM parr),
+qt AS (
+    SELECT q.qid, q.term, CAST(q.qtf AS BIGINT) AS qtf, l.cf
+    FROM (VALUES {qt_vals}) q(qid, term, qtf) JOIN lex l USING (term)
+),
+qb AS (
+    SELECT qid, t1, t2, CAST(btf AS BIGINT) AS btf
+    FROM (VALUES {qb_vals}) b(qid, t1, t2, btf)
+),
+cdl AS (
+    SELECT x.qid, x.id, d.dl FROM (
+        SELECT DISTINCT q.qid, p.id FROM qt q JOIN parr p USING (term)
+    ) x JOIN dl d USING (id)
+),
+tsum AS (
+    SELECT c.qid, c.id,
+           CAST(sum(q.qtf * {feat('coalesce(len(p.ps), 0)', 'q.cf')}) AS BIGINT)
+             AS t_micro
+    FROM cdl c CROSS JOIN stats s
+    JOIN qt q ON q.qid = c.qid
+    LEFT JOIN parr p ON p.term = q.term AND p.id = c.id
+    GROUP BY c.qid, c.id
+),
+bdoc AS (
+    SELECT b.t1, b.t2, p1.id,
+           CAST(len(list_filter(p1.ps,
+                p -> len(list_filter(p2.ps, q -> q = p + 1)) > 0))
+             AS BIGINT) AS o_tf,
+           CAST(coalesce(list_sum(list_transform(p1.ps,
+                p -> len(list_filter(p2.ps,
+                     q -> q <> p AND abs(q - p) <= {w})))), 0)
+             AS BIGINT) AS u_tf
+    FROM (SELECT DISTINCT t1, t2 FROM qb) b
+    JOIN parr p1 ON p1.term = b.t1
+    JOIN parr p2 ON p2.term = b.t2 AND p2.id = p1.id
+),
+bcf AS (
+    SELECT t1, t2, CAST(sum(o_tf) AS BIGINT) AS o_cf,
+           CAST(sum(u_tf) AS BIGINT) AS u_cf
+    FROM bdoc GROUP BY t1, t2
+),
+qbc AS (
+    SELECT b.qid, b.t1, b.t2, b.btf,
+           CAST(coalesce(f.o_cf, 0) AS BIGINT) AS o_cf,
+           CAST(coalesce(f.u_cf, 0) AS BIGINT) AS u_cf
+    FROM qb b LEFT JOIN bcf f USING (t1, t2)
+),
+bsum AS (
+    SELECT c.qid, c.id,
+           CAST(sum(b.btf * CASE WHEN b.o_cf > 0
+                THEN {feat('coalesce(d.o_tf, 0)', 'b.o_cf')}
+                ELSE 0 END) AS BIGINT) AS o_micro,
+           CAST(sum(b.btf * CASE WHEN b.u_cf > 0
+                THEN {feat('coalesce(d.u_tf, 0)', 'b.u_cf')}
+                ELSE 0 END) AS BIGINT) AS u_micro
+    FROM cdl c CROSS JOIN stats s
+    JOIN qbc b ON b.qid = c.qid
+    LEFT JOIN bdoc d ON d.t1 = b.t1 AND d.t2 = b.t2 AND d.id = c.id
+    GROUP BY c.qid, c.id
+),
+tot AS (
+    SELECT t.qid, t.id,
+           6 * t.t_micro + coalesce(b.o_micro, 0) + coalesce(b.u_micro, 0)
+             AS micro
+    FROM tsum t LEFT JOIN bsum b ON b.qid = t.qid AND b.id = t.id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY micro DESC, id ASC
+    ) AS rn
+    FROM tot
+)
+SELECT qid, CAST(id AS BIGINT) AS id, CAST(rn AS BIGINT) AS rank,
+       round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS score
+FROM ranked WHERE rn <= {k}
+"""
+
+
+_SDM_SQL = _sdm_sql(PHRASE_SET, SDM_K)
+
 
 # Item communities (graph.item_communities): connected components over
 # the strong co-visitation edges.  Pins restated verbatim: edges
@@ -4845,6 +5020,8 @@ def pipeline_oracles() -> dict[str, str]:
         "proximity_topk": _PROXIMITY_SQL,
         # unordered-window proximity (#uwN; anchor = first term)
         "uw_proximity_topk": _UW_PROXIMITY_SQL,
+        # Sequential Dependence Model (unigram + #1 + #uw8, micro-exact)
+        "sdm_topk": _SDM_SQL,
         # relational OLAP suite over the TPC-H-shaped tables
         "tpch_pricing_summary": _TPCH_Q1_SQL,
         "tpch_top_orders": _TPCH_Q3_SQL,

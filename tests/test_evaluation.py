@@ -87,3 +87,44 @@ def test_ranker_comparison_consistency(spark, vb_index):
     for qid, (ab, aq, w) in got.items():
         assert ab == eb[qid] and aq == eq[qid]
         assert w == ("bm25" if ab > aq else "qld" if ab < aq else "tie")
+
+
+def test_mrr_metrics_hand_computed(spark):
+    """q1: relevant docs {a, c, z} (R=3), retrieved a@2, c@3 of top-10
+    → rr = 1/2, recall = 2/3, success = 1.
+    q2: relevant {m} never retrieved → rr = 0.0, recall = 0.0,
+    success = 0.  q3 has no relevant docs → omitted."""
+    from mircv_project_spark.operators.evaluation import mrr_metrics
+
+    run = _run_df(
+        spark,
+        [
+            ("q1", "b", 1, 3.0), ("q1", "a", 2, 2.0), ("q1", "c", 3, 1.0),
+            ("q2", "x", 1, 1.0),
+            ("q3", "y", 1, 1.0),
+        ],
+    )
+    qrels = _qrels_df(
+        spark,
+        [("q1", "a", 1), ("q1", "c", 2), ("q1", "z", 3), ("q2", "m", 1)],
+    )
+    got = {
+        r["qid"]: (r["rr"], r["recall"], r["success"])
+        for r in mrr_metrics(run, qrels, k=10).collect()
+    }
+    assert got == {
+        "q1": (0.5, round(2 / 3, 6), 1),
+        "q2": (0.0, 0.0, 0),
+    }
+
+
+def test_mrr_metrics_k_cut(spark):
+    """First relevant sits past k → treated as not retrieved."""
+    from mircv_project_spark.operators.evaluation import mrr_metrics
+
+    run = _run_df(spark, [("q", "a", 1, 2.0), ("q", "r", 2, 1.0)])
+    qrels = _qrels_df(spark, [("q", "r", 1)])
+    rows = mrr_metrics(run, qrels, k=1).collect()
+    assert [(r["rr"], r["recall"], r["success"]) for r in rows] == [
+        (0.0, 0.0, 0)
+    ]
