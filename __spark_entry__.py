@@ -1808,6 +1808,50 @@ def _stored_reader(spark, sf_dir):
     return IndexReader.from_dir(spark, _STORE_CACHE[key])
 
 
+_SHARD_CACHE: dict = {}
+N_SHARDS = 2
+
+
+def _shard_readers(spark, sf_dir):
+    """Split the shared gate store into N_SHARDS physically separate
+    docid-preserving shard stores ONCE per (session, sf_dir) — each
+    shard is an honest standalone index with shard-LOCAL statistics
+    (shard_index recomputes df/N/avgdl/UBs over its own subset)."""
+    from mircv_project_spark.sources.index_store import (
+        IndexReader,
+        shard_index,
+    )
+
+    _stored_reader(spark, sf_dir)  # ensure the store exists
+    store = _STORE_CACHE[(id(spark), sf_dir)]
+    key = (id(spark), sf_dir)
+    if key not in _SHARD_CACHE:
+        dirs = [
+            _tmpdir(f"mircv_gate_shard{s}_") for s in range(N_SHARDS)
+        ]
+        shard_index(spark, store, dirs)
+        _SHARD_CACHE[key] = dirs
+    return [
+        IndexReader.from_dir(spark, d) for d in _SHARD_CACHE[key]
+    ]
+
+
+def _q_topk_sharded(spark, sf_dir):
+    """Federated retrieval across document-partitioned index shards:
+    the store splits into 2 standalone shard stores (docids preserved,
+    shard-local stats), the query merges GLOBAL statistics (df summed
+    per term, global N/avgdl) in one metadata round-trip and scores
+    every shard under the same global expressions — rank-identical to
+    the unsharded store by construction, so it shares
+    bm25_topk_stored's oracle BY DESIGN."""
+    from mircv_project_spark.operators.topk import topk_from_shards
+
+    readers = _shard_readers(spark, sf_dir)
+    return topk_from_shards(
+        readers, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K
+    )
+
+
 def _q_topk_stored(spark, sf_dir):
     """On-disk store end-to-end under the oracle gate: write_index to a
     bucketed parquet layout, reopen with IndexReader.from_dir, answer
@@ -2274,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_bmw_conjunctive": _topk_bmw(scoring.TFIDF, conjunctive=True),
         "bm25_bmw_stored": _q_bmw_stored,
         "bm25_topk_stored": _q_topk_stored,
+        "bm25_topk_sharded": _q_topk_sharded,
         "tfidf_topk_stored": _q_topk_stored_tfidf,
         "bm25_maxscore_stored": _q_maxscore_stored,
         "bm25_topk_pruned": _q_topk_pruned,

@@ -208,6 +208,83 @@ def topk_from_blocks(
     )
 
 
+def topk_from_shards(
+    readers,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Federated top-k across physically separate index shards — the
+    query-time dual of the build's partial-index merge (north rule:
+    multi-way merge of per-partition indexes; here the partitions are
+    whole stores).
+
+    The distributed-IR correctness trap this solves: each shard's
+    stored statistics (df, N, avgdl, idf, UBs) cover only ITS subset,
+    and scoring shards independently with local stats is NOT
+    rank-identical to a single global index (idf skew across shards).
+    The fix is the textbook global-statistics merge (CORI/GlOSS
+    lineage): one metadata round-trip collects per-shard (df, N,
+    sum_dl) for the query terms, global df = sum of shard dfs, global
+    N/avgdl likewise, then every shard's postings score under the SAME
+    global expressions and one rank window cuts k.  Exact by
+    construction — shards partition the posting rows, docids are
+    preserved (shard_index), and per-posting scores depend only on
+    (tf, dl, global df/N/avgdl) — so this shares the single-store
+    oracle BY DESIGN.
+
+    Scale shape: lexicon lookups are bucket/min-max-pruned per shard
+    (tiny metadata reads); posting scans decode only the query terms'
+    blocks per shard; the union is a pure narrow concat (no shuffle
+    until the final per-query agg/rank, the same tail every other
+    query path pays)."""
+    from functools import reduce
+
+    if not readers:
+        raise ValueError("need at least one shard reader")
+    parse, codec = readers[0].parse, readers[0].codec
+    for r in readers[1:]:
+        if r.parse != parse or r.codec != codec:
+            raise ValueError("shards disagree on parse/codec")
+
+    spark = readers[0].postings.sparkSession
+    qt_rows = query_terms(queries, parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    terms = sorted({t for _, t, _ in qt_rows})
+
+    # global-statistics merge: sum df per term across shards, global
+    # N / avgdl from the shard stats rows
+    n_docs = sum(r.n_docs for r in readers)
+    sum_dl = sum(r.sum_doc_len for r in readers)
+    avgdl = sum_dl / float(n_docs)
+    df_by_term: dict[str, int] = {}
+    for r in readers:
+        for row in r._prune(r.lexicon, terms).select("term", "df").collect():
+            df_by_term[row["term"]] = (
+                df_by_term.get(row["term"], 0) + int(row["df"])
+            )
+    qt, n_required = _resolve_query_terms(spark, qt_rows, df_by_term)
+    if qt is None:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    flats = [
+        _decode_blocks_df(
+            r._prune(r.postings, terms).select(
+                "term", F.explode("blocks").alias("b")
+            ),
+            codec,
+        )
+        for r in readers
+    ]
+    flat = reduce(lambda a, b: a.unionByName(b), flats)
+    matched = flat.join(F.broadcast(qt), "term")
+    return _score_and_rank(
+        matched, standard, n_docs, avgdl, k, conjunctive, n_required
+    )
+
+
 def _decode_blocks_df(blocks: DataFrame, codec: str) -> DataFrame:
     """(term, b struct) rows -> (term, docid, tf, doc_len) via one
     Arrow-batched numpy decode per block (shared by the compressed-store

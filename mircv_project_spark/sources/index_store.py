@@ -255,6 +255,63 @@ def masked_index_view(
     )
 
 
+def shard_index(
+    spark: SparkSession, path: str, out_dirs: list[str]
+) -> None:
+    """Split the store at `path` into len(out_dirs) physically separate
+    shard stores — shard s keeps docs with (docid - 1) % n_shards == s,
+    docids PRESERVED (the vacuum discipline: docno contract intact, no
+    renumber).  Each shard's lexicon/UBs/stats are recomputed over its
+    OWN subset, i.e. the shards are honest standalone indexes with
+    shard-local statistics — exactly the situation query-time
+    federation must fix by merging global stats (topk_from_shards).
+
+    This is how a 10^12-turn deployment actually lays an index out:
+    no single store holds the corpus; document-partitioned shards build
+    independently (each one a salted aggregate_postings run over its
+    docid range) and queries fan out.
+
+    Scale: one pass per shard over the term-pruned decoded stream —
+    the same cost class as vacuum/compaction; shard builds are
+    independent jobs in production."""
+    from ..operators.index_build import aggregate_postings, lexicon_from_runs
+
+    reader = IndexReader.from_dir(spark, path)
+    n_shards = len(out_dirs)
+    full_flat = reader.as_index_view().flat
+    for s, out_dir in enumerate(out_dirs):
+        keep = (F.col("docid") - 1) % n_shards == s
+        doc_index = reader.doc_index.where(keep).persist()
+        try:
+            st = doc_index.agg(
+                F.count("*").alias("n"), F.sum("doc_len").alias("s")
+            ).collect()[0]
+            n_docs, sum_dl = int(st["n"]), int(st["s"] or 0)
+            flat = full_flat.where(keep)
+            postings = aggregate_postings(
+                flat,
+                n_docs,
+                sum_dl / max(n_docs, 1),
+                codec=reader.codec,
+            )
+            lexicon = lexicon_from_runs(postings, n_docs)
+            shard = InvertedIndex(
+                tokenized=None,
+                doc_index=doc_index,
+                flat=flat,
+                postings=postings,
+                lexicon=lexicon,
+                n_docs=n_docs,
+                sum_doc_len=sum_dl,
+                parse=reader.parse,
+                codec=reader.codec,
+                term_buckets=reader.term_buckets or 0,
+            )
+            write_index(shard, out_dir)
+        finally:
+            doc_index.unpersist()
+
+
 def vacuum_index(spark: SparkSession, path: str, out_dir: str) -> None:
     """Rewrite the store at `path` into `out_dir` with every
     tombstoned doc physically removed: postings re-aggregated from the
