@@ -1992,6 +1992,38 @@ def _q_lexicon_streaming(spark, sf_dir):
     )
 
 
+_NRT_STATE_CACHE: dict = {}
+
+
+def _q_bm25_topk_nrt(spark, sf_dir):
+    """Near-real-time serve path (the Lucene NRT-reader pattern): the
+    corpus streams in as two micro-batches, only epoch 0 is compacted
+    (its own committed state dir), and the query runs over committed
+    generations UNION an on-the-fly aggregation of the un-compacted
+    fresh epoch — global stats over everything, run bounds recomputed
+    at the current avgdl.  Exact by construction, so it shares the
+    batch bm25_topk oracle."""
+    from mircv_project_spark.operators.topk import topk_from_blocks
+    from mircv_project_spark.sources.index_store import IndexReader
+    from mircv_project_spark.streaming import incremental as S
+
+    delta = _stream_delta(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _NRT_STATE_CACHE:
+        state = _tmpdir("mircv_gate_nrt_")
+        S.compact_index(
+            spark, delta, parse=False, state_dir=state, upto_batch=0
+        )
+        _NRT_STATE_CACHE[key] = state
+    nrt = S.nrt_index(
+        spark, delta, parse=False, state_dir=_NRT_STATE_CACHE[key]
+    )
+    reader = IndexReader.from_memory(nrt)
+    return topk_from_blocks(
+        reader, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K
+    )
+
+
 def _q_conversation_sessions(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState)
     under the oracle gate: the transcript stream — thinned
@@ -2338,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "clarity_scores": _q_clarity_scores,
         "lexicon_streaming": _q_lexicon_streaming,
+        "bm25_topk_nrt": _q_bm25_topk_nrt,
         "lexicon_asof": _q_lexicon_asof,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,

@@ -1299,6 +1299,9 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # federation with global-stat merge is rank-identical to the
         # unsharded store BY CONSTRUCTION — same oracle by design
         "bm25_topk_sharded": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        # NRT view (committed generations + un-compacted fresh epochs,
+        # global stats) is exact by construction — batch oracle shared
+        "bm25_topk_nrt": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_stored": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_maxscore_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # block-max pruned distributed scan (skips never-candidate blocks)

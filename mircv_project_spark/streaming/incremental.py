@@ -145,7 +145,12 @@ def _read_meta(spark: SparkSession, state_dir: str) -> dict | None:
 
 
 def compact_index(
-    spark: SparkSession, delta_dir: str, parse: bool, codec: str = "vb"
+    spark: SparkSession,
+    delta_dir: str,
+    parse: bool,
+    codec: str = "vb",
+    state_dir: str | None = None,
+    upto_batch: int | None = None,
 ) -> InvertedIndex:
     """INCREMENTAL compaction of accumulated deltas into queryable index
     tables — cost O(new epochs), not O(corpus).
@@ -175,7 +180,7 @@ def compact_index(
     from ..operators.index_build import lexicon_from_runs
     from ..operators import scoring
 
-    state = f"{delta_dir}/compacted"
+    state = state_dir or f"{delta_dir}/compacted"
     meta = _read_meta(spark, state)
     if meta is None:
         # no committed meta: clear any orphan run generation from a
@@ -184,6 +189,10 @@ def compact_index(
         meta = {"gen": 0, "watermark": -1, "n_docs": 0, "sum_doc_len": 0}
 
     doc_index = spark.read.parquet(f"{delta_dir}/doc_index")
+    if upto_batch is not None:
+        # compact only a prefix of the epochs (the NRT gate's committed
+        # baseline); the returned view covers the same prefix
+        doc_index = doc_index.where(F.col("batch") <= upto_batch)
     new_docs = doc_index.where(F.col("batch") > meta["watermark"])
     row = new_docs.agg(
         F.count("*"), F.sum("doc_len"), F.max("batch")
@@ -194,11 +203,12 @@ def compact_index(
 
     if n_new:
         gen = meta["gen"]
-        flat_new = (
-            spark.read.parquet(f"{delta_dir}/flat")
-            .where(F.col("batch") > meta["watermark"])
-            .select("term", "docid", "tf", "doc_len")
+        flat_new = spark.read.parquet(f"{delta_dir}/flat").where(
+            F.col("batch") > meta["watermark"]
         )
+        if upto_batch is not None:
+            flat_new = flat_new.where(F.col("batch") <= upto_batch)
+        flat_new = flat_new.select("term", "docid", "tf", "doc_len")
         runs_new = aggregate_postings(
             flat_new,
             n_docs=n_docs,
@@ -227,13 +237,101 @@ def compact_index(
         .withColumn("pbm", F.array_max(F.transform("bmfront", _coeff)))
         .drop("gen", "bmfront")
     )
+    flat = spark.read.parquet(f"{delta_dir}/flat")
+    if upto_batch is not None:
+        flat = flat.where(F.col("batch") <= upto_batch)
+    flat = flat.select("term", "docid", "tf", "doc_len")
+    return InvertedIndex(
+        tokenized=doc_index,
+        lexicon=lexicon_from_runs(postings, n_docs),
+        doc_index=doc_index.select("docid", "docno", "conv_id", "turn_idx", "doc_len"),
+        flat=flat,
+        postings=postings,
+        n_docs=n_docs,
+        sum_doc_len=sum_dl,
+        parse=parse,
+        codec=codec,
+    )
+
+
+def nrt_index(
+    spark: SparkSession,
+    delta_dir: str,
+    parse: bool,
+    codec: str = "vb",
+    state_dir: str | None = None,
+) -> InvertedIndex:
+    """Near-real-time queryable view: committed compacted generations
+    UNION an on-the-fly aggregation of every epoch past the committed
+    watermark — the Lucene NRT-reader pattern.  Nothing is written:
+    freshly ingested turns become searchable WITHOUT waiting for a
+    compaction commit, and the view is exact — global stats (n_docs,
+    avgdl) cover all epochs, fresh runs take the next generation's
+    strided run ids (so run order stays ascending-docId), and every
+    run's BM25 bound is recomputed from its (tf -> min dl) frontier at
+    the CURRENT avgdl, committed and fresh alike — identical to a
+    batch build over the full corpus.
+
+    Scale: the fresh aggregation shuffles only the un-compacted
+    epochs' rows (partition-pruned by the batch predicate); committed
+    generations are reused untouched, exactly as in compact_index."""
+    from ..operators.index_build import lexicon_from_runs
+    from ..operators import scoring
+
+    state = state_dir or f"{delta_dir}/compacted"
+    meta = _read_meta(spark, state)
+    if meta is None:
+        meta = {"gen": 0, "watermark": -1, "n_docs": 0, "sum_doc_len": 0}
+
+    doc_index = spark.read.parquet(f"{delta_dir}/doc_index")
+    fresh_docs = doc_index.where(F.col("batch") > meta["watermark"])
+    row = fresh_docs.agg(F.count("*"), F.sum("doc_len")).collect()[0]
+    n_new, s_new = int(row[0]), int(row[1] or 0)
+    n_docs = meta["n_docs"] + n_new
+    sum_dl = meta["sum_doc_len"] + s_new
+    avgdl = sum_dl / float(n_docs)
+
+    def _coeff(p):
+        return scoring.bm25_coeff_col(p["tf"], p["dl"], avgdl)
+
+    parts = []
+    if meta["gen"] > 0:
+        parts.append(spark.read.parquet(f"{state}/runs").drop("gen"))
+    if n_new:
+        flat_new = (
+            spark.read.parquet(f"{delta_dir}/flat")
+            .where(F.col("batch") > meta["watermark"])
+            .select("term", "docid", "tf", "doc_len")
+        )
+        runs_new = aggregate_postings(
+            flat_new,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            codec=codec,
+            bm_frontier=True,
+            docid_lo=meta["n_docs"],
+        ).withColumn(
+            "run", (F.col("run") + meta["gen"] * RUN_STRIDE).cast("int")
+        )
+        parts.append(runs_new.select(*parts[0].columns) if parts else runs_new)
+    if not parts:
+        raise ValueError(f"no epochs under {delta_dir}")
+    runs = parts[0]
+    for p in parts[1:]:
+        runs = runs.unionByName(p)
+    postings = runs.withColumn(
+        "pbm", F.array_max(F.transform("bmfront", _coeff))
+    ).drop("bmfront")
+
     flat = spark.read.parquet(f"{delta_dir}/flat").select(
         "term", "docid", "tf", "doc_len"
     )
     return InvertedIndex(
         tokenized=doc_index,
         lexicon=lexicon_from_runs(postings, n_docs),
-        doc_index=doc_index.select("docid", "docno", "conv_id", "turn_idx", "doc_len"),
+        doc_index=doc_index.select(
+            "docid", "docno", "conv_id", "turn_idx", "doc_len"
+        ),
         flat=flat,
         postings=postings,
         n_docs=n_docs,

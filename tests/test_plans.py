@@ -394,3 +394,22 @@ def test_session_ops_plans_have_no_nested_loops(spark, vb_index):
         plan = checks.plan_text(df)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_sdm_plan_has_no_nested_loops_and_broadcasts_queries(spark):
+    """SDM's three feature legs are all term/id equi-joins with the
+    tiny query tables broadcast — position-array work happens inside
+    higher-order expressions, never a join predicate."""
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators.positional import (
+        build_positional_postings,
+    )
+    from mircv_project_spark.operators.sdm import sdm_topk
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    pos = build_positional_postings(docs)
+    df = sdm_topk(pos, oracle.PHRASE_SET[:3])
+    plan = checks.plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

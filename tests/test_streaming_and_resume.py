@@ -626,3 +626,62 @@ def test_asof_last_epoch_equals_full_lexicon(spark, tmp_path):
         for r in idx.lexicon.collect()
     }
     assert asof == full
+
+
+def test_nrt_view_serves_uncompacted_epochs_exactly(spark, tmp_path):
+    """Lucene-NRT pattern: commit a compaction over epoch 0 only, then
+    query committed generations + the un-compacted epoch through
+    nrt_index — ranking must equal the batch build over the FULL
+    corpus, and the read must not advance the committed state."""
+    inp = str(tmp_path / "in")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "nrtstate")
+
+    all_t = generate_transcripts(spark, 400, seed=23).orderBy(
+        "conv_id", "turn_idx"
+    )
+    part1 = all_t.where(F.col("conv_id") < "conv-000000000025")
+    part2 = all_t.where(F.col("conv_id") >= "conv-000000000025")
+    part1.coalesce(1).write.mode("overwrite").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+    part2.coalesce(1).write.mode("append").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+
+    # commit epoch 0 only into a private state dir
+    S.compact_index(spark, delta, parse=False, state_dir=state, upto_batch=0)
+    meta_before = S._read_meta(spark, state)
+    assert meta_before["watermark"] == 0
+
+    nrt = S.nrt_index(spark, delta, parse=False, state_dir=state)
+    batch = build_index(
+        spark, assign_doc_ids(filter_indexable(all_t)), parse=False
+    )
+    assert nrt.n_docs == batch.n_docs
+    assert nrt.sum_doc_len == batch.sum_doc_len
+
+    # rank identity THROUGH the block store (postings, not flat)
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    got = sorted(
+        tuple(r)
+        for r in topk.topk_from_blocks(
+            IndexReader.from_memory(nrt), QUERY_SET[:4], scoring.BM25, k=10
+        ).collect()
+    )
+    assert got == _topk_rows(batch)
+
+    # read-only: the committed state did not advance
+    assert S._read_meta(spark, state) == meta_before
+
+    # nothing committed at all -> the whole corpus is "fresh"
+    nrt_cold = S.nrt_index(
+        spark, delta, parse=False, state_dir=str(tmp_path / "nostate")
+    )
+    got_cold = sorted(
+        tuple(r)
+        for r in topk.topk_from_blocks(
+            IndexReader.from_memory(nrt_cold), QUERY_SET[:4], scoring.BM25, k=10
+        ).collect()
+    )
+    assert got_cold == _topk_rows(batch)
