@@ -699,6 +699,9 @@ def _q_bpe_segmentation(spark, sf_dir):
 _POS_STORE_CACHE: dict = {}
 
 
+_POS_INC_CACHE: dict = {}
+
+
 def _positional_store(spark, sf_dir):
     """Build + write the positional index once per (session, sf_dir) —
     shared by the stored-phrase and proximity gate entries."""
@@ -779,6 +782,37 @@ def _q_sdm_topk(spark, sf_dir):
         k=oracle.SDM_K,
         mu=oracle.SDM_MU,
         width=oracle.SDM_W,
+    )
+
+
+def _q_phrase_topk_incremental(spark, sf_dir):
+    """Positional index grown INCREMENTALLY (two append-only epochs
+    split at the median doc_id — per-(term, doc) rows are immutable so
+    growth is a pure parquet append, no merge/stat recompute) must
+    serve the pinned phrase set exactly like the one-shot store:
+    shares phrase_topk's oracle BY DESIGN."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.operators.positional import (
+        append_positional_epoch,
+        load_positional_postings,
+        phrase_topk_positional,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _POS_INC_CACHE:
+        store = _tmpdir("mircv_gate_posinc_")
+        docs = _docs(spark, sf_dir)
+        mid = docs.agg(
+            F.expr("percentile_approx(doc_id, 0.5)")
+        ).collect()[0][0]
+        append_positional_epoch(docs.where(F.col("doc_id") <= mid), store)
+        append_positional_epoch(docs.where(F.col("doc_id") > mid), store)
+        _POS_INC_CACHE[key] = store
+    return phrase_topk_positional(
+        load_positional_postings(spark, _POS_INC_CACHE[key]),
+        oracle.PHRASE_SET,
+        k=oracle.PHRASE_K,
     )
 
 
@@ -1852,6 +1886,18 @@ def _q_topk_sharded(spark, sf_dir):
     )
 
 
+def _q_shard_selection(spark, sf_dir):
+    """CORI resource selection (Callan et al. 1995) over the 2-shard
+    layout: rank shards per query from shard-lexicon metadata only
+    (per-shard df, shard token counts, shard count) — the broker step
+    that precedes topk_from_shards fan-out.  Beliefs micro-quantized
+    BIGINT before the per-shard sum; pins mirrored in oracle._cori_sql."""
+    from mircv_project_spark.operators.federation import cori_shard_scores
+
+    readers = _shard_readers(spark, sf_dir)
+    return cori_shard_scores(readers, oracle.QUERY_SET)
+
+
 def _q_topk_stored(spark, sf_dir):
     """On-disk store end-to-end under the oracle gate: write_index to a
     bucketed parquet layout, reopen with IndexReader.from_dir, answer
@@ -2351,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bmw_stored": _q_bmw_stored,
         "bm25_topk_stored": _q_topk_stored,
         "bm25_topk_sharded": _q_topk_sharded,
+        "shard_selection": _q_shard_selection,
         "tfidf_topk_stored": _q_topk_stored_tfidf,
         "bm25_maxscore_stored": _q_maxscore_stored,
         "bm25_topk_pruned": _q_topk_pruned,
@@ -2496,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_segmentation": _q_bpe_segmentation,
         "phrase_topk_positional": _q_phrase_topk_positional,
+        "phrase_topk_incremental": _q_phrase_topk_incremental,
         "proximity_topk": _q_proximity_topk,
         "uw_proximity_topk": _q_uw_proximity_topk,
         "sdm_topk": _q_sdm_topk,

@@ -894,6 +894,66 @@ FROM grid g LEFT JOIN qual q ON q.qid = g.qid AND q.level = g.level
 """
 
 
+def _cori_sql(queries, n_shards: int) -> str:
+    """operators/federation.cori_shard_scores: CORI resource selection
+    (Callan et al. 1995) over the docid-parity shard layout.  Pins
+    restated verbatim (change both sides or neither): shard =
+    (docid - 1) % n_shards (the shard_index rule), constants 50 / 150 /
+    0.4 + 0.6 * (T * I) with 0.6 a LITERAL (1 - 0.4 is one ulp off),
+    T's denominator (150.0 * cw_double) / avg_cw, I = log10((NS+0.5)/cf)
+    / log10(NS+1.0), DISTINCT query terms, corpus-OOV terms dropped,
+    belief micro-quantized BIGINT before the per-shard sum, score =
+    sum/1e6 (the mean's 1/|q| is a per-query constant), rank (micro
+    desc, shard asc)."""
+    ns = int(n_shards)
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+sdf AS (
+    SELECT CAST((docid - 1) % {ns} AS INTEGER) AS shard, term,
+           CAST(count(*) AS BIGINT) AS df
+    FROM postings GROUP BY 1, 2
+),
+scw AS (
+    SELECT CAST((docid - 1) % {ns} AS INTEGER) AS shard,
+           CAST(sum(doc_len) AS BIGINT) AS cw
+    FROM doclens GROUP BY 1
+),
+acw AS (SELECT CAST(sum(cw) AS DOUBLE) / {ns}.0 AS avgcw FROM scw),
+cfs AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM sdf GROUP BY term),
+qterm AS (
+    SELECT DISTINCT q.qid, q.term FROM qterms q JOIN cfs USING (term)
+),
+grid AS (
+    SELECT q.qid, q.term, s.shard, s.cw FROM qterm q CROSS JOIN scw s
+),
+bel AS (
+    SELECT g.qid, g.shard,
+           CAST(round((0.4 + 0.6 * (
+               (CAST(coalesce(d.df, 0) AS DOUBLE)
+                / (CAST(coalesce(d.df, 0) AS DOUBLE) + 50.0
+                   + (150.0 * CAST(g.cw AS DOUBLE)) / a.avgcw))
+               * (log10(({ns}.0 + 0.5) / CAST(c.cf AS DOUBLE))
+                  / log10({ns}.0 + 1.0))
+           )) * 1000000.0) AS BIGINT) AS micro
+    FROM grid g CROSS JOIN acw a
+    JOIN cfs c ON c.term = g.term
+    LEFT JOIN sdf d ON d.term = g.term AND d.shard = g.shard
+),
+agg AS (
+    SELECT qid, shard, CAST(sum(micro) AS BIGINT) AS m
+    FROM bel GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY m DESC, shard ASC
+    ) AS rn
+    FROM agg
+)
+SELECT qid, shard, round(CAST(m AS DOUBLE) / 1000000.0, 6) AS score,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked
+"""
+
+
 def _mrr_sql(queries, standard: str, k: int) -> str:
     """operators/evaluation.mrr_metrics: reciprocal rank / recall@k /
     success@k — first-rank and hit counts integer, rr and recall ONE
@@ -1302,6 +1362,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # NRT view (committed generations + un-compacted fresh epochs,
         # global stats) is exact by construction — batch oracle shared
         "bm25_topk_nrt": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        # CORI resource selection over the 2-shard layout
+        "shard_selection": _cori_sql(QUERY_SET, 2),
         "tfidf_topk_stored": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_maxscore_stored": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # block-max pruned distributed scan (skips never-candidate blocks)
@@ -5023,6 +5085,8 @@ def pipeline_oracles() -> dict[str, str]:
         # the stored positional path must return EXACTLY the corpus-scan
         # phrase result — same oracle by design
         "phrase_topk_positional": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
+        # append-only incremental growth must serve identically
+        "phrase_topk_incremental": _phrase_topk_sql(PHRASE_SET, PHRASE_K),
         "proximity_topk": _PROXIMITY_SQL,
         # unordered-window proximity (#uwN; anchor = first term)
         "uw_proximity_topk": _UW_PROXIMITY_SQL,
