@@ -768,6 +768,19 @@ def _q_uw_proximity_topk(spark, sf_dir):
     )
 
 
+def _q_textrank_keywords(spark, sf_dir):
+    """Graph-based keyword extraction (TextRank): per-doc adjacency
+    co-occurrence graph + 3 iterations of all-integer weighted
+    PageRank (item_pagerank's rha discipline keyed by doc), top-3
+    terms per doc."""
+    from mircv_project_spark.operators.graph import (
+        TEXTRANK_K,
+        textrank_keywords,
+    )
+
+    return textrank_keywords(_docs(spark, sf_dir), k=TEXTRANK_K)
+
+
 def _q_sdm_topk(spark, sf_dir):
     """Sequential Dependence Model ranking (Metzler & Croft 2005) from
     the positional store: Dirichlet-smoothed unigram + exact-adjacency
@@ -2547,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": _q_proximity_topk,
         "uw_proximity_topk": _q_uw_proximity_topk,
         "sdm_topk": _q_sdm_topk,
+        "textrank_keywords": _q_textrank_keywords,
         "kmv_distinct": _q_kmv_distinct,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,

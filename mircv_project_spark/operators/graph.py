@@ -495,3 +495,154 @@ def item_similarity_topk(events: DataFrame, k: int = ITEMSIM_K) -> DataFrame:
     finally:
         ui.unpersist()
     return out
+
+
+TEXTRANK_K = 3
+TEXTRANK_ITERS = PR_ITERS
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = TEXTRANK_K,
+    iters: int = TEXTRANK_ITERS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Graph-based keyword extraction (TextRank, Mihalcea & Tarau,
+    EMNLP 2004): per document, distinct terms are nodes, an undirected
+    edge joins ADJACENT distinct terms with weight = count of adjacent
+    occurrences in either order, and weighted PageRank ranks terms by
+    centrality — the graph sibling of textstats.top_keywords' tf-idf
+    ranking (TextRank needs no corpus statistics at all: a single doc
+    scores in isolation).
+
+    -> (id, term, pr_micro, rank): top-k terms per doc after `iters`
+    synchronous iterations, rank (pr_micro desc, term asc).
+
+    Integer discipline — item_pagerank's pins, per-doc (restated
+    verbatim in the unrolled-CTE oracle; change both sides or
+    neither): rank state in micro BIGINTs, every division the
+    round-half-away identity rha(a/b) = (2a+b) DIV (2b), damping 7/8
+    dyadic, pr0 = rha(1e6/N_d), base = rha(1e6/(8 N_d)) with N_d the
+    DOC's node count, inflow contributions rha(pr(u)*w/outw(u))
+    quantized per edge BEFORE the sum, single-node/isolated terms keep
+    only the base term.
+
+    Scale shape: every frame is keyed (id, term) or (id, a, b) — per-
+    doc graphs ride one corpus-wide shuffle per stage, iterations are
+    edge-keyed joins against the current rank table (the distributed
+    PageRank step), heavy docs bound work by their own length.  Ranks
+    persist + localCheckpoint per step (flat lineage, the
+    item_pagerank discipline)."""
+    from ..functions.textnorm import tokens_col
+
+    posx = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term"),
+    )
+    nodes = posx.select("id", "term").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ew = None
+    pr = None
+    try:
+        nd = nodes.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+        p1 = posx.select("id", "pos", F.col("term").alias("a"))
+        p2 = posx.select(
+            "id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("b")
+        )
+        adj = p1.join(p2, ["id", "pos"]).where(F.col("a") != F.col("b"))
+        und = (
+            adj.select("id", "a", "b")
+            .unionByName(
+                adj.select(
+                    "id", F.col("b").alias("a"), F.col("a").alias("b")
+                )
+            )
+            .groupBy("id", "a", "b")
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        outw = (
+            und.groupBy(
+                F.col("id").alias("oid"), F.col("a").alias("ou")
+            )
+            .agg(F.sum("w").alias("ow"))
+        )
+        ew = (
+            und.join(
+                outw,
+                (und["id"] == outw["oid"]) & (und["a"] == outw["ou"]),
+            )
+            .select(und["id"], "a", "b", "w", "ow")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        ndn = nodes.join(nd, "id")
+        pr = ndn.select(
+            "id",
+            "term",
+            _rha(F.lit(PR_MICRO), F.col("n")).cast("long").alias("pr"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base = _rha(F.lit(PR_MICRO), F.lit(PR_D_DEN) * F.col("n")).cast(
+            "long"
+        )
+        for _ in range(iters):
+            prj = pr.select(
+                F.col("id").alias("pid"),
+                F.col("term").alias("pterm"),
+                "pr",
+            )
+            contrib = (
+                ew.join(
+                    prj,
+                    (ew["id"] == prj["pid"]) & (ew["a"] == prj["pterm"]),
+                )
+                .select(
+                    ew["id"],
+                    F.col("b").alias("term"),
+                    _rha(F.col("pr") * F.col("w"), F.col("ow"))
+                    .cast("long")
+                    .alias("c"),
+                )
+                .groupBy("id", "term")
+                .agg(F.sum("c").alias("infl"))
+            )
+            nxt = (
+                ndn.join(contrib, ["id", "term"], "left")
+                .select(
+                    "id",
+                    "term",
+                    (
+                        base
+                        + F.coalesce(
+                            _rha(
+                                F.lit(PR_D_NUM) * F.col("infl"),
+                                F.lit(PR_D_DEN),
+                            ).cast("long"),
+                            F.lit(0).cast("long"),
+                        )
+                    ).cast("long").alias("pr"),
+                )
+                .localCheckpoint()
+            )
+            pr.unpersist()
+            pr = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        w = Window.partitionBy("id").orderBy(
+            F.col("pr").desc(), F.col("term").asc()
+        )
+        out = (
+            pr.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                "id",
+                "term",
+                F.col("pr").cast("long").alias("pr_micro"),
+                "rank",
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        nodes.unpersist()
+        if ew is not None:
+            ew.unpersist()
+        if pr is not None:
+            pr.unpersist()

@@ -4190,6 +4190,89 @@ FROM ranked WHERE rn <= {k}
 _SDM_SQL = _sdm_sql(PHRASE_SET, SDM_K)
 
 
+TEXTRANK_K = 3
+
+
+def _textrank_sql(k: int, iters: int = 3) -> str:
+    """graph.textrank_keywords: per-doc TextRank over adjacent-term
+    co-occurrence graphs — item_pagerank's integer discipline keyed by
+    doc (rha(a/b) = (2a+b)//(2b), damping 7/8, micro BIGINT state,
+    pr0 = rha(1e6/N_d), base = rha(1e6/(8 N_d)), per-edge inflow
+    quantized before the sum, isolated terms base-only).  CTEs stay
+    MATERIALIZED (the item_pagerank pin: inlining re-expands the
+    iteration chain exponentially)."""
+    its = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+infl{i} AS MATERIALIZED (
+    SELECT e.id, e.b AS term,
+           CAST(sum((2 * p.pr * e.w + e.ow) // (2 * e.ow)) AS BIGINT)
+             AS infl
+    FROM ew e JOIN {prev} p ON p.id = e.id AND p.term = e.a
+    GROUP BY 1, 2
+),
+pr{i} AS MATERIALIZED (
+    SELECT n.id, n.term,
+           CAST((2 * 1000000 + 8 * d.n) // (2 * 8 * d.n)
+                + coalesce((2 * 7 * i.infl + 8) // (2 * 8), 0)
+             AS BIGINT) AS pr
+    FROM nodes n JOIN nd d USING (id)
+    LEFT JOIN infl{i} i ON i.id = n.id AND i.term = n.term
+)""")
+        prev = f"pr{i}"
+    chain = ",".join(its)
+    return f"""WITH {_DOC_TOKENS},
+posx AS (
+    SELECT doc_id AS id, unnest(tokens) AS term,
+           unnest(range(len(tokens))) AS pos
+    FROM doctoks
+),
+nodes AS MATERIALIZED (SELECT DISTINCT id, term FROM posx),
+nd AS MATERIALIZED (
+    SELECT id, CAST(count(*) AS BIGINT) AS n FROM nodes GROUP BY id
+),
+adj AS (
+    SELECT p1.id, p1.term AS a, p2.term AS b
+    FROM posx p1
+    JOIN posx p2 ON p2.id = p1.id AND p2.pos = p1.pos + 1
+    WHERE p1.term <> p2.term
+),
+und AS MATERIALIZED (
+    SELECT id, a, b, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT id, a, b FROM adj
+        UNION ALL
+        SELECT id, b AS a, a AS b FROM adj
+    )
+    GROUP BY 1, 2, 3
+),
+outw AS MATERIALIZED (
+    SELECT id, a, CAST(sum(w) AS BIGINT) AS ow FROM und GROUP BY 1, 2
+),
+ew AS MATERIALIZED (
+    SELECT u.id, u.a, u.b, u.w, o.ow
+    FROM und u JOIN outw o ON o.id = u.id AND o.a = u.a
+),
+pr0 AS MATERIALIZED (
+    SELECT n.id, n.term,
+           CAST((2 * 1000000 + d.n) // (2 * d.n) AS BIGINT) AS pr
+    FROM nodes n JOIN nd d USING (id)
+),{chain},
+ranked AS (
+    SELECT id, term, pr, row_number() OVER (
+        PARTITION BY id ORDER BY pr DESC, term ASC
+    ) AS rn
+    FROM {prev}
+)
+SELECT CAST(id AS BIGINT) AS id, term, CAST(pr AS BIGINT) AS pr_micro,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
+_TEXTRANK_SQL = _textrank_sql(TEXTRANK_K)
+
+
 # Item communities (graph.item_communities): connected components over
 # the strong co-visitation edges.  Pins restated verbatim: edges
 # (a < b) weighted by distinct co-visiting users, threshold =
@@ -5092,6 +5175,8 @@ def pipeline_oracles() -> dict[str, str]:
         "uw_proximity_topk": _UW_PROXIMITY_SQL,
         # Sequential Dependence Model (unigram + #1 + #uw8, micro-exact)
         "sdm_topk": _SDM_SQL,
+        # per-doc TextRank keywords (integer PageRank, unrolled CTEs)
+        "textrank_keywords": _TEXTRANK_SQL,
         # relational OLAP suite over the TPC-H-shaped tables
         "tpch_pricing_summary": _TPCH_Q1_SQL,
         "tpch_top_orders": _TPCH_Q3_SQL,
