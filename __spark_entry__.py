@@ -307,6 +307,21 @@ def _tombstoned_store(spark, sf_dir) -> str:
     return store
 
 
+def _q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (Elasticsearch's discovery
+    facet): terms over-represented in each query's disjunctive match
+    set vs the corpus, JLH-scored, micro-quantized before ranking,
+    self-terms excluded.  Pins mirrored in oracle._sigterms_sql."""
+    from mircv_project_spark.operators.facets import (
+        SIGTERMS_K,
+        significant_terms,
+    )
+
+    return significant_terms(
+        _docs(spark, sf_dir), oracle.QUERY_SET, k=SIGTERMS_K
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis-Spirakis,
     deterministic md5 coin): top-20 per source by quantized ln(u)/w."""
@@ -2083,6 +2098,46 @@ def _q_bm25_topk_nrt(spark, sf_dir):
     )
 
 
+def _q_streaming_percolate(spark, sf_dir):
+    """Streaming percolation (alerting): documents arrive as two
+    micro-batches, each batch's matches against the stored query set
+    are emitted at arrival into per-epoch partitions — the per-doc
+    conjunctive match decision makes the union equal the batch
+    percolator exactly, so this shares percolate's oracle BY DESIGN."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.streaming.percolate_stream import (
+        read_percolate_matches,
+        run_percolate_stream,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _PERC_STREAM_CACHE:
+        base = _tmpdir("mircv_gate_percstream_")
+        inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        docs = _docs(spark, sf_dir)
+        mid = docs.agg(
+            F.expr("percentile_approx(doc_id, 0.5)")
+        ).collect()[0][0]
+        docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(inp)
+        run_percolate_stream(
+            spark, inp, out, ckpt, oracle.QUERY_SET
+        ).awaitTermination(300)
+        docs.where(F.col("doc_id") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        run_percolate_stream(
+            spark, inp, out, ckpt, oracle.QUERY_SET
+        ).awaitTermination(300)
+        _PERC_STREAM_CACHE[key] = out
+    return read_percolate_matches(spark, _PERC_STREAM_CACHE[key])
+
+
+_PERC_STREAM_CACHE: dict = {}
+
+
 def _q_conversation_sessions(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState)
     under the oracle gate: the transcript stream — thinned
@@ -2378,12 +2433,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "percolate": _q_percolate,
+        "streaming_percolate": _q_streaming_percolate,
         "weighted_sample": _q_weighted_sample,
         "bm25_topk_msm": _q_msm_topk,
         "bm25_topk_synonyms": _q_synonym_topk,
         "bm25_topk_page2": _q_search_after,
         "conv_maxp_topk": _q_conv_maxp,
         "facet_counts": _q_facet_counts,
+        "significant_terms": _q_significant_terms,
         "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,

@@ -77,3 +77,113 @@ def facet_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+SIGTERMS_K = 10
+_MICRO = 1e6
+
+
+def significant_terms(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = SIGTERMS_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Significant-terms aggregation (the Elasticsearch discovery
+    facet): terms unusually frequent in a query's MATCH SET relative
+    to the whole corpus — "what is this result set about that the
+    corpus is not".
+
+    Semantics (pinned, restated verbatim in oracle._sigterms_sql —
+    change both sides or neither):
+
+    - foreground = the disjunctive match set (>= 1 normalized query
+      term in the doc — facet_counts' rule, shared verbatim);
+    - candidates = distinct terms of foreground docs MINUS the query's
+      own distinct normalized terms (self-terms are trivially
+      over-represented);
+    - JLH score over doc-frequency rates: fp = fg_df/F, bp = bg_df/N,
+      score = (fp - bp) * (fp / bp) — both factors cast to double via
+      the single division each, the product micro-quantized
+      (round(score * 1e6) BIGINT) BEFORE ranking; only micro > 0 rows
+      (fp > bp) are significant;
+    - rank per query (micro desc, term asc), top k; emitted score =
+      micro / 1e6 (exact 6 decimals).
+
+    Scale shape (100 TB): the distinct-token explode happens ONCE and
+    feeds both the background df aggregate and (joined against the
+    broadcast-small match set) the foreground counts; one shuffle
+    keyed (qid, term), the final window per qid over candidate terms.
+
+    -> (qid string, term string, fg_df long, bg_df long, score double,
+    rank bigint)
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    empty = (
+        "qid string, term string, fg_df long, bg_df long,"
+        " score double, rank bigint"
+    )
+    qt_rows = query_terms(queries, parse=False)
+    if not qt_rows:
+        return spark.createDataFrame([], empty)
+    qt = spark.createDataFrame(
+        sorted({(q, t) for q, t, _ in qt_rows}), "qid string, term string"
+    )
+
+    # background N = ALL corpus rows (empty docs included — they are
+    # part of the doc-frequency denominator); restated as count(*)
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+            "term"
+        ),
+    ).persist()
+    try:
+        bg = toks.groupBy("term").agg(
+            F.count("*").cast("long").alias("bg_df")
+        )
+        matched = (
+            toks.join(F.broadcast(qt), "term")
+            .select("qid", "doc_id")
+            .distinct()
+        )
+        fsize = matched.groupBy("qid").agg(
+            F.count("*").cast("long").alias("fg_n")
+        )
+        fg = (
+            matched.join(toks, "doc_id")
+            .join(F.broadcast(qt), ["qid", "term"], "left_anti")
+            .groupBy("qid", "term")
+            .agg(F.count("*").cast("long").alias("fg_df"))
+        )
+        fp = F.col("fg_df").cast("double") / F.col("fg_n").cast("double")
+        bp = F.col("bg_df").cast("double") / F.lit(float(n_docs))
+        micro = F.round(((fp - bp) * (fp / bp)) * F.lit(_MICRO)).cast("long")
+        scored = (
+            fg.join(bg, "term")
+            .join(F.broadcast(fsize), "qid")
+            .withColumn("micro", micro)
+            .where(F.col("micro") > 0)
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("micro").desc(), F.col("term").asc()
+        )
+        out = (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                "qid",
+                "term",
+                "fg_df",
+                "bg_df",
+                F.round(F.col("micro") / F.lit(_MICRO), 6).alias("score"),
+                "rank",
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        toks.unpersist()

@@ -1306,7 +1306,11 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_topk_vacuumed": _topk_vacuumed_sql(QUERY_SET, TOPK_K),
         # reverse search + result-set aggregations
         "percolate": _percolate_sql(QUERY_SET),
+        # per-doc match decision => streaming == batch BY DESIGN
+        "streaming_percolate": _percolate_sql(QUERY_SET),
         "facet_counts": _facets_sql(QUERY_SET),
+        # significant-terms discovery facet (JLH, micro-exact)
+        "significant_terms": _SIGTERMS_SQL,
         # Efraimidis-Spirakis weighted sampling (deterministic coin)
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         # query-DSL completeness (params pinned to operators/queryops)
@@ -2754,6 +2758,71 @@ SELECT qid, 'lang' AS facet, lang AS value,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM j GROUP BY 1, 3
 """
+
+
+SIGTERMS_K = 10
+
+
+def _sigterms_sql(queries, k: int) -> str:
+    """operators/facets.significant_terms: JLH-scored discovery facet.
+    Pins restated verbatim: foreground = the disjunctive match set
+    (facet rule), candidates exclude the query's own distinct terms,
+    fp = fg_df/F and bp = bg_df/N as ONE double division each, score =
+    (fp - bp) * (fp / bp) micro-quantized BIGINT before ranking, only
+    micro > 0 rows, N = count(*) over documents, rank (micro desc,
+    term asc) top k."""
+    return f"""WITH {_DOC_TOKENS},
+q AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+qinv AS (
+    SELECT DISTINCT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term
+    FROM q
+),
+dt AS (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM doctoks
+),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM dt GROUP BY term),
+nstat AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+matched AS (
+    SELECT DISTINCT i.qid, d.doc_id
+    FROM dt d JOIN qinv i USING (term)
+),
+fsize AS (SELECT qid, CAST(count(*) AS BIGINT) AS fg_n FROM matched GROUP BY qid),
+fg AS (
+    SELECT m.qid, d.term, CAST(count(*) AS BIGINT) AS fg_df
+    FROM matched m
+    JOIN dt d ON d.doc_id = m.doc_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM qinv i WHERE i.qid = m.qid AND i.term = d.term
+    )
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT f.qid, f.term, f.fg_df, b.bg_df,
+           CAST(round((
+               (CAST(f.fg_df AS DOUBLE) / CAST(s.fg_n AS DOUBLE)
+                - CAST(b.bg_df AS DOUBLE) / t.n)
+               * ((CAST(f.fg_df AS DOUBLE) / CAST(s.fg_n AS DOUBLE))
+                  / (CAST(b.bg_df AS DOUBLE) / t.n))
+           ) * 1000000.0) AS BIGINT) AS micro
+    FROM fg f
+    JOIN bg b USING (term)
+    JOIN fsize s ON s.qid = f.qid
+    CROSS JOIN nstat t
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY micro DESC, term ASC
+    ) AS rn
+    FROM scored WHERE micro > 0
+)
+SELECT qid, term, fg_df, bg_df,
+       round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS score,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
+_SIGTERMS_SQL = _sigterms_sql(QUERY_SET, SIGTERMS_K)
 
 
 # delete-gate rule: docs with docno % 10 == 3 are tombstoned — i.e.

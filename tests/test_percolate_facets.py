@@ -57,3 +57,88 @@ def test_facets_count_full_match_set_disjunctively(spark):
         ("q", "lang", "en"): 2,
         ("q", "lang", "zh"): 1,
     }
+
+
+def test_significant_terms_hand_computed(spark):
+    """fg = docs matching 'needle' = {1, 2}; 'marker' is in both fg
+    docs but only 2 of 6 corpus docs -> strongly significant; 'common'
+    is everywhere -> fp == bp -> dropped; the query's own term drops."""
+    from mircv_project_spark.operators.facets import significant_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle marker common alpha"),
+            (2, "needle marker common beta"),
+            (3, "common filler words"),
+            (4, "common filler words"),
+            (5, "common other things"),
+            (6, "common other things"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = significant_terms(docs, [("q", "needle")], k=10).collect()
+    got = {r["term"]: r for r in rows}
+    assert "needle" not in got  # self-term excluded
+    assert "common" not in got  # fp == bp -> micro 0 -> dropped
+    # marker: fp = 2/2 = 1, bp = 2/6; score = (1 - 1/3) * (1 / (1/3)) = 2
+    assert got["marker"]["fg_df"] == 2 and got["marker"]["bg_df"] == 2
+    assert got["marker"]["score"] == 2.0
+    assert got["marker"]["rank"] == 1
+    # alpha/beta: fp = 1/2, bp = 1/6; score = (1/2 - 1/6) * 3 = 1
+    assert got["alpha"]["score"] == 1.0 and got["beta"]["score"] == 1.0
+    # tie broken term-asc
+    assert got["alpha"]["rank"] == 2 and got["beta"]["rank"] == 3
+
+
+def test_significant_terms_no_match_query_empty(spark):
+    from mircv_project_spark.operators.facets import significant_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    assert significant_terms(docs, [("q", "zzzmissing")]).count() == 0
+
+
+def test_streaming_percolate_equals_batch_and_is_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.operators.percolate import percolate
+    from mircv_project_spark.streaming.percolate_stream import (
+        read_percolate_matches,
+        run_percolate_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "s1", 16),
+            (2, "alpha beta", "en", "s1", 10),
+            (3, "gamma delta", "en", "s2", 11),
+            (4, "beta gamma alpha", "en", "s2", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    queries = [("q1", "alpha beta"), ("q2", "gamma"), ("q3", "zzz")]
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.where(F.col("doc_id") <= 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_percolate_stream(spark, inp, out, ckpt, queries).awaitTermination(120)
+    docs.where(F.col("doc_id") > 2).coalesce(1).write.mode("append").parquet(
+        inp
+    )
+    run_percolate_stream(spark, inp, out, ckpt, queries).awaitTermination(120)
+
+    want = sorted(tuple(r) for r in percolate(docs, queries).collect())
+    got = sorted(
+        tuple(r) for r in read_percolate_matches(spark, out).collect()
+    )
+    assert got == want and got  # non-empty
+
+    # replay with NO new input: checkpointed offsets make it a no-op
+    run_percolate_stream(spark, inp, out, ckpt, queries).awaitTermination(120)
+    again = sorted(
+        tuple(r) for r in read_percolate_matches(spark, out).collect()
+    )
+    assert again == want
