@@ -2044,6 +2044,15 @@ def _q_lexicon_asof(spark, sf_dir):
     return asof_lexicon(spark, _stream_delta(spark, sf_dir), epoch=0)
 
 
+def _q_lexicon_diff(spark, sf_dir):
+    """Vocabulary drift between ingestion epochs 0 and 1 of the
+    streaming delta store: new / grown / stable per term, prefix reads
+    partition-pruned on the epoch column."""
+    from mircv_project_spark.streaming.incremental import lexicon_diff
+
+    return lexicon_diff(spark, _stream_delta(spark, sf_dir), 0, 1)
+
+
 def _q_lexicon_streaming(spark, sf_dir):
     """Streaming-ingestion path under the oracle gate: the transcripts
     arrive as two Structured-Streaming micro-batches (arrival order ==
@@ -2489,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_streaming": _q_lexicon_streaming,
         "bm25_topk_nrt": _q_bm25_topk_nrt,
         "lexicon_asof": _q_lexicon_asof,
+        "lexicon_diff": _q_lexicon_diff,
         "conversation_sessions": _q_conversation_sessions,
         "turns_per_window": _q_turns_per_window,
         # streaming exact dedup: stateful per-fingerprint verdict,

@@ -1221,6 +1221,50 @@ SELECT a.term, a.df, a.cf,
 FROM lexagg a CROSS JOIN stats s
 ORDER BY a.term
 """,
+        # vocabulary drift epoch 0 -> epoch 1: prefix split pinned to the
+        # streaming feed (conv_id < 'conv-000000000032' == batch 0);
+        # status: 'new' (df_a=0), 'grown' (cf_b > cf_a), else 'stable'
+        "lexicon_diff": f"""WITH transcripts AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           text
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, conv_id, text FROM transcripts
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tok_all AS (
+    SELECT doc_id, conv_id, {_TOKENS_EXPR.format(col='text')} AS tokens
+    FROM docs
+),
+posts AS (
+    SELECT doc_id, conv_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id, conv_id, unnest(tokens) AS term FROM tok_all
+    )
+    GROUP BY doc_id, conv_id, term
+),
+la AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df_a,
+           CAST(sum(tf) AS BIGINT) AS cf_a
+    FROM posts WHERE conv_id < 'conv-000000000032' GROUP BY term
+),
+lb AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df_b,
+           CAST(sum(tf) AS BIGINT) AS cf_b
+    FROM posts GROUP BY term
+)
+SELECT b.term,
+       CAST(coalesce(a.df_a, 0) AS BIGINT) AS df_a,
+       CAST(coalesce(a.cf_a, 0) AS BIGINT) AS cf_a,
+       b.df_b, b.cf_b,
+       CASE WHEN coalesce(a.df_a, 0) = 0 THEN 'new'
+            WHEN b.cf_b > coalesce(a.cf_a, 0) THEN 'grown'
+            ELSE 'stable' END AS status
+FROM lb b LEFT JOIN la a USING (term)
+""",
         # time-travel read: the lexicon AS OF epoch 0 == the lexicon
         # over the pinned first-micro-batch prefix (conv_id <
         # 'conv-000000000032', the same split the streaming gate feeds)

@@ -432,3 +432,52 @@ def asof_lexicon(spark: SparkSession, delta_dir: str, epoch: int) -> DataFrame:
         F.round(F.col("mbc") * idf, 6).alias("bm25_ub"),
         F.round(F.col("mtc") * idf, 6).alias("tfidf_ub"),
     )
+
+
+def lexicon_diff(
+    spark: SparkSession, delta_dir: str, epoch_a: int, epoch_b: int
+) -> DataFrame:
+    """Vocabulary drift between two ingestion epochs of the streaming
+    index — the ops view behind "what changed since the last snapshot"
+    (new terms appearing, head terms growing).
+
+    -> (term, df_a, cf_a, df_b, cf_b, status) over the epoch-B
+    vocabulary, status in {'new', 'grown', 'stable'} (pinned, restated
+    verbatim in the oracle): 'new' when the term is absent at epoch A
+    (df_a = 0), else 'grown' when cf_b > cf_a (ingestion is
+    append-only, so any new occurrence grows cf — df alone can stall
+    while cf grows), else 'stable'.
+
+    Scale shape: two partition-pruned prefix scans of the flat delta
+    store (batch <= E is a partition predicate), one term-keyed
+    aggregate each, one term equi-join."""
+    flat = spark.read.parquet(f"{delta_dir}/flat")
+
+    def lex(e: int, suffix: str) -> DataFrame:
+        return (
+            flat.where(F.col("batch") <= int(e))
+            .groupBy("term")
+            .agg(
+                F.count("*").cast("long").alias(f"df_{suffix}"),
+                F.sum("tf").cast("long").alias(f"cf_{suffix}"),
+            )
+        )
+
+    la, lb = lex(epoch_a, "a"), lex(epoch_b, "b")
+    zero = F.lit(0).cast("long")
+    status = (
+        F.when(F.col("df_a") == 0, F.lit("new"))
+        .when(F.col("cf_b") > F.col("cf_a"), F.lit("grown"))
+        .otherwise(F.lit("stable"))
+    )
+    return (
+        lb.join(la, "term", "left")
+        .select(
+            "term",
+            F.coalesce(F.col("df_a"), zero).alias("df_a"),
+            F.coalesce(F.col("cf_a"), zero).alias("cf_a"),
+            "df_b",
+            "cf_b",
+        )
+        .withColumn("status", status)
+    )

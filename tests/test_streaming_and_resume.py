@@ -685,3 +685,44 @@ def test_nrt_view_serves_uncompacted_epochs_exactly(spark, tmp_path):
         ).collect()
     )
     assert got_cold == _topk_rows(batch)
+
+
+def test_lexicon_diff_statuses(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    all_t = generate_transcripts(spark, 300, seed=31).orderBy(
+        "conv_id", "turn_idx"
+    )
+    p1 = all_t.where(F.col("conv_id") < "conv-000000000020")
+    p2 = all_t.where(F.col("conv_id") >= "conv-000000000020")
+    p1.coalesce(1).write.mode("overwrite").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+    p2.coalesce(1).write.mode("append").parquet(inp)
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+
+    rows = S.lexicon_diff(spark, delta, 0, 1).collect()
+    assert rows
+    asof0 = {
+        r["term"]: (r["df"], r["cf"])
+        for r in S.asof_lexicon(spark, delta, 0).collect()
+    }
+    full = {
+        r["term"]: (r["df"], r["cf"])
+        for r in S.asof_lexicon(spark, delta, 1).collect()
+    }
+    assert len(rows) == len(full)
+    for r in rows:
+        t = r["term"]
+        assert (r["df_b"], r["cf_b"]) == full[t]
+        assert (r["df_a"], r["cf_a"]) == asof0.get(t, (0, 0))
+        if r["df_a"] == 0:
+            assert r["status"] == "new"
+        elif r["cf_b"] > r["cf_a"]:
+            assert r["status"] == "grown"
+        else:
+            assert r["status"] == "stable"
+            assert (r["df_a"], r["cf_a"]) == (r["df_b"], r["cf_b"])
+    # epochs identical -> everything 'stable'
+    same = S.lexicon_diff(spark, delta, 1, 1)
+    assert same.where(F.col("status") != "stable").count() == 0
