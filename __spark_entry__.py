@@ -2409,6 +2409,16 @@ def _q_eval_metrics(spark, sf_dir):
     return evaluate_run(run, qrels, k=oracle.TOPK_K)
 
 
+def _q_bm25_explain(spark, sf_dir):
+    """Score explanation (the Lucene explain API): per-term BM25
+    contribution breakdown of each query's rank-1 document — which
+    terms contributed what, from which statistics."""
+    from mircv_project_spark.operators.topk import explain_topdoc
+
+    idx = _index(spark, sf_dir, parse=False)
+    return explain_topdoc(idx, oracle.QUERY_SET, scoring.BM25)
+
+
 def _q_mrr_metrics(spark, sf_dir):
     """trec_eval stage completion: per-query reciprocal rank /
     recall@10 / success@10 of the BM25 run against the same synthetic
@@ -2487,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed_pfor": _q_topk_compressed_pfor,
         "bm25_eval_metrics": _q_eval_metrics,
         "bm25_mrr_metrics": _q_mrr_metrics,
+        "bm25_explain": _q_bm25_explain,
         "bm25_pr_curve": _q_pr_curve,
         "ranker_comparison": _q_ranker_comparison,
         # RM3 query expansion — full-oracle (chain restated in SQL)

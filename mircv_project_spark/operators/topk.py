@@ -142,6 +142,83 @@ def exhaustive_topk(
     )
 
 
+def explain_topdoc(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+) -> DataFrame:
+    """Score explanation (Lucene's explain API): the per-term breakdown
+    of each query's RANK-1 document — which terms contributed what, and
+    from which statistics.  The transparency surface a relevance
+    engineer debugs with.
+
+    -> (qid, docno, term, tf, doc_len, df, contrib, total): one row per
+    matching query term of the top document; contrib =
+    round(qtf * score_term, 6) per row, total = the RANKING's score —
+    round 6 of the RAW sum, NOT the sum of the rounded contributions
+    (pinned; the rank-1 selection uses exactly the ranking's
+    (round-6 score desc, docid asc) order so the explained doc IS the
+    served doc).
+
+    Scale shape: identical to exhaustive_topk (pruned flat join against
+    the broadcast query table) plus one rank-1 window and one self-join
+    of the per-term rows against the winners — no new shuffles beyond
+    the scorer's."""
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    empty = (
+        "qid string, docno string, term string, tf long, doc_len long,"
+        " df long, contrib double, total double"
+    )
+    if not qt_rows:
+        return spark.createDataFrame([], empty)
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    qt, _ = _resolve_query_terms(
+        spark, qt_rows, {r["term"]: r["df"] for r in lex}
+    )
+    if qt is None:
+        return spark.createDataFrame([], empty)
+
+    if standard == scoring.BM25:
+        s = scoring.bm25_col(
+            F.col("tf"), F.col("doc_len"), F.col("df"), index.n_docs, index.avgdl
+        )
+    elif standard == scoring.TFIDF:
+        s = scoring.tfidf_col(F.col("tf"), F.col("df"), index.n_docs)
+    else:
+        raise ValueError(f"unknown standard {standard!r}")
+
+    per = index.flat.join(F.broadcast(qt), "term").withColumn(
+        "raw", F.col("qtf") * s
+    )
+    scored = per.groupBy("qid", "docid").agg(F.sum("raw").alias("raw_score"))
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("raw_score"), 6).desc(), F.col("docid").asc()
+    )
+    top1 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "qid", "docid", F.round(F.col("raw_score"), 6).alias("total")
+        )
+    )
+    return per.join(top1, ["qid", "docid"]).select(
+        "qid",
+        (F.col("docid") - 1).cast("string").alias("docno"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.col("df").cast("long").alias("df"),
+        F.round(F.col("raw"), 6).alias("contrib"),
+        "total",
+    )
+
+
 def topk_from_blocks(
     reader,
     queries: list[tuple[str, str]],

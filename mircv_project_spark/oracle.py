@@ -954,6 +954,28 @@ FROM ranked
 """
 
 
+def _explain_sql(queries, standard: str) -> str:
+    """operators/topk.explain_topdoc: per-term score breakdown of each
+    query's rank-1 doc.  Pins: contrib = round(qtf * term_score, 6)
+    per row, total = round-6 of the RAW sum (the ranking's score, NOT
+    the sum of rounded contribs), rank-1 chosen by the ranking's
+    (round-6 score desc, docid asc) order."""
+    expr = _BM25 if standard == "bm25" else _TFIDF
+    return f"""{_ranked_ctes(queries, standard, False)},
+top1 AS (SELECT qid, docid, score FROM ranked WHERE rank = 1)
+SELECT t.qid, CAST(t.docid - 1 AS VARCHAR) AS docno, q.term,
+       CAST(p.tf AS BIGINT) AS tf, CAST(dl.doc_len AS BIGINT) AS doc_len,
+       CAST(q.df AS BIGINT) AS df,
+       round(q.qtf * ({expr}), 6) AS contrib,
+       t.score AS total
+FROM top1 t
+JOIN qexist q ON q.qid = t.qid
+JOIN postings p ON p.term = q.term AND p.docid = t.docid
+JOIN doclens dl ON dl.docid = t.docid
+CROSS JOIN stats s
+"""
+
+
 def _mrr_sql(queries, standard: str, k: int) -> str:
     """operators/evaluation.mrr_metrics: reciprocal rank / recall@k /
     success@k — first-rank and hit counts integer, rr and recall ONE
@@ -1429,6 +1451,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
         "bm25_pr_curve": _pr_curve_sql(QUERY_SET, "bm25", TOPK_K),
         "bm25_mrr_metrics": _mrr_sql(QUERY_SET, "bm25", TOPK_K),
+        # Lucene-style explain: per-term breakdown of the rank-1 doc
+        "bm25_explain": _explain_sql(QUERY_SET, "bm25"),
         # paired BM25-vs-QLD AP comparison (sign-test contingency row)
         "ranker_comparison": _ranker_cmp_sql(QUERY_SET, TOPK_K),
     }
