@@ -1475,6 +1475,17 @@ def _q_substring_topk(spark, sf_dir):
     )
 
 
+def _q_regex_topk(spark, sf_dir):
+    """Regex search over raw text (distributed grep): the pinned
+    Java/RE2-common pattern set ranked by non-overlapping match
+    count."""
+    from mircv_project_spark.operators.substring import regex_topk
+
+    return regex_topk(
+        _docs(spark, sf_dir), oracle.REGEX_SET, k=oracle.REGEX_K
+    )
+
+
 def _q_phrase_topk(spark, sf_dir):
     """Exact phrase queries without a positional index: n-gram
     equality over the token stream, overlap-counting, rank =
@@ -2579,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact phrase queries (no positional index needed)
         "phrase_topk": _q_phrase_topk,
         "substring_topk": _q_substring_topk,
+        "regex_topk": _q_regex_topk,
         # relational OLAP suite (TPC-H Q1/Q3/Q4 shapes)
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_top_orders": _q_tpch_top_orders,

@@ -164,3 +164,61 @@ def _tri_at(text):
         return text.substr(i, F.lit(3))
 
     return go
+
+
+def regex_topk(
+    docs: DataFrame,
+    patterns: list[tuple[str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regex search over RAW text (distributed grep), ranked by match
+    count — the substring operator's generalization for patterns a
+    literal scan cannot express.
+
+    Semantics (pinned, restated verbatim in oracle; change both sides
+    or neither): case-sensitive, n_hits = number of NON-overlapPING
+    left-to-right matches (both engines' regexp_extract_all walk),
+    rank (n_hits desc, id asc) top k per pattern, zero-match patterns
+    emit nothing.  Patterns are pinned in oracle.REGEX_SET and use only
+    the subset with identical Java-regex (Spark) and RE2 (DuckDB)
+    semantics — literals, character classes, +, alternation groups; no
+    backreferences / lookaround / word boundaries.
+
+    Scale shape: one map-only regex pass per pattern over the text
+    column (the pattern table is a driver-small constant folded into
+    the projection — no join at all), then the shared per-qid rank
+    window over matching docs only.  A standing deployment would put a
+    trigram prefilter in front (substring_topk's plan); the direct
+    scan is the exact baseline and the right shape for ad-hoc
+    patterns."""
+    spark = docs.sparkSession
+    parts = []
+    for qid, pat in patterns:
+        parts.append(
+            docs.select(
+                F.lit(qid).alias("qid"),
+                F.col(id_col).cast("long").alias("id"),
+                F.size(
+                    F.expr(
+                        f"regexp_extract_all({text_col}, '{pat}', 0)"
+                    )
+                ).cast("long").alias("n_hits"),
+            ).where(F.col("n_hits") >= 1)
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "qid string, id long, n_hits long, rank bigint"
+        )
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.unionByName(p)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_hits").desc(), F.col("id").asc()
+    )
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "n_hits", "rank")
+    )

@@ -69,6 +69,19 @@ SUBSTR_SET: list[tuple[str, str]] = [
     ("s06", "he fast k"),
 ]
 
+# regex-search gate patterns (operators/substring.regex_topk) — RAW
+# text, case-sensitive; every pattern uses only the regex subset with
+# IDENTICAL semantics in Java (Spark) and RE2 (DuckDB): literal chars,
+# [..] classes, +, alternation groups.  No backreferences, no \b, no
+# lookaround (the pii_scrub / tokenizer-oracle discipline).
+REGEX_K = 10
+REGEX_SET: list[tuple[str, str]] = [
+    ("r01", "tab[a-z]+"),
+    ("r02", "qu(ery|ick)"),
+    ("r03", "s(low|mall) (join|scan)"),
+    ("r04", "me+rge"),
+]
+
 # more-like-this gate probes (operators/mlt.py) — docnos (raw doc_id)
 # valid at every SF (corpora have >= 500 docs)
 MLT_K = 10
@@ -3254,6 +3267,31 @@ SELECT qid, conv_id, w_start, rank, score FROM ranked WHERE rank <= {k}
 """
 
 
+def _regex_topk_sql(patterns: list[tuple[str, str]], k: int) -> str:
+    """operators/substring.regex_topk: n_hits = len(regexp_extract_all)
+    — both engines count non-overlapping left-to-right matches; the
+    pattern set (oracle.REGEX_SET) stays inside the Java/RE2-common
+    subset; rank (n_hits desc, id asc)."""
+    branches = "\n    UNION ALL\n    ".join(
+        f"SELECT '{qid}' AS qid, doc_id AS id,"
+        f" CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_hits"
+        f" FROM documents"
+        for qid, pat in patterns
+    )
+    return f"""WITH m AS (
+    {branches}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY n_hits DESC, id ASC
+    ) AS rn
+    FROM m WHERE n_hits >= 1
+)
+SELECT qid, CAST(id AS BIGINT) AS id, n_hits, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
 def _substring_topk_sql(patterns: list[tuple[str, str]], k: int) -> str:
     """operators/substring.substring_topk: literal RAW-text containment
     ranked by NON-overlapping occurrence count ((len − len(replace)) /
@@ -5296,6 +5334,8 @@ def pipeline_oracles() -> dict[str, str]:
         # literal substring search (trigram-pruned grep; prune exact
         # by construction, oracle = direct contains scan)
         "substring_topk": _substring_topk_sql(SUBSTR_SET, SUBSTR_K),
+        # regex grep (RE2/Java-common subset, non-overlapping count)
+        "regex_topk": _regex_topk_sql(REGEX_SET, REGEX_K),
         # field-weighted passage BM25 (assistant turns w=2)
         "bm25f_topk": _bm25f_sql(QUERY_SET, TOPK_K),
         # lexical more-like-this (micro-quantized tf-idf cosine)

@@ -142,3 +142,28 @@ def test_streaming_percolate_equals_batch_and_is_idempotent(spark, tmp_path):
         tuple(r) for r in read_percolate_matches(spark, out).collect()
     )
     assert again == want
+
+
+def test_regex_topk_hand_computed(spark):
+    """Non-overlapping counting ('aa' in 'aaaa' -> 2), alternation,
+    rank ties by id, zero-match patterns emit nothing."""
+    from mircv_project_spark.operators.substring import regex_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bb"),
+            (2, "aa aa aa"),
+            (3, "query quick quart"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    pats = [("p1", "aa"), ("p2", "qu(ery|ick)"), ("p3", "zz+")]
+    rows = sorted(
+        tuple(r) for r in regex_topk(docs, pats, k=10).collect()
+    )
+    assert rows == [
+        ("p1", 1, 2, 2),   # 'aaaa' -> 2 non-overlapping
+        ("p1", 2, 3, 1),
+        ("p2", 3, 2, 1),   # query + quick; 'quart' not matched
+    ]
