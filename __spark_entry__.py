@@ -2430,6 +2430,57 @@ def _q_bm25_explain(spark, sf_dir):
     return explain_topdoc(idx, oracle.QUERY_SET, scoring.BM25)
 
 
+def _q_bm25_topk_sparksql(spark, sf_dir):
+    """The ENGINE's ranking through the pure spark.sql() surface: the
+    flat postings register as a temp view and the whole BM25 top-k —
+    scoring formula in the reference's exact operation order, round-6
+    rank window, docno projection — runs as one SQL string (D-suffixed
+    double literals per the spark.sql gate pin).  Shares bm25_topk's
+    oracle BY DESIGN (same computation, different front end)."""
+    from mircv_project_spark.operators.topk import query_terms
+
+    idx = _index(spark, sf_dir, parse=False)
+    qt_rows = query_terms(oracle.QUERY_SET, idx.parse)
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = {
+        r["term"]: int(r["df"])
+        for r in idx.lexicon.where(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    }
+    rows = [(q, t, c, lex[t]) for q, t, c in qt_rows if t in lex]
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid string, docno string, rank long, score double"
+        )
+    vals = ", ".join(
+        f"('{q}', '{t}', {c}, {df})" for q, t, c, df in rows
+    )
+    idx.flat.createOrReplaceTempView("bm25_sql_flat")
+    n, avgdl = idx.n_docs, idx.avgdl
+    return spark.sql(f"""
+WITH qt AS (
+    SELECT * FROM VALUES {vals} AS q(qid, term, qtf, df)
+),
+scored AS (
+    SELECT q.qid, f.docid,
+           sum(q.qtf * ((f.tf / ((1.5D * (0.3D + (0.7D * (f.doc_len
+               / {avgdl!r}D)))) + f.tf)) * log10({n}D / q.df))) AS raw
+    FROM bm25_sql_flat f JOIN qt q ON f.term = q.term
+    GROUP BY q.qid, f.docid
+),
+ranked AS (
+    SELECT qid, docid, round(raw, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY round(raw, 6) DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT qid, CAST(docid - 1 AS STRING) AS docno, rank, score
+FROM ranked WHERE rank <= {oracle.TOPK_K}
+""")
+
+
 def _q_mrr_metrics(spark, sf_dir):
     """trec_eval stage completion: per-query reciprocal rank /
     recall@10 / success@10 of the BM25 run against the same synthetic
@@ -2509,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_eval_metrics": _q_eval_metrics,
         "bm25_mrr_metrics": _q_mrr_metrics,
         "bm25_explain": _q_bm25_explain,
+        "bm25_topk_sparksql": _q_bm25_topk_sparksql,
         "bm25_pr_curve": _q_pr_curve,
         "ranker_comparison": _q_ranker_comparison,
         # RM3 query expansion — full-oracle (chain restated in SQL)

@@ -1466,6 +1466,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_mrr_metrics": _mrr_sql(QUERY_SET, "bm25", TOPK_K),
         # Lucene-style explain: per-term breakdown of the rank-1 doc
         "bm25_explain": _explain_sql(QUERY_SET, "bm25"),
+        # the spark.sql() front end runs the SAME ranking (same oracle)
+        "bm25_topk_sparksql": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # paired BM25-vs-QLD AP comparison (sign-test contingency row)
         "ranker_comparison": _ranker_cmp_sql(QUERY_SET, TOPK_K),
     }
