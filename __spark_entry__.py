@@ -1615,6 +1615,48 @@ def _q_ivf_cosine_topk_exact(spark, sf_dir):
     )
 
 
+_ANN_STREAM_CACHE: dict = {}
+
+
+def _q_streaming_ivf_topk_exact(spark, sf_dir):
+    """Incremental vector-index maintenance (FAISS's train-then-add
+    contract as Structured Streaming): the coarse quantizer trains
+    ONCE on the first half, embeddings arrive as two micro-batches
+    whose cell assignments append per epoch (map-only ingest), and the
+    query serves from the persisted cell table.  At nprobe == n_cells
+    the candidate pool is the full corpus, so the served ranking must
+    equal the exhaustive cosine oracle — ivf_cosine_topk_exact's
+    exact-recovery regime through the streaming store."""
+    from pyspark.sql import functions as F
+
+    from mircv_project_spark.streaming.ann_stream import (
+        ivf_topk_from_store,
+        run_ivf_ingest,
+        train_quantizer,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _ANN_STREAM_CACHE:
+        base = _tmpdir("mircv_gate_annstream_")
+        inp, out, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+        emb = _emb(spark, sf_dir)
+        mid = emb.agg(
+            F.expr("percentile_approx(vec_id, 0.5)")
+        ).collect()[0][0]
+        first = emb.where(F.col("vec_id") <= mid)
+        train_quantizer(first, out)
+        first.coalesce(1).write.mode("overwrite").parquet(inp)
+        run_ivf_ingest(spark, inp, out, ckpt).awaitTermination(300)
+        emb.where(F.col("vec_id") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        run_ivf_ingest(spark, inp, out, ckpt).awaitTermination(300)
+        _ANN_STREAM_CACHE[key] = out
+    return ivf_topk_from_store(
+        spark, _ANN_STREAM_CACHE[key], oracle.PROBE_IDS, k=oracle.ANN_K
+    )
+
+
 def _q_lsh_cosine_topk_exact(spark, sf_dir):
     """Multi-probe LSH with hamming_radius == bits expands each probe to
     the FULL Hamming ball (2^16 keys), so every signature matches and the
@@ -2675,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the SAME machinery at exactness-recovering params IS oracle-
         # gated (full-probe / full-Hamming-ball -> must equal exhaustive)
         "ivf_cosine_topk_exact": _q_ivf_cosine_topk_exact,
+        "streaming_ivf_topk_exact": _q_streaming_ivf_topk_exact,
         "lsh_cosine_topk_exact": _q_lsh_cosine_topk_exact,
         # SQ8 two-pass (int8 scan + exact rescore) — rank-identical to
         # exhaustive at the pinned rescore factor, hence oracle-gated

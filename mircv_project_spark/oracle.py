@@ -5393,6 +5393,8 @@ def pipeline_oracles() -> dict[str, str]:
         # reproduce the exhaustive cosine oracle bit-for-bit; the
         # approximate regimes keep their recall floors in pytest.
         "ivf_cosine_topk_exact": _COSINE_TOPK_SQL,
+        # streaming-ingested IVF at full probe == exhaustive cosine
+        "streaming_ivf_topk_exact": _COSINE_TOPK_SQL,
         "lsh_cosine_topk_exact": _COSINE_TOPK_SQL,
         # SQ8 two-pass top-k: the int8 pass only PRE-RANKS — the final
         # ranking comes from exact float64 cosine over the rescore pool,
