@@ -189,6 +189,16 @@ def _q_suffix_topk(spark, sf_dir):
     return suffix_topk(idx, oracle.SUFFIX_QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_wildcard_topk(spark, sf_dir):
+    """Infix-wildcard (pre*suf) retrieval via the permuterm-equivalent
+    two-sided substring equi-join (fuzzy.wildcard_topk); the oracle
+    states the direct LIKE 'pre%suf' join."""
+    from mircv_project_spark.operators.fuzzy import wildcard_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return wildcard_topk(idx, oracle.WILDCARD_QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_qld_topk(spark, sf_dir):
     """Dirichlet query-likelihood top-k (operators/qld.py) — integer
     micro-log10 quantized aggregate, mu=2048 pinned on both sides."""
@@ -196,6 +206,16 @@ def _q_qld_topk(spark, sf_dir):
 
     idx = _index(spark, sf_dir, parse=False)
     return qld_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
+def _q_qljm_topk(spark, sf_dir):
+    """Jelinek-Mercer query-likelihood top-k (qld.qljm_topk) — the
+    linear-interpolation smoothing beside Dirichlet; lambda=0.5 dyadic,
+    log10(0.5) carried as the -301030 micro literal on both sides."""
+    from mircv_project_spark.operators.qld import qljm_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return qljm_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
 def _q_fuzzy_topk(spark, sf_dir):
@@ -2551,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_scoped_stats": _q_scoped_stats_topk,
         "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
         "qld_topk": _q_qld_topk,
+        "qljm_topk": _q_qljm_topk,
         "qld_topk_stored": _q_qld_topk_stored,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
@@ -2568,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fuzzy": _q_fuzzy_topk,
         "bm25_topk_prefix": _q_prefix_topk,
         "bm25_topk_suffix": _q_suffix_topk,
+        "bm25_topk_wildcard": _q_wildcard_topk,
         "bm25_topk_recency": _q_recency_topk,
         "bm25_topk_boolean": _q_boolean_topk,
         "ltr_features": _q_ltr_features,

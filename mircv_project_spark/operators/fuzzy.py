@@ -120,6 +120,69 @@ def prefix_topk(
     )
 
 
+def wildcard_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+) -> DataFrame:
+    """Infix wildcard (``pre*suf``) retrieval — the permuterm-index
+    semantics: a term matches iff it starts with ``pre``, ends with
+    ``suf``, and the two literal parts do not overlap
+    (``len(term) >= len(pre) + len(suf)``) — exactly the term set of
+    SQL ``LIKE 'pre%suf'``, which the oracle states directly.  Every
+    matching term contributes termscore once (wildcard-OR, qtf=1),
+    completing the prefix*/su*fix/*suffix wildcard family
+    (reference drops unmatched terms outright,
+    ``queryProcessor/QueryProcessorMain.java:139-154``).
+
+    Scale shape: the classic serve structure is a permuterm index
+    (rotate ``term$`` so every infix query becomes a prefix lookup);
+    on a columnar lexicon the equivalent EQUI-join is simpler — group
+    patterns by (len(pre), len(suf)), key the lexicon scan with
+    (substr(term, 1, Lp), substr(reverse(term), 1, Ls)) per distinct
+    length pair, broadcast the patterns, and guard
+    length(term) >= Lp + Ls map-side.  A LIKE join condition would
+    BNLJ the vocabulary (the prefix_topk lesson).  Downstream is the
+    shared exhaustive-top-k tail.  Empty sides degenerate correctly
+    (substr(t, 1, 0) = '' matches the empty literal), so ``pre*`` and
+    ``*suf`` are special cases, but the dedicated operators stay the
+    serve path for those.
+    """
+    spark = index.flat.sparkSession
+    parsed = []
+    for qid, pat in queries:
+        pre, star, suf = pat.partition("*")
+        if star != "*":
+            continue  # not a wildcard pattern — out of scope by contract
+        parsed.append((qid, pre, suf))
+    if not parsed:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    by_len: dict[tuple[int, int], list[tuple[str, str, str]]] = {}
+    for qid, pre, suf in parsed:
+        by_len.setdefault((len(pre), len(suf)), []).append((qid, pre, suf[::-1]))
+
+    expanded = None
+    for (lp, ls), group in sorted(by_len.items()):
+        pdf = spark.createDataFrame(group, "qid string, pre string, rsuf string")
+        keyed = index.lexicon.where(F.length("term") >= lp + ls).select(
+            "term",
+            "df",
+            F.substring("term", 1, lp).alias("pre"),
+            F.substring(F.reverse(F.col("term")), 1, ls).alias("rsuf"),
+        )
+        part = keyed.join(F.broadcast(pdf), ["pre", "rsuf"]).select(
+            "qid", F.lit(1).alias("qtf"), "term", "df"
+        )
+        expanded = part if expanded is None else expanded.unionByName(part)
+
+    matched = index.flat.join(F.broadcast(expanded), "term")
+    return _score_and_rank(
+        matched, standard, index.n_docs, index.avgdl, k, False, {}
+    )
+
+
 def suffix_topk(
     index: InvertedIndex,
     queries: list[tuple[str, str]],

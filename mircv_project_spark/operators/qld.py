@@ -40,6 +40,16 @@ from .topk import _EMPTY_SCHEMA, query_terms
 QLD_MU = 2048.0
 _MICRO = 1e6
 
+# Jelinek-Mercer pins: lambda = 0.5 (dyadic), so the matched-term odds
+# factor (1-lambda)/lambda is EXACTLY 1 and never appears as a float;
+# the per-query constant |q| * log10(lambda) is carried as the integer
+# micro literal round(1e6 * log10(0.5)) = -301030, pinned on both
+# sides (the CORI 0.6-literal discipline: deriving it via log10() on
+# each engine would be the same value, but a literal removes the
+# question).
+JM_LAMBDA = 0.5
+JM_LOG_LAMBDA_MICRO = -301030
+
 
 def qld_topk(
     index: InvertedIndex,
@@ -96,6 +106,95 @@ def qld_topk(
     qmap = F.create_map(*[F.lit(x) for kv in q_total.items() for x in kv])
     scored = scored.withColumn(
         "micro", F.col("tsum") + qmap[F.col("qid")].cast("long") * dl_micro
+    )
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("micro").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("docid") - 1).cast("string").alias("docno"),
+            "rank",
+            F.round(F.col("micro") / F.lit(_MICRO), 6).alias("score"),
+        )
+    )
+
+
+def qljm_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Query likelihood with Jelinek-Mercer smoothing — the OTHER
+    classic LM smoothing beside qld_topk's Dirichlet (Zhai & Lafferty
+    SIGIR 2001 compare exactly these two; JM interpolates linearly,
+    Dirichlet by document length).  Matched-terms form:
+
+        log10 P(q|d) ~ sum_t qtf_t * log10(1 + ((1-L)/L) * (tf_t/dl)
+                                                 / (cf_t/C))
+                       + |q| * log10(L)
+
+    Exactness contract (the qld_topk/lm.py discipline): per-(term,doc)
+    weights quantized to integer micro-log10 BIGINT before the exact
+    per-doc sum.  Pins (change oracle._qljm_topk_sql too or neither):
+
+    - lambda = 0.5 (dyadic) -> the odds factor is EXACTLY 1 and is
+      omitted; the query-constant part is |q| * JM_LOG_LAMBDA_MICRO
+      with the -301030 literal (not a runtime log10);
+    - inner ratio parenthesized (tf_double * C) / (dl_double *
+      cf_double) — factors cast double BEFORE multiplying;
+    - score = round(micro / 1e6, 6); rank (micro desc, docid asc).
+
+    Scale shape: identical to qld_topk — tiny per-query lexicon
+    lookup, one broadcast join into the postings scan, one (qid,
+    docid) aggregate; unlike Dirichlet the weight needs dl per row,
+    which already rides in ``flat``.
+    """
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "cf")
+        .collect()
+    )
+    cf_by_term = {r["term"]: r["cf"] for r in lex}
+    qt_rows = [(q, t, c, cf_by_term[t]) for q, t, c in qt_rows if t in cf_by_term]
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    q_total: dict[str, int] = {}
+    for q, _, c, _ in qt_rows:
+        q_total[q] = q_total.get(q, 0) + c
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf int, cf long")
+
+    c_total = float(index.sum_doc_len)
+    matched = index.flat.join(F.broadcast(qt), "term")
+    w_micro = F.round(
+        F.log10(
+            F.lit(1.0)
+            + (F.col("tf").cast("double") * F.lit(c_total))
+            / (F.col("doc_len").cast("double") * F.col("cf").cast("double"))
+        )
+        * F.lit(_MICRO)
+    ).cast("long")
+
+    scored = (
+        matched.withColumn("wm", w_micro)
+        .groupBy("qid", "docid")
+        .agg(F.sum(F.col("qtf").cast("long") * F.col("wm")).alias("tsum"))
+    )
+    qmap = F.create_map(*[F.lit(x) for kv in q_total.items() for x in kv])
+    scored = scored.withColumn(
+        "micro",
+        F.col("tsum")
+        + qmap[F.col("qid")].cast("long") * F.lit(JM_LOG_LAMBDA_MICRO),
     )
 
     w = Window.partitionBy("qid").orderBy(

@@ -152,6 +152,21 @@ PREFIX_QUERY_SET: list[tuple[str, str]] = [
     ("w05", "zz"),
 ]
 
+# infix-wildcard (pre*suf) retrieval queries (fuzzy.wildcard_topk) —
+# mixed length pairs (the operator branches per distinct (Lp, Ls)), a
+# high-fanout single-char pair, a no-match pattern, and y07 whose
+# literal parts could OVERLAP on short terms (the len >= Lp+Ls guard ==
+# SQL LIKE semantics is exactly what that case pins)
+WILDCARD_QUERY_SET: list[tuple[str, str]] = [
+    ("y01", "s*k"),
+    ("y02", "qu*y"),
+    ("y03", "c*er"),
+    ("y04", "s*t"),
+    ("y05", "ta*le"),
+    ("y06", "w*ore"),
+    ("y07", "s*s"),
+]
+
 # next-term suggestion seeds (lm.next_term_suggest) — common corpus
 # terms, one stopword context, and a no-bigram miss ("zzmissing")
 SUGGEST_SEEDS: list[str] = ["spark", "join", "the", "customer", "sort", "zzmissing"]
@@ -425,6 +440,51 @@ ORDER BY qid, rank
 """
 
 
+def _qljm_topk_sql(queries, k: int) -> str:
+    """Jelinek-Mercer query likelihood (operators/qld.qljm_topk):
+    matched-terms rank-equivalent form, per-(term,doc) weight
+    quantized to integer micro-log10 BIGINT before the exact per-doc
+    sum.  Pins restated from qld.py: lambda=0.5 so the odds factor is
+    exactly 1 (omitted), query-constant part = |q| * (-301030) with
+    the literal micro value of log10(0.5), parenthesization
+    (tf_double * C) / (dl_double * cf_double), rank (micro desc,
+    docid asc)."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+qq AS (
+    SELECT qid, CAST(sum(qtf) AS BIGINT) AS q_total FROM qexist GROUP BY qid
+),
+scored AS (
+    SELECT q.qid, p.docid,
+           CAST(sum(q.qtf * CAST(round(log10(
+               1 + (CAST(p.tf AS DOUBLE) * s.sum_doc_len)
+                   / (CAST(dl.doc_len AS DOUBLE) * CAST(l.cf AS DOUBLE))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS tsum
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+final AS (
+    SELECT sc.qid, sc.docid,
+           sc.tsum + qq.q_total * CAST(-301030 AS BIGINT) AS micro
+    FROM scored sc JOIN qq USING (qid)
+),
+ranked AS (
+    SELECT qid, docid, micro,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY micro DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM final
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       round(micro / 1e6, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 CHAMPION_M = 32
 
 
@@ -610,6 +670,46 @@ sq AS (SELECT * FROM (VALUES {rows}) v(qid, suf)),
 fexp AS (
     SELECT q.qid, l.term, l.df
     FROM sq q JOIN lexicon l ON ends_with(l.term, q.suf)
+),
+scored AS (
+    SELECT f.qid, p.docid,
+           sum({expr}) AS raw_score
+    FROM fexp f
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY f.qid, p.docid
+),
+ranked AS (
+    SELECT sc.qid, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def _wildcard_topk_sql(queries, standard: str, k: int) -> str:
+    """Infix-wildcard (pre*suf) retrieval (operators/fuzzy.
+    wildcard_topk): every lexicon term matching LIKE 'pre%suf'
+    contributes once (qtf=1).  The oracle states the direct LIKE join;
+    the engine's two-sided per-(Lp, Ls) substring equi-join with the
+    len >= Lp+Ls guard is equivalent (LIKE's %-placement requires the
+    literal parts not to overlap, which IS the length guard)."""
+    expr = (_BM25 if standard == "bm25" else _TFIDF).replace("q.df", "f.df")
+    rows = ", ".join(
+        f"('{qid}', '{p.split('*')[0]}', '{p.split('*')[1]}')" for qid, p in queries
+    )
+    return f"""{_PREFIX},
+wq AS (SELECT * FROM (VALUES {rows}) v(qid, pre, suf)),
+fexp AS (
+    SELECT q.qid, l.term, l.df
+    FROM wq q JOIN lexicon l ON l.term LIKE q.pre || '%' || q.suf
 ),
 scored AS (
     SELECT f.qid, p.docid,
@@ -1374,6 +1474,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         ),
         # Dirichlet query-likelihood — third scoring standard (qld.py)
         "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
+        # Jelinek-Mercer LM — the other classic smoothing (qld.qljm_topk)
+        "qljm_topk": _qljm_topk_sql(QUERY_SET, TOPK_K),
         # QLD over the persisted store via the term-pruned flat view
         "qld_topk_stored": _qld_topk_sql(QUERY_SET, TOPK_K),
         # hybrid BM25 + cosine with RRF fusion (probe doc = query)
@@ -1404,6 +1506,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # wildcard (prefix*) retrieval — qtf=1 wildcard-OR
         "bm25_topk_prefix": _prefix_topk_sql(PREFIX_QUERY_SET, "bm25", TOPK_K),
         "bm25_topk_suffix": _suffix_topk_sql(SUFFIX_QUERY_SET, "bm25", TOPK_K),
+        "bm25_topk_wildcard": _wildcard_topk_sql(WILDCARD_QUERY_SET, "bm25", TOPK_K),
         # recency-boosted ranking (half-life 1024 s, micro decay)
         "bm25_topk_recency": _recency_topk_sql(QUERY_SET, 1024, TOPK_K),
         # boolean +must/-not/should syntax

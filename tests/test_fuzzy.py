@@ -135,6 +135,91 @@ def test_store_view_serves_expansion_paths(spark, vb_index, tmp_path):
     )
 
 
+def test_wildcard_equals_manual_like_expansion(spark, vb_index):
+    """The two-sided substring equi-join + length guard must equal a
+    manual starts-with/ends-with/non-overlap expansion fed through the
+    same wildcard-OR scorer — including y-style patterns whose literal
+    parts could overlap on short terms."""
+    from mircv_project_spark.operators.fuzzy import wildcard_topk
+    from mircv_project_spark.operators.topk import _score_and_rank
+
+    idx, _ = vb_index
+    qs = [("y1", "s*k"), ("y2", "c*er"), ("y3", "s*s"), ("y4", "zz*zz")]
+    got = sorted(map(tuple, wildcard_topk(idx, qs, k=10).collect()))
+    exp = None
+    for qid, pat in qs:
+        pre, _, suf = pat.partition("*")
+        terms = [
+            r["term"]
+            for r in idx.lexicon.collect()
+            if r["term"].startswith(pre)
+            and r["term"].endswith(suf)
+            and len(r["term"]) >= len(pre) + len(suf)
+        ]
+        if not terms:
+            continue
+        part = idx.lexicon.where(F.col("term").isin(terms)).select(
+            F.lit(qid).alias("qid"), F.lit(1).alias("qtf"), "term", "df"
+        )
+        exp = part if exp is None else exp.unionByName(part)
+    matched = idx.flat.join(F.broadcast(exp), "term")
+    want = sorted(
+        map(
+            tuple,
+            _score_and_rank(
+                matched, scoring.BM25, idx.n_docs, idx.avgdl, 10, False, {}
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_wildcard_overlap_guard_excludes_short_terms(spark, vb_index):
+    """A term shorter than len(pre)+len(suf) must NOT match even when
+    it both starts with pre and ends with suf (LIKE 'pre%suf' can't
+    place the % inside overlapping literals) — build a probe expansion
+    directly to pin the guard."""
+    from mircv_project_spark.operators.fuzzy import wildcard_topk
+
+    idx, _ = vb_index
+    # find any term t and probe pattern t[0]*t[-1]; a single-char term
+    # 'x' must never match pattern 'x*x'
+    one = [r["term"] for r in idx.lexicon.collect() if len(r["term"]) == 1]
+    if not one:
+        return
+    t = one[0]
+    res = wildcard_topk(idx, [("g", f"{t}*{t}")], k=500).collect()
+    # docs that contain ONLY the 1-char term among pattern-compatible
+    # terms would appear iff the guard leaked; verify via expansion
+    leak = [
+        r["term"]
+        for r in idx.lexicon.collect()
+        if r["term"].startswith(t) and r["term"].endswith(t)
+        and len(r["term"]) < 2
+    ]
+    assert leak == [t]  # the 1-char term is the only possible leak
+    matched_terms = {
+        r["term"]
+        for r in idx.lexicon.collect()
+        if r["term"].startswith(t) and r["term"].endswith(t)
+        and len(r["term"]) >= 2
+    }
+    if not matched_terms:
+        assert res == []
+
+
+def test_wildcard_plan_is_equi_join(spark, vb_index):
+    from mircv_project_spark.operators.fuzzy import wildcard_topk
+    from mircv_project_spark.plans import checks
+
+    idx, _ = vb_index
+    wc = wildcard_topk(idx, oracle.WILDCARD_QUERY_SET, scoring.BM25, k=10)
+    plan = checks.plan_text(wc)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_suffix_equals_manual_endswith_expansion(spark, vb_index):
     """The reversed-term equi-join must equal a manual ends-with
     expansion fed through the same wildcard-OR scorer."""
