@@ -477,6 +477,16 @@ def _q_clarity_scores(spark, sf_dir):
     return clarity_scores(idx, oracle.QUERY_SET)
 
 
+def _q_preretrieval_qpp(spark, sf_dir):
+    """Pre-retrieval QPP (qpp.preretrieval_qpp): avg/max idf, avg
+    ictf, SCS, SCQ from the lexicon + stats alone — zero postings
+    touched, the broker-side routing signals."""
+    from mircv_project_spark.operators.qpp import preretrieval_qpp
+
+    idx = _index(spark, sf_dir, parse=False)
+    return preretrieval_qpp(idx, oracle.QUERY_SET)
+
+
 def _q_more_like_this(spark, sf_dir):
     """Lexical more-like-this (operators/mlt.py): micro-quantized
     tf-idf cosine over the inverted index, exact integer dots."""
@@ -2633,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": _q_bm25f_topk,
         "more_like_this": _q_more_like_this,
         "clarity_scores": _q_clarity_scores,
+        "preretrieval_qpp": _q_preretrieval_qpp,
         "lexicon_streaming": _q_lexicon_streaming,
         "bm25_topk_nrt": _q_bm25_topk_nrt,
         "lexicon_asof": _q_lexicon_asof,

@@ -37,7 +37,7 @@ terms per query — driver-trivial, fully Catalyst.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import scoring
@@ -110,4 +110,126 @@ def clarity_scores(
                 6,
             ).alias("clarity"),
         )
+    )
+
+
+def preretrieval_qpp(
+    index: InvertedIndex, queries: list[tuple[str, str]]
+) -> DataFrame:
+    """Pre-retrieval query-performance predictors — the statistics an
+    engine computes BEFORE running the query to decide routing/expansion
+    (He & Ounis 2004 "Inferring Query Performance Using Pre-retrieval
+    Predictors"; Zhao, Scholer & Tsegay 2008 for SCQ).  Everything
+    derives from the lexicon + collection stats alone: no postings
+    scan, no first pass — the broker-side complement to the
+    post-retrieval ``clarity_scores``.
+
+    Per query (one row; queries with zero in-lexicon terms emit none):
+
+    - ``n_terms``   distinct in-lexicon query terms;
+    - ``ql``        total in-lexicon token count (multiplicity kept —
+                    the |q| the SCS normalizer needs);
+    - ``avg_idf`` / ``max_idf``  over idf_micro = round(1e6 ·
+      log10(n_docs_d / df_d)) BIGINT per distinct term;
+    - ``avg_ictf``  over ictf_micro = round(1e6 · log10(C_d / cf_d))
+      (inverse collection term frequency);
+    - ``scs``       simplified clarity score = Σ_t (qtf/ql) ·
+      log10((qtf·C)/(ql·cf_t)): per-term cq_micro = round(1e6 ·
+      log10((qtf_d · C) / (ql_d · cf_d))) BIGINT — factors cast to
+      double BEFORE multiplying (the pmi/clarity pin) — then the exact
+      integer S = Σ qtf·cq_micro and ONE double division
+      round(S / (ql · 1e6), 6);
+    - ``scq_sum``   Σ_t round(1e6 · (1.0 + ln(cf_d)) · ln(1.0 +
+      n_docs_d / df_d)) / 1e6 — the collection-query similarity; ln
+      parity across engines is the same 1-ulp class the log10 gates
+      pin (weighted_sample's ln discipline).
+
+    Averages (and scs) round the exact micro sum divided by its TINY
+    integer normalizer (n_terms / ql, often 2) to an INTEGER micro
+    value first — half away from zero on all three engines — then the
+    final /1e6 is boundary-free.  A one-step round(S/(n·1e6), 6) lands
+    EXACTLY on a 5e-7 half whenever n | 2S (hit immediately at
+    sf0.001), where Spark/DuckDB HALF_UP and Python banker's diverge;
+    clarity_scores tolerates the one-step form only because its W
+    normalizer is micro-scale huge.
+
+    Pins restated verbatim in oracle._preretrieval_qpp_sql (change
+    both or neither): idf/ictf over DISTINCT terms, scs over
+    multiplicity, all parenthesizations above.
+
+    Scale shape: a |query terms|-row broadcast join into the lexicon
+    scan (term-pruned by the join key) + one per-qid aggregate —
+    touches zero postings, which is the entire point of pre-retrieval
+    prediction at 100 TB."""
+    from .topk import query_terms
+
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame(
+            [],
+            "qid string, n_terms long, ql long, avg_idf double,"
+            " max_idf double, avg_ictf double, scs double, scq_sum double",
+        )
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf int")
+    lex = index.lexicon.select("term", "df", "cf")
+    joined = lex.join(F.broadcast(qt), "term")
+
+    ql_w = F.sum("qtf").over(Window.partitionBy("qid"))
+    n_docs_d = F.lit(float(index.n_docs))
+    c_d = F.lit(float(index.sum_doc_len))
+    idf_micro = F.round(
+        F.lit(_MICRO) * F.log10(n_docs_d / F.col("df").cast("double"))
+    ).cast("long")
+    ictf_micro = F.round(
+        F.lit(_MICRO) * F.log10(c_d / F.col("cf").cast("double"))
+    ).cast("long")
+    scq_micro = F.round(
+        F.lit(_MICRO)
+        * (
+            (F.lit(1.0) + F.log(F.col("cf").cast("double")))
+            * F.log(F.lit(1.0) + n_docs_d / F.col("df").cast("double"))
+        )
+    ).cast("long")
+    cq_micro = F.round(
+        F.lit(_MICRO)
+        * F.log10(
+            (F.col("qtf").cast("double") * c_d)
+            / (F.col("ql").cast("double") * F.col("cf").cast("double"))
+        )
+    ).cast("long")
+
+    staged = joined.withColumn("ql", ql_w).select(
+        "qid",
+        "qtf",
+        F.col("ql").cast("long").alias("ql"),
+        idf_micro.alias("idf_u"),
+        ictf_micro.alias("ictf_u"),
+        scq_micro.alias("scq_u"),
+        (F.col("qtf").cast("long") * cq_micro).alias("scs_c"),
+    )
+    agg = staged.groupBy("qid").agg(
+        F.count("*").alias("n_terms"),
+        F.max("ql").alias("ql"),
+        F.sum("idf_u").alias("idf_s"),
+        F.max("idf_u").alias("idf_m"),
+        F.sum("ictf_u").alias("ictf_s"),
+        F.sum("scq_u").alias("scq_s"),
+        F.sum("scs_c").alias("scs_s"),
+    )
+    def _avg6(sum_col: str, n_col: str):
+        u = F.round(
+            F.col(sum_col).cast("double") / F.col(n_col).cast("double")
+        ).cast("long")
+        return F.round(u.cast("double") / F.lit(_MICRO), 6)
+
+    return agg.select(
+        "qid",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("ql").cast("long").alias("ql"),
+        _avg6("idf_s", "n_terms").alias("avg_idf"),
+        F.round(F.col("idf_m").cast("double") / F.lit(_MICRO), 6).alias("max_idf"),
+        _avg6("ictf_s", "n_terms").alias("avg_ictf"),
+        _avg6("scs_s", "ql").alias("scs"),
+        F.round(F.col("scq_s").cast("double") / F.lit(_MICRO), 6).alias("scq_sum"),
     )

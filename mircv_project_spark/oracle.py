@@ -440,6 +440,57 @@ ORDER BY qid, rank
 """
 
 
+def _preretrieval_qpp_sql(queries) -> str:
+    """Pre-retrieval QPP (operators/qpp.preretrieval_qpp): lexicon-only
+    predictors.  Pins restated from qpp.py: per-term micro BIGINT
+    quantization of idf/ictf/scq/cq, idf/ictf/scq over DISTINCT
+    in-lexicon terms, scs over multiplicity with ql = Σ qtf,
+    parenthesizations (qtf_d · C) / (ql_d · cf_d) and
+    (1.0 + ln(cf_d)) · ln(1.0 + n_docs_d / df_d); averages/scs round
+    sum/n to INTEGER micro first (tiny n lands a one-step round-6 on
+    exact 5e-7 halves — qpp.py docstring), then /1e6."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+qlex AS (
+    SELECT q.qid, q.qtf, l.df, l.cf
+    FROM qexist q JOIN lexicon l USING (term)
+),
+ql AS (SELECT qid, CAST(sum(qtf) AS BIGINT) AS ql FROM qlex GROUP BY qid),
+terms AS (
+    SELECT x.qid, x.qtf, q.ql,
+           CAST(round(1e6 * log10(CAST(s.n_docs AS DOUBLE)
+                                  / CAST(x.df AS DOUBLE))) AS BIGINT) AS idf_u,
+           CAST(round(1e6 * log10(CAST(s.sum_doc_len AS DOUBLE)
+                                  / CAST(x.cf AS DOUBLE))) AS BIGINT) AS ictf_u,
+           CAST(round(1e6 * ((1.0 + ln(CAST(x.cf AS DOUBLE)))
+                             * ln(1.0 + CAST(s.n_docs AS DOUBLE)
+                                        / CAST(x.df AS DOUBLE)))) AS BIGINT)
+               AS scq_u,
+           x.qtf * CAST(round(1e6 * log10(
+               (CAST(x.qtf AS DOUBLE) * CAST(s.sum_doc_len AS DOUBLE))
+               / (CAST(q.ql AS DOUBLE) * CAST(x.cf AS DOUBLE))
+           )) AS BIGINT) AS scs_c
+    FROM qlex x JOIN ql q USING (qid) CROSS JOIN stats s
+)
+SELECT qid,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       max(ql) AS ql,
+       round(CAST(CAST(round(CAST(sum(idf_u) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                  AS DOUBLE) / 1e6, 6) AS avg_idf,
+       round(CAST(max(idf_u) AS DOUBLE) / 1e6, 6) AS max_idf,
+       round(CAST(CAST(round(CAST(sum(ictf_u) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                  AS DOUBLE) / 1e6, 6) AS avg_ictf,
+       round(CAST(CAST(round(CAST(sum(scs_c) AS DOUBLE)
+                             / CAST(max(ql) AS DOUBLE)) AS BIGINT)
+                  AS DOUBLE) / 1e6, 6) AS scs,
+       round(CAST(sum(scq_u) AS DOUBLE) / 1e6, 6) AS scq_sum
+FROM terms
+GROUP BY qid
+ORDER BY qid
+"""
+
+
 def _qljm_topk_sql(queries, k: int) -> str:
     """Jelinek-Mercer query likelihood (operators/qld.qljm_topk):
     matched-terms rank-equivalent form, per-(term,doc) weight
@@ -1476,6 +1527,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
         # Jelinek-Mercer LM — the other classic smoothing (qld.qljm_topk)
         "qljm_topk": _qljm_topk_sql(QUERY_SET, TOPK_K),
+        # lexicon-only pre-retrieval QPP predictors (qpp.preretrieval_qpp)
+        "preretrieval_qpp": _preretrieval_qpp_sql(QUERY_SET),
         # QLD over the persisted store via the term-pruned flat view
         "qld_topk_stored": _qld_topk_sql(QUERY_SET, TOPK_K),
         # hybrid BM25 + cosine with RRF fusion (probe doc = query)

@@ -95,3 +95,95 @@ def test_clarity_discriminates(spark, vb_index):
     idx, _ = vb_index
     vals = [r["clarity"] for r in clarity_scores(idx, QUERY_SET).collect()]
     assert len(vals) >= 2 and len(set(vals)) >= 2
+
+
+def _python_preqpp(flat_rows, n_docs, queries):
+    cf = defaultdict(int)
+    df = defaultdict(int)
+    c_total = 0
+    for term, docid, tf, dl in flat_rows:
+        cf[term] += tf
+        df[term] += 1
+        c_total += tf
+
+    def half_away(x):
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    out = {}
+    for qid, term_tfs in queries.items():
+        qex = {t: n for t, n in term_tfs.items() if t in cf}
+        if not qex:
+            continue
+        ql = sum(qex.values())
+        idf_u = [half_away(1e6 * math.log10(n_docs / df[t])) for t in qex]
+        ictf_u = [half_away(1e6 * math.log10(c_total / cf[t])) for t in qex]
+        scq_u = [
+            half_away(
+                1e6
+                * (
+                    (1.0 + math.log(float(cf[t])))
+                    * math.log(1.0 + float(n_docs) / float(df[t]))
+                )
+            )
+            for t in qex
+        ]
+        scs_c = sum(
+            qtf
+            * half_away(
+                1e6
+                * math.log10(
+                    (float(qtf) * float(c_total)) / (float(ql) * float(cf[t]))
+                )
+            )
+            for t, qtf in qex.items()
+        )
+        n = len(qex)
+        out[qid] = (
+            n,
+            ql,
+            round(half_away(sum(idf_u) / n) / 1e6, 6),
+            round(max(idf_u) / 1e6, 6),
+            round(half_away(sum(ictf_u) / n) / 1e6, 6),
+            round(half_away(scs_c / ql) / 1e6, 6),
+            round(sum(scq_u) / 1e6, 6),
+        )
+    return out
+
+
+def test_preretrieval_qpp_matches_python_model(spark, vb_index):
+    from mircv_project_spark.operators.qpp import preretrieval_qpp
+
+    idx, _ = vb_index
+    got = {
+        r["qid"]: (
+            r["n_terms"],
+            r["ql"],
+            r["avg_idf"],
+            r["max_idf"],
+            r["avg_ictf"],
+            r["scs"],
+            r["scq_sum"],
+        )
+        for r in preretrieval_qpp(idx, QUERY_SET).collect()
+    }
+    flat_rows = [
+        (r["term"], r["docid"], r["tf"], r["doc_len"])
+        for r in idx.flat.collect()
+    ]
+    queries = {}
+    for qid, term, qtf in query_terms(QUERY_SET, idx.parse):
+        queries.setdefault(qid, {})[term] = qtf
+    exp = _python_preqpp(flat_rows, idx.n_docs, queries)
+    assert got == exp
+
+
+def test_preretrieval_qpp_touches_no_postings(spark, vb_index):
+    """The whole point: the plan must not scan the flat postings — the
+    only inputs are the lexicon aggregate and the tiny query table."""
+    from mircv_project_spark.operators.qpp import preretrieval_qpp
+    from mircv_project_spark.plans import checks
+
+    idx, _ = vb_index
+    plan = checks.plan_text(preretrieval_qpp(idx, QUERY_SET))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
