@@ -2464,6 +2464,15 @@ def _q_ranker_comparison(spark, sf_dir):
     return ranker_comparison(idx, _docs(spark, sf_dir), oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_ranker_tau(spark, sf_dir):
+    """Kendall-tau rank agreement between BM25 and QLD top-10 per
+    query over their common docids (evaluation.ranker_tau)."""
+    from mircv_project_spark.operators.evaluation import ranker_tau
+
+    idx = _index(spark, sf_dir, parse=False)
+    return ranker_tau(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_pr_curve(spark, sf_dir):
     """trec_eval stage: 11-point interpolated precision-recall of the
     BM25 run against the synthetic qrels; integer recall test."""
@@ -2637,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_sparksql": _q_bm25_topk_sparksql,
         "bm25_pr_curve": _q_pr_curve,
         "ranker_comparison": _q_ranker_comparison,
+        "ranker_tau": _q_ranker_tau,
         # RM3 query expansion — full-oracle (chain restated in SQL)
         "bm25_rm3_topk": _q_rm3_topk,
         "rocchio_topk": _q_rocchio_topk,

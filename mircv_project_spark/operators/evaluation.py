@@ -208,3 +208,83 @@ def ranker_comparison(
     return eb.join(eq, "qid").select(
         "qid", "ap_bm25", "ap_qld", winner.alias("winner")
     )
+
+
+def ranker_tau(index, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
+    """Kendall-tau rank agreement between the BM25 and Dirichlet-QLD
+    top-k lists per query — the standard statistic for "do two rankers
+    order the same documents the same way" (Voorhees SIGIR 2001 uses
+    exactly this to compare system rankings; ranker_comparison answers
+    who WINS, tau answers how much they AGREE).
+
+    Pinned semantics (restated in oracle._ranker_tau_sql — change both
+    or neither):
+    - rankings = the engine's exhaustive BM25 (round-6 rank) and
+      qld_topk (integer-micro rank), both cut at k;
+    - common set = docids present in BOTH top-k lists; ranks within
+      each list are distinct (row_number), so the common set has no
+      ties and plain tau-a applies;
+    - pairs = unordered doc pairs over the common set (identified as
+      docid_a < docid_b; pair identity doesn't affect the counts —
+      flipping a pair flips both rank differences);
+    - concordant = (ra_1 - ra_2) * (rb_1 - rb_2) > 0, discordant
+      otherwise (no zero products: no ties);
+    - tau = round((C - D) / (n(n-1)/2), 6); queries with n_common < 2
+      emit NO row (no pairs to compare).
+
+    -> (qid, n_common, concordant, discordant, tau).
+
+    Scale shape: two standard top-k runs, one (qid, docid) equi-join,
+    and a per-qid pair self-join bounded by k^2/2 rows per query —
+    constant work per query regardless of corpus size."""
+    from . import scoring
+    from .qld import qld_topk
+    from .topk import exhaustive_topk
+
+    a = exhaustive_topk(index, queries, scoring.BM25, k=k).select(
+        "qid", F.col("docno").cast("long").alias("d"), F.col("rank").alias("ra")
+    )
+    b = qld_topk(index, queries, k=k).select(
+        "qid", F.col("docno").cast("long").alias("d"), F.col("rank").alias("rb")
+    )
+    common = a.join(b, ["qid", "d"])
+    x = common.select(
+        "qid",
+        F.col("d").alias("d1"),
+        F.col("ra").alias("ra1"),
+        F.col("rb").alias("rb1"),
+    )
+    y = common.select(
+        "qid",
+        F.col("d").alias("d2"),
+        F.col("ra").alias("ra2"),
+        F.col("rb").alias("rb2"),
+    )
+    pairs = x.join(y, "qid").where(F.col("d1") < F.col("d2"))
+    conc = (
+        ((F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2"))) > 0
+    ).cast("long")
+    agg = pairs.groupBy("qid").agg(
+        F.sum(conc).alias("concordant"),
+        F.sum(F.lit(1) - conc).alias("discordant"),
+    )
+    n = common.groupBy("qid").agg(F.count("*").alias("n_common"))
+    return (
+        n.where(F.col("n_common") >= 2)
+        .join(agg, "qid")
+        .select(
+            "qid",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("concordant").cast("long").alias("concordant"),
+            F.col("discordant").cast("long").alias("discordant"),
+            F.round(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / (
+                    F.col("n_common").cast("double")
+                    * (F.col("n_common").cast("double") - F.lit(1.0))
+                    / F.lit(2.0)
+                ),
+                6,
+            ).alias("tau"),
+        )
+    )

@@ -1268,6 +1268,81 @@ FROM bap b JOIN qap q ON q.qid = b.qid
 """
 
 
+def _ranker_tau_sql(queries, k: int, mu: float = 2048.0) -> str:
+    """operators/evaluation.ranker_tau: Kendall tau-a between the BM25
+    and QLD top-k per query over their COMMON docids (both rankings
+    restated — the _ranker_cmp_sql CTEs; ranks are distinct so tau-a
+    applies).  Pins: pairs docid_a < docid_b, concordant = positive
+    rank-difference product, tau = round((C-D)/(n(n-1)/2), 6),
+    n_common < 2 emits no row."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+bsc AS (
+    SELECT q.qid, p.docid, sum(q.qtf * ({_BM25})) AS raw
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+),
+brk AS (
+    SELECT qid, docid, row_number() OVER (
+        PARTITION BY qid ORDER BY round(raw, 6) DESC, docid ASC
+    ) AS rank
+    FROM bsc
+),
+qq AS (SELECT qid, CAST(sum(qtf) AS BIGINT) AS q_total FROM qexist GROUP BY qid),
+qsc AS (
+    SELECT q.qid, p.docid,
+           CAST(sum(q.qtf * CAST(round(log10(
+               1 + (CAST(p.tf AS DOUBLE) * s.sum_doc_len)
+                   / ({mu} * CAST(l.cf AS DOUBLE))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS tsum,
+           max(dl.doc_len) AS doc_len
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+),
+qfin AS (
+    SELECT sc.qid, sc.docid,
+           sc.tsum + qq.q_total * CAST(round(log10(
+               {mu} / (sc.doc_len + {mu})
+           ) * 1e6) AS BIGINT) AS micro
+    FROM qsc sc JOIN qq USING (qid)
+),
+qrk AS (
+    SELECT qid, docid, row_number() OVER (
+        PARTITION BY qid ORDER BY micro DESC, docid ASC
+    ) AS rank
+    FROM qfin
+),
+com AS (
+    SELECT b.qid, b.docid, b.rank AS ra, q.rank AS rb
+    FROM brk b JOIN qrk q ON q.qid = b.qid AND q.docid = b.docid
+    WHERE b.rank <= {k} AND q.rank <= {k}
+),
+cnt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common FROM com GROUP BY qid),
+prs AS (
+    SELECT x.qid,
+           CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+           CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                         THEN 0 ELSE 1 END) AS BIGINT) AS discordant
+    FROM com x JOIN com y ON y.qid = x.qid AND x.docid < y.docid
+    GROUP BY x.qid
+)
+SELECT c.qid, c.n_common, p.concordant, p.discordant,
+       round(CAST(p.concordant - p.discordant AS DOUBLE)
+             / (CAST(c.n_common AS DOUBLE)
+                * (CAST(c.n_common AS DOUBLE) - 1.0) / 2.0), 6) AS tau
+FROM cnt c JOIN prs p USING (qid)
+WHERE c.n_common >= 2
+ORDER BY c.qid
+"""
+
+
 def _rocchio_sql(queries, k: int, fb_docs: int, fb_terms: int) -> str:
     """Rocchio feedback (operators/rocchio.py): integer-scaled
     vector-space expansion — all five pinned stages restated (stage-1
@@ -1626,6 +1701,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_topk_sparksql": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # paired BM25-vs-QLD AP comparison (sign-test contingency row)
         "ranker_comparison": _ranker_cmp_sql(QUERY_SET, TOPK_K),
+        # Kendall tau agreement between the two ranking families
+        "ranker_tau": _ranker_tau_sql(QUERY_SET, TOPK_K),
     }
     # streaming-ingestion compaction must yield the batch lexicon
     out["lexicon_streaming"] = out["lexicon"]

@@ -128,3 +128,65 @@ def test_mrr_metrics_k_cut(spark):
     assert [(r["rr"], r["recall"], r["success"]) for r in rows] == [
         (0.0, 0.0, 0)
     ]
+
+
+def test_ranker_tau_matches_bruteforce(spark, vb_index):
+    """tau recomputed brute-force in Python from the engine's own two
+    rankings must equal the operator's output exactly."""
+    from itertools import combinations
+
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators import scoring
+    from mircv_project_spark.operators.evaluation import ranker_tau
+    from mircv_project_spark.operators.qld import qld_topk
+    from mircv_project_spark.operators.topk import exhaustive_topk
+
+    idx, _ = vb_index
+    k = oracle.TOPK_K
+    a = {
+        (r["qid"], int(r["docno"])): r["rank"]
+        for r in exhaustive_topk(idx, oracle.QUERY_SET, scoring.BM25, k=k).collect()
+    }
+    b = {
+        (r["qid"], int(r["docno"])): r["rank"]
+        for r in qld_topk(idx, oracle.QUERY_SET, k=k).collect()
+    }
+    expect = {}
+    qids = {q for q, _ in a} | {q for q, _ in b}
+    for qid in qids:
+        common = sorted(
+            d for (q, d) in a if q == qid and (qid, d) in b
+        )
+        n = len(common)
+        if n < 2:
+            continue
+        c = d_ = 0
+        for d1, d2 in combinations(common, 2):
+            prod = (a[(qid, d1)] - a[(qid, d2)]) * (b[(qid, d1)] - b[(qid, d2)])
+            if prod > 0:
+                c += 1
+            else:
+                d_ += 1
+        expect[qid] = (n, c, d_, round((c - d_) / (n * (n - 1) / 2), 6))
+
+    got = {
+        r["qid"]: (r["n_common"], r["concordant"], r["discordant"], r["tau"])
+        for r in ranker_tau(idx, oracle.QUERY_SET, k=k).collect()
+    }
+    assert got == expect and got
+
+
+def test_ranker_tau_self_agreement_is_one(spark, vb_index):
+    """Degenerate check via the operator's own math: any query where
+    the two rankers fully agree on the common set must emit tau=1."""
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators.evaluation import ranker_tau
+
+    idx, _ = vb_index
+    rows = ranker_tau(idx, oracle.QUERY_SET, k=oracle.TOPK_K).collect()
+    for r in rows:
+        if r["discordant"] == 0:
+            assert r["tau"] == 1.0
+        assert r["concordant"] + r["discordant"] == (
+            r["n_common"] * (r["n_common"] - 1) // 2
+        )
