@@ -1231,6 +1231,14 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing local fingerprints (guaranteed-coverage substring
+    overlap detection) — params pinned to textstats.WINNOW_K/WINNOW_W."""
+    from mircv_project_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Exact near-dup pairs with the distributed chunk-matmul execution
     shape (no cartesian row explosion) — recall 1.0 by construction,
@@ -2684,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # curation family: benchmark decontamination (broadcast n-gram
         # semi-join), Gopher repetition filters, PII scrub (injected-PII
         # corpus), deterministic domain-mix sampling — all full-oracle

@@ -222,3 +222,77 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
             F.max("us").cast("long").alias("last_us"),
         )
     )
+
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # k-grams per winnowing window
+_WIN_POS_BITS = 20  # positions packed into the key's low bits
+_WIN_POS_MOD = 1 << _WIN_POS_BITS
+_WIN_HASH_MOD = 1 << 40
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, pos, fp): MOSS winnowing (Schleimer, Wilkerson, Aiken
+    SIGMOD 2003) — the guaranteed-coverage local fingerprint selection
+    for plagiarism/overlap detection: from each window of WINNOW_W
+    consecutive token WINNOW_K-gram hashes, select the minimum (ties:
+    RIGHTMOST position — the robust-winnowing rule), emit the distinct
+    selected (position, hash) pairs.  Any shared substring of
+    >= W + K - 1 tokens is guaranteed to share a fingerprint; the
+    whole-doc ``fingerprint`` misses partial overlap, simhash/minhash
+    lose locality.
+
+    Exactness contract (restated in oracle._winnow_sql — change both
+    or neither): gram hash h = hash60('win-' || gram) % 2^40; the
+    min-with-rightmost-tie inside ONE window min comes from the packed
+    key K = h * 2^20 + (2^20 - 1 - pos) — minimizing K minimizes h
+    and, on ties, maximizes pos (docs with >= 2^20 grams are out of
+    contract: a "document" here is a transcript turn).  Window starts
+    are gram positions w <= n_grams - W (0-based); docs with fewer
+    than W grams emit NO rows (shorter than the winnowing guarantee
+    threshold, the MOSS rule).  All arithmetic is exact BIGINT —
+    unpack via integer div/mod, never float division (K spans 60
+    bits; a double round-trip corrupts above 2^53).
+
+    Scale shape: one posexplode of the fused gram projection, one
+    per-doc window (ROWS frame of W rows — grams are densely
+    positioned by construction), one distinct.  Work is O(tokens) per
+    doc with no corpus-wide state; the selected-fingerprint table is
+    the input to an equi-join dedup (group by fp) exactly like the
+    minhash band join."""
+    from ..functions.textnorm import grams_col, hash60_col
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    grams = toks.select(
+        "id", F.posexplode(grams_col(F.col("toks"), WINNOW_K)).alias("pos", "gram")
+    )
+    h40 = hash60_col(F.concat(F.lit("win-"), F.col("gram"))) % F.lit(_WIN_HASH_MOD)
+    keyed = grams.select(
+        "id",
+        "pos",
+        (
+            h40 * F.lit(_WIN_POS_MOD)
+            + (F.lit(_WIN_POS_MOD - 1) - F.col("pos"))
+        ).alias("kk"),
+    )
+    wn = Window.partitionBy("id")
+    wp = Window.partitionBy("id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = (
+        keyed.withColumn("n", F.count("*").over(wn))
+        .withColumn("mk", F.min("kk").over(wp))
+        .where(F.col("pos") <= F.col("n") - F.lit(WINNOW_W))
+        .select("id", "mk")
+        .distinct()
+    )
+    return sel.select(
+        "id",
+        (F.lit(_WIN_POS_MOD - 1) - (F.col("mk") % F.lit(_WIN_POS_MOD)))
+        .cast("long")
+        .alias("pos"),
+        F.shiftright(F.col("mk"), _WIN_POS_BITS).cast("long").alias("fp"),
+    )

@@ -2196,6 +2196,50 @@ _FINGERPRINT_SQL = f"""WITH {_DOC_TOKENS}
 SELECT doc_id AS id, md5(array_to_string(tokens, ' ')) AS fp FROM doctoks
 """
 
+def _winnow_sql(k: int, w: int) -> str:
+    """textstats.winnow_fingerprints (MOSS winnowing): gram hash
+    h = hash60('win-'||gram) % 2^40, packed key K = h*2^20 +
+    (2^20-1-pos) so ONE window min yields (min h, rightmost-tie pos);
+    starts pos <= n_grams - w, docs with < w grams emit no rows, all
+    arithmetic BIGINT (k-gram/window params pinned to
+    textstats.WINNOW_K/WINNOW_W — change both sides or neither)."""
+    return f"""WITH {_DOC_TOKENS},
+gp AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(
+               range(0, greatest(len(tokens) - {k - 1}, 0)),
+               i -> list_aggregate(tokens[i+1:i+{k}], 'string_agg', ' ')
+           )) AS gram,
+           CAST(generate_subscripts(list_transform(
+               range(0, greatest(len(tokens) - {k - 1}, 0)), i -> i), 1)
+               AS BIGINT) - 1 AS pos
+    FROM doctoks
+),
+keyed AS (
+    SELECT id, pos,
+           (CAST(CAST('0x' || substr(md5('win-' || gram), 1, 15) AS UBIGINT)
+                 AS BIGINT) % 1099511627776) * 1048576
+           + (1048575 - pos) AS kk
+    FROM gp
+),
+sel AS (
+    SELECT DISTINCT id, mk FROM (
+        SELECT id, pos,
+               count(*) OVER (PARTITION BY id) AS n,
+               min(kk) OVER (
+                   PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+               ) AS mk
+        FROM keyed
+    ) WHERE pos <= n - {w}
+)
+SELECT id, CAST(1048575 - (mk % 1048576) AS BIGINT) AS pos,
+       CAST(mk // 1048576 AS BIGINT) AS fp
+FROM sel
+ORDER BY id, pos
+"""
+
+
 _EXACT_DEDUP_SQL = f"""WITH {_DOC_TOKENS}
 SELECT md5(array_to_string(tokens, ' ')) AS text_hash,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -5557,6 +5601,8 @@ def pipeline_oracles() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint": _FINGERPRINT_SQL,
+        # MOSS winnowing local fingerprints (textstats.winnow_fingerprints)
+        "winnow_fingerprints": _winnow_sql(4, 5),
         "cosine_topk": _COSINE_TOPK_SQL,
         "knn_join": _KNN_JOIN_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)

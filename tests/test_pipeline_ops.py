@@ -562,3 +562,32 @@ def test_ivfpq_production_regime_recall_and_pruning(spark):
         if key in exact_by_pair:
             assert r.cos == exact_by_pair[key]
     assert IVF_NPROBE / IVF_CENTROIDS <= 0.5
+
+
+def test_winnowing_guarantee_on_shared_substring(spark):
+    """MOSS property: two docs sharing a token run of >= W + K - 1
+    tokens MUST share at least one selected fingerprint; docs with
+    fewer than W grams emit no rows; all positions are in-range gram
+    starts."""
+    from mircv_project_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon"),
+        (2, shared + " zeta eta theta iota kappa other words"),
+        (3, "completely different text with no overlap at all here"),
+        (4, "tiny"),  # < W grams -> no rows
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnow_fingerprints(docs).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, set()).add(r.fp)
+        assert r.pos >= 0
+    assert 4 not in by_id
+    assert by_id[1] & by_id[2], "shared substring must share a fingerprint"
+    assert not (by_id[1] & by_id[2] & by_id.get(3, set()))
