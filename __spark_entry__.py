@@ -2585,6 +2585,22 @@ def _q_mrr_metrics(spark, sf_dir):
     return mrr_metrics(run, qrels, k=oracle.TOPK_K)
 
 
+def _q_rbp_err_metrics(spark, sf_dir):
+    """Graded-user evaluation models beyond trec_eval's headline pair:
+    rank-biased precision (persistence p = 1/2) and expected reciprocal
+    rank (cascade stop model, gmax = 3) of the BM25 run against the
+    same synthetic qrels as the MAP/nDCG gate."""
+    from mircv_project_spark.operators.evaluation import (
+        rbp_err_metrics,
+        synthetic_qrels,
+    )
+
+    idx = _index(spark, sf_dir, parse=False)
+    run = topk.exhaustive_topk(idx, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+    qrels = synthetic_qrels(_docs(spark, sf_dir), oracle.QUERY_SET)
+    return rbp_err_metrics(run, qrels, k=oracle.TOPK_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR engine (reference parity) ---
@@ -2650,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed_pfor": _q_topk_compressed_pfor,
         "bm25_eval_metrics": _q_eval_metrics,
         "bm25_mrr_metrics": _q_mrr_metrics,
+        "bm25_rbp_err_metrics": _q_rbp_err_metrics,
         "bm25_explain": _q_bm25_explain,
         "bm25_topk_sparksql": _q_bm25_topk_sparksql,
         "bm25_pr_curve": _q_pr_curve,

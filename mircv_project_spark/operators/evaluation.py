@@ -178,6 +178,79 @@ def mrr_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def rbp_err_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """Rank-biased precision (Moffat & Zobel TOIS 2008, p = 1/2) and
+    expected reciprocal rank (Chapelle et al. CIKM 2009, gmax = 3) per
+    query — the two post-trec_eval headline metrics built on graded
+    judgments: RBP models a persistence-p browsing user, ERR a cascade
+    user who stops at the first satisfying result.
+
+    -> (qid, rbp, err), one row per qid in the run (both metrics are
+    unnormalized by R, so zero-relevant queries emit 0.0/0.0 rather
+    than being omitted).
+
+    Exactness contract (restated in oracle._rbp_err_sql — change both
+    sides or neither):
+    - RBP at p = 1/2: rbp = sum_r rel_r * 2^-r — each term is a
+      distinct binary digit (r <= k <= 52), so the double sum is exact
+      and shuffle-order-independent; round 6 once.
+    - ERR at gmax = 3: R_r = (2^g_r - 1)/8 and the stop-probability
+      prefix  prod_{j<r}(1 - R_j) = (8^n0 * 7^n1 * 5^n2 * 1^n3)/8^(r-1)
+      where n_G = |{j < r : g_j = G}| — CUMULATIVE GRADE COUNTS, i.e.
+      plain window sums; the integer numerator is <= 8^(k-1) (exact in
+      BIGINT and in double for k <= 10), the denominator r * 8^r <=
+      k * 2^(3k) exact.  Per-rank contribution is ONE double division
+      micro-quantized to BIGINT (round(1e6 * num / den)) BEFORE the
+      per-query sum (a float sum of cascade terms would be
+      shuffle-order-dependent at round 6); err = sum_micro / 1e6,
+      round 6.  k must stay <= 10: 1e6 * 7 * 8^9 < 2^53 is what keeps
+      the quantizer's numerator exact."""
+    run_k = run.where(F.col("rank") <= k)
+    j = run_k.join(qrels, ["qid", "docno"], "left").withColumn(
+        "grade", F.coalesce(F.col("grade"), F.lit(0)).cast("int")
+    )
+    wprev = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def _cnt(g: int):
+        return F.coalesce(
+            F.sum((F.col("grade") == g).cast("long")).over(wprev),
+            F.lit(0).cast("long"),
+        )
+
+    # prefix numerator of prod_{j<r}(1 - R_j): m(g) = 8 - (2^g - 1)
+    pnum = (
+        F.pow(F.lit(8.0), _cnt(0))
+        * F.pow(F.lit(7.0), _cnt(1))
+        * F.pow(F.lit(5.0), _cnt(2))
+    ).cast("long")
+    num = (F.pow(F.lit(2.0), F.col("grade")).cast("long") - F.lit(1)) * pnum
+    den = (F.col("rank").cast("double") * F.pow(F.lit(8.0), F.col("rank"))).cast(
+        "long"
+    )
+    per_rank = j.select(
+        "qid",
+        (
+            (F.col("grade") > 0).cast("double")
+            / F.pow(F.lit(2.0), F.col("rank"))
+        ).alias("rbp_term"),
+        F.round(
+            F.lit(1000000.0) * num.cast("double") / den.cast("double"), 0
+        )
+        .cast("long")
+        .alias("err_micro"),
+    )
+    return per_rank.groupBy("qid").agg(
+        F.round(F.sum("rbp_term"), 6).alias("rbp"),
+        F.round(F.sum("err_micro").cast("double") / F.lit(1000000.0), 6).alias(
+            "err"
+        ),
+    )
+
+
 def ranker_comparison(
     index, docs: DataFrame, queries: list[tuple[str, str]], k: int = 10
 ) -> DataFrame:

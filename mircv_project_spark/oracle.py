@@ -1177,6 +1177,59 @@ FROM rtot t LEFT JOIN hitq h ON h.qid = t.qid
 """
 
 
+def _rbp_err_sql(queries, standard: str, k: int) -> str:
+    """operators/evaluation.rbp_err_metrics: RBP (p = 1/2) + ERR
+    (gmax = 3).  Pins restated verbatim: rbp = sum_r rel_r * 2^-r
+    (distinct binary digits — exact double sum); ERR stop-prob prefix
+    = (8^n0 * 7^n1 * 5^n2)/8^(r-1) with n_G the CUMULATIVE count of
+    grade-G results above rank r (window sums), per-rank contribution
+    micro-quantized round(1e6 * (2^g - 1) * prefix_num / (r * 8^r))
+    BIGINT before the per-query sum, err = sum/1e6 round 6; every qid
+    in the run emits a row (no R normalization)."""
+    return f"""{_ranked_ctes(queries, standard, False)},
+dterm AS (
+    SELECT DISTINCT docid, term
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+),
+qrels AS (
+    SELECT q.qid, d.docid, least(count(*), 3) AS grade
+    FROM (SELECT DISTINCT qid, term FROM qterms) q
+    JOIN dterm d USING (term)
+    GROUP BY 1, 2
+),
+jg AS (
+    SELECT r.qid, r.rank, CAST(coalesce(g.grade, 0) AS INTEGER) AS grade
+    FROM (SELECT qid, docid, rank FROM ranked WHERE rank <= {k}) r
+    LEFT JOIN qrels g ON r.qid = g.qid AND r.docid = g.docid
+),
+pfx AS (
+    SELECT qid, rank, grade,
+           coalesce(sum(CASE WHEN grade = 0 THEN 1 ELSE 0 END) OVER w, 0) AS n0,
+           coalesce(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END) OVER w, 0) AS n1,
+           coalesce(sum(CASE WHEN grade = 2 THEN 1 ELSE 0 END) OVER w, 0) AS n2
+    FROM jg
+    WINDOW w AS (PARTITION BY qid ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+terms AS (
+    SELECT qid,
+           CASE WHEN grade > 0 THEN 1.0 ELSE 0.0 END / power(2.0, rank)
+               AS rbp_term,
+           CAST(round(
+               1000000.0
+               * CAST(((1 << grade) - 1)
+                      * CAST(power(8.0, n0) * power(7.0, n1)
+                             * power(5.0, n2) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(rank * power(8.0, rank) AS BIGINT) AS DOUBLE),
+               0) AS BIGINT) AS err_micro
+    FROM pfx
+)
+SELECT qid, round(sum(rbp_term), 6) AS rbp,
+       round(CAST(sum(err_micro) AS DOUBLE) / 1000000.0, 6) AS err
+FROM terms GROUP BY qid ORDER BY qid
+"""
+
+
 def _ranker_cmp_sql(queries, k: int, mu: float = 2048.0) -> str:
     """operators/evaluation.ranker_comparison: per-query AP@k of BM25
     vs QLD (both rankings and the qrels derivation restated with
@@ -1695,6 +1748,9 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_eval_metrics": _eval_sql(QUERY_SET, "bm25", TOPK_K),
         "bm25_pr_curve": _pr_curve_sql(QUERY_SET, "bm25", TOPK_K),
         "bm25_mrr_metrics": _mrr_sql(QUERY_SET, "bm25", TOPK_K),
+        # RBP(p=1/2) + ERR(gmax=3) of the same BM25 run (graded-user
+        # models; params pinned to evaluation.rbp_err_metrics)
+        "bm25_rbp_err_metrics": _rbp_err_sql(QUERY_SET, "bm25", TOPK_K),
         # Lucene-style explain: per-term breakdown of the rank-1 doc
         "bm25_explain": _explain_sql(QUERY_SET, "bm25"),
         # the spark.sql() front end runs the SAME ranking (same oracle)

@@ -130,6 +130,41 @@ def test_mrr_metrics_k_cut(spark):
     ]
 
 
+def test_rbp_err_hand_computed(spark):
+    """q1 grades by rank: 3, 1, 0.
+    RBP(p=1/2) = 2^-1 + 2^-2 = 0.75 (grade>0 at ranks 1,2).
+    ERR(gmax=3): r=1 term (7/8) = 0.875; r=2 term (1/2)(1/8)(1/8) =
+    1/128 → micro = round(1e6/128) = round(7812.5) = 7813 — an EXACT
+    .5 quantizer tie, pinned HALF_UP on both engines; r=3 grade 0 → 0.
+    err = 0.882813.  q2 has no relevant docs but still emits a row
+    (0.0, 0.0) — RBP/ERR are unnormalized by R."""
+    from mircv_project_spark.operators.evaluation import rbp_err_metrics
+
+    run = _run_df(
+        spark,
+        [
+            ("q1", "a", 1, 3.0), ("q1", "b", 2, 2.0), ("q1", "c", 3, 1.0),
+            ("q2", "x", 1, 1.0),
+        ],
+    )
+    qrels = _qrels_df(spark, [("q1", "a", 3), ("q1", "b", 1)])
+    got = {
+        r["qid"]: (r["rbp"], r["err"])
+        for r in rbp_err_metrics(run, qrels, k=10).collect()
+    }
+    assert got == {"q1": (0.75, 0.882813), "q2": (0.0, 0.0)}
+
+
+def test_rbp_err_k_cut(spark):
+    """A grade-3 hit past k contributes to neither metric."""
+    from mircv_project_spark.operators.evaluation import rbp_err_metrics
+
+    run = _run_df(spark, [("q", "a", 1, 2.0), ("q", "r", 2, 1.0)])
+    qrels = _qrels_df(spark, [("q", "r", 3)])
+    rows = rbp_err_metrics(run, qrels, k=1).collect()
+    assert [(r["rbp"], r["err"]) for r in rows] == [(0.0, 0.0)]
+
+
 def test_ranker_tau_matches_bruteforce(spark, vb_index):
     """tau recomputed brute-force in Python from the engine's own two
     rankings must equal the operator's output exactly."""
