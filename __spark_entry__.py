@@ -2585,6 +2585,44 @@ def _q_mrr_metrics(spark, sf_dir):
     return mrr_metrics(run, qrels, k=oracle.TOPK_K)
 
 
+def _q_hybrid_borda_topk(spark, sf_dir):
+    """Borda-count fusion of the BM25 + cosine legs (operators/
+    hybrid.hybrid_borda_topk): linear positional voting, exact
+    integer point sums — the third fusion family next to RRF and
+    CombMNZ."""
+    from mircv_project_spark.operators.hybrid import hybrid_borda_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return hybrid_borda_topk(
+        idx, _emb(spark, sf_dir), _docs(spark, sf_dir), oracle.PROBE_IDS
+    )
+
+
+def _q_postretrieval_qpp(spark, sf_dir):
+    """Post-retrieval QPP (qpp.postretrieval_qpp): WIG + NQC from the
+    BM25 run's round-6 score distribution — integer micro sums, one
+    sqrt + one division each."""
+    from mircv_project_spark.operators.qpp import postretrieval_qpp
+
+    idx = _index(spark, sf_dir, parse=False)
+    return postretrieval_qpp(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
+def _q_impact_ordered_topk(spark, sf_dir):
+    """Impact-ordered (score-at-a-time) retrieval (operators/
+    impact.py): per-posting round-6 BM25 globally quantized to 8-bit
+    integer impacts, total = exact integer sum — the Anh & Moffat /
+    JASS serve family; the gate runs the budget-None SAAT path
+    (== full traversal by construction)."""
+    from mircv_project_spark.operators.impact import impact_topk_saat
+
+    idx = _index(spark, sf_dir, parse=False)
+    df, _stats = impact_topk_saat(
+        idx, oracle.QUERY_SET, k=oracle.TOPK_K, budget=None
+    )
+    return df
+
+
 def _q_rbp_err_metrics(spark, sf_dir):
     """Graded-user evaluation models beyond trec_eval's headline pair:
     rank-biased precision (persistence p = 1/2) and expected reciprocal
@@ -2667,6 +2705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_eval_metrics": _q_eval_metrics,
         "bm25_mrr_metrics": _q_mrr_metrics,
         "bm25_rbp_err_metrics": _q_rbp_err_metrics,
+        "hybrid_borda_topk": _q_hybrid_borda_topk,
+        "postretrieval_qpp": _q_postretrieval_qpp,
+        "impact_ordered_topk": _q_impact_ordered_topk,
         "bm25_explain": _q_bm25_explain,
         "bm25_topk_sparksql": _q_bm25_topk_sparksql,
         "bm25_pr_curve": _q_pr_curve,

@@ -210,3 +210,85 @@ def hybrid_combmnz_topk(
             F.round(F.col("fm") / F.lit(_MICRO), 6).alias("score"),
         )
     )
+
+
+def hybrid_borda_topk(
+    index: InvertedIndex,
+    embeddings: DataFrame,
+    docs: DataFrame,
+    probe_ids: list[int],
+    k: int = HYBRID_K,
+    pool: int = HYBRID_POOL,
+) -> DataFrame:
+    """Borda-count fusion of the same two legs as RRF (Aslam & Montague,
+    SIGIR 2001 "Models for Metasearch"): each system awards its rank-r
+    pool member (pool + 1 - r) points, unranked docs get 0, and the
+    fused score is the exact INTEGER point sum — the positional-voting
+    counterpart to RRF's reciprocal weighting (Borda decays linearly
+    where RRF decays hyperbolically, so deep-pool agreement counts for
+    more).
+
+    Pins (restated in oracle._hybrid_borda_sql — change both or
+    neither): per-system contribution = pool + 1 - rank as BIGINT (no
+    quantization needed — Borda is integer-native), pools/self-exclusion
+    /leg rankings shared verbatim with the RRF gate, fusion ties
+    (borda desc, doc asc).
+
+    -> (qid string, docno string, rank long, borda long).
+
+    Scale shape: identical to hybrid_rrf_topk — both legs are the
+    existing serve paths; fusion is a full-outer join of two
+    pool-sized-per-query tables.
+    """
+    spark = index.flat.sparkSession
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(probe_ids))
+        .select("doc_id", "text")
+        .collect()
+    }
+    queries = [
+        (str(p), texts[p]) for p in probe_ids if texts.get(p) is not None
+    ]
+
+    def _pts(rank_col):
+        return (F.lit(pool + 1) - rank_col).cast("long")
+
+    lex = exhaustive_topk(index, queries, scoring.BM25, k=pool + 1)
+    w_lex = Window.partitionBy("qid").orderBy(F.col("rank").asc())
+    lexp = (
+        lex.where(F.col("docno") != F.col("qid"))
+        .withColumn("lrank", F.row_number().over(w_lex))
+        .where(F.col("lrank") <= pool)
+        .select(
+            "qid",
+            F.col("docno").cast("long").alias("doc"),
+            _pts(F.col("lrank")).alias("cl"),
+        )
+    )
+
+    dense = cosine_topk(embeddings, probe_ids, k=pool)
+    dnsp = dense.select(
+        F.col("probe_id").cast("string").alias("qid"),
+        F.col("neighbor_id").alias("doc"),
+        _pts(F.col("rank")).alias("cd"),
+    )
+
+    fused = lexp.join(dnsp, ["qid", "doc"], "full_outer").select(
+        "qid",
+        "doc",
+        (
+            F.coalesce(F.col("cl"), F.lit(0)) + F.coalesce(F.col("cd"), F.lit(0))
+        ).alias("fm"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("fm").desc(), F.col("doc").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("doc").cast("string").alias("docno"),
+            "rank",
+            F.col("fm").cast("long").alias("borda"),
+        )
+    )

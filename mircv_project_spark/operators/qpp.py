@@ -233,3 +233,112 @@ def preretrieval_qpp(
         _avg6("scs_s", "ql").alias("scs"),
         F.round(F.col("scq_s").cast("double") / F.lit(_MICRO), 6).alias("scq_sum"),
     )
+
+
+def postretrieval_qpp(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = QPP_FB_DOCS,
+) -> DataFrame:
+    """Post-retrieval query-performance predictors from the score
+    distribution of the first-pass top-k — the cheap complement to the
+    full Clarity KL: WIG (Zhou & Croft, SIGIR 2007) and NQC (Shtok,
+    Kurland, Carmel & Raiber, TOIS 2012).  Both read NOTHING beyond
+    the ranking the engine already produced.
+
+    Per query with >= 1 result (one row):
+
+    - ``wig`` = (1/(k_used * sqrt(n_terms))) * sum of top-k BM25 scores
+      — the Weighted Information Gain with the corpus-score baseline at
+      0 (the standard BM25 simplification: corpus "document" score is
+      not defined for BM25, and the constant shift cancels in the
+      per-corpus calibration WIG feeds);
+    - ``nqc`` = stddev(top-k scores) / mean(top-k scores) — the
+      Normalized Query Commitment with mean-of-the-run normalization
+      (the collection-score-free variant): high commitment = the
+      ranking is peaked, low = collection-like noise.
+
+    Exactness contract (restated in oracle._postretrieval_qpp_sql —
+    change both or neither):
+    - scores are the ROUND-6 ranking scores, so su = round(1e6*score)
+      BIGINT is exact; S = sum su and Q = sum su*su are exact integer
+      aggregates (su < 2^27 on any BM25 corpus, so Q fits BIGINT with
+      34 bits to spare at k = 10);
+    - n_terms = DISTINCT in-lexicon query terms (the preretrieval pin);
+    - wig = round(S / (k_used * sqrt(n_terms) * 1e6), 6) — sqrt of a
+      small integer is IEEE-exact, ONE double division;
+    - nqc via the integer variance identity k*Q - S^2 (exact BIGINT):
+      nqc = round(sqrt(double(k*Q - S^2)) / double(S), 6) — IEEE sqrt
+      is correctly rounded on both engines, ONE division; S = 0 (an
+      all-zero-score run) pins nqc = 0.0;
+    - the integer audit columns (s_sum, s_sq) ride in the output so
+      the gate hash covers the exact aggregates.
+
+    -> (qid, k_used long, n_terms long, s_sum long, s_sq long,
+    wig double, nqc double).
+
+    Scale shape: one pass over k rows per query on top of the existing
+    serve path, plus the preretrieval-style broadcast lexicon probe
+    for n_terms — no postings beyond the ranking itself."""
+    from .topk import exhaustive_topk, query_terms
+
+    spark = index.flat.sparkSession
+    empty = (
+        "qid string, k_used long, n_terms long, s_sum long, s_sq long,"
+        " wig double, nqc double"
+    )
+    run = exhaustive_topk(index, queries, scoring.BM25, k=k)
+    if not run.head(1):
+        return spark.createDataFrame([], empty)
+
+    su = F.round(F.col("score") * F.lit(_MICRO)).cast("long")
+    agg = (
+        run.select("qid", su.alias("su"))
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum("su").alias("s_sum"),
+            F.sum(F.col("su") * F.col("su")).alias("s_sq"),
+        )
+    )
+
+    qt_rows = query_terms(queries, index.parse)
+    qt = spark.createDataFrame(
+        [(q, t) for q, t, _ in qt_rows], "qid string, term string"
+    )
+    nt = (
+        index.lexicon.select("term")
+        .join(F.broadcast(qt), "term")
+        .groupBy("qid")
+        .agg(F.count_distinct("term").alias("n_terms"))
+    )
+
+    var_num = (F.col("k_used") * F.col("s_sq") - F.col("s_sum") * F.col("s_sum"))
+    return (
+        agg.join(nt, "qid")
+        .select(
+            "qid",
+            F.col("k_used").cast("long").alias("k_used"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("s_sum").cast("long").alias("s_sum"),
+            F.col("s_sq").cast("long").alias("s_sq"),
+            F.round(
+                F.col("s_sum").cast("double")
+                / (
+                    F.col("k_used").cast("double")
+                    * F.sqrt(F.col("n_terms").cast("double"))
+                    * F.lit(_MICRO)
+                ),
+                6,
+            ).alias("wig"),
+            F.when(F.col("s_sum") <= 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.sqrt(var_num.cast("double"))
+                    / F.col("s_sum").cast("double"),
+                    6,
+                )
+            )
+            .alias("nqc"),
+        )
+    )

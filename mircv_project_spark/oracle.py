@@ -1662,6 +1662,12 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # hybrid BM25 + cosine with RRF fusion (probe doc = query)
         "hybrid_rrf_topk": _hybrid_rrf_sql(PROBE_IDS, 10, 20),
         "hybrid_combmnz_topk": _hybrid_combmnz_sql(PROBE_IDS, 10, 20),
+        # Borda-count fusion — integer positional voting, same legs
+        "hybrid_borda_topk": _hybrid_borda_sql(PROBE_IDS, 10, 20),
+        # post-retrieval QPP from the run's score distribution (WIG/NQC)
+        "postretrieval_qpp": _postretrieval_qpp_sql(QUERY_SET, "bm25", TOPK_K),
+        # impact-ordered (score-at-a-time) retrieval, 8-bit global quant
+        "impact_ordered_topk": _impact_topk_sql(QUERY_SET, TOPK_K),
         # deletes: query-time mask (stats pre-delete) and physical
         # vacuum (stats recomputed, original docids preserved)
         "bm25_topk_deleted": _topk_deleted_sql(QUERY_SET, "bm25", TOPK_K),
@@ -5867,3 +5873,163 @@ ORDER BY source, term
         # time-decayed item popularity (2^-age micro-quantized)
         "item_popularity": _ITEM_POPULARITY_SQL,
     }
+
+
+def _hybrid_borda_sql(probe_ids, k: int, pool: int) -> str:
+    """Borda-count fusion (operators/hybrid.hybrid_borda_topk).  Pins
+    restated: per-system contribution = pool + 1 - rank as BIGINT
+    (integer-native, no quantization), pools / probe-self-exclusion /
+    leg rankings shared VERBATIM with the RRF gate, fusion ties
+    (borda desc, doc asc), fused score stays the exact integer sum."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""{_PREFIX},
+pq AS (
+    SELECT CAST(doc_id AS VARCHAR) AS qid, text AS qtext
+    FROM documents WHERE doc_id IN ({ids})
+),
+qtok AS (
+    SELECT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term FROM pq
+),
+qterms AS (
+    SELECT qid, term, CAST(count(*) AS BIGINT) AS qtf FROM qtok GROUP BY qid, term
+),
+qexist AS (
+    SELECT q.qid, q.term, q.qtf, l.df FROM qterms q JOIN lexicon l USING (term)
+),
+lscored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS raw_score
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+lexr AS (
+    SELECT qid, docid - 1 AS doc,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(raw_score, 6) DESC, docid ASC
+           ) AS rn
+    FROM lscored
+    WHERE docid <> CAST(qid AS BIGINT) + 1
+),
+lexp AS (
+    SELECT qid, doc, CAST({pool} + 1 - rn AS BIGINT) AS cl
+    FROM lexr WHERE rn <= {pool}
+),
+dns AS (
+    SELECT CAST(p.vec_id AS VARCHAR) AS qid, b.vec_id AS doc,
+           {_cos6('p.embedding', 'b.embedding')} AS cos6
+    FROM embeddings p JOIN embeddings b ON b.vec_id <> p.vec_id
+    WHERE p.vec_id IN ({ids})
+),
+dnsr AS (
+    SELECT qid, doc,
+           row_number() OVER (
+               PARTITION BY qid ORDER BY cos6 DESC, doc ASC
+           ) AS rn
+    FROM dns
+),
+dnsp AS (
+    SELECT qid, doc, CAST({pool} + 1 - rn AS BIGINT) AS cd
+    FROM dnsr WHERE rn <= {pool}
+),
+fused AS (
+    SELECT coalesce(l.qid, d.qid) AS qid,
+           coalesce(l.doc, d.doc) AS doc,
+           coalesce(l.cl, 0) + coalesce(d.cd, 0) AS fm
+    FROM lexp l FULL OUTER JOIN dnsp d
+        ON l.qid = d.qid AND l.doc = d.doc
+),
+ranked AS (
+    SELECT qid, doc, fm,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY fm DESC, doc ASC
+           ) AS BIGINT) AS rank
+    FROM fused
+)
+SELECT qid, CAST(doc AS VARCHAR) AS docno, rank, CAST(fm AS BIGINT) AS borda
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def _postretrieval_qpp_sql(queries, standard: str, k: int) -> str:
+    """operators/qpp.postretrieval_qpp: WIG (corpus baseline 0) + NQC
+    (mean-normalized).  Pins restated verbatim: su = round(1e6*score)
+    BIGINT over the ROUND-6 ranking scores, S/Q exact integer sums,
+    n_terms = DISTINCT in-lexicon query terms, wig = round(S /
+    (k_used * sqrt(n_terms) * 1e6), 6), nqc = round(sqrt(double(
+    k_used*Q - S^2)) / double(S), 6) with S <= 0 pinned to 0.0 —
+    IEEE sqrt is correctly rounded on both engines; one division
+    each."""
+    return f"""{_ranked_ctes(queries, standard, False)},
+su AS (
+    SELECT qid, CAST(round(1000000.0 * score, 0) AS BIGINT) AS su
+    FROM ranked WHERE rank <= {k}
+),
+qa AS (
+    SELECT qid, CAST(count(*) AS BIGINT) AS k_used,
+           CAST(sum(su) AS BIGINT) AS s_sum,
+           CAST(sum(su * su) AS BIGINT) AS s_sq
+    FROM su GROUP BY qid
+),
+qn AS (
+    SELECT qid, CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+    FROM qexist GROUP BY qid
+)
+SELECT a.qid, a.k_used, n.n_terms, a.s_sum, a.s_sq,
+       round(CAST(a.s_sum AS DOUBLE)
+             / (CAST(a.k_used AS DOUBLE) * sqrt(CAST(n.n_terms AS DOUBLE))
+                * 1000000.0), 6) AS wig,
+       CASE WHEN a.s_sum <= 0 THEN 0.0
+            ELSE round(
+                sqrt(CAST(a.k_used * a.s_sq - a.s_sum * a.s_sum AS DOUBLE))
+                / CAST(a.s_sum AS DOUBLE), 6)
+       END AS nqc
+FROM qa a JOIN qn n USING (qid)
+ORDER BY a.qid
+"""
+
+
+def _impact_topk_sql(queries, k: int, levels: int = 255) -> str:
+    """operators/impact.impact_topk: impact-ordered (SAAT) retrieval.
+    Pins restated verbatim: per-posting score6 = ROUND-6 BM25 (qtf=1,
+    corpus-global stats), smax = global max(score6), impact =
+    round((levels.0 * s6) / smax) BIGINT — multiplication binds before
+    the ONE division — zero-impact postings DROPPED, total = exact
+    integer sum of qtf * impact, rank (total desc, docid asc)."""
+    bm25_l = _BM25.replace("q.df", "l.df")
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+pscore AS (
+    SELECT p.term, p.docid, round(({bm25_l}), 6) AS s6
+    FROM postings p
+    JOIN lexicon l ON p.term = l.term
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+),
+smax AS (SELECT max(s6) AS m FROM pscore),
+imp AS (
+    SELECT term, docid,
+           CAST(round(({levels}.0 * s6) / m, 0) AS BIGINT) AS impact
+    FROM pscore CROSS JOIN smax
+),
+impk AS (SELECT * FROM imp WHERE impact >= 1),
+totals AS (
+    SELECT q.qid, i.docid, sum(q.qtf * i.impact) AS total
+    FROM qexist q JOIN impk i USING (term)
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT qid, docid, total,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY total DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM totals
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       CAST(total AS BIGINT) AS impact
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""

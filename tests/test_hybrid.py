@@ -92,3 +92,74 @@ def test_combmnz_excludes_probe(spark, vb_index):
     ).collect()
     for r in out:
         assert r["docno"] != r["qid"]
+
+
+def test_borda_points_bounds_and_self_exclusion(spark, vb_index):
+    """Borda totals are integers in [1, 2*pool]; probe never
+    self-matches; single-leg docs score <= pool, dual-leg docs can
+    exceed it (fusion really mixes)."""
+    from mircv_project_spark.operators.hybrid import hybrid_borda_topk
+
+    idx, _ = vb_index
+    out = hybrid_borda_topk(
+        idx, _emb(spark), _docs(spark), oracle.PROBE_IDS, k=10
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["docno"] != r["qid"]
+        assert 1 <= r["borda"] <= 2 * HYBRID_POOL
+    # at least one doc fused from both legs (points > pool)
+    assert any(r["borda"] > HYBRID_POOL for r in rows)
+
+
+def test_borda_rank1_matches_python_model(spark, vb_index):
+    """Recompute Borda totals in Python from the two legs' own
+    rankings; the operator's per-query winner must match exactly."""
+    from mircv_project_spark.operators.hybrid import hybrid_borda_topk
+
+    idx, _ = vb_index
+    probes = oracle.PROBE_IDS
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark).where(F.col("doc_id").isin(probes)).collect()
+    }
+    lex = exhaustive_topk(
+        idx,
+        [(str(p), texts[p]) for p in probes],
+        scoring.BM25,
+        k=HYBRID_POOL + 1,
+    )
+    pts: dict[tuple[str, int], int] = {}
+    by_q: dict[str, list] = {}
+    for r in lex.collect():
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        rn = 0
+        for r in rs:
+            if r["docno"] == qid:
+                continue
+            rn += 1
+            if rn > HYBRID_POOL:
+                break
+            key = (qid, int(r["docno"]))
+            pts[key] = pts.get(key, 0) + (HYBRID_POOL + 1 - rn)
+    dns = cosine_topk(_emb(spark), probes, k=HYBRID_POOL)
+    for r in dns.collect():
+        key = (str(r["probe_id"]), int(r["neighbor_id"]))
+        pts[key] = pts.get(key, 0) + (HYBRID_POOL + 1 - r["rank"])
+
+    want = {}
+    for (qid, doc), p in pts.items():
+        cur = want.get(qid)
+        if cur is None or (-p, doc) < (-cur[1], cur[0]):
+            want[qid] = (doc, p)
+    got = {
+        r["qid"]: (int(r["docno"]), r["borda"])
+        for r in hybrid_borda_topk(
+            idx, _emb(spark), _docs(spark), probes, k=10
+        ).collect()
+        if r["rank"] == 1
+    }
+    assert got == want

@@ -187,3 +187,40 @@ def test_preretrieval_qpp_touches_no_postings(spark, vb_index):
     plan = checks.plan_text(preretrieval_qpp(idx, QUERY_SET))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_postretrieval_qpp_matches_python_model(spark, vb_index):
+    """WIG/NQC recomputed in Python from the engine's own round-6 run
+    must match the operator exactly (integer micro discipline)."""
+    from mircv_project_spark.operators import scoring, topk
+    from mircv_project_spark.operators.qpp import postretrieval_qpp
+
+    idx, _ = vb_index
+    run = topk.exhaustive_topk(idx, QUERY_SET, scoring.BM25, k=10)
+    sus: dict[str, list[int]] = {}
+    for r in run.collect():
+        sus.setdefault(r["qid"], []).append(int(round(r["score"] * 1e6)))
+    qt = topk.query_terms(QUERY_SET, idx.parse)
+    vocab = {r["term"] for r in idx.lexicon.select("term").collect()}
+    nterms = {}
+    for q, t, _ in qt:
+        if t in vocab:
+            nterms.setdefault(q, set()).add(t)
+
+    got = {
+        r["qid"]: (
+            r["k_used"], r["n_terms"], r["s_sum"], r["s_sq"],
+            r["wig"], r["nqc"],
+        )
+        for r in postretrieval_qpp(idx, QUERY_SET, k=10).collect()
+    }
+    assert set(got) == set(sus)
+    for qid, su in sus.items():
+        k_used = len(su)
+        s, q2 = sum(su), sum(x * x for x in su)
+        n = len(nterms[qid])
+        wig = round(s / (k_used * math.sqrt(n) * 1e6), 6)
+        nqc = 0.0 if s <= 0 else round(
+            math.sqrt(float(k_used * q2 - s * s)) / float(s), 6
+        )
+        assert got[qid] == (k_used, n, s, q2, wig, nqc), qid
