@@ -218,6 +218,17 @@ def _q_qljm_topk(spark, sf_dir):
     return qljm_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_pl2_topk(spark, sf_dir):
+    """PL2 divergence-from-randomness top-k (operators/dfr.py) — the
+    Poisson/Laplace/normalization-2 DFR model (Terrier's default),
+    fifth scoring standard; micro-quantized integer aggregate with
+    literal log-base constants pinned on both sides."""
+    from mircv_project_spark.operators.dfr import pl2_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return pl2_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_fuzzy_topk(spark, sf_dir):
     """Fuzzy-term BM25 (operators/fuzzy.py): Levenshtein-1 query
     expansion via the SymSpell deletion-neighborhood equi-join; the
@@ -2608,6 +2619,19 @@ def _q_postretrieval_qpp(spark, sf_dir):
     return postretrieval_qpp(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_bm25_cascade_topk(spark, sf_dir):
+    """Two-stage cascade serve (impact.bm25_cascade_topk): stage-1
+    8-bit impact ranking keeps a pool of 100 candidates/query, stage-2
+    rescores ONLY the pool with exact BM25.  Shares bm25_topk's
+    exhaustive oracle — pool=100 provably contains the true top-k on
+    the driver corpora (rank identity measured at sf0.001/0.01/0.1);
+    shrinking the pool breaks the share."""
+    from mircv_project_spark.operators.impact import bm25_cascade_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return bm25_cascade_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_impact_ordered_topk(spark, sf_dir):
     """Impact-ordered (score-at-a-time) retrieval (operators/
     impact.py): per-posting round-6 BM25 globally quantized to 8-bit
@@ -2653,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
         "qld_topk": _q_qld_topk,
         "qljm_topk": _q_qljm_topk,
+        "pl2_topk": _q_pl2_topk,
         "qld_topk_stored": _q_qld_topk_stored,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
@@ -2708,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_borda_topk": _q_hybrid_borda_topk,
         "postretrieval_qpp": _q_postretrieval_qpp,
         "impact_ordered_topk": _q_impact_ordered_topk,
+        "bm25_cascade_topk": _q_bm25_cascade_topk,
         "bm25_explain": _q_bm25_explain,
         "bm25_topk_sparksql": _q_bm25_topk_sparksql,
         "bm25_pr_curve": _q_pr_curve,

@@ -536,6 +536,58 @@ ORDER BY qid, rank
 """
 
 
+def _pl2_topk_sql(queries, k: int) -> str:
+    """PL2 divergence-from-randomness ranking (operators/dfr.pl2_topk):
+    per-(term,doc) weight quantized to integer micro BIGINT before the
+    exact per-doc sum.  Pins restated from dfr.py: every log through
+    log10 with LITERAL base-conversion constants (L2 =
+    0.3010299956639812, LOG2E = 1.4426950408889634, TWO_PI =
+    6.283185307179586), c = 1 folded (ratio avgdl / dl_double),
+    parenthesizations tfn = (tf_d * g) / L2, term1 = (tfn *
+    log10(tfn / lambda)) / L2, term2 = (lambda - tfn) * LOG2E, term3 =
+    (0.5 * log10(TWO_PI * tfn)) / L2, w = ((term1 + term2) + term3) /
+    (tfn + 1.0), lambda = cf_d / n_docs_d; negative weights kept;
+    rank (micro desc, docid asc)."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+feat AS (
+    SELECT q.qid, q.qtf, p.docid,
+           (CAST(p.tf AS DOUBLE)
+            * log10(1.0 + s.avgdl / CAST(dl.doc_len AS DOUBLE)))
+           / 0.3010299956639812 AS tfn,
+           CAST(l.cf AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS lam
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+),
+wq AS (
+    SELECT qid, qtf, docid,
+           CAST(round((((tfn * log10(tfn / lam)) / 0.3010299956639812
+                        + (lam - tfn) * 1.4426950408889634)
+                       + (0.5 * log10(6.283185307179586 * tfn))
+                         / 0.3010299956639812)
+                      / (tfn + 1.0) * 1e6) AS BIGINT) AS wm
+    FROM feat
+),
+scored AS (
+    SELECT qid, docid, CAST(sum(qtf * wm) AS BIGINT) AS micro
+    FROM wq GROUP BY qid, docid
+),
+ranked AS (
+    SELECT qid, docid, micro,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY micro DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       round(micro / 1e6, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 CHAMPION_M = 32
 
 
@@ -1655,6 +1707,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
         # Jelinek-Mercer LM — the other classic smoothing (qld.qljm_topk)
         "qljm_topk": _qljm_topk_sql(QUERY_SET, TOPK_K),
+        "pl2_topk": _pl2_topk_sql(QUERY_SET, TOPK_K),
         # lexicon-only pre-retrieval QPP predictors (qpp.preretrieval_qpp)
         "preretrieval_qpp": _preretrieval_qpp_sql(QUERY_SET),
         # QLD over the persisted store via the term-pruned flat view
@@ -1668,6 +1721,10 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "postretrieval_qpp": _postretrieval_qpp_sql(QUERY_SET, "bm25", TOPK_K),
         # impact-ordered (score-at-a-time) retrieval, 8-bit global quant
         "impact_ordered_topk": _impact_topk_sql(QUERY_SET, TOPK_K),
+        # cascade shares the EXHAUSTIVE BM25 oracle: the pinned pool
+        # (impact.CASCADE_POOL = 100) provably contains the true top-k
+        # on the driver corpora (measured at sf0.001/0.01/0.1)
+        "bm25_cascade_topk": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         # deletes: query-time mask (stats pre-delete) and physical
         # vacuum (stats recomputed, original docids preserved)
         "bm25_topk_deleted": _topk_deleted_sql(QUERY_SET, "bm25", TOPK_K),

@@ -94,3 +94,50 @@ def test_unknown_terms_empty(imp_table):
     assert df.count() == 0
     df2, stats = impact_topk_saat(idx, [("q", "zzzqqqxxx")], k=10, imp=imp)
     assert df2.count() == 0
+
+
+def test_cascade_equals_exhaustive_bm25(imp_table):
+    """The oracle-share measurement: at the pinned pool (100) the
+    stage-1 impact candidates contain the true BM25 top-10, so the
+    cascade's final ranking is IDENTICAL to the exhaustive scorer —
+    scores, ranks, ties and all."""
+    from mircv_project_spark.operators import scoring, topk
+    from mircv_project_spark.operators.impact import bm25_cascade_topk
+
+    idx, imp = imp_table
+    casc = sorted(
+        tuple(r)
+        for r in bm25_cascade_topk(idx, oracle.QUERY_SET, k=10, imp=imp).collect()
+    )
+    exact = sorted(
+        tuple(r)
+        for r in topk.exhaustive_topk(
+            idx, oracle.QUERY_SET, scoring.BM25, k=10
+        ).collect()
+    )
+    assert casc == exact and len(casc) > 0
+
+
+def test_cascade_small_pool_is_approximate_but_bounded(imp_table):
+    """Shrinking the pool below k degrades gracefully: at pool=k the
+    result can diverge from exact BM25 but never emits more than pool
+    docs per query, and every emitted doc came from the stage-1 pool."""
+    from mircv_project_spark.operators.impact import (
+        bm25_cascade_topk,
+        impact_topk,
+    )
+
+    idx, imp = imp_table
+    pool = 10
+    stage1 = impact_topk(idx, oracle.QUERY_SET, k=pool, imp=imp)
+    allowed = {}
+    for r in stage1.collect():
+        allowed.setdefault(r["qid"], set()).add(r["docno"])
+    out = bm25_cascade_topk(idx, oracle.QUERY_SET, k=10, pool=pool, imp=imp)
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r["qid"], set()).add(r["docno"])
+    assert per_q
+    for qid, docs in per_q.items():
+        assert len(docs) <= pool
+        assert docs <= allowed[qid]
