@@ -218,6 +218,26 @@ def _q_qljm_topk(spark, sf_dir):
     return qljm_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_doc_term_vectors(spark, sf_dir):
+    """Per-document term-vectors API (queryops.doc_term_vectors) —
+    Lucene's _termvectors surface: every indexed term of the pinned
+    probe docs with in-doc tf + corpus df/cf/doc_len."""
+    from mircv_project_spark.operators.queryops import doc_term_vectors
+
+    idx = _index(spark, sf_dir, parse=False)
+    return doc_term_vectors(idx, oracle.MLT_PROBE_DOCNOS)
+
+
+def _q_bm25_topk_collapse(spark, sf_dir):
+    """Field collapsing with inner hits (bm25f.bm25_topk_collapse):
+    one result slot per conversation (best-turn score), up to 2 best
+    member turns carried as inner hits."""
+    from mircv_project_spark.operators.bm25f import bm25_topk_collapse
+
+    idx = _index(spark, sf_dir, parse=False)
+    return bm25_topk_collapse(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_pl2_topk(spark, sf_dir):
     """PL2 divergence-from-randomness top-k (operators/dfr.py) — the
     Poisson/Laplace/normalization-2 DFR model (Terrier's default),
@@ -2678,6 +2698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": _q_qld_topk,
         "qljm_topk": _q_qljm_topk,
         "pl2_topk": _q_pl2_topk,
+        "doc_term_vectors": _q_doc_term_vectors,
+        "bm25_topk_collapse": _q_bm25_topk_collapse,
         "qld_topk_stored": _q_qld_topk_stored,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,

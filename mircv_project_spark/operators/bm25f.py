@@ -179,3 +179,58 @@ def conv_maxp_topk(
         .where(F.col("rank") <= k)
         .select("qid", "conv_id", "best_docno", "rank", "score")
     )
+
+
+COLLAPSE_INNER = 2
+
+
+def bm25_topk_collapse(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    inner: int = COLLAPSE_INNER,
+) -> DataFrame:
+    """Field collapsing with inner hits (Elasticsearch `collapse` +
+    `inner_hits`, Solr CollapsingQParser): results grouped by
+    conversation — each conversation appears ONCE in the ranking,
+    scored by its best turn, and carries up to ``inner`` best member
+    turns as inner hits.
+
+    Pins (restated in oracle._collapse_sql — change both or neither):
+    inner = 2; inner-hit order = the engine's turn ranking (round-6
+    score desc, docno asc); conversation score = the best inner hit's
+    score; conversation rank (score desc, conv_id asc); k = 10
+    conversations, every emitted row carries its conversation's rank.
+
+    -> (qid string, conv_id string, rank long, inner_rank long,
+    docno string, score double).
+
+    Scale shape: one exhaustive turn ranking (the standard scorer) +
+    two windows over its output partitioned by (qid, conv) / (qid) —
+    no second corpus scan; doc->conv rides the doc_index join."""
+    from .topk import exhaustive_topk
+
+    turns = exhaustive_topk(index, queries, scoring.BM25, k=2_000_000_000)
+    dmap = index.doc_index.select(
+        (F.col("docid") - 1).cast("string").alias("docno"), "conv_id"
+    )
+    j = turns.drop("rank").join(dmap, "docno")
+    w_inner = Window.partitionBy("qid", "conv_id").orderBy(
+        F.col("score").desc(), F.col("docno").cast("long").asc()
+    )
+    hits = j.withColumn(
+        "inner_rank", F.row_number().over(w_inner).cast("long")
+    ).where(F.col("inner_rank") <= inner)
+    w_conv = Window.partitionBy("qid").orderBy(
+        F.col("best").desc(), F.col("conv_id").asc()
+    )
+    best = (
+        hits.where(F.col("inner_rank") == 1)
+        .select("qid", "conv_id", F.col("score").alias("best"))
+        .withColumn("rank", F.row_number().over(w_conv).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "conv_id", "rank")
+    )
+    return hits.join(best, ["qid", "conv_id"]).select(
+        "qid", "conv_id", "rank", "inner_rank", "docno", "score"
+    )

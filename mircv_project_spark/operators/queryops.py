@@ -319,3 +319,36 @@ def recency_topk(
         .where(F.col("rank") <= k)
         .select("qid", "docno", "rank", "score")
     )
+
+
+def doc_term_vectors(
+    index: InvertedIndex, probe_docnos: list[int]
+) -> DataFrame:
+    """Lucene's term-vectors API (GET /<index>/_termvectors): the full
+    per-document term statistics surface a relevance engineer inspects
+    — for each probe document, every indexed term with its in-doc tf
+    and the corpus-level df/cf beside the doc length.
+
+    -> (docno string, term string, tf long, df long, cf long,
+    doc_len long), one row per (probe doc, term).
+
+    Pins (restated in oracle._doc_term_vectors_sql): probes addressed
+    by docno (= docid - 1, the TREC identity), stats corpus-global.
+
+    Scale shape: the probe filter prunes the flat postings scan to a
+    handful of docids (partition/rowgroup pruning on the stored
+    layout); the tiny probe-side rows BROADCAST into the lexicon
+    equi-join — never a full-lexicon shuffle."""
+    docids = [int(d) + 1 for d in probe_docnos]
+    mine = index.flat.where(F.col("docid").isin(docids)).select(
+        "term", "docid", "tf", "doc_len"
+    )
+    lex = index.lexicon.select("term", "df", "cf")
+    return lex.join(F.broadcast(mine), "term").select(
+        (F.col("docid") - 1).cast("string").alias("docno"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+    )

@@ -536,6 +536,61 @@ ORDER BY qid, rank
 """
 
 
+def _doc_term_vectors_sql(probe_docnos) -> str:
+    """Lucene term-vectors surface (operators/queryops.doc_term_vectors):
+    per probe doc every indexed term with in-doc tf + corpus df/cf +
+    doc_len; probes addressed by docno = docid - 1 (pinned)."""
+    ids = ", ".join(str(int(d) + 1) for d in probe_docnos)
+    return f"""{_PREFIX}
+SELECT CAST(p.docid - 1 AS VARCHAR) AS docno, p.term,
+       CAST(p.tf AS BIGINT) AS tf, l.df, l.cf,
+       dl.doc_len
+FROM postings p
+JOIN lexicon l USING (term)
+JOIN doclens dl ON p.docid = dl.docid
+WHERE p.docid IN ({ids})
+ORDER BY docno, term
+"""
+
+
+def _collapse_sql(queries, k: int, inner: int) -> str:
+    """Field collapsing with inner hits (operators/bm25f.
+    bm25_topk_collapse).  Pins restated from bm25f.py: inner = 2,
+    inner order (round-6 score desc, docid asc), conversation score =
+    best inner hit, conv rank (score desc, conv_id asc), k convs."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({_BM25})) AS raw_score
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+hits AS (
+    SELECT sc.qid, d.conv_id, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid, d.conv_id
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS inner_rank
+    FROM scored sc JOIN docs d ON sc.docid = d.docid
+),
+best AS (
+    SELECT qid, conv_id,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, conv_id ASC
+           ) AS BIGINT) AS rank
+    FROM hits WHERE inner_rank = 1
+)
+SELECT h.qid, h.conv_id, b.rank, h.inner_rank,
+       CAST(h.docid - 1 AS VARCHAR) AS docno, h.score
+FROM hits h JOIN best b USING (qid, conv_id)
+WHERE h.inner_rank <= {inner} AND b.rank <= {k}
+ORDER BY h.qid, b.rank, h.inner_rank
+"""
+
+
 def _pl2_topk_sql(queries, k: int) -> str:
     """PL2 divergence-from-randomness ranking (operators/dfr.pl2_topk):
     per-(term,doc) weight quantized to integer micro BIGINT before the
@@ -1708,6 +1763,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # Jelinek-Mercer LM — the other classic smoothing (qld.qljm_topk)
         "qljm_topk": _qljm_topk_sql(QUERY_SET, TOPK_K),
         "pl2_topk": _pl2_topk_sql(QUERY_SET, TOPK_K),
+        "doc_term_vectors": _doc_term_vectors_sql(MLT_PROBE_DOCNOS),
+        "bm25_topk_collapse": _collapse_sql(QUERY_SET, TOPK_K, 2),
         # lexicon-only pre-retrieval QPP predictors (qpp.preretrieval_qpp)
         "preretrieval_qpp": _preretrieval_qpp_sql(QUERY_SET),
         # QLD over the persisted store via the term-pruned flat view

@@ -159,3 +159,77 @@ def test_conv_maxp_is_max_over_member_turns(spark, vb_index):
             (r["conv_id"], r["best_docno"], r["rank"], r["score"])
         )
     assert dict(got) == expected
+
+
+def test_collapse_conv_score_is_best_turn_and_inner_order(spark, vb_index):
+    """Collapse pins: conversation rank ordered by its BEST turn's
+    round-6 score (ties conv_id asc); inner hits are the conv's top
+    turns in (score desc, docno asc) order, at most 2 per conv."""
+    from mircv_project_spark.operators import scoring, topk
+    from mircv_project_spark.operators.bm25f import bm25_topk_collapse
+    from mircv_project_spark.oracle import QUERY_SET
+
+    idx, _ = vb_index
+    rows = bm25_topk_collapse(idx, QUERY_SET, k=10).collect()
+    assert rows
+
+    # independent model from the full turn ranking
+    full = topk.exhaustive_topk(
+        idx, QUERY_SET, scoring.BM25, k=2_000_000_000
+    ).collect()
+    dmap = {
+        str(r["docid"] - 1): r["conv_id"] for r in idx.doc_index.collect()
+    }
+    by_conv = {}
+    for r in full:
+        key = (r["qid"], dmap[r["docno"]])
+        by_conv.setdefault(key, []).append((-r["score"], int(r["docno"])))
+    for v in by_conv.values():
+        v.sort()
+    # expected conv ranking per qid
+    exp = {}
+    for (qid, conv), v in by_conv.items():
+        exp.setdefault(qid, []).append((v[0][0], conv))
+    for qid in exp:
+        exp[qid].sort()
+    got = {}
+    for r in rows:
+        got.setdefault((r["qid"], r["conv_id"]), {})[r["inner_rank"]] = (
+            r["docno"], r["score"], r["rank"]
+        )
+    for (qid, conv), inner in got.items():
+        assert set(inner) <= {1, 2}
+        # conv rank matches the independent ordering
+        want_rank = exp[qid].index((-inner[1][1], conv)) + 1
+        assert inner[1][2] == want_rank, (qid, conv)
+        # inner hits are the conv's best turns in pinned order
+        want = by_conv[(qid, conv)][: len(inner)]
+        for i, (negs, docno_int) in enumerate(want, start=1):
+            assert inner[i][0] == str(docno_int)
+            assert inner[i][1] == -negs
+
+
+def test_term_vectors_match_flat(spark, vb_index):
+    """Term vectors restate the flat postings + lexicon exactly for
+    the probe docs."""
+    from mircv_project_spark.operators.queryops import doc_term_vectors
+    from mircv_project_spark.oracle import MLT_PROBE_DOCNOS
+
+    idx, _ = vb_index
+    got = {
+        (r["docno"], r["term"]): (r["tf"], r["df"], r["cf"], r["doc_len"])
+        for r in doc_term_vectors(idx, MLT_PROBE_DOCNOS).collect()
+    }
+    assert got
+    ids = {d + 1 for d in MLT_PROBE_DOCNOS}
+    lex = {
+        r["term"]: (r["df"], r["cf"]) for r in idx.lexicon.collect()
+    }
+    exp = {}
+    for r in idx.flat.collect():
+        if r["docid"] in ids:
+            df, cf = lex[r["term"]]
+            exp[(str(r["docid"] - 1), r["term"])] = (
+                r["tf"], df, cf, r["doc_len"]
+            )
+    assert got == exp
