@@ -924,6 +924,27 @@ def _q_kmv_distinct(spark, sf_dir):
     return kmv_distinct_tokens(_docs(spark, sf_dir))
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct sketch per source (sketches.
+    hll_distinct_tokens): 256 integer max-registers from the salted
+    md5 hash, harmonic sum in exact BIGINT units, one division for the
+    raw estimate; exact count carried beside as verification."""
+    from mircv_project_spark.operators.sketches import hll_distinct_tokens
+
+    return hll_distinct_tokens(_docs(spark, sf_dir))
+
+
+def _q_bloom_terms(spark, sf_dir):
+    """Per-source Bloom-filter term membership (sketches.
+    bloom_term_filter): 4-hash 15360-bit filter built by a bit_or
+    word aggregation over the distinct vocabulary, probed with the
+    pinned normalized terms; exact presence rides beside the filter
+    verdict so the no-false-negatives contract is checkable."""
+    from mircv_project_spark.operators.sketches import bloom_term_filter
+
+    return bloom_term_filter(_docs(spark, sf_dir), list(oracle.BLOOM_PROBES))
+
+
 def _q_jaccard_pairs_prefix(spark, sf_dir):
     """PPJoin-style prefix-filtered EXACT Jaccard pairs: candidates =
     pairs sharing a rarest-first prefix shingle on both sides (recall 1
@@ -960,6 +981,16 @@ def _q_item_similarity(spark, sf_dir):
     from mircv_project_spark.operators.graph import item_similarity_topk
 
     return item_similarity_topk(_events(spark, sf_dir))
+
+
+def _q_item_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link-prediction affinity over the user-item
+    incidence (graph.item_adamic_adar_topk): inverse-log-degree
+    weighted common users, micro-quantized per-user contributions,
+    top-3 per item."""
+    from mircv_project_spark.operators.graph import item_adamic_adar_topk
+
+    return item_adamic_adar_topk(_events(spark, sf_dir))
 
 
 def _q_item_bfs(spark, sf_dir):
@@ -1530,6 +1561,30 @@ def _q_tpch_idle_rich_customers(spark, sf_dir):
         _tbl(spark, sf_dir, "customer"),
         _tbl(spark, sf_dir, "orders"),
         _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def _q_tpch_priority_mix(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: l_linestatus group, late = shipped
+    >365 d after the order date): high/low priority line counts over
+    one ship year; all-integer."""
+    from mircv_project_spark.operators.relational import shipping_priority_mix
+
+    return shipping_priority_mix(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_tpch_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted late law): suppliers solely late on
+    finished multi-supplier orders; exists/not-exists as semi/anti
+    joins, top-100 (numwait desc, s_name asc)."""
+    from mircv_project_spark.operators.relational import waiting_suppliers
+
+    return waiting_suppliers(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
     )
 
 
@@ -2683,6 +2738,32 @@ def _q_rbp_err_metrics(spark, sf_dir):
     return rbp_err_metrics(run, qrels, k=oracle.TOPK_K)
 
 
+def _q_facet_top_hits(spark, sf_dir):
+    """Bucketed top hits (facets.facet_top_hits): per-(query, source)
+    facet counts + the bucket's 3 best BM25 hits in the ranking's
+    total order — the ES terms+top_hits aggregation."""
+    from mircv_project_spark.operators.facets import facet_top_hits
+
+    idx = _index(spark, sf_dir, parse=False)
+    return facet_top_hits(idx, _docs(spark, sf_dir), oracle.QUERY_SET)
+
+
+def _q_bpref_metrics(spark, sf_dir):
+    """Incomplete-judgments evaluation (evaluation.bpref_metrics):
+    binary preference of the BM25 run against the same synthetic qrels
+    as the MAP/nDCG gate, judged split pinned at grade >= 2 relevant /
+    grade 1 judged-nonrelevant."""
+    from mircv_project_spark.operators.evaluation import (
+        bpref_metrics,
+        synthetic_qrels,
+    )
+
+    idx = _index(spark, sf_dir, parse=False)
+    run = topk.exhaustive_topk(idx, oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
+    qrels = synthetic_qrels(_docs(spark, sf_dir), oracle.QUERY_SET)
+    return bpref_metrics(run, qrels, k=oracle.TOPK_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR engine (reference parity) ---
@@ -2752,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_eval_metrics": _q_eval_metrics,
         "bm25_mrr_metrics": _q_mrr_metrics,
         "bm25_rbp_err_metrics": _q_rbp_err_metrics,
+        "bm25_bpref_metrics": _q_bpref_metrics,
+        "facet_top_hits": _q_facet_top_hits,
         "hybrid_borda_topk": _q_hybrid_borda_topk,
         "postretrieval_qpp": _q_postretrieval_qpp,
         "impact_ordered_topk": _q_impact_ordered_topk,
@@ -2861,6 +2944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_supplier": _q_tpch_top_supplier,
         "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
         "tpch_idle_rich_customers": _q_tpch_idle_rich_customers,
+        "tpch_priority_mix": _q_tpch_priority_mix,
+        "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         # exact duplicated-span coverage (substring dedup)
         "dup_spans": _q_dup_spans,
         # distributed k-means + SemDeDup semantic dedup
@@ -2905,6 +2990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdm_topk": _q_sdm_topk,
         "textrank_keywords": _q_textrank_keywords,
         "kmv_distinct": _q_kmv_distinct,
+        "hll_distinct": _q_hll_distinct,
+        "bloom_terms": _q_bloom_terms,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
         "complete_prefix": _q_complete_prefix,
@@ -2913,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_communities": _q_item_communities,
         "item_bfs": _q_item_bfs,
         "item_similarity": _q_item_similarity,
+        "item_adamic_adar": _q_item_adamic_adar,
         "triangle_counts": _q_triangle_counts,
         "conversation_stats": _q_conversation_stats,
         "term_suggest": _q_term_suggest,

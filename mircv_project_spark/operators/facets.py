@@ -21,7 +21,7 @@ shuffle keyed (qid, facet value), never a per-query scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textnorm import tokens_col
@@ -187,3 +187,57 @@ def significant_terms(
         return out.localCheckpoint()
     finally:
         toks.unpersist()
+
+
+TOPHITS_INNER = 3
+
+
+def facet_top_hits(
+    index,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k_inner: int = TOPHITS_INNER,
+    id_col: str = "doc_id",
+    dim: str = "source",
+) -> DataFrame:
+    """Bucketed top hits (Elasticsearch `terms` aggregation with a
+    `top_hits` sub-aggregation): for each query, every source bucket's
+    total match count PLUS its best k_inner documents from the engine's
+    BM25 ranking — the "show me the best result per site" serve shape.
+
+    Pins (restated in oracle._facet_top_hits_sql — change both or
+    neither): bucket membership = the engine's scored (disjunctive)
+    match set, bucket hit order = the ranking's total order (round-6
+    score desc, docno asc), k_inner = 3, n_docs counts ALL scored docs
+    in the bucket (the facet count, not the page), docno = doc_id.
+
+    -> (qid string, source string, n_docs long, bucket_rank long,
+    docno string, score double).
+
+    Scale shape: one exhaustive ranking (the standard scorer), one
+    broadcast-able metadata join on docno, then a count and a window
+    both keyed (qid, source) — no second corpus scan, no per-bucket
+    re-query."""
+    from . import scoring
+    from .topk import exhaustive_topk
+
+    turns = exhaustive_topk(index, queries, scoring.BM25, k=2_000_000_000)
+    meta = docs.select(
+        F.col(id_col).cast("long").alias("did"),
+        F.col(dim).cast("string").alias("source"),
+    )
+    j = turns.drop("rank").join(
+        meta, turns.docno.cast("long") == meta.did
+    )
+    counts = j.groupBy("qid", "source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("qid", "source").orderBy(
+        F.col("score").desc(), F.col("docno").cast("long").asc()
+    )
+    hits = j.withColumn(
+        "bucket_rank", F.row_number().over(w).cast("long")
+    ).where(F.col("bucket_rank") <= k_inner)
+    return hits.join(counts, ["qid", "source"]).select(
+        "qid", "source", "n_docs", "bucket_rank", "docno", "score"
+    )

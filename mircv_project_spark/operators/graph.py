@@ -646,3 +646,78 @@ def textrank_keywords(
             ew.unpersist()
         if pr is not None:
             pr.unpersist()
+
+
+AA_K = 3
+_AA_MICRO = 1_000_000.0
+
+
+def item_adamic_adar_topk(events: DataFrame, k: int = AA_K) -> DataFrame:
+    """-> (item, neighbor, n_common, score, rank): Adamic-Adar
+    weighted item-item affinity over the user-item bipartite incidence
+    (Adamic & Adar, Social Networks 2003) — the link-prediction scorer
+    beside the binary-cosine CF of item_similarity_topk: each common
+    user u contributes 1/log10(deg_u), so promiscuous users (many
+    items) count less than selective ones.
+
+    Exactness (restated in oracle._ITEM_AA_SQL — change both or
+    neither): deg_u = distinct items per user (a user in any pair has
+    deg >= 2, so log10(deg) >= log10(2) > 0 — no division hazard);
+    per-user contribution micro-quantized round(1e6 / log10(deg_u))
+    BIGINT BEFORE the per-pair sum (a float sum of inverse logs is
+    shuffle-order-dependent at round 6; log10 parity is the accepted
+    1-ulp class of the other log10 gates); score = micro-sum / 1e6
+    round 6; rank (micro desc, neighbor asc) top k per item; items
+    sharing no user emit nothing.
+
+    Scale shape (100 TB): same candidate generator as
+    item_similarity_topk (per-user self-join over the deduped
+    incidence — cap heavy users upstream); user degrees ride the join
+    before the pair aggregate, so the shuffle carries (item, nb)
+    partial sums only."""
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        udeg = ui.groupBy("u").agg(F.count("*").alias("d"))
+        wmicro = F.round(
+            F.lit(_AA_MICRO) / F.log10(F.col("d").cast("double"))
+        ).cast("long")
+        a, b = ui.alias("a"), ui.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.u") == F.col("b.u"))
+                & (F.col("a.item") != F.col("b.item")),
+            )
+            .join(udeg.withColumnRenamed("u", "du"),
+                  F.col("a.u") == F.col("du"))
+            .groupBy(
+                F.col("a.item").alias("item"), F.col("b.item").alias("neighbor")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_common"),
+                F.sum(wmicro).cast("long").alias("micro"),
+            )
+        )
+        w = Window.partitionBy("item").orderBy(
+            F.col("micro").desc(), F.col("neighbor").asc()
+        )
+        out = (
+            pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                "item",
+                "neighbor",
+                "n_common",
+                F.round(F.col("micro") / F.lit(_AA_MICRO), 6).alias("score"),
+                "rank",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        ui.unpersist()
+    return out

@@ -724,6 +724,113 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+Q12_LO = "1996-01-01 00:00:00"  # naive epoch 820454400000000 us
+Q12_HI = "1997-01-01 00:00:00"  # naive epoch 852076800000000 us
+Q12_LATE_US = 365 * 86_400_000_000  # "late" = shipped >365 d after order
+Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def shipping_priority_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the synthetic schema has no
+    l_shipmode / l_commitdate / l_receiptdate — l_linestatus stands in
+    for the shipmode group and "late" = shipped more than Q12_LATE_US
+    after the order date): per line status, counts of late lines
+    shipped in [Q12_LO, Q12_HI) split by high/low order priority.
+    All-integer counts — trivially exact across engines.
+    -> (l_linestatus, high_line_count, low_line_count).
+
+    Scale shape: the ship window is an NTZ-literal filter pushed to
+    the lineitem scan; the lag test needs both sides so it rides the
+    orderkey equi-join as a residual; two conditional counts in one
+    partial agg."""
+    lines = lineitem.where(
+        (F.col("l_shipdate") >= _ntz(Q12_LO))
+        & (F.col("l_shipdate") < _ntz(Q12_HI))
+    ).select("l_orderkey", "l_linestatus", _us("l_shipdate").alias("ship_us"))
+    ords = orders.select(
+        "o_orderkey", "o_orderpriority", _us("o_orderdate").alias("ord_us")
+    )
+    high = F.col("o_orderpriority").isin(list(Q12_HIGH_PRIORITIES))
+    return (
+        lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+        .where(F.col("ship_us") - F.col("ord_us") > F.lit(Q12_LATE_US))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+Q21_LATE_US = 365 * 86_400_000_000  # same "late" law as Q12
+Q21_K = 100
+
+
+def waiting_suppliers(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    k: int = Q21_K,
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates — "kept the
+    order waiting" = this supplier's line shipped more than Q21_LATE_US
+    after the order date on a finished ('F') multi-supplier order where
+    NO other supplier's line was late): per-supplier count of such
+    lines, top-k by (numwait desc, s_name asc).  The exists /
+    not-exists pair of the textbook query maps to a left-semi and a
+    left-anti join; counts are pure integers.
+    -> (s_name, numwait).
+
+    Scale shape: the 'F' filter pushes to the orders scan; both
+    existential probes are orderkey equi-joins with the suppkey
+    inequality as a residual (hash semi/anti, never a nested loop);
+    supplier broadcasts."""
+    j = (
+        lineitem.select("l_orderkey", "l_suppkey", _us("l_shipdate").alias("ship_us"))
+        .join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", _us("o_orderdate").alias("ord_us")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("ship_us") - F.col("ord_us") > F.lit(Q21_LATE_US)).alias("late"),
+        )
+    )
+    late = j.where(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = j.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    lone_late = late.join(
+        l2,
+        (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2),
+        "left_semi",
+    ).join(
+        l3,
+        (late.l_orderkey == l3.o3) & (late.l_suppkey != l3.s3),
+        "left_anti",
+    )
+    return (
+        lone_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            lone_late.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
 Q22_IDLE_CUTOFF = "1999-01-01 00:00:00"  # naive epoch 915148800000000 us
 
 

@@ -196,3 +196,234 @@ def quantile_sketch(
         for q in qs
     ]
     return sample.groupBy("source").agg(*aggs)
+
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 256
+HLL_SALT = "hll-"
+# alpha_256 = 0.7213 / (1 + 1.079/256) as ONE pinned literal (both
+# engines parse the same decimal to the same double; computing the
+# division at run time would be a second rounding)
+HLL_ALPHA = 0.7182725932495458
+_TWO52 = 1 << 52
+
+
+def hll_distinct_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """-> (source, n_distinct, n_nonzero, reg_sum, z_scaled, est):
+    per-source HyperLogLog cardinality sketch (Flajolet et al. 2007)
+    beside the exact count — the fixed-size (m = 256 registers)
+    member of the sketch family next to KMV's k-minimum-values.
+
+    Why this is hash-gateable (same discipline as KMV): the hash is
+    the deterministic md5-derived hash60 (salt 'hll-'), registers are
+    integer maxima, and the harmonic sum is computed in EXACT integer
+    units — z_scaled = sum over all 256 registers of 2^(52 - M_j)
+    (empty registers contribute 2^52), a BIGINT.  Only the final
+    estimate divides once: est = round(alpha*m^2*2^52 / z_scaled, 6),
+    with alpha_256 a pinned literal and the numerator built by exact
+    power-of-two scaling.  Pins restated verbatim in oracle._HLL_SQL
+    (change both sides or neither): p = 8, bucket = h % 256, w =
+    h >> 8 (52 bits), rho = trailing-zero count + 1 = bit_count((w &
+    -w) - 1) + 1 capped at 52 (w = 0 pins rho = 52), RAW estimator
+    only — no small-range correction (the exact n_distinct column is
+    the verification path, so correction would only obscure the
+    estimator under test).
+
+    Scale shape (100 TB): registers merge by max, so the per-token
+    explode feeds ONE partial-aggregating groupBy(source, bucket) —
+    map-side combine bounds the shuffle at 256 rows per (partition,
+    source); no distinct, no sort.  The exact n_distinct branch is the
+    O(distinct) verification path a production run drops."""
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    ).persist()  # register and exact branches both read it
+    try:
+        h = hash60_col(F.concat(F.lit(HLL_SALT), F.col("t")))
+        hashed = toks.select("source", h.alias("h"))
+        w = F.shiftright(F.col("h"), HLL_P)
+        rho = F.when(w == 0, F.lit(52)).otherwise(
+            F.least(
+                F.bit_count((w.bitwiseAND(-w)) - F.lit(1)) + F.lit(1),
+                F.lit(52),
+            )
+        )
+        regs = (
+            hashed.select(
+                "source",
+                (F.col("h") % F.lit(HLL_M)).alias("bucket"),
+                rho.cast("int").alias("rho"),
+            )
+            .groupBy("source", "bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+        agg = regs.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_nonzero"),
+            F.sum("m").cast("long").alias("reg_sum"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))")
+            )
+            .cast("long")
+            .alias("znz"),
+        )
+        z_scaled = (
+            (F.lit(HLL_M) - F.col("n_nonzero")) * F.lit(_TWO52)
+            + F.col("znz")
+        ).cast("long")
+        num = HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(_TWO52)
+        exact = (
+            toks.distinct()
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_distinct"))
+        )
+        out = (
+            exact.join(agg, "source")
+            .withColumn("z_scaled", z_scaled)
+            .select(
+                "source",
+                "n_distinct",
+                "n_nonzero",
+                "reg_sum",
+                "z_scaled",
+                F.round(
+                    F.lit(num) / F.col("z_scaled").cast("double"), 6
+                ).alias("est"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        toks.unpersist()
+    return out
+
+
+BLOOM_WORD = 60  # bits per word — keeps every mask positive in BIGINT
+BLOOM_WORDS = 256
+BLOOM_BITS = BLOOM_WORD * BLOOM_WORDS  # 15360
+BLOOM_K = 4
+BLOOM_SALTS = ("bloom0-", "bloom1-", "bloom2-", "bloom3-")
+
+
+def bloom_term_filter(
+    docs: DataFrame,
+    probes: list[str],
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """-> (source, term, present, in_filter, n_set): per-source Bloom
+    filter over the distinct normalized-token vocabulary (Bloom CACM
+    1970 — the membership structure Parquet/Impala attach to columns
+    and engines use for join pruning), probed with a pinned term set;
+    the exact `present` verdict rides beside `in_filter` so the
+    no-false-negatives contract is verifiable (in_filter >= present
+    always; in_filter > present is the measured false-positive).
+
+    Hash-gateable like KMV/HLL: k = 4 positions per term are
+    deterministic md5-derived hash60 values mod BLOOM_BITS (salts
+    'bloom0-'..'bloom3-'), the filter is an exact integer bit-or over
+    60-bit words (60, not 64 — a bit-63 mask would wrap negative and
+    engines disagree on signed overflow), and membership is integer
+    mask tests.  Restated verbatim in oracle._BLOOM_SQL (change both
+    sides or neither).  Probes are given in NORMALIZED token form.
+    n_set = total set bits in the source's filter (the fill-rate
+    audit column).
+
+    Scale shape (100 TB): the filter build is ONE partial-aggregating
+    groupBy(source, word) bit_or — map-side combine bounds the shuffle
+    at BLOOM_WORDS rows per (partition, source); the probe side is a
+    driver-small grid equi-joined to the word table.  Filters merge by
+    bit-or (union semantics), the property that makes Bloom filters
+    per-partition buildable."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    ).distinct().persist()
+    try:
+        def _pos(term_col, i: int):
+            return hash60_col(
+                F.concat(F.lit(BLOOM_SALTS[i]), term_col)
+            ) % F.lit(BLOOM_BITS)
+
+        pos = toks.select(
+            "source",
+            F.explode(
+                F.array(*[_pos(F.col("t"), i) for i in range(BLOOM_K)])
+            ).alias("p"),
+        )
+        words = (
+            pos.select(
+                "source",
+                F.expr(f"p DIV {BLOOM_WORD}").cast("long").alias("word"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(p % {BLOOM_WORD} AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("source", "word")
+            .agg(F.bit_or("mask").alias("w"))
+        )
+        nset = words.groupBy("source").agg(
+            F.sum(F.bit_count("w")).cast("long").alias("n_set")
+        )
+        pr = spark.createDataFrame(
+            [(t,) for t in probes], "term string"
+        )
+        ppos = pr.select(
+            "term",
+            F.explode(
+                F.array(*[_pos(F.col("term"), i) for i in range(BLOOM_K)])
+            ).alias("p"),
+        ).select(
+            "term",
+            F.expr(f"p DIV {BLOOM_WORD}").cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(p % {BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        sources = docs.select(
+            F.col(source_col).alias("source")
+        ).distinct()
+        grid = sources.crossJoin(F.broadcast(ppos))
+        hits = grid.join(words, ["source", "word"], "left").select(
+            "source",
+            "term",
+            (
+                F.coalesce(F.col("w"), F.lit(0).cast("long"))
+                .bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).cast("int").alias("hit"),
+        )
+        in_filter = hits.groupBy("source", "term").agg(
+            F.min("hit").cast("int").alias("in_filter")
+        )
+        present = (
+            sources.crossJoin(F.broadcast(pr))
+            .join(
+                toks.withColumnRenamed("t", "term").withColumn(
+                    "pres", F.lit(1)
+                ),
+                ["source", "term"],
+                "left",
+            )
+            .select(
+                "source",
+                "term",
+                F.coalesce(F.col("pres"), F.lit(0)).cast("int").alias(
+                    "present"
+                ),
+            )
+        )
+        out = (
+            present.join(in_filter, ["source", "term"])
+            .join(nset, "source")
+            .select("source", "term", "present", "in_filter", "n_set")
+            .localCheckpoint()
+        )
+    finally:
+        toks.unpersist()
+    return out

@@ -1165,6 +1165,99 @@ FROM grid g LEFT JOIN qual q ON q.qid = g.qid AND q.level = g.level
 """
 
 
+def _facet_top_hits_sql(queries, k_inner: int) -> str:
+    """operators/facets.facet_top_hits: per-(query, source) bucket
+    counts + the bucket's top-k_inner hits from the BM25 ranking.
+    Pins restated verbatim: bucket membership = the scored disjunctive
+    match set (the ranked CTE), hit order = (round-6 score desc, docid
+    asc) — the ranking's total order, n_docs = ALL scored docs in the
+    bucket, docno = doc_id = docid - 1."""
+    return f"""{_ranked_ctes(queries, "bm25", False)},
+fmeta AS (SELECT doc_id, CAST(source AS VARCHAR) AS source FROM documents),
+fj AS (
+    SELECT r.qid, m.source, r.docid, r.score
+    FROM ranked r JOIN fmeta m ON m.doc_id = r.docid - 1
+),
+fcnt AS (
+    SELECT qid, source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM fj GROUP BY 1, 2
+),
+fh AS (
+    SELECT qid, source, docid, score,
+           row_number() OVER (
+               PARTITION BY qid, source ORDER BY score DESC, docid ASC
+           ) AS brank
+    FROM fj
+)
+SELECT h.qid, h.source, c.n_docs, CAST(h.brank AS BIGINT) AS bucket_rank,
+       CAST(h.docid - 1 AS VARCHAR) AS docno, h.score
+FROM fh h JOIN fcnt c ON h.qid = c.qid AND h.source = c.source
+WHERE h.brank <= {k_inner}
+"""
+
+
+def _bpref_sql(queries, standard: str, k: int) -> str:
+    """operators/evaluation.bpref_metrics: binary preference with the
+    pinned judged split (relevant = grade >= 2, judged nonrel = grade
+    1).  Pins restated verbatim: n_above = window count of judged-
+    nonrel results above each rank, per-result penalty
+    round(1e6 * min(n_above, R) / min(R, N)) BIGINT before the
+    per-query sum (0 when N = 0), bpref = (n_rel_ret*1e6 - sum_pen) /
+    (R*1e6) round 6, R = 0 queries omitted; run/qrels derivations
+    shared with _eval_sql."""
+    return f"""{_ranked_ctes(queries, standard, False)},
+dterm AS (
+    SELECT DISTINCT docid, term
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+),
+qrels AS (
+    SELECT q.qid, d.docid, least(count(*), 3) AS grade
+    FROM (SELECT DISTINCT qid, term FROM qterms) q
+    JOIN dterm d USING (term)
+    GROUP BY 1, 2
+),
+pools AS (
+    SELECT qid,
+           CAST(sum(CASE WHEN grade >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS r_total,
+           CAST(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_total
+    FROM qrels GROUP BY 1
+    HAVING sum(CASE WHEN grade >= 2 THEN 1 ELSE 0 END) > 0
+),
+jg AS (
+    SELECT r.qid, r.rank, CAST(coalesce(g.grade, 0) AS INTEGER) AS grade
+    FROM (SELECT qid, docid, rank FROM ranked WHERE rank <= {k}) r
+    LEFT JOIN qrels g ON r.qid = g.qid AND r.docid = g.docid
+),
+above AS (
+    SELECT qid, rank, grade,
+           coalesce(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY qid ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS n_above
+    FROM jg
+),
+bsc AS (
+    SELECT a.qid,
+           CAST(count(*) AS BIGINT) AS n_rel_ret,
+           CAST(sum(CASE WHEN p.n_total > 0 THEN CAST(round(
+               1000000.0 * CAST(least(a.n_above, p.r_total) AS DOUBLE)
+               / CAST(least(p.r_total, p.n_total) AS DOUBLE)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS pen
+    FROM above a JOIN pools p ON a.qid = p.qid
+    WHERE a.grade >= 2
+    GROUP BY 1
+)
+SELECT p.qid, p.r_total, p.n_total,
+       CAST(coalesce(b.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+       round(CAST(coalesce(b.n_rel_ret, 0) * 1000000
+                  - coalesce(b.pen, 0) AS DOUBLE)
+             / (CAST(p.r_total AS DOUBLE) * 1000000.0), 6) AS bpref
+FROM pools p LEFT JOIN bsc b ON p.qid = b.qid
+"""
+
+
 def _cori_sql(queries, n_shards: int) -> str:
     """operators/federation.cori_shard_scores: CORI resource selection
     (Callan et al. 1995) over the docid-parity shard layout.  Pins
@@ -1871,6 +1964,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # RBP(p=1/2) + ERR(gmax=3) of the same BM25 run (graded-user
         # models; params pinned to evaluation.rbp_err_metrics)
         "bm25_rbp_err_metrics": _rbp_err_sql(QUERY_SET, "bm25", TOPK_K),
+        "bm25_bpref_metrics": _bpref_sql(QUERY_SET, "bm25", TOPK_K),
+        "facet_top_hits": _facet_top_hits_sql(QUERY_SET, 3),
         # Lucene-style explain: per-term breakdown of the rank-1 doc
         "bm25_explain": _explain_sql(QUERY_SET, "bm25"),
         # the spark.sql() front end runs the SAME ranking (same oracle)
@@ -2929,6 +3024,44 @@ FROM l JOIN stats USING (pk)
 WHERE qty_c * 5 * cnt < sum_qty_c
 """
 
+# Q12 (adapted — no shipmode/commit/receipt dates: l_linestatus is the
+# grouping, "late" = shipped >365 d after the order date): high/low
+# priority line counts over 1996 shipments; all-integer
+_TPCH_Q12_SQL = """SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch_us(l_shipdate) >= 820454400000000
+  AND epoch_us(l_shipdate) < 852076800000000
+  AND epoch_us(l_shipdate) - epoch_us(o_orderdate) > 31536000000000
+GROUP BY 1
+"""
+
+# Q21 (adapted — "kept the order waiting" = the only supplier whose
+# line shipped >365 d after the order date on a finished multi-supplier
+# order): exists / not-exists restated literally; top-100 by
+# (numwait desc, s_name asc)
+_TPCH_Q21_SQL = """WITH j AS (
+    SELECT l_orderkey, l_suppkey,
+           (epoch_us(l_shipdate) - epoch_us(o_orderdate)
+            > 31536000000000) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+late AS (SELECT l_orderkey, l_suppkey FROM j WHERE late)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM j l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
 # Q22 (adapted — no c_phone; per-nation rollup; "idle" = no orders
 # since 1999-01-01, the literal no-orders-ever test being vacuous on
 # the synthetic order law): above-average positive balance
@@ -2951,6 +3084,38 @@ WHERE acctbal_c * cnt_pos > sum_pos_c
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND epoch_us(o.o_orderdate) >= 915148800000000)
 GROUP BY 1
+"""
+
+
+# Adamic-Adar item-item affinity: per-user contribution micro-quantized
+# round(1e6/log10(deg_u)) BIGINT before the pair sum; deg_u = distinct
+# items per user; rank (micro desc, neighbor asc) top-3 per item
+_ITEM_AA_SQL = """WITH ui AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+udeg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM ui GROUP BY 1),
+pairs AS (
+    SELECT a.item AS item, b.item AS neighbor,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(CAST(round(1000000.0 / log10(CAST(ud.d AS DOUBLE)))
+                         AS BIGINT)) AS BIGINT) AS micro
+    FROM ui a
+    JOIN ui b ON a.u = b.u AND a.item <> b.item
+    JOIN udeg ud ON ud.u = a.u
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT item, neighbor, n_common, micro,
+           CAST(row_number() OVER (
+               PARTITION BY item ORDER BY micro DESC, neighbor ASC
+           ) AS BIGINT) AS rank
+    FROM pairs
+)
+SELECT item, neighbor, n_common,
+       round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS score, rank
+FROM ranked WHERE rank <= 3
 """
 
 
@@ -5257,6 +5422,126 @@ SELECT ex.source AS source, n_distinct, kth_hash,
 FROM ex JOIN sk USING (source)
 """
 
+# HyperLogLog distinct sketch (operators/sketches.hll_distinct_tokens).
+# Pins restated verbatim (change both sides or neither): salt 'hll-',
+# p = 8 / m = 256, bucket = h % 256, w = h >> 8, rho = bit_count((w &
+# -w) - 1) + 1 capped at 52 (w = 0 -> 52), registers = per-bucket max,
+# z_scaled = exact BIGINT sum of 2^(52 - M_j) over ALL 256 registers
+# (empty -> 2^52), est = round(alpha_m2_252 / double(z_scaled), 6) with
+# alpha_256 the pinned literal 0.7182725932495458 and the numerator
+# built by exact power-of-two scaling; RAW estimator, no small-range
+# correction; exact n_distinct rides beside as the verification column.
+_HLL_NUM = 0.7182725932495458 * 65536.0 * 4503599627370496.0
+_HLL_DISTINCT_SQL = f"""WITH {_DOC_TOKENS},
+dt AS (
+    SELECT DISTINCT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+hh AS (
+    SELECT source,
+           CAST(('0x' || substr(md5('hll-' || t), 1, 15))::UBIGINT
+                AS BIGINT) AS h
+    FROM dt
+),
+rr AS (
+    SELECT source, h % 256 AS bucket,
+           CASE WHEN (h >> 8) = 0 THEN 52
+                ELSE least(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1, 52)
+           END AS rho
+    FROM hh
+),
+regs AS (SELECT source, bucket, max(rho) AS m FROM rr GROUP BY 1, 2),
+hagg AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_nonzero,
+           CAST(sum(m) AS BIGINT) AS reg_sum,
+           CAST(sum(CAST(1 AS BIGINT) << CAST(52 - m AS INTEGER))
+                AS BIGINT) AS znz
+    FROM regs GROUP BY 1
+),
+ex AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+    FROM dt GROUP BY 1
+)
+SELECT ex.source AS source, n_distinct, n_nonzero, reg_sum,
+       CAST((256 - n_nonzero) * 4503599627370496 + znz AS BIGINT)
+           AS z_scaled,
+       round({_HLL_NUM!r}
+             / CAST((256 - n_nonzero) * 4503599627370496 + znz AS DOUBLE),
+             6) AS est
+FROM ex JOIN hagg USING (source)
+"""
+
+# Bloom-filter term membership (operators/sketches.bloom_term_filter).
+# Pins restated verbatim (change both sides or neither): k = 4 salts
+# 'bloom0-'..'bloom3-', position = hash60 % 15360, 60-bit words (word =
+# p DIV 60, mask = 1 << (p % 60) — bit 63 would wrap negative), filter
+# = bit_or over the source's distinct normalized tokens, in_filter =
+# every probe bit set, exact `present` beside it, n_set = total set
+# bits.  Probes are pinned NORMALIZED tokens (BLOOM_PROBES).
+BLOOM_PROBES = ("spark", "join", "vector", "merge", "warpcore", "bloomfake")
+_BLOOM_SALT_ROWS = ", ".join(f"('bloom{i}-')" for i in range(4))
+_BLOOM_PROBE_ROWS = ", ".join(f"('{t}')" for t in BLOOM_PROBES)
+_BLOOM_SQL = f"""WITH {_DOC_TOKENS},
+dt AS (
+    SELECT DISTINCT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+salts AS (SELECT * FROM (VALUES {_BLOOM_SALT_ROWS}) s(salt)),
+pos AS (
+    SELECT source,
+           CAST(('0x' || substr(md5(salt || t), 1, 15))::UBIGINT AS BIGINT)
+               % 15360 AS p
+    FROM dt CROSS JOIN salts
+),
+words AS (
+    SELECT source, p // 60 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER)) AS w
+    FROM pos GROUP BY 1, 2
+),
+nset AS (
+    SELECT source, CAST(sum(bit_count(w)) AS BIGINT) AS n_set
+    FROM words GROUP BY 1
+),
+pr AS (SELECT * FROM (VALUES {_BLOOM_PROBE_ROWS}) p(term)),
+pw AS (
+    SELECT term, p // 60 AS word,
+           CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER) AS mask
+    FROM (
+        SELECT term,
+               CAST(('0x' || substr(md5(salt || term), 1, 15))::UBIGINT
+                    AS BIGINT) % 15360 AS p
+        FROM pr CROSS JOIN salts
+    )
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+hits AS (
+    SELECT s.source, pw.term,
+           CASE WHEN (coalesce(w.w, 0) & pw.mask) = pw.mask
+                THEN 1 ELSE 0 END AS hit
+    FROM srcs s CROSS JOIN pw
+    LEFT JOIN words w ON w.source = s.source AND w.word = pw.word
+),
+cont AS (
+    SELECT source, term, CAST(min(hit) AS INTEGER) AS in_filter
+    FROM hits GROUP BY 1, 2
+),
+pres AS (
+    SELECT s.source, p.term,
+           CAST(CASE WHEN EXISTS (
+               SELECT 1 FROM dt
+               WHERE dt.source = s.source AND dt.t = p.term
+           ) THEN 1 ELSE 0 END AS INTEGER) AS present
+    FROM srcs s CROSS JOIN pr p
+)
+SELECT pres.source AS source, pres.term AS term, pres.present,
+       cont.in_filter, nset.n_set
+FROM pres
+JOIN cont ON cont.source = pres.source AND cont.term = pres.term
+JOIN nset ON nset.source = pres.source
+"""
+
 # streaming KMV shares the batch sketch computation (k-min merge is
 # commutative/associative/idempotent, so the final streaming state ==
 # the batch sketch with NO ordering contract); the stream can't know
@@ -5830,6 +6115,8 @@ def pipeline_oracles() -> dict[str, str]:
         "tpch_top_supplier": _TPCH_Q15_SQL,
         "tpch_small_qty_revenue": _TPCH_Q17_SQL,
         "tpch_idle_rich_customers": _TPCH_Q22_SQL,
+        "tpch_priority_mix": _TPCH_Q12_SQL,
+        "tpch_waiting_suppliers": _TPCH_Q21_SQL,
         # distributed k-means (all-integer Lloyd state, unrolled
         # iterations) + SemDeDup within-cluster pruning — literals
         # pinned to operators/clustering.{KM_K,KM_ITERS,KM_MICRO,
@@ -5886,6 +6173,8 @@ def pipeline_oracles() -> dict[str, str]:
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segmentation": _BPE_SEGMENT_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
+        "hll_distinct": _HLL_DISTINCT_SQL,
+        "bloom_terms": _BLOOM_SQL,
         # quantile sketch in the exact regime (k=4096 >= every group
         # at every SF, so the bottom-k sample IS the group — the kmv
         # below-k discipline; approximate regime in pytest)
@@ -5903,6 +6192,7 @@ def pipeline_oracles() -> dict[str, str]:
         "item_bfs": _item_bfs_sql(BFS_SEEDS, 3),
         # item-item CF cosine (binary user vectors, exact intersections)
         "item_similarity": _ITEM_SIMILARITY_SQL,
+        "item_adamic_adar": _ITEM_AA_SQL,
         "triangle_counts": _TRIANGLE_COUNTS_SQL,
         "conversation_stats": _conversation_stats_sql(),
         "cdc_apply": _cdc_apply_sql(),

@@ -255,3 +255,27 @@ def test_item_similarity_hand_computed(spark):
         (2, 3): (1, s23, 2),
         (3, 2): (1, s23, 1),
     }
+
+
+def test_item_adamic_adar_hand_computed(spark):
+    # users: u1 -> {1,2}, u2 -> {1,2,3}, u3 -> {3}
+    # deg: u1=2, u2=3, u3=1
+    # AA(1,2) = 1/log10(2) + 1/log10(3); AA(1,3) = 1/log10(3)
+    import math
+
+    ui = [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (3, 3)]
+    out = {
+        (r.item, r.neighbor): r
+        for r in G.item_adamic_adar_topk(_events_df(spark, ui)).collect()
+    }
+
+    def micro(d):
+        return round(1_000_000.0 / math.log10(d))
+
+    w2, w3 = micro(2), micro(3)
+    assert out[(1, 2)].score == round((w2 + w3) / 1e6, 6)
+    assert out[(1, 2)].n_common == 2
+    assert out[(1, 3)].score == round(w3 / 1e6, 6)
+    assert out[(3, 1)].n_common == 1
+    # rank within item 1: neighbor 2 (two common users) above 3
+    assert out[(1, 2)].rank == 1 and out[(1, 3)].rank == 2

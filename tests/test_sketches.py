@@ -171,3 +171,82 @@ def test_quantile_sketch_partitioning_invariant(spark):
         map(tuple, quantile_sketch(docs.repartition(17), k=24).collect())
     )
     assert a == b
+
+
+def _ref_hll(tokens: set[str]):
+    """Independent Python model of the pinned HLL computation."""
+    regs = {}
+    for t in tokens:
+        h = _h60("hll-" + t)
+        b, w = h % 256, h >> 8
+        if w == 0:
+            rho = 52
+        else:
+            rho = min(((w & -w).bit_length() - 1) + 1, 52)
+        regs[b] = max(regs.get(b, 0), rho)
+    z = (256 - len(regs)) * (1 << 52) + sum(1 << (52 - m) for m in regs.values())
+    est = round((K.HLL_ALPHA * 65536.0 * float(1 << 52)) / float(z), 6)
+    return len(regs), sum(regs.values()), z, est
+
+
+def test_hll_model_parity_and_accuracy(spark):
+    n = 5000
+    rows = [
+        (0, " ".join(f"tok{i}" for i in range(n)), "big"),
+        (1, "alpha beta alpha", "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in K.hll_distinct_tokens(df).collect()}
+
+    for src, toks in (
+        ("big", {f"tok{i}" for i in range(n)}),
+        ("tiny", {"alpha", "beta"}),
+    ):
+        nz, rs, z, est = _ref_hll(toks)
+        r = got[src]
+        assert (r.n_nonzero, r.reg_sum, r.z_scaled, r.est) == (nz, rs, z, est)
+    # raw estimator accuracy on the large universe: ~1.04/sqrt(256)
+    # relative error, generous 3-sigma band
+    assert abs(got["big"].est - n) / n < 3 * 1.04 / 16.0
+    assert got["big"].n_distinct == n
+
+
+def test_hll_partitioning_invariance(spark):
+    rows = [(i, f"w{i % 37} w{(i * 7) % 211}", "s") for i in range(400)]
+    df1 = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).repartition(1)
+    df2 = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).repartition(16)
+    a = K.hll_distinct_tokens(df1).collect()[0]
+    b = K.hll_distinct_tokens(df2).collect()[0]
+    assert (a.n_nonzero, a.reg_sum, a.z_scaled, a.est) == (
+        b.n_nonzero, b.reg_sum, b.z_scaled, b.est,
+    )
+
+
+def _ref_bloom_positions(term: str):
+    return [
+        _h60(f"bloom{i}-" + term) % K.BLOOM_BITS for i in range(K.BLOOM_K)
+    ]
+
+
+def test_bloom_no_false_negatives_and_model_parity(spark):
+    vocab = [f"w{i}" for i in range(200)]
+    rows = [(i, " ".join(vocab[i::4]), "s") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    probes = ["w0", "w7", "w199", "nothere1", "nothere2"]
+    got = {r.term: r for r in K.bloom_term_filter(df, probes).collect()}
+
+    # exact model of the filter
+    bits = set()
+    for t in vocab:
+        bits.update(_ref_bloom_positions(t))
+    for t in probes:
+        want_in = int(all(p in bits for p in _ref_bloom_positions(t)))
+        assert got[t].in_filter == want_in
+        assert got[t].present == int(t in vocab)
+        # the Bloom contract: never a false negative
+        assert got[t].in_filter >= got[t].present
+    assert got["w0"].n_set == len(bits)
