@@ -945,6 +945,47 @@ def _q_bloom_terms(spark, sf_dir):
     return bloom_term_filter(_docs(spark, sf_dir), list(oracle.BLOOM_PROBES))
 
 
+def _q_cosine_topk_filtered(spark, sf_dir):
+    """Attribute-filtered exact cosine top-k (similarity.
+    cosine_topk_filtered): neighbors restricted to the probe's own
+    label via a broadcast equi-join on the attribute — the vector-DB
+    filtered-search mode."""
+    from mircv_project_spark.operators.similarity import cosine_topk_filtered
+
+    return cosine_topk_filtered(
+        _emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K
+    )
+
+
+def _q_dense_maxp_topk(spark, sf_dir):
+    """Dense max-passage conversation retrieval (similarity.
+    dense_maxp_topk): each probe vector ranks conversations by their
+    best member turn's cosine — the dense twin of conv_maxp_topk."""
+    from mircv_project_spark.operators.similarity import dense_maxp_topk
+
+    return dense_maxp_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (dedup.containment_pairs):
+    |Sa ∩ Sb| / |Sa| over the shared 3-gram shingles, ordered pairs,
+    threshold 4/5 in cross-multiplied integers — catches excerpts and
+    subset docs symmetric Jaccard misses."""
+    from mircv_project_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir))
+
+
+def _q_cms_term_counts(spark, sf_dir):
+    """Per-source count-min sketch (sketches.cms_term_counts): 4x1024
+    exact-integer counters over the token occurrence stream, probed
+    with the shared pinned terms; exact counts ride beside so the
+    one-sided overestimate contract is checkable."""
+    from mircv_project_spark.operators.sketches import cms_term_counts
+
+    return cms_term_counts(_docs(spark, sf_dir), list(oracle.BLOOM_PROBES))
+
+
 def _q_jaccard_pairs_prefix(spark, sf_dir):
     """PPJoin-style prefix-filtered EXACT Jaccard pairs: candidates =
     pairs sharing a rarest-first prefix shingle on both sides (recall 1
@@ -2992,6 +3033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "hll_distinct": _q_hll_distinct,
         "bloom_terms": _q_bloom_terms,
+        "cms_term_counts": _q_cms_term_counts,
+        "containment_pairs": _q_containment_pairs,
+        "cosine_topk_filtered": _q_cosine_topk_filtered,
+        "dense_maxp_topk": _q_dense_maxp_topk,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
         "complete_prefix": _q_complete_prefix,

@@ -586,3 +586,71 @@ def jaccard_pairs_prefix(
     finally:
         sh.unpersist()
     return out
+
+
+CONTAIN_T_NUM = 4  # containment threshold 4/5 = 0.8, compared in
+CONTAIN_T_DEN = 5  # cross-multiplied integers (no float boundary)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection: containment(a in b) =
+    |S_a ∩ S_b| / |S_a| over distinct n-gram shingles (Broder 1997's
+    second resemblance measure) — catches quotations, excerpts, and
+    subset documents that symmetric Jaccard misses when the lengths
+    differ (a short doc fully inside a long one has low Jaccard but
+    containment 1).  ORDERED pairs (id_a != id_b): a in b is not
+    b in a.
+
+    Pins (restated in oracle._CONTAINMENT_SQL — change both sides or
+    neither): shingles = the shared 3-gram derivation of the Jaccard
+    gates, threshold = CONTAIN_T_NUM/CONTAIN_T_DEN compared as
+    CONTAIN_T_DEN * inter >= CONTAIN_T_NUM * n_a (pure integers — a
+    float ratio compare could drift at the boundary), containment
+    reported round 6.  -> (id_a, id_b, inter, n_a, containment).
+
+    Scale shape: same inverted shared-shingle join as jaccard_pairs
+    (exact: containment > 0 requires a shared shingle) — quadratic in
+    per-shingle df, so at scale this is the verify stage behind a
+    MinHash/LSH blocker exactly like the symmetric path."""
+    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    try:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        out = (
+            inter.join(
+                sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+                "id_a",
+            )
+            .where(
+                F.lit(CONTAIN_T_DEN) * F.col("inter")
+                >= F.lit(CONTAIN_T_NUM) * F.col("n_a")
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.col("inter").cast("long").alias("inter"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.round(
+                    F.col("inter").cast("double") / F.col("n_a").cast("double"),
+                    6,
+                ).alias("containment"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist()
+    return out

@@ -1265,3 +1265,131 @@ def ivfpq_cosine_topk(
     finally:
         base.unpersist()
     return out
+
+
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    attr_col: str = "label",
+) -> DataFrame:
+    """Attribute-filtered exact cosine top-k (the vector-DB "filtered
+    search" mode: neighbors restricted to the probe's own category) —
+    for each probe, the k nearest vectors SHARING ITS LABEL, self
+    excluded.  -> (probe_id, neighbor_id, label, rank, cos), rank over
+    (round-6 cos desc, neighbor_id asc) within the filtered pool.
+
+    Pins (restated in oracle._COSINE_FILTERED_SQL — change both or
+    neither): filter = equality on the probe's attr value, the shared
+    round-6 cosine, k = ANN_K.
+
+    Scale shape (100 TB): the filter IS the join key — candidates
+    arrive through a broadcast hash join on (label), never a cross
+    join followed by a residual filter, so a label-partitioned store
+    prunes the scan to the probe's category before any distance math;
+    the same shape serves any low-cardinality metadata predicate."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.col(attr_col).cast("long").alias("label"),
+    )
+    probes = base.where(F.col("nid").isin(probe_ids)).select(
+        F.col("nid").alias("pid"),
+        F.col("v").alias("pv"),
+        F.col("label").alias("plabel"),
+    )
+    cos = F.round(
+        _dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v"))),
+        6,
+    )
+    cand = (
+        base.join(
+            F.broadcast(probes),
+            (F.col("label") == F.col("plabel"))
+            & (F.col("nid") != F.col("pid")),
+        )
+        .select("pid", "nid", "label", cos.alias("cos"))
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("nid").alias("neighbor_id"),
+            "label",
+            "rank",
+            "cos",
+        )
+    )
+
+
+def dense_maxp_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    turns_per_conv: int = 8,
+) -> DataFrame:
+    """Dense max-passage conversation retrieval — the dense twin of
+    conv_maxp_topk's BM25 MaxP (Dai & Callan SIGIR 2019: score a long
+    document by its best passage):each probe vector ranks CONVERSATIONS
+    by their best member turn's cosine.
+
+    Pins (restated in oracle._DENSE_MAXP_SQL — change both or
+    neither): conversation = the corpus id law 'conv-' ||
+    lpad(id // 8, 12, '0') (the transcripts derivation applied to
+    vector ids — the 12-digit pad pin), probe's own vector excluded
+    (its siblings still count), best turn = (round-6 cos desc, id asc),
+    conv rank = (best cos desc, conv_id asc), k = ANN_K.
+    -> (probe_id, conv_id, best_id, rank, score).
+
+    Scale shape: one broadcast of the probe vectors over the vector
+    scan (the exhaustive baseline — swap the IVF/LSH candidate stage
+    in front for the ANN serve path), then two windows keyed
+    (probe, conv) / (probe) over per-turn scores — no second scan."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    probes = base.where(F.col("nid").isin(probe_ids)).select(
+        F.col("nid").alias("pid"), F.col("v").alias("pv")
+    )
+    cos = F.round(
+        _dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v"))),
+        6,
+    )
+    conv = F.concat(
+        F.lit("conv-"),
+        F.lpad(
+            F.expr(f"CAST(nid DIV {int(turns_per_conv)} AS STRING)"), 12, "0"
+        ),
+    )
+    cand = (
+        base.crossJoin(F.broadcast(probes))
+        .where(F.col("nid") != F.col("pid"))
+        .select("pid", "nid", conv.alias("conv_id"), cos.alias("cos"))
+    )
+    w_turn = Window.partitionBy("pid", "conv_id").orderBy(
+        F.col("cos").desc(), F.col("nid").asc()
+    )
+    best = cand.withColumn("tr", F.row_number().over(w_turn)).where(
+        F.col("tr") == 1
+    )
+    w_conv = Window.partitionBy("pid").orderBy(
+        F.col("cos").desc(), F.col("conv_id").asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w_conv).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "conv_id",
+            F.col("nid").alias("best_id"),
+            "rank",
+            F.col("cos").alias("score"),
+        )
+    )

@@ -427,3 +427,112 @@ def bloom_term_filter(
     finally:
         toks.unpersist()
     return out
+
+
+CMS_D = 4
+CMS_W = 1024
+CMS_SALTS = ("cms0-", "cms1-", "cms2-", "cms3-")
+
+
+def cms_term_counts(
+    docs: DataFrame,
+    probes: list[str],
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """-> (source, term, true_count, est, n_cells): per-source
+    count-min sketch of the token OCCURRENCE stream (Cormode &
+    Muthukrishnan 2005) probed with the pinned terms — the
+    frequency-estimation sketch beside SpaceSaving's top-k: d = 4
+    hash rows of w = 1024 counters, est(t) = min over rows of the
+    counter at that row's hash cell; the exact `true_count` rides
+    beside so the one-sided overestimate contract (est >= true_count,
+    est > true_count is the measured collision error) is verifiable.
+
+    Hash-gateable like Bloom/HLL/KMV: cells are deterministic
+    md5-derived hash60 values mod CMS_W (salts 'cms0-'..'cms3-'),
+    counters are exact BIGINT sums.  Restated verbatim in
+    oracle._CMS_SQL (change both sides or neither).  Probes in
+    NORMALIZED token form; a probe whose cell was never touched
+    estimates 0.  n_cells = the source's nonzero cells (fill audit).
+
+    Scale shape (100 TB): the sketch build is ONE partial-aggregating
+    groupBy(source, row, col) count — map-side combine bounds the
+    shuffle at d*w rows per (partition, source); counters merge by
+    addition (the CMS mergeability property), and the probe side is a
+    driver-small cell list equi-joined to the counter table.  The
+    exact true_count branch is the verification path a production run
+    drops."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    ).persist()  # counter and exact branches both read it
+    try:
+        def _cell(term_col, i: int):
+            return F.struct(
+                F.lit(i).alias("row"),
+                (
+                    hash60_col(F.concat(F.lit(CMS_SALTS[i]), term_col))
+                    % F.lit(CMS_W)
+                ).alias("col"),
+            )
+
+        cells = toks.select(
+            "source",
+            F.explode(
+                F.array(*[_cell(F.col("t"), i) for i in range(CMS_D)])
+            ).alias("c"),
+        ).select("source", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        counters = cells.groupBy("source", "row", "col").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        ncells = counters.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_cells")
+        )
+        pr = spark.createDataFrame([(t,) for t in probes], "term string")
+        pcells = pr.select(
+            "term",
+            F.explode(
+                F.array(*[_cell(F.col("term"), i) for i in range(CMS_D)])
+            ).alias("c"),
+        ).select("term", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        sources = docs.select(
+            F.col(source_col).alias("source")
+        ).distinct()
+        grid = sources.crossJoin(F.broadcast(pcells))
+        est = (
+            grid.join(counters, ["source", "row", "col"], "left")
+            .groupBy("source", "term")
+            .agg(
+                F.min(F.coalesce(F.col("n"), F.lit(0).cast("long")))
+                .cast("long")
+                .alias("est")
+            )
+        )
+        true_c = (
+            sources.crossJoin(F.broadcast(pr))
+            .join(
+                toks.withColumnRenamed("t", "term")
+                .groupBy("source", "term")
+                .agg(F.count("*").alias("tc")),
+                ["source", "term"],
+                "left",
+            )
+            .select(
+                "source",
+                "term",
+                F.coalesce(F.col("tc"), F.lit(0)).cast("long").alias(
+                    "true_count"
+                ),
+            )
+        )
+        out = (
+            true_c.join(est, ["source", "term"])
+            .join(ncells, "source")
+            .select("source", "term", "true_count", "est", "n_cells")
+            .localCheckpoint()
+        )
+    finally:
+        toks.unpersist()
+    return out

@@ -2543,6 +2543,75 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+# Attribute-filtered exact cosine top-k: candidates share the probe's
+# label (the filter is the equi-join key), self excluded, shared
+# round-6 cosine, k = ANN_K
+_COSINE_FILTERED_SQL = f"""WITH pr AS (
+    SELECT vec_id AS pid, embedding AS pe, label AS plabel FROM embeddings
+    WHERE vec_id IN ({', '.join(str(i) for i in PROBE_IDS)})
+),
+cand AS (
+    SELECT pr.pid, e.vec_id AS nid, CAST(e.label AS BIGINT) AS label,
+           round(
+             list_sum(list_transform(range(1, len(pr.pe) + 1),
+                 i -> CAST(pr.pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(pr.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos
+    FROM pr JOIN embeddings e ON e.label = pr.plabel AND e.vec_id <> pr.pid
+),
+ranked AS (
+    SELECT pid, nid, label, cos,
+           CAST(row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+    FROM cand
+)
+SELECT CAST(pid AS BIGINT) AS probe_id, CAST(nid AS BIGINT) AS neighbor_id,
+       label, rank, cos
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# Dense max-passage conversation retrieval: conv = the corpus id law
+# applied to vector ids ('conv-' || lpad(id // 8, 12, '0')), probe's
+# own vector excluded, best turn (round-6 cos desc, id asc), conv rank
+# (best cos desc, conv_id asc), k = ANN_K
+_DENSE_MAXP_SQL = f"""WITH pr AS (
+    SELECT vec_id AS pid, embedding AS pe FROM embeddings
+    WHERE vec_id IN ({', '.join(str(i) for i in PROBE_IDS)})
+),
+cand AS (
+    SELECT pr.pid, e.vec_id AS nid,
+           'conv-' || lpad(CAST(CAST(e.vec_id // 8 AS BIGINT) AS VARCHAR),
+                           12, '0') AS conv_id,
+           round(
+             list_sum(list_transform(range(1, len(pr.pe) + 1),
+                 i -> CAST(pr.pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(pr.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos
+    FROM pr, embeddings e
+    WHERE e.vec_id <> pr.pid
+),
+best AS (
+    SELECT pid, nid, conv_id, cos,
+           row_number() OVER (
+               PARTITION BY pid, conv_id ORDER BY cos DESC, nid ASC
+           ) AS tr
+    FROM cand
+),
+ranked AS (
+    SELECT pid, nid, conv_id, cos,
+           CAST(row_number() OVER (
+               PARTITION BY pid ORDER BY cos DESC, conv_id ASC
+           ) AS BIGINT) AS rank
+    FROM best WHERE tr = 1
+)
+SELECT CAST(pid AS BIGINT) AS probe_id, conv_id,
+       CAST(nid AS BIGINT) AS best_id, rank, cos AS score
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _cos6(a: str, b: str) -> str:
     """round-6 cosine between two embedding lists (the one formula
     every similarity oracle shares)."""
@@ -5542,6 +5611,83 @@ JOIN cont ON cont.source = pres.source AND cont.term = pres.term
 JOIN nset ON nset.source = pres.source
 """
 
+# Asymmetric containment pairs (operators/dedup.containment_pairs):
+# containment(a in b) = inter / n_a over the SHARED 3-gram shingle
+# derivation; ORDERED pairs a != b; threshold 4/5 compared in
+# cross-multiplied integers (5 * inter >= 4 * n_a)
+_CONTAINMENT_SQL = f"""WITH {_DOC_TOKENS}, {_SHINGLES},
+cinter AS (
+    SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter,
+       CAST(sa.n_sh AS BIGINT) AS n_a,
+       round(CAST(i.inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6)
+           AS containment
+FROM cinter i
+JOIN shsizes sa ON i.id_a = sa.id
+WHERE 5 * i.inter >= 4 * sa.n_sh
+"""
+
+# Count-min sketch term counts (operators/sketches.cms_term_counts).
+# Pins restated verbatim (change both sides or neither): d = 4 salts
+# 'cms0-'..'cms3-', w = 1024 (cell = hash60 % 1024), counters = exact
+# BIGINT occurrence counts over the token stream (duplicates KEPT),
+# est = min over rows (untouched cell -> 0), probes = BLOOM_PROBES (the
+# membership and frequency sketches share the probe pin), exact
+# true_count beside, n_cells = nonzero cells.
+_CMS_SQL = f"""WITH {_DOC_TOKENS},
+ts AS (
+    SELECT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+salts AS (SELECT * FROM (VALUES (0, 'cms0-'), (1, 'cms1-'), (2, 'cms2-'),
+                                (3, 'cms3-')) s(row_i, salt)),
+cells AS (
+    SELECT source, row_i,
+           CAST(('0x' || substr(md5(salt || t), 1, 15))::UBIGINT AS BIGINT)
+               % 1024 AS col_i
+    FROM ts CROSS JOIN salts
+),
+counters AS (
+    SELECT source, row_i, col_i, CAST(count(*) AS BIGINT) AS n
+    FROM cells GROUP BY 1, 2, 3
+),
+ncells AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_cells
+    FROM counters GROUP BY 1
+),
+pr AS (SELECT * FROM (VALUES {_BLOOM_PROBE_ROWS}) p(term)),
+pcells AS (
+    SELECT term, row_i,
+           CAST(('0x' || substr(md5(salt || term), 1, 15))::UBIGINT
+                AS BIGINT) % 1024 AS col_i
+    FROM pr CROSS JOIN salts
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+est AS (
+    SELECT s.source, pc.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
+    FROM srcs s CROSS JOIN pcells pc
+    LEFT JOIN counters c ON c.source = s.source AND c.row_i = pc.row_i
+                        AND c.col_i = pc.col_i
+    GROUP BY 1, 2
+),
+tc AS (
+    SELECT s.source, p.term,
+           CAST(coalesce((SELECT count(*) FROM ts
+                          WHERE ts.source = s.source AND ts.t = p.term),
+                         0) AS BIGINT) AS true_count
+    FROM srcs s CROSS JOIN pr p
+)
+SELECT tc.source AS source, tc.term AS term, tc.true_count, est.est,
+       ncells.n_cells
+FROM tc
+JOIN est ON est.source = tc.source AND est.term = tc.term
+JOIN ncells ON ncells.source = tc.source
+"""
+
 # streaming KMV shares the batch sketch computation (k-min merge is
 # commutative/associative/idempotent, so the final streaming state ==
 # the batch sketch with NO ordering contract); the stream can't know
@@ -6065,6 +6211,8 @@ def pipeline_oracles() -> dict[str, str]:
         # MOSS winnowing local fingerprints (textstats.winnow_fingerprints)
         "winnow_fingerprints": _winnow_sql(4, 5),
         "cosine_topk": _COSINE_TOPK_SQL,
+        "cosine_topk_filtered": _COSINE_FILTERED_SQL,
+        "dense_maxp_topk": _DENSE_MAXP_SQL,
         "knn_join": _KNN_JOIN_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)
         "mmr_topk": _mmr_sql(PROBE_IDS, ANN_K, 20, 0.5),
@@ -6175,6 +6323,8 @@ def pipeline_oracles() -> dict[str, str]:
         "kmv_distinct": _KMV_DISTINCT_SQL,
         "hll_distinct": _HLL_DISTINCT_SQL,
         "bloom_terms": _BLOOM_SQL,
+        "cms_term_counts": _CMS_SQL,
+        "containment_pairs": _CONTAINMENT_SQL,
         # quantile sketch in the exact regime (k=4096 >= every group
         # at every SF, so the bottom-k sample IS the group — the kmv
         # below-k discipline; approximate regime in pytest)

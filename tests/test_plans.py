@@ -413,3 +413,41 @@ def test_sdm_plan_has_no_nested_loops_and_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q21_semi_anti_no_nested_loop(spark):
+    """relational.waiting_suppliers: the exists/not-exists pair must
+    compile to hash/merge LeftSemi + LeftAnti joins (orderkey equi key
+    with the suppkey inequality as a residual), never a nested loop;
+    the 'F' status filter reaches the orders scan."""
+    from mircv_project_spark.operators.relational import waiting_suppliers
+
+    df = waiting_suppliers(
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/supplier.parquet"),
+    )
+    plan = checks.plan_text(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_facet_top_hits_no_nested_loop(spark):
+    """facets.facet_top_hits: the metadata attach is an equi-join on
+    docno — one ranking pass, no per-bucket re-query, no nested loop."""
+    from mircv_project_spark.operators.facets import facet_top_hits
+    from mircv_project_spark.operators.index_build import (
+        build_index as _bi,
+        filter_indexable as _fi,
+    )
+    from mircv_project_spark.sources.transcripts import (
+        assign_doc_ids as _adi,
+        load_transcripts as _lt,
+    )
+
+    idx = _bi(spark, _adi(_fi(_lt(spark, SF_SMALL))), parse=False)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = facet_top_hits(idx, docs, QUERY_SET[:2])
+    assert "BroadcastNestedLoopJoin" not in checks.plan_text(df)

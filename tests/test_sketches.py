@@ -250,3 +250,33 @@ def test_bloom_no_false_negatives_and_model_parity(spark):
         # the Bloom contract: never a false negative
         assert got[t].in_filter >= got[t].present
     assert got["w0"].n_set == len(bits)
+
+
+def test_cms_overestimate_contract_and_model_parity(spark):
+    rows = [
+        (0, "alpha beta alpha gamma alpha", "s"),
+        (1, "beta beta delta " + " ".join(f"x{i}" for i in range(50)), "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    probes = ["alpha", "beta", "delta", "nothere"]
+    got = {r.term: r for r in K.cms_term_counts(df, probes).collect()}
+
+    # independent model of the sketch
+    stream = ("alpha beta alpha gamma alpha beta beta delta "
+              + " ".join(f"x{i}" for i in range(50))).split()
+    counters = {}
+    for t in stream:
+        for i in range(K.CMS_D):
+            cell = (i, _h60(f"cms{i}-" + t) % K.CMS_W)
+            counters[cell] = counters.get(cell, 0) + 1
+    for t in probes:
+        want = min(
+            counters.get((i, _h60(f"cms{i}-" + t) % K.CMS_W), 0)
+            for i in range(K.CMS_D)
+        )
+        true = stream.count(t)
+        assert got[t].est == want
+        assert got[t].true_count == true
+        # the CMS contract: one-sided overestimate
+        assert got[t].est >= true
+    assert got["alpha"].n_cells == len(counters)
