@@ -2466,6 +2466,35 @@ def _q_streaming_kmv(spark, sf_dir):
     return final_kmv_estimates(spark.read.parquet(out))
 
 
+def _q_streaming_cms(spark, sf_dir):
+    """Streaming count-min sketch (applyInPandasWithState keyed by
+    source, state = the sparse counter table) under the batch-counter
+    oracle: integer addition is commutative/associative, so the final
+    state after the two-epoch doc_id split equals the batch sketch;
+    probe estimates derive through the ONE shared Catalyst expression
+    (sketches.cms_probe_estimates)."""
+    from mircv_project_spark.streaming.cms_stream import (
+        final_cms_estimates,
+        run_streaming_cms,
+    )
+
+    base = _tmpdir("mircv_scms_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_cms(spark, inp, out, ckpt).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_cms(spark, inp, out, ckpt).awaitTermination(300)
+    return final_cms_estimates(
+        spark.read.parquet(out), list(oracle.BLOOM_PROBES)
+    )
+
+
 def _q_streaming_heavy_hitters(spark, sf_dir):
     """Streaming SpaceSaving heavy hitters keyed by source under the
     batch top-k oracle: at HH_CAP no eviction fires on the driver
@@ -2903,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         # streaming KMV: final state == batch sketch (mergeable sketch)
         "streaming_kmv": _q_streaming_kmv,
+        "streaming_cms": _q_streaming_cms,
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         # streaming ordered funnel: shares the BATCH funnel's SQL
         # oracle (streaming == batch under time-ordered epochs)

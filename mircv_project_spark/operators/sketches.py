@@ -434,6 +434,44 @@ CMS_W = 1024
 CMS_SALTS = ("cms0-", "cms1-", "cms2-", "cms3-")
 
 
+def cms_cell_col(term_col, i: int):
+    """Row-i sketch cell of a term: struct(row, col) — the ONE copy of
+    the salted cell arithmetic, shared by the batch operator, the probe
+    side, and the streaming sketch (so the three cannot drift)."""
+    return F.struct(
+        F.lit(i).alias("row"),
+        (
+            hash60_col(F.concat(F.lit(CMS_SALTS[i]), term_col))
+            % F.lit(CMS_W)
+        ).alias("col"),
+    )
+
+
+def cms_probe_estimates(
+    sources: DataFrame, counters: DataFrame, pr: DataFrame
+) -> DataFrame:
+    """(source) x (term) grid -> (source, term, est): est = min over
+    the d rows of the counter at the term's cell, untouched cell -> 0.
+    Shared by the batch gate and the streaming final-state derivation
+    — the estimate arithmetic exists once."""
+    pcells = pr.select(
+        "term",
+        F.explode(
+            F.array(*[cms_cell_col(F.col("term"), i) for i in range(CMS_D)])
+        ).alias("c"),
+    ).select("term", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    grid = sources.crossJoin(F.broadcast(pcells))
+    return (
+        grid.join(counters, ["source", "row", "col"], "left")
+        .groupBy("source", "term")
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("est")
+        )
+    )
+
+
 def cms_term_counts(
     docs: DataFrame,
     probes: list[str],
@@ -469,19 +507,10 @@ def cms_term_counts(
         F.explode(tokens_col(F.col(text_col))).alias("t"),
     ).persist()  # counter and exact branches both read it
     try:
-        def _cell(term_col, i: int):
-            return F.struct(
-                F.lit(i).alias("row"),
-                (
-                    hash60_col(F.concat(F.lit(CMS_SALTS[i]), term_col))
-                    % F.lit(CMS_W)
-                ).alias("col"),
-            )
-
         cells = toks.select(
             "source",
             F.explode(
-                F.array(*[_cell(F.col("t"), i) for i in range(CMS_D)])
+                F.array(*[cms_cell_col(F.col("t"), i) for i in range(CMS_D)])
             ).alias("c"),
         ).select("source", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         counters = cells.groupBy("source", "row", "col").agg(
@@ -491,25 +520,10 @@ def cms_term_counts(
             F.count("*").cast("long").alias("n_cells")
         )
         pr = spark.createDataFrame([(t,) for t in probes], "term string")
-        pcells = pr.select(
-            "term",
-            F.explode(
-                F.array(*[_cell(F.col("term"), i) for i in range(CMS_D)])
-            ).alias("c"),
-        ).select("term", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         sources = docs.select(
             F.col(source_col).alias("source")
         ).distinct()
-        grid = sources.crossJoin(F.broadcast(pcells))
-        est = (
-            grid.join(counters, ["source", "row", "col"], "left")
-            .groupBy("source", "term")
-            .agg(
-                F.min(F.coalesce(F.col("n"), F.lit(0).cast("long")))
-                .cast("long")
-                .alias("est")
-            )
-        )
+        est = cms_probe_estimates(sources, counters, pr)
         true_c = (
             sources.crossJoin(F.broadcast(pr))
             .join(

@@ -5611,6 +5611,52 @@ JOIN cont ON cont.source = pres.source AND cont.term = pres.term
 JOIN nset ON nset.source = pres.source
 """
 
+# streaming CMS shares the batch counter computation (integer addition
+# is commutative/associative, so the final state after any micro-batch
+# split equals the batch sketch with NO ordering contract — the
+# streaming_kmv discipline); the stream can't know the exact
+# true_count, so this variant outputs (source, term, est, n_cells)
+_CMS_STREAM_SQL = f"""WITH {_DOC_TOKENS},
+ts AS (
+    SELECT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+salts AS (SELECT * FROM (VALUES (0, 'cms0-'), (1, 'cms1-'), (2, 'cms2-'),
+                                (3, 'cms3-')) s(row_i, salt)),
+cells AS (
+    SELECT source, row_i,
+           CAST(('0x' || substr(md5(salt || t), 1, 15))::UBIGINT AS BIGINT)
+               % 1024 AS col_i
+    FROM ts CROSS JOIN salts
+),
+counters AS (
+    SELECT source, row_i, col_i, CAST(count(*) AS BIGINT) AS n
+    FROM cells GROUP BY 1, 2, 3
+),
+ncells AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_cells
+    FROM counters GROUP BY 1
+),
+pr AS (SELECT * FROM (VALUES {_BLOOM_PROBE_ROWS}) p(term)),
+pcells AS (
+    SELECT term, row_i,
+           CAST(('0x' || substr(md5(salt || term), 1, 15))::UBIGINT
+                AS BIGINT) % 1024 AS col_i
+    FROM pr CROSS JOIN salts
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+est AS (
+    SELECT s.source, pc.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
+    FROM srcs s CROSS JOIN pcells pc
+    LEFT JOIN counters c ON c.source = s.source AND c.row_i = pc.row_i
+                        AND c.col_i = pc.col_i
+    GROUP BY 1, 2
+)
+SELECT est.source AS source, est.term AS term, est.est, ncells.n_cells
+FROM est JOIN ncells ON ncells.source = est.source
+"""
+
 # Asymmetric containment pairs (operators/dedup.containment_pairs):
 # containment(a in b) = inter / n_a over the SHARED 3-gram shingle
 # derivation; ORDERED pairs a != b; threshold 4/5 compared in
@@ -6331,6 +6377,7 @@ def pipeline_oracles() -> dict[str, str]:
         "quantile_sketch": _QUANTILE_SKETCH_SQL,
         # streaming final state == batch sketch (mergeable-sketch law)
         "streaming_kmv": _KMV_STREAM_SQL,
+        "streaming_cms": _CMS_STREAM_SQL,
         # prefix filtering is exact: same pair set as the direct join
         "jaccard_pairs_prefix": _JACCARD_PAIRS_SQL,
         "complete_prefix": _COMPLETE_PREFIX_SQL,

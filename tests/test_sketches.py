@@ -280,3 +280,54 @@ def test_cms_overestimate_contract_and_model_parity(spark):
         # the CMS contract: one-sided overestimate
         assert got[t].est >= true
     assert got["alpha"].n_cells == len(counters)
+
+
+def test_streaming_cms_final_state_equals_batch(spark, tmp_path):
+    """Two micro-batches with overlapping and batch-2-only sources:
+    every source's final (max-epoch) counter state must yield the
+    batch operator's probe estimates over the full corpus — integer
+    counter addition is order-free."""
+    from mircv_project_spark.streaming.cms_stream import (
+        final_cms_estimates,
+        run_streaming_cms,
+    )
+
+    rows1 = [
+        (0, "alpha beta alpha " + " ".join(f"w{i}" for i in range(30)),
+         "en", "sA", 0),
+        (1, "alpha beta gamma", "en", "sB", 0),  # absent from batch 2
+    ]
+    rows2 = [
+        (2, "alpha " + " ".join(f"w{i}" for i in range(20, 50)),
+         "en", "sA", 0),
+        (3, " ".join(f"x{i}" for i in range(25)), "en", "sC", 0),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inp, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    probes = ["alpha", "beta", "w25", "nothere"]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_cms(spark, inp, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_cms(spark, inp, out, ckpt).awaitTermination(120)
+
+    got = {
+        (r.source, r.term): (r.est, r.n_cells)
+        for r in final_cms_estimates(
+            spark.read.parquet(out), probes
+        ).collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r.source, r.term): (r.est, r.n_cells)
+        for r in K.cms_term_counts(batch, probes).collect()
+    }
+    assert got == want
+    assert got[("sA", "alpha")][0] >= 3  # 3 true occurrences in sA
