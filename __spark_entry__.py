@@ -2808,6 +2808,18 @@ def _q_rbp_err_metrics(spark, sf_dir):
     return rbp_err_metrics(run, qrels, k=oracle.TOPK_K)
 
 
+def _q_source_quota_topk(spark, sf_dir):
+    """Per-source quota diversification (queryops.source_quota_topk):
+    at most 2 results per source, survivors re-ranked densely — the
+    "max N per domain" serve rule."""
+    from mircv_project_spark.operators.queryops import source_quota_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return source_quota_topk(
+        idx, _docs(spark, sf_dir), oracle.QUERY_SET, k=oracle.TOPK_K
+    )
+
+
 def _q_facet_top_hits(spark, sf_dir):
     """Bucketed top hits (facets.facet_top_hits): per-(query, source)
     facet counts + the bucket's 3 best BM25 hits in the ranking's
@@ -2905,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rbp_err_metrics": _q_rbp_err_metrics,
         "bm25_bpref_metrics": _q_bpref_metrics,
         "facet_top_hits": _q_facet_top_hits,
+        "bm25_topk_source_quota": _q_source_quota_topk,
         "hybrid_borda_topk": _q_hybrid_borda_topk,
         "postretrieval_qpp": _q_postretrieval_qpp,
         "impact_ordered_topk": _q_impact_ordered_topk,

@@ -352,3 +352,54 @@ def doc_term_vectors(
         F.col("cf").cast("long").alias("cf"),
         F.col("doc_len").cast("long").alias("doc_len"),
     )
+
+
+QUOTA_PER_SOURCE = 2
+
+
+def source_quota_topk(
+    index: InvertedIndex,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    quota: int = QUOTA_PER_SOURCE,
+    id_col: str = "doc_id",
+    dim_col: str = "source",
+) -> DataFrame:
+    """Per-source result diversification by quota (the "max N per
+    domain" rule every web engine applies — Lucene/ES implement it as
+    collapse variants; this is the quota form: at most ``quota``
+    results from any one source, survivors re-ranked densely).
+
+    Pins (restated in oracle._SOURCE_QUOTA_SQL — change both or
+    neither): quota = 2 over the `source` dim (docno = doc_id), the
+    within-source cut AND the final re-rank both use the ranking's
+    total order (round-6 score desc, docid asc), k = 10 AFTER
+    re-ranking — a court of survivors, not a filtered page.
+    -> (qid, docno, source, rank, score).
+
+    Scale shape: one exhaustive ranking, one metadata equi-join on
+    docno, two windows ((qid, source) quota cut, then (qid) re-rank)
+    — no per-source re-query, same discipline as facet_top_hits."""
+    from .topk import exhaustive_topk
+
+    turns = exhaustive_topk(index, queries, scoring.BM25, k=2_000_000_000)
+    meta = docs.select(
+        F.col(id_col).cast("long").alias("did"),
+        F.col(dim_col).cast("string").alias("source"),
+    )
+    j = turns.drop("rank").join(meta, turns.docno.cast("long") == meta.did)
+    w_src = Window.partitionBy("qid", "source").orderBy(
+        F.col("score").desc(), F.col("docno").cast("long").asc()
+    )
+    kept = j.withColumn("sr", F.row_number().over(w_src)).where(
+        F.col("sr") <= quota
+    )
+    w_q = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docno").cast("long").asc()
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w_q).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "docno", "source", "rank", "score")
+    )

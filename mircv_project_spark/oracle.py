@@ -1196,6 +1196,36 @@ WHERE h.brank <= {k_inner}
 """
 
 
+def _source_quota_sql(queries, k: int, quota: int) -> str:
+    """operators/queryops.source_quota_topk: at most `quota` results
+    per source, survivors re-ranked densely.  Pins restated verbatim:
+    both windows use the ranking's total order (round-6 score desc,
+    docid asc), docno = doc_id, k applies AFTER the re-rank."""
+    return f"""{_ranked_ctes(queries, "bm25", False)},
+qmeta AS (SELECT doc_id, CAST(source AS VARCHAR) AS source FROM documents),
+qj AS (
+    SELECT r.qid, r.docid, m.source, r.score
+    FROM ranked r JOIN qmeta m ON m.doc_id = r.docid - 1
+),
+qkept AS (
+    SELECT qid, docid, source, score,
+           row_number() OVER (
+               PARTITION BY qid, source ORDER BY score DESC, docid ASC
+           ) AS sr
+    FROM qj
+),
+qre AS (
+    SELECT qid, docid, source, score,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM qkept WHERE sr <= {quota}
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, source, rank, score
+FROM qre WHERE rank <= {k}
+"""
+
+
 def _bpref_sql(queries, standard: str, k: int) -> str:
     """operators/evaluation.bpref_metrics: binary preference with the
     pinned judged split (relevant = grade >= 2, judged nonrel = grade
@@ -1966,6 +1996,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_rbp_err_metrics": _rbp_err_sql(QUERY_SET, "bm25", TOPK_K),
         "bm25_bpref_metrics": _bpref_sql(QUERY_SET, "bm25", TOPK_K),
         "facet_top_hits": _facet_top_hits_sql(QUERY_SET, 3),
+        "bm25_topk_source_quota": _source_quota_sql(QUERY_SET, TOPK_K, 2),
         # Lucene-style explain: per-term breakdown of the rank-1 doc
         "bm25_explain": _explain_sql(QUERY_SET, "bm25"),
         # the spark.sql() front end runs the SAME ranking (same oracle)
