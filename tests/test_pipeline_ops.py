@@ -591,3 +591,28 @@ def test_winnowing_guarantee_on_shared_substring(spark):
     assert 4 not in by_id
     assert by_id[1] & by_id[2], "shared substring must share a fingerprint"
     assert not (by_id[1] & by_id[2] & by_id.get(3, set()))
+
+
+def test_containment_asymmetry_catches_subset_docs(spark):
+    """A short doc fully inside a long one: containment(short in
+    long) = 1.0 while symmetric Jaccard stays below the 0.8 gate —
+    the reason the asymmetric measure exists.  Direction matters:
+    (long in short) must NOT qualify."""
+    from mircv_project_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs).collect()
+    }
+    assert got[(1, 2)] == 1.0  # every shingle of the short doc is shared
+    assert (2, 1) not in got  # the long doc is NOT contained in the short
+    # symmetric Jaccard misses this pair at the same 0.8 bar
+    assert jaccard_pairs(docs, 0.8).count() == 0
