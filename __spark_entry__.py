@@ -249,6 +249,17 @@ def _q_pl2_topk(spark, sf_dir):
     return pl2_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_dph_topk(spark, sf_dir):
+    """DPH divergence-from-randomness top-k (operators/dfr.py) — the
+    PARAMETER-FREE DFR model beside PL2 (no c/mu/b/k1 to tune);
+    micro-quantized integer aggregate, literal log-base constants and
+    the tf==dl zero pin restated on both sides."""
+    from mircv_project_spark.operators.dfr import dph_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return dph_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_fuzzy_topk(spark, sf_dir):
     """Fuzzy-term BM25 (operators/fuzzy.py): Levenshtein-1 query
     expansion via the SymSpell deletion-neighborhood equi-join; the
@@ -1022,6 +1033,28 @@ def _q_item_similarity(spark, sf_dir):
     from mircv_project_spark.operators.graph import item_similarity_topk
 
     return item_similarity_topk(_events(spark, sf_dir))
+
+
+def _q_item_ppr(spark, sf_dir):
+    """Personalized PageRank from the pinned seed items (graph.
+    item_personalized_pagerank): the 'related to these' recommender
+    walk — item_pagerank's integer discipline with restart mass paid
+    only to seeds."""
+    from mircv_project_spark.operators.graph import item_personalized_pagerank
+
+    return item_personalized_pagerank(
+        _events(spark, sf_dir), seeds=list(oracle.BFS_SEEDS)
+    )
+
+
+def _q_item_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over the user-item baskets
+    (graph.item_assoc_rules): ordered pairs, support floor 5,
+    integer-exact confidence micro, double lift, top-3 rules per
+    antecedent."""
+    from mircv_project_spark.operators.graph import item_assoc_rules
+
+    return item_assoc_rules(_events(spark, sf_dir))
 
 
 def _q_item_adamic_adar(spark, sf_dir):
@@ -2495,6 +2528,62 @@ def _q_streaming_cms(spark, sf_dir):
     )
 
 
+def _q_streaming_bloom(spark, sf_dir):
+    """Streaming Bloom filter (applyInPandasWithState keyed by source,
+    state = the sparse OR-merged bitset) under the batch-filter
+    oracle: bitwise OR is commutative/associative/idempotent, so the
+    final state after the two-epoch doc_id split equals the batch
+    filter; probe verdicts derive through the ONE shared Catalyst
+    expression (sketches.bloom_probe_verdicts)."""
+    from mircv_project_spark.streaming.bloom_stream import (
+        final_bloom_membership,
+        run_streaming_bloom,
+    )
+
+    base = _tmpdir("mircv_sbloom_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_bloom(spark, inp, out, ckpt).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_bloom(spark, inp, out, ckpt).awaitTermination(300)
+    return final_bloom_membership(
+        spark.read.parquet(out), list(oracle.BLOOM_PROBES)
+    )
+
+
+def _q_streaming_hll(spark, sf_dir):
+    """Streaming HyperLogLog (applyInPandasWithState keyed by source,
+    state = the sparse max-merged registers) under the batch-sketch
+    oracle: integer max is commutative/associative/idempotent, so the
+    final registers after the two-epoch doc_id split equal the batch
+    sketch; the estimate derives through the ONE shared derivation
+    (sketches.hll_estimate_from_regs)."""
+    from mircv_project_spark.streaming.hll_stream import (
+        final_hll_estimate,
+        run_streaming_hll,
+    )
+
+    base = _tmpdir("mircv_shll_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_hll(spark, inp, out, ckpt).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_hll(spark, inp, out, ckpt).awaitTermination(300)
+    return final_hll_estimate(spark.read.parquet(out))
+
+
 def _q_streaming_heavy_hitters(spark, sf_dir):
     """Streaming SpaceSaving heavy hitters keyed by source under the
     batch top-k oracle: at HH_CAP no eviction fires on the driver
@@ -2635,6 +2724,16 @@ def _q_ranker_tau(spark, sf_dir):
 
     idx = _index(spark, sf_dir, parse=False)
     return ranker_tau(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
+def _q_ranker_rbo(spark, sf_dir):
+    """Rank-biased overlap (p=1/2, truncated depth k) between the BM25
+    and QLD top-10 per query (evaluation.ranker_rbo) — top-weighted
+    agreement beside tau's pairwise agreement."""
+    from mircv_project_spark.operators.evaluation import ranker_rbo
+
+    idx = _index(spark, sf_dir, parse=False)
+    return ranker_rbo(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
 def _q_pr_curve(spark, sf_dir):
@@ -2861,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": _q_qld_topk,
         "qljm_topk": _q_qljm_topk,
         "pl2_topk": _q_pl2_topk,
+        "dph_topk": _q_dph_topk,
         "doc_term_vectors": _q_doc_term_vectors,
         "bm25_topk_collapse": _q_bm25_topk_collapse,
         "qld_topk_stored": _q_qld_topk_stored,
@@ -2927,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pr_curve": _q_pr_curve,
         "ranker_comparison": _q_ranker_comparison,
         "ranker_tau": _q_ranker_tau,
+        "ranker_rbo": _q_ranker_rbo,
         # RM3 query expansion — full-oracle (chain restated in SQL)
         "bm25_rm3_topk": _q_rm3_topk,
         "rocchio_topk": _q_rocchio_topk,
@@ -2946,6 +3047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming KMV: final state == batch sketch (mergeable sketch)
         "streaming_kmv": _q_streaming_kmv,
         "streaming_cms": _q_streaming_cms,
+        "streaming_bloom": _q_streaming_bloom,
+        "streaming_hll": _q_streaming_hll,
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         # streaming ordered funnel: shares the BATCH funnel's SQL
         # oracle (streaming == batch under time-ordered epochs)
@@ -3089,6 +3192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_bfs": _q_item_bfs,
         "item_similarity": _q_item_similarity,
         "item_adamic_adar": _q_item_adamic_adar,
+        "item_assoc_rules": _q_item_assoc_rules,
+        "item_ppr": _q_item_ppr,
         "triangle_counts": _q_triangle_counts,
         "conversation_stats": _q_conversation_stats,
         "term_suggest": _q_term_suggest,

@@ -121,3 +121,96 @@ def pl2_topk(
             F.round(F.col("micro") / F.lit(_MICRO), 6).alias("score"),
         )
     )
+
+
+def dph_weight_col(tf, dl, cf, n_docs: int, avgdl: float):
+    """The pinned DPH per-(term,doc) weight expression (double) —
+    Amati's hypergeometric DFR model in Terrier's parameter-free form:
+
+        f    = tf / dl
+        norm = ((1 - f) * (1 - f)) / (tf + 1)
+        w    = norm * ( (tf * log2((tf*avgdl/dl) * (N/cf))
+                         + 0.5 * log2(2*pi*tf*(1-f)) )
+
+    Every log routes through log10 with the pinned literal constants
+    (the pl2 discipline); parenthesizations restated verbatim in
+    oracle._dph_topk_sql: t1 = (tf_d * log10(((tf_d * avgdl) / dl_d)
+    * (n_docs_d / cf_d))) / L2, t2 = (0.5 * log10((TWO_PI * tf_d) *
+    (1.0 - f))) / L2, w = norm * (t1 + t2).  tf == dl (a doc that is
+    ONE term repeated) pins w = 0 on both sides — Terrier's own form
+    is 0 * -inf = NaN there; the zero reading (norm = 0, "no
+    information") keeps the pipeline total at scale.
+    """
+    tf_d = tf.cast("double")
+    dl_d = dl.cast("double")
+    f_rel = tf_d / dl_d
+    norm = ((F.lit(1.0) - f_rel) * (F.lit(1.0) - f_rel)) / (
+        tf_d + F.lit(1.0)
+    )
+    t1 = (
+        tf_d
+        * F.log10(
+            ((tf_d * F.lit(float(avgdl))) / dl_d)
+            * (F.lit(float(n_docs)) / cf.cast("double"))
+        )
+    ) / F.lit(L2)
+    t2 = (
+        F.lit(0.5)
+        * F.log10((F.lit(TWO_PI) * tf_d) * (F.lit(1.0) - f_rel))
+    ) / F.lit(L2)
+    return F.when(tf == dl, F.lit(0.0)).otherwise(norm * (t1 + t2))
+
+
+def dph_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """-> DataFrame(qid string, docno string, rank long, score double):
+    DPH divergence-from-randomness ranking — the PARAMETER-FREE DFR
+    model (no c, no mu, no b/k1) beside PL2; same integer-micro
+    aggregation discipline and plan shape (broadcast query terms into
+    one postings scan, one (qid, docid) aggregate)."""
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "cf")
+        .collect()
+    )
+    cf_by_term = {r["term"]: r["cf"] for r in lex}
+    qt_rows = [(q, t, c, cf_by_term[t]) for q, t, c in qt_rows if t in cf_by_term]
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf int, cf long")
+
+    matched = index.flat.join(F.broadcast(qt), "term")
+    w_micro = F.round(
+        dph_weight_col(
+            F.col("tf"), F.col("doc_len"), F.col("cf"), index.n_docs, index.avgdl
+        )
+        * F.lit(_MICRO)
+    ).cast("long")
+
+    scored = (
+        matched.withColumn("wm", w_micro)
+        .groupBy("qid", "docid")
+        .agg(F.sum(F.col("qtf").cast("long") * F.col("wm")).alias("micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("micro").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("docid") - 1).cast("string").alias("docno"),
+            "rank",
+            F.round(F.col("micro") / F.lit(_MICRO), 6).alias("score"),
+        )
+    )

@@ -441,3 +441,76 @@ def ranker_tau(index, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
             ).alias("tau"),
         )
     )
+
+
+def ranker_rbo(index, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the BM25 and Dirichlet-QLD top-k lists per query — the
+    top-weighted agreement measure beside ranker_tau (tau treats every
+    pair equally; RBO geometrically discounts depth, so two rankers
+    that agree on the head score high even when tails diverge).
+
+    Pinned semantics (restated in oracle._ranker_rbo_sql — change both
+    or neither):
+    - rankings = the same two runs as ranker_tau, both cut at k;
+      qids = every query with >= 1 in-lexicon term (all emit a row,
+      zero-overlap queries emit rbo = 0.0 — unlike tau's n >= 2 rule);
+    - p = 1/2 (dyadic — 2^-d is exact in double at every depth);
+      truncated depth-k RBO: rbo = sum over d = 1..k of
+      (1-p) * p^(d-1) * X_d / d = 2^-d * X_d / d, with X_d = |A_1..d
+      intersect B_1..d| = common docs with greatest(ra, rb) <= d;
+    - per-DEPTH contribution micro-quantized BIGINT before the
+      per-query sum (the rbp discipline): contrib_d =
+      round(((X_d_double * pow(0.5, d)) * 1e6) / d_double) — exact .5
+      quantizer ties round HALF_UP on both engines;
+    - rbo = round(micro_sum / 1e6, 6); n_common (full-k overlap) rides
+      beside as the audit column.
+
+    -> (qid, n_common, rbo).
+
+    Scale shape: two standard top-k runs, one (qid, docid) equi-join,
+    and a k-row depth expansion per query — constant work per query
+    regardless of corpus size."""
+    from . import scoring
+    from .qld import qld_topk
+    from .topk import exhaustive_topk
+
+    a = exhaustive_topk(index, queries, scoring.BM25, k=k).select(
+        "qid", F.col("docno").cast("long").alias("d"), F.col("rank").alias("ra")
+    )
+    b = qld_topk(index, queries, k=k).select(
+        "qid", F.col("docno").cast("long").alias("d"), F.col("rank").alias("rb")
+    )
+    common = a.join(b, ["qid", "d"]).select(
+        "qid", F.greatest("ra", "rb").alias("m")
+    )
+    qids = a.select("qid").distinct().join(b.select("qid").distinct(), "qid")
+    depths = qids.select(
+        "qid", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("dep")
+    )
+    xd = (
+        depths.join(common, "qid", "left")
+        .groupBy("qid", "dep")
+        .agg(
+            F.sum(
+                F.when(F.col("m") <= F.col("dep"), 1).otherwise(0)
+            ).cast("long").alias("x")
+        )
+    )
+    contrib = F.round(
+        (
+            (F.col("x").cast("double") * F.pow(F.lit(0.5), F.col("dep").cast("double")))
+            * F.lit(1e6)
+        )
+        / F.col("dep").cast("double")
+    ).cast("long")
+    agg = xd.groupBy("qid").agg(F.sum(contrib).cast("long").alias("micro"))
+    cnt = common.groupBy("qid").agg(F.count("*").cast("long").alias("nc"))
+    return (
+        agg.join(cnt, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("nc"), F.lit(0).cast("long")).alias("n_common"),
+            F.round(F.col("micro") / F.lit(1e6), 6).alias("rbo"),
+        )
+    )

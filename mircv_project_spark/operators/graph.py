@@ -721,3 +721,222 @@ def item_adamic_adar_topk(events: DataFrame, k: int = AA_K) -> DataFrame:
     finally:
         ui.unpersist()
     return out
+
+
+PPR_SEEDS_DEFAULT = (0, 7, 13)  # shares oracle.BFS_SEEDS
+
+
+def item_personalized_pagerank(
+    events: DataFrame,
+    seeds: list[int] = None,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """-> (item, pr_micro): personalized (topic-sensitive) PageRank —
+    the random walk restarts at the SEED items instead of uniformly,
+    so rank mass concentrates around the seeds' neighborhood (the
+    recommender's "related to these items" ranking; Haveliwala WWW
+    2002).
+
+    Inherits item_pagerank's integer discipline VERBATIM (rha
+    round-half-away BIGINT division, damping 7/8, micro state, 3
+    iterations, same co-visitation edges) with the ONE semantic
+    change, restated in oracle._ppr_sql (change both sides or
+    neither): pr0(v) = rha(1e6/|S|) for seeds else 0, and the
+    teleport base rha(1e6/(8|S|)) is paid ONLY to seeds — non-seed
+    nodes hold pure damped inflow, so isolated non-seeds sit at 0
+    (emitted; all nodes emit a row).  |S| counts the PINNED seed list
+    whether or not every seed appears in the graph.
+
+    Scale shape: identical to item_pagerank — the seed restriction
+    changes no join; each iteration is one edge⋈rank join with the
+    out-weights precomputed."""
+    if seeds is None:
+        seeds = list(PPR_SEEDS_DEFAULT)
+    ns = len(seeds)
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct()
+    nodes = ui.select("item").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    edges = None
+    pr = None
+    try:
+        a, b = ui.alias("a"), ui.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.u") == F.col("b.u"))
+                & (F.col("a.item") != F.col("b.item")),
+            )
+            .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+            .agg(F.count("*").alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        outw = edges.groupBy(F.col("ia").alias("item")).agg(
+            F.sum("w").alias("ow")
+        )
+        ew = edges.join(outw, edges["ia"] == outw["item"]).select(
+            "ia", "ib", "w", "ow"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            is_seed = F.col("item").isin(list(seeds))
+            pr0_val = int((2 * PR_MICRO + ns) // (2 * ns))  # rha(1e6/|S|)
+            base = int(
+                (2 * PR_MICRO + PR_D_DEN * ns) // (2 * PR_D_DEN * ns)
+            )  # rha(1e6 / (8|S|))
+            pr = nodes.select(
+                "item",
+                F.when(is_seed, F.lit(pr0_val))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("pr"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            for _ in range(iters):
+                contrib = (
+                    ew.join(pr, ew["ia"] == pr["item"])
+                    .select(
+                        F.col("ib").alias("item"),
+                        _rha(F.col("pr") * F.col("w"), F.col("ow"))
+                        .cast("long")
+                        .alias("c"),
+                    )
+                    .groupBy("item")
+                    .agg(F.sum("c").alias("infl"))
+                )
+                nxt = (
+                    nodes.join(contrib, "item", "left")
+                    .select(
+                        "item",
+                        (
+                            F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                            + F.coalesce(
+                                _rha(
+                                    F.lit(PR_D_NUM) * F.col("infl"),
+                                    F.lit(PR_D_DEN),
+                                ).cast("long"),
+                                F.lit(0),
+                            )
+                        ).cast("long").alias("pr"),
+                    )
+                    .localCheckpoint()
+                )
+                pr.unpersist()
+                pr = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            out = pr.select(
+                "item", F.col("pr").cast("long").alias("pr_micro")
+            ).localCheckpoint()
+        finally:
+            ew.unpersist()
+    finally:
+        if edges is not None:
+            edges.unpersist()
+        if pr is not None:
+            pr.unpersist()
+        nodes.unpersist()
+    return out
+
+
+ASSOC_MIN_SUPP = 5
+ASSOC_K = 3
+_ASSOC_MICRO = 1_000_000
+
+
+def item_assoc_rules(
+    events: DataFrame,
+    min_supp: int = ASSOC_MIN_SUPP,
+    k: int = ASSOC_K,
+) -> DataFrame:
+    """-> (item_a, item_b, supp_pair, supp_a, supp_b, conf_micro,
+    lift, rank): association rules a -> b over the user-item baskets
+    (Agrawal & Srikant, VLDB 1994 — the market-basket support /
+    confidence / lift triple), the rule miner beside the
+    co-visitation CF scorers.
+
+    Basket = a user's DISTINCT item set (the item_pagerank incidence:
+    item = props '$.k' cast long, nulls dropped).  supp(x) = distinct
+    users holding x; supp_pair = distinct users holding both;
+    N = distinct users with >= 1 item.
+
+    Pinned semantics (restated verbatim in oracle._ASSOC_SQL — change
+    both sides or neither): ORDERED pairs a != b (confidence is
+    asymmetric); floor supp_pair >= 5; confidence micro-quantized by
+    the INTEGER round-half-away identity conf_micro =
+    (2*1e6*supp_pair + supp_a) DIV (2*supp_a) — exact BIGINT, no
+    float division in the ranked quantity; lift = (pair_d * N_d) /
+    (sa_d * sb_d) with every factor cast to DOUBLE before multiplying
+    (the pmi parenthesization — BIGINT products overflow at scale),
+    round 6 — lift is a reported measure, never ranked on; rank per
+    antecedent (conf_micro desc, item_b asc) top k = 3.
+
+    Scale shape (100 TB): the same deduped-incidence per-user
+    self-join as the CF scorers (heavy users are the skew to cap
+    upstream); supports ride two broadcastable item-keyed joins; the
+    rank window partitions by antecedent."""
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        n_users = ui.select("u").distinct().count()
+        supp = ui.groupBy("item").agg(F.count("*").cast("long").alias("s"))
+        a, b = ui.alias("a"), ui.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.u") == F.col("b.u"))
+                & (F.col("a.item") != F.col("b.item")),
+            )
+            .groupBy(
+                F.col("a.item").alias("item_a"),
+                F.col("b.item").alias("item_b"),
+            )
+            .agg(F.count("*").cast("long").alias("supp_pair"))
+            .where(F.col("supp_pair") >= min_supp)
+        )
+        sa = supp.select(
+            F.col("item").alias("item_a"), F.col("s").alias("supp_a")
+        )
+        sb = supp.select(
+            F.col("item").alias("item_b"), F.col("s").alias("supp_b")
+        )
+        joined = pairs.join(sa, "item_a").join(sb, "item_b")
+        conf_micro = F.expr(
+            f"(2 * {_ASSOC_MICRO} * supp_pair + supp_a)"
+            " DIV (2 * supp_a)"
+        ).cast("long")
+        lift = F.round(
+            (
+                F.col("supp_pair").cast("double")
+                * F.lit(float(n_users))
+            )
+            / (
+                F.col("supp_a").cast("double")
+                * F.col("supp_b").cast("double")
+            ),
+            6,
+        )
+        w = Window.partitionBy("item_a").orderBy(
+            F.col("conf_micro").desc(), F.col("item_b").asc()
+        )
+        out = (
+            joined.withColumn("conf_micro", conf_micro)
+            .withColumn("lift", lift)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                "item_a",
+                "item_b",
+                "supp_pair",
+                "supp_a",
+                "supp_b",
+                "conf_micro",
+                "lift",
+                "rank",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        ui.unpersist()
+    return out

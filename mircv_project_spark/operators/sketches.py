@@ -208,6 +208,54 @@ HLL_ALPHA = 0.7182725932495458
 _TWO52 = 1 << 52
 
 
+def hll_bucket_rho(term_col):
+    """struct(bucket, rho) of a term — the ONE copy of the salted
+    register arithmetic (bucket = h % 256, rho = trailing-zero count
+    of the upper 52 bits + 1, capped at 52, w == 0 -> 52), shared by
+    the batch operator and the streaming sketch so the two cannot
+    drift."""
+    h = hash60_col(F.concat(F.lit(HLL_SALT), term_col))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(52)).otherwise(
+        F.least(
+            F.bit_count((w.bitwiseAND(-w)) - F.lit(1)) + F.lit(1),
+            F.lit(52),
+        )
+    )
+    return F.struct(
+        (h % F.lit(HLL_M)).alias("bucket"), rho.cast("int").alias("rho")
+    )
+
+
+def hll_estimate_from_regs(regs: DataFrame) -> DataFrame:
+    """(source, bucket, m) register table -> (source, n_nonzero,
+    reg_sum, z_scaled, est): the exact-BIGINT harmonic sum and the one
+    final division — shared by the batch gate and the streaming
+    final-state derivation so the estimator exists once."""
+    agg = regs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_nonzero"),
+        F.sum("m").cast("long").alias("reg_sum"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))")
+        )
+        .cast("long")
+        .alias("znz"),
+    )
+    z_scaled = (
+        (F.lit(HLL_M) - F.col("n_nonzero")) * F.lit(_TWO52) + F.col("znz")
+    ).cast("long")
+    num = HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(_TWO52)
+    return agg.withColumn("z_scaled", z_scaled).select(
+        "source",
+        "n_nonzero",
+        "reg_sum",
+        "z_scaled",
+        F.round(F.lit(num) / F.col("z_scaled").cast("double"), 6).alias(
+            "est"
+        ),
+    )
+
+
 def hll_distinct_tokens(
     docs: DataFrame,
     text_col: str = "text",
@@ -243,55 +291,31 @@ def hll_distinct_tokens(
         F.explode(tokens_col(F.col(text_col))).alias("t"),
     ).persist()  # register and exact branches both read it
     try:
-        h = hash60_col(F.concat(F.lit(HLL_SALT), F.col("t")))
-        hashed = toks.select("source", h.alias("h"))
-        w = F.shiftright(F.col("h"), HLL_P)
-        rho = F.when(w == 0, F.lit(52)).otherwise(
-            F.least(
-                F.bit_count((w.bitwiseAND(-w)) - F.lit(1)) + F.lit(1),
-                F.lit(52),
-            )
-        )
         regs = (
-            hashed.select(
+            toks.select("source", hll_bucket_rho(F.col("t")).alias("br"))
+            .select(
                 "source",
-                (F.col("h") % F.lit(HLL_M)).alias("bucket"),
-                rho.cast("int").alias("rho"),
+                F.col("br.bucket").alias("bucket"),
+                F.col("br.rho").alias("rho"),
             )
             .groupBy("source", "bucket")
             .agg(F.max("rho").alias("m"))
         )
-        agg = regs.groupBy("source").agg(
-            F.count("*").cast("long").alias("n_nonzero"),
-            F.sum("m").cast("long").alias("reg_sum"),
-            F.sum(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))")
-            )
-            .cast("long")
-            .alias("znz"),
-        )
-        z_scaled = (
-            (F.lit(HLL_M) - F.col("n_nonzero")) * F.lit(_TWO52)
-            + F.col("znz")
-        ).cast("long")
-        num = HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(_TWO52)
+        est = hll_estimate_from_regs(regs)
         exact = (
             toks.distinct()
             .groupBy("source")
             .agg(F.count("*").cast("long").alias("n_distinct"))
         )
         out = (
-            exact.join(agg, "source")
-            .withColumn("z_scaled", z_scaled)
+            exact.join(est, "source")
             .select(
                 "source",
                 "n_distinct",
                 "n_nonzero",
                 "reg_sum",
                 "z_scaled",
-                F.round(
-                    F.lit(num) / F.col("z_scaled").cast("double"), 6
-                ).alias("est"),
+                "est",
             )
             .localCheckpoint()
         )
@@ -305,6 +329,50 @@ BLOOM_WORDS = 256
 BLOOM_BITS = BLOOM_WORD * BLOOM_WORDS  # 15360
 BLOOM_K = 4
 BLOOM_SALTS = ("bloom0-", "bloom1-", "bloom2-", "bloom3-")
+
+
+def bloom_pos_col(term_col, i: int):
+    """Hash-i bit position of a term — the ONE copy of the salted
+    position arithmetic, shared by the filter build, the probe side,
+    and the streaming filter (so the three cannot drift)."""
+    return hash60_col(
+        F.concat(F.lit(BLOOM_SALTS[i]), term_col)
+    ) % F.lit(BLOOM_BITS)
+
+
+def bloom_probe_verdicts(
+    sources: DataFrame, words: DataFrame, pr: DataFrame
+) -> DataFrame:
+    """(source) x (term) grid against a (source, word, w) filter table
+    -> (source, term, in_filter).  Shared by the batch gate and the
+    streaming final-state derivation — the membership test exists
+    once."""
+    ppos = pr.select(
+        "term",
+        F.explode(
+            F.array(*[bloom_pos_col(F.col("term"), i) for i in range(BLOOM_K)])
+        ).alias("p"),
+    ).select(
+        "term",
+        F.expr(f"p DIV {BLOOM_WORD}").cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(p % {BLOOM_WORD} AS INT))"
+        ).alias("mask"),
+    )
+    grid = sources.crossJoin(F.broadcast(ppos))
+    hits = grid.join(words, ["source", "word"], "left").select(
+        "source",
+        "term",
+        (
+            F.coalesce(F.col("w"), F.lit(0).cast("long"))
+            .bitwiseAND(F.col("mask"))
+            == F.col("mask")
+        ).cast("int").alias("hit"),
+    )
+    return hits.groupBy("source", "term").agg(
+        F.min("hit").cast("int").alias("in_filter")
+    )
 
 
 def bloom_term_filter(
@@ -343,15 +411,10 @@ def bloom_term_filter(
         F.explode(tokens_col(F.col(text_col))).alias("t"),
     ).distinct().persist()
     try:
-        def _pos(term_col, i: int):
-            return hash60_col(
-                F.concat(F.lit(BLOOM_SALTS[i]), term_col)
-            ) % F.lit(BLOOM_BITS)
-
         pos = toks.select(
             "source",
             F.explode(
-                F.array(*[_pos(F.col("t"), i) for i in range(BLOOM_K)])
+                F.array(*[bloom_pos_col(F.col("t"), i) for i in range(BLOOM_K)])
             ).alias("p"),
         )
         words = (
@@ -372,35 +435,10 @@ def bloom_term_filter(
         pr = spark.createDataFrame(
             [(t,) for t in probes], "term string"
         )
-        ppos = pr.select(
-            "term",
-            F.explode(
-                F.array(*[_pos(F.col("term"), i) for i in range(BLOOM_K)])
-            ).alias("p"),
-        ).select(
-            "term",
-            F.expr(f"p DIV {BLOOM_WORD}").cast("long").alias("word"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT),"
-                f" CAST(p % {BLOOM_WORD} AS INT))"
-            ).alias("mask"),
-        )
         sources = docs.select(
             F.col(source_col).alias("source")
         ).distinct()
-        grid = sources.crossJoin(F.broadcast(ppos))
-        hits = grid.join(words, ["source", "word"], "left").select(
-            "source",
-            "term",
-            (
-                F.coalesce(F.col("w"), F.lit(0).cast("long"))
-                .bitwiseAND(F.col("mask"))
-                == F.col("mask")
-            ).cast("int").alias("hit"),
-        )
-        in_filter = hits.groupBy("source", "term").agg(
-            F.min("hit").cast("int").alias("in_filter")
-        )
+        in_filter = bloom_probe_verdicts(sources, words, pr)
         present = (
             sources.crossJoin(F.broadcast(pr))
             .join(

@@ -643,6 +643,63 @@ ORDER BY qid, rank
 """
 
 
+def _dph_topk_sql(queries, k: int) -> str:
+    """DPH divergence-from-randomness ranking (operators/dfr.dph_topk):
+    the parameter-free DFR model, per-(term,doc) weight quantized to
+    integer micro BIGINT before the exact per-doc sum.  Pins restated
+    from dfr.dph_weight_col (change both sides or neither): logs
+    through log10 with the literal constants, f = tf_d / dl_d, norm =
+    ((1 - f) * (1 - f)) / (tf_d + 1), t1 = (tf_d * log10(((tf_d *
+    avgdl) / dl_d) * (n_docs_d / cf_d))) / L2, t2 = (0.5 *
+    log10((TWO_PI * tf_d) * (1 - f))) / L2, w = norm * (t1 + t2);
+    tf = dl pins w = 0; rank (micro desc, docid asc)."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+feat AS (
+    SELECT q.qid, q.qtf, p.docid, p.tf, dl.doc_len,
+           CAST(p.tf AS DOUBLE) AS tf_d,
+           CAST(dl.doc_len AS DOUBLE) AS dl_d,
+           CAST(l.cf AS DOUBLE) AS cf_d,
+           CAST(s.n_docs AS DOUBLE) AS nd_d,
+           s.avgdl AS avgdl
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+),
+wq AS (
+    SELECT qid, qtf, docid,
+           CASE WHEN tf = doc_len THEN CAST(0 AS BIGINT)
+           ELSE CAST(round(
+               (((1.0 - tf_d / dl_d) * (1.0 - tf_d / dl_d))
+                / (tf_d + 1.0))
+               * (((tf_d * log10(((tf_d * avgdl) / dl_d)
+                                 * (nd_d / cf_d)))
+                   / 0.3010299956639812)
+                  + ((0.5 * log10((6.283185307179586 * tf_d)
+                                  * (1.0 - tf_d / dl_d)))
+                     / 0.3010299956639812))
+               * 1e6) AS BIGINT) END AS wm
+    FROM feat
+),
+scored AS (
+    SELECT qid, docid, CAST(sum(qtf * wm) AS BIGINT) AS micro
+    FROM wq GROUP BY qid, docid
+),
+ranked AS (
+    SELECT qid, docid, micro,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY micro DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       round(micro / 1e6, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 CHAMPION_M = 32
 
 
@@ -1626,6 +1683,90 @@ ORDER BY c.qid
 """
 
 
+def _ranker_rbo_sql(queries, k: int, mu: float = 2048.0) -> str:
+    """operators/evaluation.ranker_rbo: truncated depth-k rank-biased
+    overlap (p = 1/2) between the BM25 and QLD top-k per query (both
+    rankings restated — the _ranker_tau_sql CTEs).  Pins: X_d = common
+    docs with greatest(ra, rb) <= d, per-depth contribution
+    round(((X_d_d * pow(0.5, d)) * 1e6) / d_d) BIGINT before the
+    per-query sum, rbo = round(micro/1e6, 6), every in-lexicon query
+    emits (zero overlap -> 0.0)."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+bsc AS (
+    SELECT q.qid, p.docid, sum(q.qtf * ({_BM25})) AS raw
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+),
+brk AS (
+    SELECT qid, docid, row_number() OVER (
+        PARTITION BY qid ORDER BY round(raw, 6) DESC, docid ASC
+    ) AS rank
+    FROM bsc
+),
+qq AS (SELECT qid, CAST(sum(qtf) AS BIGINT) AS q_total FROM qexist GROUP BY qid),
+qsc AS (
+    SELECT q.qid, p.docid,
+           CAST(sum(q.qtf * CAST(round(log10(
+               1 + (CAST(p.tf AS DOUBLE) * s.sum_doc_len)
+                   / ({mu} * CAST(l.cf AS DOUBLE))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS tsum,
+           max(dl.doc_len) AS doc_len
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+),
+qfin AS (
+    SELECT sc.qid, sc.docid,
+           sc.tsum + qq.q_total * CAST(round(log10(
+               {mu} / (sc.doc_len + {mu})
+           ) * 1e6) AS BIGINT) AS micro
+    FROM qsc sc JOIN qq USING (qid)
+),
+qrk AS (
+    SELECT qid, docid, row_number() OVER (
+        PARTITION BY qid ORDER BY micro DESC, docid ASC
+    ) AS rank
+    FROM qfin
+),
+com AS (
+    SELECT b.qid, b.docid, b.rank AS ra, q.rank AS rb
+    FROM brk b JOIN qrk q ON q.qid = b.qid AND q.docid = b.docid
+    WHERE b.rank <= {k} AND q.rank <= {k}
+),
+cnt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common FROM com GROUP BY qid),
+qd AS (
+    SELECT q.qid, ds.dep
+    FROM (SELECT DISTINCT qid FROM qexist) q
+    CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS dep) ds
+),
+xd AS (
+    SELECT q.qid, q.dep,
+           CAST(sum(CASE WHEN greatest(c.ra, c.rb) <= q.dep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x
+    FROM qd q LEFT JOIN com c ON c.qid = q.qid
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT qid,
+           CAST(sum(CAST(round(((CAST(x AS DOUBLE)
+                                 * pow(0.5, CAST(dep AS DOUBLE))) * 1e6)
+                               / CAST(dep AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS micro
+    FROM xd GROUP BY 1
+)
+SELECT a.qid, coalesce(c.n_common, CAST(0 AS BIGINT)) AS n_common,
+       round(a.micro / 1e6, 6) AS rbo
+FROM agg a LEFT JOIN cnt c USING (qid)
+ORDER BY a.qid
+"""
+
+
 def _rocchio_sql(queries, k: int, fb_docs: int, fb_terms: int) -> str:
     """Rocchio feedback (operators/rocchio.py): integer-scaled
     vector-space expansion — all five pinned stages restated (stage-1
@@ -1886,6 +2027,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # Jelinek-Mercer LM — the other classic smoothing (qld.qljm_topk)
         "qljm_topk": _qljm_topk_sql(QUERY_SET, TOPK_K),
         "pl2_topk": _pl2_topk_sql(QUERY_SET, TOPK_K),
+        "dph_topk": _dph_topk_sql(QUERY_SET, TOPK_K),
         "doc_term_vectors": _doc_term_vectors_sql(MLT_PROBE_DOCNOS),
         "bm25_topk_collapse": _collapse_sql(QUERY_SET, TOPK_K, 2),
         # lexicon-only pre-retrieval QPP predictors (qpp.preretrieval_qpp)
@@ -2005,6 +2147,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "ranker_comparison": _ranker_cmp_sql(QUERY_SET, TOPK_K),
         # Kendall tau agreement between the two ranking families
         "ranker_tau": _ranker_tau_sql(QUERY_SET, TOPK_K),
+        "ranker_rbo": _ranker_rbo_sql(QUERY_SET, TOPK_K),
     }
     # streaming-ingestion compaction must yield the batch lexicon
     out["lexicon_streaming"] = out["lexicon"]
@@ -3216,6 +3359,52 @@ ranked AS (
 SELECT item, neighbor, n_common,
        round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS score, rank
 FROM ranked WHERE rank <= 3
+"""
+
+
+# Association rules (operators/graph.item_assoc_rules).  Pins restated
+# verbatim (change both sides or neither): ORDERED pairs a != b, floor
+# supp_pair >= 5, conf_micro = (2*1e6*supp_pair + supp_a) DIV
+# (2*supp_a) exact BIGINT round-half-away, lift = (pair_d * N_d) /
+# (sa_d * sb_d) with factors cast to DOUBLE before multiplying (round
+# 6, reported not ranked), rank per antecedent (conf_micro desc,
+# item_b asc) top 3.
+_ASSOC_SQL = """WITH ui AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM ui),
+supp AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM ui GROUP BY 1),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(count(*) AS BIGINT) AS supp_pair
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item <> b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+),
+ranked AS (
+    SELECT p.item_a, p.item_b, p.supp_pair,
+           sa.s AS supp_a, sb.s AS supp_b,
+           CAST((2 * 1000000 * p.supp_pair + sa.s) // (2 * sa.s)
+                AS BIGINT) AS conf_micro,
+           round((CAST(p.supp_pair AS DOUBLE) * CAST(nu.n AS DOUBLE))
+                 / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)),
+                 6) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.item = p.item_a
+    JOIN supp sb ON sb.item = p.item_b
+    CROSS JOIN nu
+)
+SELECT item_a, item_b, supp_pair, supp_a, supp_b, conf_micro, lift,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY item_a ORDER BY conf_micro DESC, item_b ASC
+    ) AS rank
+    FROM ranked
+)
+WHERE rank <= 3
 """
 
 
@@ -5386,6 +5575,71 @@ FROM pr{iters}
 _ITEM_PAGERANK_SQL = _pagerank_sql(3)
 
 
+def _ppr_sql(iters: int, seeds: list[int]) -> str:
+    """graph.item_personalized_pagerank: item_pagerank's integer pins
+    VERBATIM (rha, 7/8 damping, micro state, MATERIALIZED step CTEs)
+    with the ONE semantic change: pr0 = rha(1e6/|S|) and the teleport
+    base rha(1e6/(8|S|)) are paid ONLY to the pinned seeds; non-seeds
+    hold pure damped inflow.  |S| counts the PINNED list whether or
+    not every seed appears in the graph; all nodes emit a row."""
+    ns = len(seeds)
+    sl = ", ".join(str(int(s)) for s in seeds)
+    parts = [
+        f"""WITH ui AS MATERIALIZED (
+    SELECT DISTINCT user_id AS u,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+),
+nodes AS MATERIALIZED (SELECT DISTINCT item FROM ui),
+edges AS MATERIALIZED (
+    SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS w
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item <> b.item
+    GROUP BY 1, 2
+),
+outw AS MATERIALIZED (
+    SELECT ia AS item, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1
+),
+pr0 AS MATERIALIZED (
+    SELECT item,
+           CASE WHEN item IN ({sl})
+                THEN (2 * 1000000 + {ns}) // (2 * {ns})
+                ELSE 0 END AS pr
+    FROM nodes
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS (
+    SELECT e.ib AS item,
+           CAST(sum((2 * p.pr * e.w + o.ow) // (2 * o.ow)) AS BIGINT)
+               AS infl
+    FROM edges e
+    JOIN pr{k - 1} p ON e.ia = p.item
+    JOIN outw o ON e.ia = o.item
+    GROUP BY 1
+),
+pr{k} AS MATERIALIZED (
+    SELECT nodes.item,
+           CASE WHEN nodes.item IN ({sl})
+                THEN (2 * 1000000 + 8 * {ns}) // (16 * {ns})
+                ELSE 0 END
+           + coalesce((2 * 7 * infl + 8) // 16, 0) AS pr
+    FROM nodes
+    LEFT JOIN c{k} ON nodes.item = c{k}.item
+)""")
+    parts.append(
+        f"""
+SELECT CAST(item AS BIGINT) AS item, CAST(pr AS BIGINT) AS pr_micro
+FROM pr{iters}
+"""
+    )
+    return "".join(parts)
+
+
+_ITEM_PPR_SQL = _ppr_sql(3, BFS_SEEDS)
+
+
 def _bpe_ctes(n_merges: int) -> str:
     """BPE merge learning (operators/bpe.py) unrolled into n CTE steps
     (merge k+1's pair counts depend on merge k — same unrolling as the
@@ -5640,6 +5894,102 @@ SELECT pres.source AS source, pres.term AS term, pres.present,
 FROM pres
 JOIN cont ON cont.source = pres.source AND cont.term = pres.term
 JOIN nset ON nset.source = pres.source
+"""
+
+# streaming Bloom shares the batch filter computation (bitwise OR is
+# commutative/associative/IDEMPOTENT — final state after any
+# micro-batch split, even with replays, equals the batch filter); the
+# final state can't know exact presence, so this variant outputs
+# (source, term, in_filter, n_set)
+_BLOOM_STREAM_SQL = f"""WITH {_DOC_TOKENS},
+dt AS (
+    SELECT DISTINCT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+salts AS (SELECT * FROM (VALUES {_BLOOM_SALT_ROWS}) s(salt)),
+pos AS (
+    SELECT source,
+           CAST(('0x' || substr(md5(salt || t), 1, 15))::UBIGINT AS BIGINT)
+               % 15360 AS p
+    FROM dt CROSS JOIN salts
+),
+words AS (
+    SELECT source, p // 60 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER)) AS w
+    FROM pos GROUP BY 1, 2
+),
+nset AS (
+    SELECT source, CAST(sum(bit_count(w)) AS BIGINT) AS n_set
+    FROM words GROUP BY 1
+),
+pr AS (SELECT * FROM (VALUES {_BLOOM_PROBE_ROWS}) p(term)),
+pw AS (
+    SELECT term, p // 60 AS word,
+           CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER) AS mask
+    FROM (
+        SELECT term,
+               CAST(('0x' || substr(md5(salt || term), 1, 15))::UBIGINT
+                    AS BIGINT) % 15360 AS p
+        FROM pr CROSS JOIN salts
+    )
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+hits AS (
+    SELECT s.source, pw.term,
+           CASE WHEN (coalesce(w.w, 0) & pw.mask) = pw.mask
+                THEN 1 ELSE 0 END AS hit
+    FROM srcs s CROSS JOIN pw
+    LEFT JOIN words w ON w.source = s.source AND w.word = pw.word
+),
+cont AS (
+    SELECT source, term, CAST(min(hit) AS INTEGER) AS in_filter
+    FROM hits GROUP BY 1, 2
+)
+SELECT cont.source AS source, cont.term AS term, cont.in_filter,
+       nset.n_set
+FROM cont JOIN nset ON nset.source = cont.source
+"""
+
+# streaming HLL shares the batch register computation (integer max is
+# commutative/associative/IDEMPOTENT — final registers after any
+# micro-batch split, even with replays, equal the batch sketch); the
+# final registers can't know the exact distinct count, so this variant
+# outputs (source, n_nonzero, reg_sum, z_scaled, est)
+_HLL_STREAM_SQL = f"""WITH {_DOC_TOKENS},
+dt AS (
+    SELECT DISTINCT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+hh AS (
+    SELECT source,
+           CAST(('0x' || substr(md5('hll-' || t), 1, 15))::UBIGINT
+                AS BIGINT) AS h
+    FROM dt
+),
+rr AS (
+    SELECT source, h % 256 AS bucket,
+           CASE WHEN (h >> 8) = 0 THEN 52
+                ELSE least(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1, 52)
+           END AS rho
+    FROM hh
+),
+regs AS (SELECT source, bucket, max(rho) AS m FROM rr GROUP BY 1, 2),
+hagg AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_nonzero,
+           CAST(sum(m) AS BIGINT) AS reg_sum,
+           CAST(sum(CAST(1 AS BIGINT) << CAST(52 - m AS INTEGER))
+                AS BIGINT) AS znz
+    FROM regs GROUP BY 1
+)
+SELECT source, n_nonzero, reg_sum,
+       CAST((256 - n_nonzero) * 4503599627370496 + znz AS BIGINT)
+           AS z_scaled,
+       round({_HLL_NUM!r}
+             / CAST((256 - n_nonzero) * 4503599627370496 + znz AS DOUBLE),
+             6) AS est
+FROM hagg
 """
 
 # streaming CMS shares the batch counter computation (integer addition
@@ -6409,10 +6759,13 @@ def pipeline_oracles() -> dict[str, str]:
         # streaming final state == batch sketch (mergeable-sketch law)
         "streaming_kmv": _KMV_STREAM_SQL,
         "streaming_cms": _CMS_STREAM_SQL,
+        "streaming_bloom": _BLOOM_STREAM_SQL,
+        "streaming_hll": _HLL_STREAM_SQL,
         # prefix filtering is exact: same pair set as the direct join
         "jaccard_pairs_prefix": _JACCARD_PAIRS_SQL,
         "complete_prefix": _COMPLETE_PREFIX_SQL,
         "item_pagerank": _ITEM_PAGERANK_SQL,
+        "item_ppr": _ITEM_PPR_SQL,
         "item_transitions": _ITEM_TRANSITIONS_SQL,
         "item_communities": _ITEM_COMMUNITIES_SQL,
         # min-hop BFS over the strong co-visitation graph (seeds and
@@ -6421,6 +6774,7 @@ def pipeline_oracles() -> dict[str, str]:
         # item-item CF cosine (binary user vectors, exact intersections)
         "item_similarity": _ITEM_SIMILARITY_SQL,
         "item_adamic_adar": _ITEM_AA_SQL,
+        "item_assoc_rules": _ASSOC_SQL,
         "triangle_counts": _TRIANGLE_COUNTS_SQL,
         "conversation_stats": _conversation_stats_sql(),
         "cdc_apply": _cdc_apply_sql(),

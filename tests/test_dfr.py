@@ -88,3 +88,61 @@ def test_pl2_literal_constants_match_math():
     assert L2 == math.log10(2.0)
     assert LOG2E == 1.0 / math.log(2.0)
     assert TWO_PI == 2.0 * math.pi
+
+
+def _python_dph(flat_rows, n_docs, avgdl, queries, k=10):
+    cf = defaultdict(int)
+    postings = defaultdict(list)
+    for term, docid, tf, dl in flat_rows:
+        cf[term] += tf
+        postings[term].append((docid, tf, dl))
+
+    out = {}
+    for qid, term_tfs in queries.items():
+        qex = {t: n for t, n in term_tfs.items() if t in cf}
+        if not qex:
+            continue
+        micro = defaultdict(int)
+        for t, qtf in qex.items():
+            for docid, tf, dl in postings[t]:
+                if tf == dl:
+                    continue  # the pinned zero contribution
+                tf_d, dl_d = float(tf), float(dl)
+                f = tf_d / dl_d
+                norm = ((1.0 - f) * (1.0 - f)) / (tf_d + 1.0)
+                t1 = (
+                    tf_d
+                    * math.log10(
+                        ((tf_d * avgdl) / dl_d)
+                        * (float(n_docs) / float(cf[t]))
+                    )
+                ) / L2
+                t2 = (
+                    0.5 * math.log10((TWO_PI * tf_d) * (1.0 - f))
+                ) / L2
+                w = norm * (t1 + t2)
+                micro[docid] += qtf * _half_away(w * 1e6)
+        ranked = sorted(micro.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out[qid] = [
+            (str(d - 1), r + 1, round(m / 1e6, 6))
+            for r, (d, m) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_dph_matches_independent_python_model(spark, vb_index):
+    from mircv_project_spark.operators.dfr import dph_topk
+
+    idx, _ = vb_index
+    got = defaultdict(list)
+    for r in dph_topk(idx, QUERY_SET, k=10).orderBy("qid", "rank").collect():
+        got[r["qid"]].append((r["docno"], r["rank"], r["score"]))
+    flat_rows = [
+        (r["term"], r["docid"], r["tf"], r["doc_len"])
+        for r in idx.flat.collect()
+    ]
+    queries = {}
+    for qid, term, qtf in query_terms(QUERY_SET, idx.parse):
+        queries.setdefault(qid, {})[term] = qtf
+    exp = _python_dph(flat_rows, idx.n_docs, idx.avgdl, queries)
+    assert dict(got) == exp

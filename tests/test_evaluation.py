@@ -225,3 +225,46 @@ def test_ranker_tau_self_agreement_is_one(spark, vb_index):
         assert r["concordant"] + r["discordant"] == (
             r["n_common"] * (r["n_common"] - 1) // 2
         )
+
+
+def test_ranker_rbo_matches_bruteforce(spark, vb_index):
+    """RBO recomputed brute-force in Python from the engine's own two
+    rankings must equal the operator's output exactly (p=1/2, per-depth
+    micro quantization)."""
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators import scoring
+    from mircv_project_spark.operators.evaluation import ranker_rbo
+    from mircv_project_spark.operators.qld import qld_topk
+    from mircv_project_spark.operators.topk import exhaustive_topk
+
+    idx, _ = vb_index
+    k = oracle.TOPK_K
+    a = {
+        (r["qid"], int(r["docno"])): r["rank"]
+        for r in exhaustive_topk(idx, oracle.QUERY_SET, scoring.BM25, k=k).collect()
+    }
+    b = {
+        (r["qid"], int(r["docno"])): r["rank"]
+        for r in qld_topk(idx, oracle.QUERY_SET, k=k).collect()
+    }
+    qids = {q for q, _ in a} & {q for q, _ in b}
+    expect = {}
+    for qid in qids:
+        ms = [
+            max(a[(qid, d)], b[(qid, d)])
+            for (q, d) in a
+            if q == qid and (qid, d) in b
+        ]
+        micro = 0
+        for dep in range(1, k + 1):
+            x = sum(1 for m in ms if m <= dep)
+            v = ((float(x) * 0.5 ** dep) * 1e6) / float(dep)
+            micro += int(v + 0.5)  # positive HALF_UP
+        expect[qid] = (len(ms), round(micro / 1e6, 6))
+
+    got = {
+        r["qid"]: (r["n_common"], r["rbo"])
+        for r in ranker_rbo(idx, oracle.QUERY_SET, k=k).collect()
+    }
+    assert got == expect and got
+    assert all(0.0 <= v[1] <= 1.0 for v in got.values())

@@ -279,3 +279,53 @@ def test_item_adamic_adar_hand_computed(spark):
     assert out[(3, 1)].n_common == 1
     # rank within item 1: neighbor 2 (two common users) above 3
     assert out[(1, 2)].rank == 1 and out[(1, 3)].rank == 2
+
+
+def test_assoc_rules_matches_python_model(spark):
+    """Rules against a brute-force Python model of the pinned
+    support/confidence/lift/rank semantics (floor lowered to 2 so the
+    tiny fixture emits rows)."""
+    user_items = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),
+        (3, 10), (3, 11), (3, 13),
+        (4, 10), (4, 12),
+        (5, 11), (5, 12),
+    ]
+    df = G.item_assoc_rules(_events_df(spark, user_items), min_supp=2, k=3)
+    got = {
+        (r.item_a, r.item_b): (
+            r.supp_pair, r.supp_a, r.supp_b, r.conf_micro, r.lift, r.rank
+        )
+        for r in df.collect()
+    }
+
+    ui = set(user_items)
+    users = {u for u, _ in ui}
+    n = len(users)
+    supp: dict[int, int] = {}
+    for _, i in ui:
+        supp[i] = supp.get(i, 0) + 1
+    pair: dict[tuple[int, int], int] = {}
+    for u, a in ui:
+        for v, b in ui:
+            if u == v and a != b:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    rows = []
+    for (a, b), p in pair.items():
+        if p < 2:
+            continue
+        conf = (2 * 1_000_000 * p + supp[a]) // (2 * supp[a])
+        lift = round((float(p) * float(n)) / (float(supp[a]) * float(supp[b])), 6)
+        rows.append((a, b, p, supp[a], supp[b], conf, lift))
+    want = {}
+    by_a: dict[int, list] = {}
+    for row in rows:
+        by_a.setdefault(row[0], []).append(row)
+    for a, rs in by_a.items():
+        rs.sort(key=lambda r: (-r[5], r[1]))
+        for rank, r in enumerate(rs[:3], 1):
+            want[(r[0], r[1])] = (r[2], r[3], r[4], r[5], r[6], rank)
+    assert got == want
+    # sanity: 10 -> 11 is the strongest rule from 10 (3 of 4 holders)
+    assert got[(10, 11)][5] == 1 and got[(10, 11)][3] == 750000

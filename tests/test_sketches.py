@@ -331,3 +331,110 @@ def test_streaming_cms_final_state_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert got[("sA", "alpha")][0] >= 3  # 3 true occurrences in sA
+
+
+def test_streaming_bloom_final_state_equals_batch_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Final (max-epoch) bitset state equals the batch filter after a
+    two-batch split, AND replaying batch 1's documents verbatim in
+    batch 2 changes nothing — bit-or is idempotent."""
+    from mircv_project_spark.streaming.bloom_stream import (
+        final_bloom_membership,
+        run_streaming_bloom,
+    )
+
+    rows1 = [
+        (0, " ".join(f"w{i}" for i in range(30)), "en", "sA", 0),
+        (1, "alpha beta gamma", "en", "sB", 0),
+    ]
+    rows2 = [
+        (2, " ".join(f"w{i}" for i in range(30)), "en", "sA", 0),  # replay
+        (3, "delta", "en", "sB", 0),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inp, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    probes = ["alpha", "w7", "delta", "nothere"]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_bloom(spark, inp, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_bloom(spark, inp, out, ckpt).awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    # sA's epoch-2 state must equal its epoch-1 state (pure replay)
+    sa = {r.epoch: (list(r.words), list(r.bits))
+          for r in raw.where(raw.source == "sA").collect()}
+    assert sa[1] == sa[2]
+
+    got = {
+        (r.source, r.term): (r.in_filter, r.n_set)
+        for r in final_bloom_membership(raw, probes).collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r.source, r.term): (r.in_filter, r.n_set)
+        for r in K.bloom_term_filter(batch, probes).collect()
+    }
+    assert got == want
+    assert got[("sB", "delta")][0] == 1
+
+
+def test_streaming_hll_final_state_equals_batch_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Final (max-epoch) registers equal the batch sketch after a
+    two-batch split, AND replaying batch 1's documents verbatim in
+    batch 2 changes nothing — register max is idempotent."""
+    from mircv_project_spark.streaming.hll_stream import (
+        final_hll_estimate,
+        run_streaming_hll,
+    )
+
+    rows1 = [
+        (0, " ".join(f"w{i}" for i in range(30)), "en", "sA", 0),
+        (1, "alpha beta gamma", "en", "sB", 0),
+    ]
+    rows2 = [
+        (2, " ".join(f"w{i}" for i in range(30)), "en", "sA", 0),  # replay
+        (3, "delta", "en", "sB", 0),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inp, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_hll(spark, inp, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_hll(spark, inp, out, ckpt).awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    # sA's epoch-2 state must equal its epoch-1 state (pure replay)
+    sa = {r.epoch: (list(r.buckets), list(r.ms))
+          for r in raw.where(raw.source == "sA").collect()}
+    assert sa[1] == sa[2]
+
+    got = {
+        r.source: (r.n_nonzero, r.reg_sum, r.z_scaled, r.est)
+        for r in final_hll_estimate(raw).collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        r.source: (r.n_nonzero, r.reg_sum, r.z_scaled, r.est)
+        for r in K.hll_distinct_tokens(batch).collect()
+    }
+    assert got == want
+    assert got["sA"][0] >= 1
