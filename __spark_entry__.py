@@ -218,6 +218,17 @@ def _q_qljm_topk(spark, sf_dir):
     return qljm_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_qlad_topk(spark, sf_dir):
+    """Absolute-discount query-likelihood top-k (qld.qlad_topk) —
+    completes the Zhai-Lafferty smoothing triad beside Dirichlet and
+    JM; delta=0.5 dyadic folded into the integer forms (2*tf-1,
+    du/(2*dl)) on both sides."""
+    from mircv_project_spark.operators.qld import qlad_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return qlad_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_doc_term_vectors(spark, sf_dir):
     """Per-document term-vectors API (queryops.doc_term_vectors) —
     Lucene's _termvectors surface: every indexed term of the pinned
@@ -956,6 +967,15 @@ def _q_bloom_terms(spark, sf_dir):
     return bloom_term_filter(_docs(spark, sf_dir), list(oracle.BLOOM_PROBES))
 
 
+def _q_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label classification over the embeddings
+    (similarity.knn_classify): cosine_topk's exact pool, vote winner
+    (votes desc, label asc), true label riding beside."""
+    from mircv_project_spark.operators.similarity import knn_classify
+
+    return knn_classify(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
 def _q_cosine_topk_filtered(spark, sf_dir):
     """Attribute-filtered exact cosine top-k (similarity.
     cosine_topk_filtered): neighbors restricted to the probe's own
@@ -1045,6 +1065,15 @@ def _q_item_ppr(spark, sf_dir):
     return item_personalized_pagerank(
         _events(spark, sf_dir), seeds=list(oracle.BFS_SEEDS)
     )
+
+
+def _q_item_hits(spark, sf_dir):
+    """HITS hubs & authorities over the user-item incidence
+    (graph.item_hits): integer L-infinity normalization, 3 pinned
+    auth-then-hub iterations, unrolled MATERIALIZED-CTE oracle."""
+    from mircv_project_spark.operators.graph import item_hits
+
+    return item_hits(_events(spark, sf_dir))
 
 
 def _q_item_assoc_rules(spark, sf_dir):
@@ -1325,6 +1354,15 @@ def _q_event_range_join(spark, sf_dir):
     from mircv_project_spark.operators.events import event_range_join
 
     return event_range_join(_events(spark, sf_dir))
+
+
+def _q_event_pivot(spark, sf_dir):
+    """Per-user activity pivot (events.event_pivot): the pinned
+    event-type column rotation with exact-cents purchase totals —
+    one partial-aggregating groupBy."""
+    from mircv_project_spark.operators.events import event_pivot
+
+    return event_pivot(_events(spark, sf_dir))
 
 
 def _q_events_rollup(spark, sf_dir):
@@ -2959,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_conjunctive": _filtered_topk_query(scoring.BM25, True),
         "qld_topk": _q_qld_topk,
         "qljm_topk": _q_qljm_topk,
+        "qlad_topk": _q_qlad_topk,
         "pl2_topk": _q_pl2_topk,
         "dph_topk": _q_dph_topk,
         "doc_term_vectors": _q_doc_term_vectors,
@@ -3093,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily resample + gap-fill
         "event_range_join": _q_event_range_join,
         "events_rollup": _q_events_rollup,
+        "event_pivot": _q_event_pivot,
         "events_cube": _q_events_cube,
         "events_sliding_counts": _q_events_sliding_counts,
         "events_gapfill": _q_events_gapfill,
@@ -3182,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts": _q_cms_term_counts,
         "containment_pairs": _q_containment_pairs,
         "cosine_topk_filtered": _q_cosine_topk_filtered,
+        "knn_classify": _q_knn_classify,
         "dense_maxp_topk": _q_dense_maxp_topk,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
@@ -3193,6 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": _q_item_similarity,
         "item_adamic_adar": _q_item_adamic_adar,
         "item_assoc_rules": _q_item_assoc_rules,
+        "item_hits": _q_item_hits,
         "item_ppr": _q_item_ppr,
         "triangle_counts": _q_triangle_counts,
         "conversation_stats": _q_conversation_stats,

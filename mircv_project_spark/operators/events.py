@@ -739,3 +739,45 @@ def events_cube(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_pivot(events: DataFrame) -> DataFrame:
+    """-> (user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    n_total, purchase_cents): the per-user activity PIVOT — event_type
+    rotated into columns (the BI cross-tab / ES multi-filters agg),
+    one wide row per user.
+
+    Pinned semantics (restated verbatim in oracle._EVENT_PIVOT_SQL —
+    change both sides or neither): the column set is the PINNED type
+    list (an unpinned pivot would change schema when a new type
+    appears — unacceptable for a gate or a production sink; unknown
+    types still count toward n_total); purchase_cents quantizes each
+    purchase's value to exact integer cents (round(value * 100.0)
+    BIGINT) per EVENT before the sum (the relational.py money
+    discipline — a float sum is shuffle-order-dependent); every user
+    with >= 1 event emits.
+
+    Scale shape (100 TB): ONE partial-aggregating groupBy(user_id)
+    with conditional aggregates — map-side combine reduces each
+    partition to its distinct users before the single shuffle; this
+    is exactly the physical plan Spark's .pivot(col, values) API
+    compiles to (PivotFirst over an Expand), minus the Expand's
+    row-multiplication."""
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * F.lit(100.0)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    aggs = [
+        F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).cast("long").alias(f"n_{t}")
+        for t in PIVOT_TYPES
+    ]
+    return events.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        *aggs,
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(cents).cast("long").alias("purchase_cents"),
+    )

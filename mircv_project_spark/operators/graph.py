@@ -940,3 +940,97 @@ def item_assoc_rules(
     finally:
         ui.unpersist()
     return out
+
+
+HITS_ITERS = 3
+
+
+def item_hits(events: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """-> (kind, id, score_micro): HITS hubs & authorities (Kleinberg,
+    JACM 1999) over the DIRECTED user->item incidence — users are
+    hubs (good taste finds good items), items are authorities; the
+    mutual-reinforcement ranking beside PageRank's random walk.
+
+    Integer discipline (what makes an iterative algorithm
+    hash-gateable — the item_pagerank trick, L-infinity normalization
+    instead of L2 because max + rha stay in exact BIGINT): state is
+    micro units; per iteration, IN THIS ORDER (pinned),
+
+        raw_auth(i) = sum over u->i of hub(u)          (exact BIGINT)
+        auth(i)     = rha(1e6 * raw_auth(i), max_i raw_auth)
+        raw_hub(u)  = sum over u->i of auth(i)
+        hub(u)      = rha(1e6 * raw_hub(u), max_u raw_hub)
+
+    with rha(a, b) = (2a + b) DIV (2b) (round half away, non-negative)
+    and hub_0(u) = 1e6.  Every node in the incidence emits (each user
+    has >= 1 item and vice versa, so both maxima are > 0).  Pins
+    restated verbatim in oracle._ITEM_HITS_SQL (MATERIALIZED unrolled
+    CTEs — change both sides or neither): iters = 3, the auth-then-hub
+    update order, the L-infinity rha normalization.  Micro-normalized
+    inflows bound raw <= 1e6 * degree, so 1e6 * raw stays in BIGINT
+    up to degree ~9e6; cap hub degrees upstream past that.
+
+    Scale shape (100 TB): each iteration is two edge-keyed
+    broadcast-scalar aggregates (the max is a one-row cross join) —
+    the standard distributed HITS step; per-step state persists and
+    localCheckpoints to keep lineage flat (the dup_components
+    lesson)."""
+    ui = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hub = None
+    auth = None
+    try:
+        hub = ui.select("u").distinct().select(
+            "u", F.lit(1_000_000).cast("long").alias("h")
+        ).localCheckpoint()
+        for _ in range(iters):
+            raw_a = (
+                ui.join(hub, "u")
+                .groupBy("item")
+                .agg(F.sum("h").cast("long").alias("ra"))
+            )
+            ma = raw_a.agg(F.max("ra").alias("m"))
+            new_auth = raw_a.crossJoin(F.broadcast(ma)).select(
+                "item",
+                _rha(
+                    F.lit(1_000_000).cast("long") * F.col("ra"), F.col("m")
+                ).cast("long").alias("a"),
+            ).localCheckpoint()
+            if auth is not None:
+                auth.unpersist()
+            auth = new_auth
+            raw_h = (
+                ui.join(auth, "item")
+                .groupBy("u")
+                .agg(F.sum("a").cast("long").alias("rh"))
+            )
+            mh = raw_h.agg(F.max("rh").alias("m"))
+            new_hub = raw_h.crossJoin(F.broadcast(mh)).select(
+                "u",
+                _rha(
+                    F.lit(1_000_000).cast("long") * F.col("rh"), F.col("m")
+                ).cast("long").alias("h"),
+            ).localCheckpoint()
+            hub.unpersist()
+            hub = new_hub
+        return (
+            auth.select(
+                F.lit("auth").alias("kind"),
+                F.col("item").alias("id"),
+                F.col("a").alias("score_micro"),
+            )
+            .unionByName(
+                hub.select(
+                    F.lit("hub").alias("kind"),
+                    F.col("u").alias("id"),
+                    F.col("h").alias("score_micro"),
+                )
+            )
+            .localCheckpoint()
+        )
+    finally:
+        ui.unpersist()

@@ -1393,3 +1393,72 @@ def dense_maxp_topk(
             F.col("cos").alias("score"),
         )
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding column —
+    the label-propagation primitive of a training-data pipeline
+    (propagate curation labels from a judged seed set to the corpus;
+    Fix & Hodges 1951 / Cover & Hart 1967).
+
+    For each probe: the exact cosine top-k OTHER vectors (the
+    cosine_topk pool — shared round-6 cosine, (cos desc, nid asc)
+    rank), then pred_label = the label with the most votes among
+    those k.  The probe's own stored label rides beside as
+    true_label, so classification accuracy is verifiable row by row.
+
+    Pinned semantics (restated in oracle._KNN_CLASSIFY_SQL — change
+    both sides or neither): pool = cosine_topk's exact pool (self
+    excluded), vote winner = (votes desc, label asc) — the
+    deterministic tie rule; votes = the winning label's count.
+    -> (probe_id, true_label, pred_label, votes).
+
+    Scale shape (100 TB): identical to cosine_topk (one broadcast
+    probe scan — the honest exact baseline; the ANN variants are the
+    scale path for the pool), plus a k-row-per-probe vote aggregate."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.col(label_col).cast("long").alias("lbl"),
+    )
+    probes = base.where(F.col("nid").isin(probe_ids)).select(
+        F.col("nid").alias("pid"),
+        F.col("v").alias("pv"),
+        F.col("lbl").alias("true_label"),
+    )
+    cos = F.round(
+        _dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v"))),
+        6,
+    )
+    cand = (
+        base.crossJoin(F.broadcast(probes))
+        .where(F.col("nid") != F.col("pid"))
+        .select("pid", "true_label", "nid", F.col("lbl"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    pool = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    votes = pool.groupBy("pid", "true_label", "lbl").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    vw = Window.partitionBy("pid").orderBy(
+        F.col("n").desc(), F.col("lbl").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "true_label",
+            F.col("lbl").alias("pred_label"),
+            F.col("n").alias("votes"),
+        )
+    )

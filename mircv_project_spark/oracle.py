@@ -536,6 +536,59 @@ ORDER BY qid, rank
 """
 
 
+def _qlad_topk_sql(queries, k: int) -> str:
+    """Absolute-discount query likelihood (operators/qld.qlad_topk):
+    matched-terms rank-equivalent form, per-(term,doc) weight and the
+    per-doc length part quantized to integer micro-log10 BIGINT before
+    the exact per-doc sum.  Pins restated from qld.py: delta = 0.5
+    folded into integer forms — inner ratio ((2*tf - 1)_double * C) /
+    (du_double * cf_double), length part log10(du_double / (2.0 *
+    dl_double)); du = the doc's distinct term count; rank (micro desc,
+    docid asc)."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+qq AS (
+    SELECT qid, CAST(sum(qtf) AS BIGINT) AS q_total FROM qexist GROUP BY qid
+),
+du AS (
+    SELECT docid, CAST(count(*) AS BIGINT) AS du FROM postings GROUP BY 1
+),
+scored AS (
+    SELECT q.qid, p.docid,
+           CAST(sum(q.qtf * CAST(round(log10(
+               1 + (CAST(2 * p.tf - 1 AS DOUBLE) * s.sum_doc_len)
+                   / (CAST(u.du AS DOUBLE) * CAST(l.cf AS DOUBLE))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS tsum,
+           max(dl.doc_len) AS doc_len,
+           max(u.du) AS dun
+    FROM qexist q
+    JOIN lexicon l USING (term)
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    JOIN du u ON p.docid = u.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+final AS (
+    SELECT sc.qid, sc.docid,
+           sc.tsum + qq.q_total * CAST(round(log10(
+               CAST(sc.dun AS DOUBLE) / (2.0 * CAST(sc.doc_len AS DOUBLE))
+           ) * 1e6) AS BIGINT) AS micro
+    FROM scored sc JOIN qq USING (qid)
+),
+ranked AS (
+    SELECT qid, docid, micro,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY micro DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM final
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       round(micro / 1e6, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _doc_term_vectors_sql(probe_docnos) -> str:
     """Lucene term-vectors surface (operators/queryops.doc_term_vectors):
     per probe doc every indexed term with in-doc tf + corpus df/cf +
@@ -2026,6 +2079,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "qld_topk": _qld_topk_sql(QUERY_SET, TOPK_K),
         # Jelinek-Mercer LM — the other classic smoothing (qld.qljm_topk)
         "qljm_topk": _qljm_topk_sql(QUERY_SET, TOPK_K),
+        "qlad_topk": _qlad_topk_sql(QUERY_SET, TOPK_K),
         "pl2_topk": _pl2_topk_sql(QUERY_SET, TOPK_K),
         "dph_topk": _dph_topk_sql(QUERY_SET, TOPK_K),
         "doc_term_vectors": _doc_term_vectors_sql(MLT_PROBE_DOCNOS),
@@ -2717,6 +2771,51 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+# k-NN majority-vote classification (operators/similarity.knn_classify):
+# pool = cosine_topk's exact pool (shared round-6 cosine, (cos desc,
+# nid asc) rank, self excluded), vote winner (votes desc, label asc),
+# votes = the winning label's count; true_label rides beside.
+_KNN_CLASSIFY_SQL = f"""WITH pr AS (
+    SELECT vec_id AS pid, embedding AS pe, CAST(label AS BIGINT) AS true_label
+    FROM embeddings
+    WHERE vec_id IN ({', '.join(str(i) for i in PROBE_IDS)})
+),
+cand AS (
+    SELECT pr.pid, pr.true_label, e.vec_id AS nid,
+           CAST(e.label AS BIGINT) AS lbl,
+           round(
+             list_sum(list_transform(range(1, len(pr.pe) + 1),
+                 i -> CAST(pr.pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(pr.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos
+    FROM pr, embeddings e
+    WHERE e.vec_id <> pr.pid
+),
+pool AS (
+    SELECT pid, true_label, lbl FROM (
+        SELECT pid, true_label, nid, lbl,
+               row_number() OVER (
+                   PARTITION BY pid ORDER BY cos DESC, nid ASC
+               ) AS rank
+        FROM cand
+    ) WHERE rank <= {ANN_K}
+),
+votes AS (
+    SELECT pid, true_label, lbl, CAST(count(*) AS BIGINT) AS n
+    FROM pool GROUP BY 1, 2, 3
+)
+SELECT CAST(pid AS BIGINT) AS probe_id, true_label,
+       lbl AS pred_label, n AS votes
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY pid ORDER BY n DESC, lbl ASC
+    ) AS vr
+    FROM votes
+) WHERE vr = 1
+"""
+
+
 # Attribute-filtered exact cosine top-k: candidates share the probe's
 # label (the filter is the equi-join key), self excluded, shared
 # round-6 cosine, k = ANN_K
@@ -3359,6 +3458,51 @@ ranked AS (
 SELECT item, neighbor, n_common,
        round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS score, rank
 FROM ranked WHERE rank <= 3
+"""
+
+
+def _item_hits_sql(iters: int = 3) -> str:
+    """graph.item_hits: HITS hubs & authorities over the directed
+    user->item incidence — integer L-infinity normalization (rha by
+    the current max), auth-then-hub update order, hub_0 = 1e6, iters
+    pinned.  CTEs stay MATERIALIZED (the item_pagerank pin)."""
+    its = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+ra{i} AS MATERIALIZED (
+    SELECT ui.item, CAST(sum(p.h) AS BIGINT) AS ra
+    FROM ui JOIN {prev_h} p ON p.u = ui.u
+    GROUP BY 1
+),
+a{i} AS MATERIALIZED (
+    SELECT item,
+           CAST((2 * 1000000 * ra + m.m) // (2 * m.m) AS BIGINT) AS a
+    FROM ra{i} CROSS JOIN (SELECT max(ra) AS m FROM ra{i}) m
+),
+rh{i} AS MATERIALIZED (
+    SELECT ui.u, CAST(sum(p.a) AS BIGINT) AS rh
+    FROM ui JOIN a{i} p ON p.item = ui.item
+    GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+    SELECT u,
+           CAST((2 * 1000000 * rh + m.m) // (2 * m.m) AS BIGINT) AS h
+    FROM rh{i} CROSS JOIN (SELECT max(rh) AS m FROM rh{i}) m
+)""")
+        prev_h = f"h{i}"
+    chain = ",".join(its)
+    return f"""WITH ui AS MATERIALIZED (
+    SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+h0 AS MATERIALIZED (
+    SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS h FROM ui
+),{chain}
+SELECT 'auth' AS kind, item AS id, a AS score_micro FROM a{iters}
+UNION ALL
+SELECT 'hub' AS kind, u AS id, h AS score_micro FROM h{iters}
 """
 
 
@@ -6416,6 +6560,33 @@ SELECT event_type, day,
 FROM e GROUP BY CUBE(event_type, day)
 """
 
+# Per-user activity pivot (operators/events.event_pivot).  Pins
+# restated verbatim (change both sides or neither): pinned type list
+# click/error/purchase/signup/view rotated into n_<type> columns,
+# n_total counts ALL events (unknown types included), purchase_cents =
+# per-event round(value * 100.0) BIGINT summed exactly; every user
+# with >= 1 event emits.
+_EVENT_PIVOT_SQL = """SELECT
+    CAST(user_id AS BIGINT) AS user_id,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_click,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_error,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_purchase,
+    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_signup,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_view,
+    CAST(count(*) AS BIGINT) AS n_total,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100.0) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS purchase_cents
+FROM events
+GROUP BY 1
+"""
+
+
 _EVENTS_ROLLUP_SQL = """WITH e AS (
     SELECT event_type,
            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
@@ -6639,6 +6810,7 @@ def pipeline_oracles() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(4, 5),
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_topk_filtered": _COSINE_FILTERED_SQL,
+        "knn_classify": _KNN_CLASSIFY_SQL,
         "dense_maxp_topk": _DENSE_MAXP_SQL,
         "knn_join": _KNN_JOIN_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)
@@ -6775,6 +6947,7 @@ def pipeline_oracles() -> dict[str, str]:
         "item_similarity": _ITEM_SIMILARITY_SQL,
         "item_adamic_adar": _ITEM_AA_SQL,
         "item_assoc_rules": _ASSOC_SQL,
+        "item_hits": _item_hits_sql(),
         "triangle_counts": _TRIANGLE_COUNTS_SQL,
         "conversation_stats": _conversation_stats_sql(),
         "cdc_apply": _cdc_apply_sql(),
@@ -6839,6 +7012,7 @@ ORDER BY source, term
         # inner joins emit on arrival, watermarks only bound state
         "streaming_range_join": _EVENT_RANGE_JOIN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
+        "event_pivot": _EVENT_PIVOT_SQL,
         # full CUBE (adds the per-day cross-type subtotals, lvl=2)
         "events_cube": _EVENTS_CUBE_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,

@@ -329,3 +329,38 @@ def test_assoc_rules_matches_python_model(spark):
     assert got == want
     # sanity: 10 -> 11 is the strongest rule from 10 (3 of 4 holders)
     assert got[(10, 11)][5] == 1 and got[(10, 11)][3] == 750000
+
+
+def test_hits_matches_python_model(spark):
+    """HITS against a brute-force Python model of the pinned integer
+    L-infinity iterations (auth-then-hub order, rha by the max)."""
+    user_items = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),
+        (3, 10),
+        (4, 13),
+    ]
+    got = {
+        (r.kind, r.id): r.score_micro
+        for r in G.item_hits(_events_df(spark, user_items)).collect()
+    }
+
+    ui = set(user_items)
+    users = sorted({u for u, _ in ui})
+    items = sorted({i for _, i in ui})
+    hub = {u: 1_000_000 for u in users}
+    auth = {}
+    for _ in range(G.HITS_ITERS):
+        ra = {i: sum(hub[u] for (u, i2) in ui if i2 == i) for i in items}
+        m = max(ra.values())
+        auth = {i: _rha(1_000_000 * v, m) for i, v in ra.items()}
+        rh = {u: sum(auth[i] for (u2, i) in ui if u2 == u) for u in users}
+        m = max(rh.values())
+        hub = {u: _rha(1_000_000 * v, m) for u, v in rh.items()}
+    want = {("auth", i): auth[i] for i in items}
+    want.update({("hub", u): hub[u] for u in users})
+    assert got == want
+    # item 10 (touched by 3 of 4 users) is the top authority
+    assert got[("auth", 10)] == max(
+        v for (k, _), v in got.items() if k == "auth"
+    )
