@@ -540,6 +540,16 @@ def _q_preretrieval_qpp(spark, sf_dir):
     return preretrieval_qpp(idx, oracle.QUERY_SET)
 
 
+def _q_vsm_cosine_topk(spark, sf_dir):
+    """Classic Salton VSM cosine retrieval (mlt.vsm_cosine_topk):
+    tf-idf query and doc vectors with the FULL cosine (doc-norm
+    denominator), micro-BIGINT dots, one sqrt per norm."""
+    from mircv_project_spark.operators.mlt import vsm_cosine_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return vsm_cosine_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_more_like_this(spark, sf_dir):
     """Lexical more-like-this (operators/mlt.py): micro-quantized
     tf-idf cosine over the inverted index, exact integer dots."""
@@ -967,6 +977,18 @@ def _q_bloom_terms(spark, sf_dir):
     return bloom_term_filter(_docs(spark, sf_dir), list(oracle.BLOOM_PROBES))
 
 
+def _q_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification
+    (clustering.nearest_centroid_classify): integer micro centroids
+    per label, exact BIGINT squared distances, argmin tie -> lowest
+    label."""
+    from mircv_project_spark.operators.clustering import (
+        nearest_centroid_classify,
+    )
+
+    return nearest_centroid_classify(_emb(spark, sf_dir), oracle.PROBE_IDS)
+
+
 def _q_knn_classify(spark, sf_dir):
     """k-NN majority-vote label classification over the embeddings
     (similarity.knn_classify): cosine_topk's exact pool, vote winner
@@ -1146,12 +1168,10 @@ def _q_assistant_token_spans(spark, sf_dir):
     return assistant_token_spans(load_transcripts(spark, sf_dir))
 
 
-def _q_cdc_apply(spark, sf_dir):
-    """MERGE-INTO analog (operators/cdc.apply_changes): apply a
-    deterministic upsert/delete feed (last-wins by seq) to the
-    transcript table; feed derivation pinned in oracle._cdc_apply_sql."""
-    from mircv_project_spark.operators.cdc import apply_changes
-
+def _cdc_feed(spark, sf_dir):
+    """The pinned CDC gate feed (restated in oracle._cdc_apply_sql):
+    -> (base, changes) — shared by the batch cdc_apply entry and the
+    streaming_cdc entry so the two cannot drift."""
     t = load_transcripts(spark, sf_dir)
     base = t.select(
         "conv_id", "turn_idx", "role", "text", "tool",
@@ -1191,7 +1211,47 @@ def _q_cdc_apply(spark, sf_dir):
         .unionByName(feed(did % 40 == 21, F.lit(9), snull, snull,
                           F.lit(None).cast("long"), "D", 1))
     )
+    return base, changes
+
+
+def _q_cdc_apply(spark, sf_dir):
+    """MERGE-INTO analog (operators/cdc.apply_changes): apply a
+    deterministic upsert/delete feed (last-wins by seq) to the
+    transcript table; feed derivation pinned in oracle._cdc_apply_sql."""
+    from mircv_project_spark.operators.cdc import apply_changes
+
+    base, changes = _cdc_feed(spark, sf_dir)
     return apply_changes(base, changes, ["conv_id", "turn_idx"])
+
+
+def _q_streaming_cdc(spark, sf_dir):
+    """Streaming CDC apply (applyInPandasWithState keyed by the
+    merge key, state = the highest-seq change) under the batch
+    cdc_apply oracle BY DESIGN: per-key argmax over a unique seq is
+    commutative/associative/idempotent, so the final winners after
+    the seq-split two-epoch feed equal the batch window — the merged
+    table derives through final_cdc_table (apply_changes' own
+    kept/upsert rule)."""
+    from mircv_project_spark.streaming.cdc_stream import (
+        final_cdc_table,
+        run_streaming_cdc,
+    )
+
+    basedir = _tmpdir("mircv_scdc_gate_")
+    inp, out, ckpt = f"{basedir}/in", f"{basedir}/out", f"{basedir}/ckpt"
+    base, changes = _cdc_feed(spark, sf_dir)
+    feed_cols = [
+        "conv_id", "turn_idx", "role", "text", "tool", "us", "op", "seq",
+    ]
+    changes.where(F.col("seq") == 1).select(*feed_cols).coalesce(
+        1
+    ).write.mode("overwrite").parquet(inp)
+    run_streaming_cdc(spark, inp, out, ckpt).awaitTermination(300)
+    changes.where(F.col("seq") >= 2).select(*feed_cols).coalesce(
+        1
+    ).write.mode("append").parquet(inp)
+    run_streaming_cdc(spark, inp, out, ckpt).awaitTermination(300)
+    return final_cdc_table(base, spark.read.parquet(out))
 
 
 def _q_triangle_counts(spark, sf_dir):
@@ -3072,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rocchio_topk": _q_rocchio_topk,
         "bm25f_topk": _q_bm25f_topk,
         "more_like_this": _q_more_like_this,
+        "vsm_cosine_topk": _q_vsm_cosine_topk,
         "clarity_scores": _q_clarity_scores,
         "preretrieval_qpp": _q_preretrieval_qpp,
         "lexicon_streaming": _q_lexicon_streaming,
@@ -3223,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "cosine_topk_filtered": _q_cosine_topk_filtered,
         "knn_classify": _q_knn_classify,
+        "nearest_centroid": _q_nearest_centroid,
         "dense_maxp_topk": _q_dense_maxp_topk,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
@@ -3240,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _q_conversation_stats,
         "term_suggest": _q_term_suggest,
         "cdc_apply": _q_cdc_apply,
+        "streaming_cdc": _q_streaming_cdc,
         "turn_windows": _q_turn_windows,
         "assistant_token_spans": _q_assistant_token_spans,
         "session_paths": _q_session_paths,

@@ -43,7 +43,7 @@ design point) and/or cap cluster fan-in like the LSH bucket cap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -217,3 +217,84 @@ def semdedup_keep(
     finally:
         asg.unpersist()
     return out
+
+
+def nearest_centroid_classify(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the embedding
+    column — the parametric sibling of knn_classify: one prototype
+    vector per label (the class centroid), probes take the label of
+    the closest prototype.  -> (probe_id, true_label, pred_label, d2).
+
+    Exactness contract (the k-means integer discipline — a float
+    centroid mean is shuffle-order-dependent): components
+    micro-quantized BIGINT up front, per-(label, dim) centroid = the
+    sign-aware round-half-away integer division of the exact
+    component sum, probe distances = exact BIGINT squared L2 in micro
+    space.  Pins restated in oracle._NEAREST_CENTROID_SQL (change
+    both sides or neither): centroids over ALL vectors (probes
+    included — the classifier trains on the full labeled set), argmin
+    tie -> lowest label, d2 = the winning distance.
+
+    Scale shape (100 TB): centroid build is ONE (label, dim)-keyed
+    partial aggregate (map-side combined, |labels|*d rows out); the
+    probe side joins the tiny centroid table on dim — no per-pair
+    vector shuffling."""
+    q = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(label_col).cast("long").alias("lbl"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(KM_MICRO))).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    dims = q.select(
+        "lbl", F.posexplode("qv").alias("dim", "v")
+    )
+    cent = (
+        dims.groupBy("lbl", "dim")
+        .agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "lbl",
+            "dim",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n)"
+                " ELSE -(((-2) * s + n) DIV (2 * n)) END"
+            ).cast("long").alias("c"),
+        )
+    )
+    probes = q.where(F.col("id").isin(probe_ids)).select(
+        F.col("id").alias("pid"),
+        F.col("lbl").alias("true_label"),
+        F.posexplode("qv").alias("dim", "pv"),
+    )
+    d2 = (
+        probes.join(F.broadcast(cent), "dim")
+        .groupBy("pid", "true_label", "lbl")
+        .agg(
+            F.sum(
+                (F.col("pv") - F.col("c")) * (F.col("pv") - F.col("c"))
+            ).cast("long").alias("d2")
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("d2").asc(), F.col("lbl").asc())
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "true_label",
+            F.col("lbl").alias("pred_label"),
+            "d2",
+        )
+    )

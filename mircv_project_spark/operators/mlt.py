@@ -90,3 +90,81 @@ def more_like_this(
             "cos",
         )
     )
+
+
+def vsm_cosine_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = MLT_K,
+) -> DataFrame:
+    """Classic Salton vector-space cosine retrieval (SMART; Salton,
+    Wong & Yang 1975) — the textbook VSM ranker beside the
+    probabilistic (BM25), LM (QLD/JM/AD) and DFR (PL2/DPH) families:
+    query and documents as tf-idf vectors, score = full cosine
+    including the DOC-NORM denominator (what separates VSM from the
+    dot-product-style TFIDF standard already in scoring.py — long
+    documents are norm-penalized).
+
+    -> (qid, docno, rank, score).
+
+    Exactness contract (the more_like_this/rocchio discipline — the
+    weight formula IS rocchio._wq_col, imported not restated): weights
+    micro-quantized round(1e6·(1+log10 tf)·log10(N/df)) BIGINT for
+    BOTH the query (tf = qtf) and doc sides; dot = exact BIGINT sum;
+    norms = ONE IEEE sqrt of the exact BIGINT sum of squares per
+    vector; score = round(dot / (qnrm·dnrm), 6) — one divide; rank
+    (score desc, docid asc); OOV query terms drop via the lexicon
+    join; candidates = docs sharing >= 1 in-lexicon term.  Restated
+    verbatim in oracle._vsm_topk_sql (change both sides or neither).
+
+    Scale shape (100 TB): doc vectors and norms are one
+    postings-grain aggregate each (norms are index-build
+    materializable); the query side is a broadcast; candidates arrive
+    through the term equi-join — the inverted-index prune."""
+    from .topk import _EMPTY_SCHEMA, query_terms
+
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, tf int")
+
+    lex = F.broadcast(index.lexicon.select("term", "df"))
+    qvec = qt.join(lex, "term").select(
+        "qid", "term", _wq_col(index.n_docs).alias("wq")
+    )
+    qnorm = qvec.groupBy("qid").agg(
+        F.sqrt(F.sum(F.col("wq") * F.col("wq")).cast("double")).alias("qnrm")
+    )
+    dvec = index.flat.join(lex, "term").select(
+        "term", "docid", _wq_col(index.n_docs).alias("wd")
+    )
+    dnorm = dvec.groupBy("docid").agg(
+        F.sqrt(F.sum(F.col("wd") * F.col("wd")).cast("double")).alias("dnrm")
+    )
+    dots = (
+        dvec.join(F.broadcast(qvec), "term")
+        .groupBy("qid", "docid")
+        .agg(F.sum(F.col("wd") * F.col("wq")).alias("dot"))
+    )
+    score = F.round(
+        F.col("dot").cast("double") / (F.col("qnrm") * F.col("dnrm")), 6
+    )
+    scored = (
+        dots.join(F.broadcast(qnorm), "qid")
+        .join(dnorm, "docid")
+        .select("qid", "docid", score.alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("docid") - 1).cast("string").alias("docno"),
+            "rank",
+            "score",
+        )
+    )

@@ -2771,6 +2771,53 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+# Nearest-centroid (Rocchio) classification
+# (operators/clustering.nearest_centroid_classify): k-means integer
+# discipline — micro-quantized components, per-(label, dim) centroid =
+# sign-aware round-half-away division of the exact sum, probe d2 =
+# exact BIGINT squared L2, centroids over ALL vectors, argmin tie ->
+# lowest label.
+_NEAREST_CENTROID_SQL = f"""WITH q AS (
+    SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+dims AS (
+    SELECT lbl, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v FROM q
+),
+cent AS (
+    SELECT lbl, dim,
+           CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                ELSE -(((-2) * s + n) // (2 * n)) END AS c
+    FROM (
+        SELECT lbl, dim, CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dims GROUP BY 1, 2
+    )
+),
+pd AS (
+    SELECT id AS pid, lbl AS true_label,
+           generate_subscripts(qv, 1) AS dim, unnest(qv) AS pv
+    FROM q WHERE id IN ({', '.join(str(i) for i in PROBE_IDS)})
+),
+d2 AS (
+    SELECT p.pid, p.true_label, c.lbl,
+           CAST(sum((p.pv - c.c) * (p.pv - c.c)) AS BIGINT) AS d2
+    FROM pd p JOIN cent c ON c.dim = p.dim
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(pid AS BIGINT) AS probe_id, true_label,
+       lbl AS pred_label, d2
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY pid ORDER BY d2 ASC, lbl ASC
+    ) AS rn
+    FROM d2
+) WHERE rn = 1
+"""
+
+
 # k-NN majority-vote classification (operators/similarity.knn_classify):
 # pool = cosine_topk's exact pool (shared round-6 cosine, (cos desc,
 # nid asc) rank, self excluded), vote winner (votes desc, label asc),
@@ -4190,6 +4237,58 @@ SELECT s.qid, t.n_terms, t.w_total,
              / (CAST(t.w_total AS DOUBLE) * 1000000.0), 6) AS clarity
 FROM (SELECT qid, CAST(sum(c) AS BIGINT) AS s FROM contrib GROUP BY 1) s
 JOIN wtot t ON t.qid = s.qid
+"""
+
+
+def _vsm_topk_sql(queries, k: int) -> str:
+    """operators/mlt.vsm_cosine_topk: classic VSM cosine — query AND
+    doc tf-idf vectors micro-quantized with the rocchio weight form
+    (query side tf = qtf), exact BIGINT dots, one IEEE sqrt per norm,
+    score = round(dot / (qnrm * dnrm), 6), rank (score desc, docid
+    asc), OOV query terms dropped via the lexicon join."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+qv AS (
+    SELECT q.qid, q.term,
+           CAST(round(1000000.0 * (1 + log10(q.qtf))
+                      * log10(s.n_docs / l.df)) AS BIGINT) AS wq
+    FROM qexist q JOIN lexicon l USING (term) CROSS JOIN stats s
+),
+qn AS (
+    SELECT qid, sqrt(CAST(sum(wq * wq) AS DOUBLE)) AS qnrm
+    FROM qv GROUP BY 1
+),
+dv AS (
+    SELECT p.docid, p.term,
+           CAST(round(1000000.0 * (1 + log10(p.tf))
+                      * log10(s.n_docs / l.df)) AS BIGINT) AS wd
+    FROM postings p JOIN lexicon l USING (term) CROSS JOIN stats s
+),
+dn AS (
+    SELECT docid, sqrt(CAST(sum(wd * wd) AS DOUBLE)) AS dnrm
+    FROM dv GROUP BY 1
+),
+dots AS (
+    SELECT q.qid, d.docid, CAST(sum(d.wd * q.wq) AS BIGINT) AS dot
+    FROM dv d JOIN qv q USING (term)
+    GROUP BY 1, 2
+),
+vscored AS (
+    SELECT t.qid, t.docid,
+           round(CAST(t.dot AS DOUBLE) / (qn.qnrm * dn.dnrm), 6) AS score
+    FROM dots t
+    JOIN qn ON qn.qid = t.qid
+    JOIN dn ON dn.docid = t.docid
+),
+vranked AS (
+    SELECT qid, docid, score,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM vscored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM vranked WHERE rank <= {k}
+ORDER BY qid, rank
 """
 
 
@@ -6811,6 +6910,7 @@ def pipeline_oracles() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_topk_filtered": _COSINE_FILTERED_SQL,
         "knn_classify": _KNN_CLASSIFY_SQL,
+        "nearest_centroid": _NEAREST_CENTROID_SQL,
         "dense_maxp_topk": _DENSE_MAXP_SQL,
         "knn_join": _KNN_JOIN_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)
@@ -6829,6 +6929,7 @@ def pipeline_oracles() -> dict[str, str]:
         "bm25f_topk": _bm25f_sql(QUERY_SET, TOPK_K),
         # lexical more-like-this (micro-quantized tf-idf cosine)
         "more_like_this": _mlt_sql(MLT_PROBE_DOCNOS, MLT_K),
+        "vsm_cosine_topk": _vsm_topk_sql(QUERY_SET, TOPK_K),
         # Clarity QPP (integer micro-log10 KL, params pinned to qpp.py)
         "clarity_scores": _clarity_sql(QUERY_SET, 10),
         # the stored positional path must return EXACTLY the corpus-scan
@@ -6951,6 +7052,11 @@ def pipeline_oracles() -> dict[str, str]:
         "triangle_counts": _TRIANGLE_COUNTS_SQL,
         "conversation_stats": _conversation_stats_sql(),
         "cdc_apply": _cdc_apply_sql(),
+        # streaming_cdc shares the batch oracle BY DESIGN: per-key
+        # argmax over a unique seq is commutative/associative/
+        # idempotent, so the final streamed winners equal the batch
+        # window under any feed split
+        "streaming_cdc": _cdc_apply_sql(),
         "turn_windows": _turn_windows_sql(3),
         "assistant_token_spans": _assistant_spans_sql(),
         # streaming SpaceSaving == batch top-k at the pinned capacity
