@@ -727,6 +727,15 @@ def _q_boilerplate_stats(spark, sf_dir):
     return boilerplate_stats(_docs(spark, sf_dir))
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-width overlapping RAG chunks (curation.doc_chunks):
+    W=32/S=16 token windows, final partial chunk kept, pure-Catalyst
+    explode — no shuffle."""
+    from mircv_project_spark.operators.curation import doc_chunks
+
+    return doc_chunks(_docs(spark, sf_dir))
+
+
 def _q_budget_pack(spark, sf_dir):
     """Per-domain token-budget packing: (quality desc, id) order,
     running BPE total <= 1000 kept — computed as a DISTRIBUTED PREFIX
@@ -975,6 +984,30 @@ def _q_bloom_terms(spark, sf_dir):
     from mircv_project_spark.operators.sketches import bloom_term_filter
 
     return bloom_term_filter(_docs(spark, sf_dir), list(oracle.BLOOM_PROBES))
+
+
+def _q_conv_mean_embeddings(spark, sf_dir):
+    """Mean-pooled conversation embeddings
+    (clustering.conv_mean_embeddings): integer micro pooling over the
+    vec_id // 8 conversation law — exact sums + rha means.  The gate
+    compares the EXPLODED (conv_id, n_members, dim, c) form — the
+    compare harness hashes scalar cells; the operator's array API is
+    exercised by pytest."""
+    from mircv_project_spark.operators.clustering import (
+        conv_mean_embeddings,
+    )
+
+    out = conv_mean_embeddings(_emb(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        "n_members",
+        F.posexplode("pooled").alias("dim", "c"),
+    ).select(
+        "conv_id",
+        "n_members",
+        (F.col("dim") + 1).cast("long").alias("dim"),
+        F.col("c").cast("long").alias("c"),
+    )
 
 
 def _q_nearest_centroid(spark, sf_dir):
@@ -1414,6 +1447,15 @@ def _q_event_range_join(spark, sf_dir):
     from mircv_project_spark.operators.events import event_range_join
 
     return event_range_join(_events(spark, sf_dir))
+
+
+def _q_events_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type
+    (events.events_value_histogram): exact-cents binning, $20 bins,
+    one partial-aggregating groupBy."""
+    from mircv_project_spark.operators.events import events_value_histogram
+
+    return events_value_histogram(_events(spark, sf_dir))
 
 
 def _q_event_pivot(spark, sf_dir):
@@ -3180,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packing (distributed prefix sum) — both full-oracle
         "boilerplate_stats": _q_boilerplate_stats,
         "budget_pack": _q_budget_pack,
+        "doc_chunks": _q_doc_chunks,
         # TF-IDF keyword extraction + event analytics (ordered funnel,
         # batch sessionization) — all full-oracle
         "top_keywords": _q_top_keywords,
@@ -3194,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_range_join": _q_event_range_join,
         "events_rollup": _q_events_rollup,
         "event_pivot": _q_event_pivot,
+        "events_value_histogram": _q_events_value_histogram,
         "events_cube": _q_events_cube,
         "events_sliding_counts": _q_events_sliding_counts,
         "events_gapfill": _q_events_gapfill,
@@ -3285,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_filtered": _q_cosine_topk_filtered,
         "knn_classify": _q_knn_classify,
         "nearest_centroid": _q_nearest_centroid,
+        "conv_mean_embeddings": _q_conv_mean_embeddings,
         "dense_maxp_topk": _q_dense_maxp_topk,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,

@@ -298,3 +298,79 @@ def nearest_centroid_classify(
             "d2",
         )
     )
+
+
+def conv_mean_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_size: int = 8,
+) -> DataFrame:
+    """-> (conv_id, n_members, pooled array<bigint>): mean-pooled
+    conversation embeddings — each conversation's vector = the
+    per-dimension mean of its member turns' vectors (the standard
+    pooling step before conversation-level ANN / clustering /
+    near-dup in a training pipeline).
+
+    conv = the transcripts id law on vector ids ('conv-' ||
+    lpad(vec_id // 8, 12, '0') — the dense_maxp_topk pin).
+
+    Exactness contract (the k-means integer discipline — a float mean
+    is shuffle-order-dependent): components micro-quantized BIGINT up
+    front, per-(conv, dim) exact integer sums, mean = the sign-aware
+    round-half-away integer division, array reassembled in dimension
+    order.  Restated verbatim in oracle._CONV_MEAN_EMB_SQL (change
+    both sides or neither).
+
+    Scale shape (100 TB): ONE (conv, dim)-keyed partial aggregate
+    (map-side combined) and one per-conv array rebuild — no
+    per-pair work, no driver state."""
+    conv = F.concat(
+        F.lit("conv-"),
+        F.lpad(
+            (F.col(id_col).cast("long") / F.lit(group_size))
+            .cast("long")
+            .cast("string"),
+            12,
+            "0",
+        ),
+    )
+    q = embeddings.select(
+        conv.alias("conv_id"),
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(KM_MICRO))).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    members = q.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    dims = q.select("conv_id", F.posexplode("qv").alias("dim", "v"))
+    pooled = (
+        dims.groupBy("conv_id", "dim")
+        .agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "conv_id",
+            "dim",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n)"
+                " ELSE -(((-2) * s + n) DIV (2 * n)) END"
+            ).cast("long").alias("c"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"],
+            ).alias("pooled")
+        )
+    )
+    return members.join(pooled, "conv_id").select(
+        "conv_id", "n_members", "pooled"
+    )

@@ -686,3 +686,54 @@ def weighted_sample(
         .where(F.col("rank") <= n)
         .select("source", "id", "w", "key_q", "rank")
     )
+
+
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 16  # stride (W/2 -> 50% overlap)
+
+
+def doc_chunks(
+    docs: DataFrame,
+    window: int = CHUNK_W,
+    stride: int = CHUNK_S,
+) -> DataFrame:
+    """-> (doc_id, chunk_idx, start_tok, n_toks, chunk_text): fixed-
+    width overlapping token chunks per document — the RAG/embedding
+    chunker of a training-data pipeline (every retrieval-augmented
+    corpus build slices documents into model-window pieces with
+    overlap so no boundary context is lost).
+
+    Pinned semantics (restated verbatim in oracle._DOC_CHUNKS_SQL —
+    change both sides or neither): tokens = textnorm.tokens_col (the
+    oracle-side pipeline, the textrank pin); chunk starts = 0, S, 2S,
+    ... while start < n_tokens (so the final partial chunk is KEPT —
+    chunk count = floor((n-1)/S) + 1); chunk = tokens[start+1 ..
+    start+W] (1-based slice, clamped at the end); chunk_text = the
+    space-joined slice; zero-token docs emit NO rows; chunk_idx =
+    start / S.
+
+    Scale shape (100 TB): pure Catalyst — one projection materializes
+    the tokenizer (the re-evaluation gotcha), one explode of the
+    per-doc start list (fan-out n/S rows per doc), no shuffle at all;
+    chunking parallelizes embarrassingly and column-prunes to (doc_id,
+    text)."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_col(F.col("text")).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    starts = toks.where(F.col("n") > 0).select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+        ).alias("start_tok"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, window)
+    return starts.select(
+        "doc_id",
+        (F.col("start_tok") / F.lit(stride)).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_toks"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

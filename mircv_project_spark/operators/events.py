@@ -781,3 +781,44 @@ def event_pivot(events: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_total"),
         F.sum(cents).cast("long").alias("purchase_cents"),
     )
+
+
+HIST_BIN_CENTS = 2_000  # $20 fixed-width bins
+
+
+def events_value_histogram(
+    events: DataFrame, bin_cents: int = HIST_BIN_CENTS
+) -> DataFrame:
+    """-> (event_type, bin, n, min_cents, max_cents): fixed-width
+    value histogram per event type — the ES histogram aggregation
+    beside the date_histogram (turns_per_window) and percentile
+    (event_props_rollup) members of the agg family.
+
+    Pinned semantics (restated verbatim in oracle._EVENT_HIST_SQL —
+    change both sides or neither): cents = per-event round(value *
+    100.0) BIGINT (the event_pivot money discipline — binning the
+    raw double would put boundary values engine-dependent), bin =
+    cents DIV bin_cents (values are non-negative by corpus law; the
+    DIV form is floor there), width 2000 cents; empty bins emit
+    nothing (the dense-grid variant is event_anomalies' job);
+    min/max cents ride as audit columns.
+
+    Scale shape (100 TB): ONE partial-aggregating groupBy — map-side
+    combine bounds the shuffle at (types x touched bins) rows per
+    partition."""
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
+    return (
+        events.select(
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupBy(
+            "event_type",
+            F.expr(f"cents DIV {int(bin_cents)}").cast("long").alias("bin"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )

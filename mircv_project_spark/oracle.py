@@ -2301,6 +2301,32 @@ doctoks AS (
     SELECT doc_id, {_TOKENS_EXPR.format(col='text')} AS tokens FROM documents
 )"""
 
+# RAG chunker (operators/curation.doc_chunks).  Pins restated verbatim
+# (change both sides or neither): tokens = the oracle-side pipeline,
+# starts 0, S, .. while start < n (final partial chunk kept), chunk =
+# 1-based slice [start+1 .. start+W] clamped, chunk_text space-joined,
+# zero-token docs emit nothing, chunk_idx = start / S.
+_DOC_CHUNKS_SQL_TMPL = """WITH {doctoks},
+base AS (
+    SELECT doc_id, tokens, len(tokens) AS n FROM doctoks
+    WHERE len(tokens) > 0
+),
+st AS (
+    SELECT doc_id, tokens, n,
+           unnest(generate_series(0, n - 1, {stride})) AS start_tok
+    FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(start_tok // {stride} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(tokens, start_tok + 1, start_tok + {window}))
+            AS BIGINT) AS n_toks,
+       array_to_string(
+           list_slice(tokens, start_tok + 1, start_tok + {window}), ' '
+       ) AS chunk_text
+FROM st
+"""
+
 _SHINGLES = """
 shingled AS (
     SELECT doc_id,
@@ -2768,6 +2794,43 @@ ranked AS (
 )
 SELECT CAST(pid AS BIGINT) AS probe_id, CAST(nid AS BIGINT) AS neighbor_id, rank, cos
 FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# Mean-pooled conversation embeddings
+# (operators/clustering.conv_mean_embeddings): k-means integer
+# discipline — micro components, exact per-(conv, dim) sums, mean =
+# sign-aware round-half-away division, array rebuilt in dim order;
+# conv = the transcripts id law on vector ids (vec_id // 8).
+_CONV_MEAN_EMB_SQL = """WITH q AS (
+    SELECT 'conv-' || lpad(CAST(vec_id // 8 AS VARCHAR), 12, '0')
+               AS conv_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+m AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM q GROUP BY 1
+),
+dims AS (
+    SELECT conv_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v
+    FROM q
+),
+agg AS (
+    SELECT conv_id, dim, CAST(sum(v) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dims GROUP BY 1, 2
+),
+cp AS (
+    SELECT conv_id, dim,
+           CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                ELSE -(((-2) * s + n) // (2 * n)) END AS c
+    FROM agg
+)
+SELECT m.conv_id, m.n_members, CAST(cp.dim AS BIGINT) AS dim,
+       CAST(cp.c AS BIGINT) AS c
+FROM m JOIN cp USING (conv_id)
 """
 
 
@@ -6686,6 +6749,21 @@ GROUP BY 1
 """
 
 
+# Fixed-width value histogram (operators/events.events_value_histogram).
+# Pins restated verbatim: cents = per-event round(value * 100.0)
+# BIGINT, bin = cents // 2000 (values non-negative), empty bins absent,
+# min/max cents audit columns.
+_EVENT_HIST_SQL = """SELECT
+    event_type,
+    CAST(CAST(round(value * 100.0) AS BIGINT) // 2000 AS BIGINT) AS bin,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(min(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS min_cents,
+    CAST(max(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 _EVENTS_ROLLUP_SQL = """WITH e AS (
     SELECT event_type,
            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
@@ -6911,6 +6989,7 @@ def pipeline_oracles() -> dict[str, str]:
         "cosine_topk_filtered": _COSINE_FILTERED_SQL,
         "knn_classify": _KNN_CLASSIFY_SQL,
         "nearest_centroid": _NEAREST_CENTROID_SQL,
+        "conv_mean_embeddings": _CONV_MEAN_EMB_SQL,
         "dense_maxp_topk": _DENSE_MAXP_SQL,
         "knn_join": _KNN_JOIN_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)
@@ -7099,6 +7178,9 @@ ORDER BY source, term
         # packing (distributed prefix sum on the Spark side)
         "boilerplate_stats": _boilerplate_sql(),
         "budget_pack": _budget_pack_sql(),
+        "doc_chunks": _DOC_CHUNKS_SQL_TMPL.format(
+            doctoks=_DOC_TOKENS, stride=16, window=32
+        ),
         # per-doc TF-IDF keyword extraction + the two classic
         # event-analytics workloads (ordered funnel, batch
         # gaps-and-islands sessionization) over the events table
@@ -7119,6 +7201,7 @@ ORDER BY source, term
         "streaming_range_join": _EVENT_RANGE_JOIN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "event_pivot": _EVENT_PIVOT_SQL,
+        "events_value_histogram": _EVENT_HIST_SQL,
         # full CUBE (adds the per-day cross-type subtotals, lvl=2)
         "events_cube": _EVENTS_CUBE_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,

@@ -152,3 +152,40 @@ def test_semdedup_drops_higher_id_within_cluster(spark):
     # dup pairs really are co-clustered (the verdict's precondition)
     assert got[0].cluster == got[3].cluster
     assert got[1].cluster == got[4].cluster
+
+
+def test_conv_mean_embeddings_array_api_matches_python(spark):
+    """The array API: pooled vector = elementwise sign-aware rha mean
+    of the micro-quantized members (python model on a tiny fixture)."""
+    from mircv_project_spark.operators.clustering import (
+        conv_mean_embeddings,
+    )
+
+    rows = [
+        (0, [0.5, -0.25, 0.1], 0),
+        (1, [0.1, 0.05, -0.3], 0),
+        (8, [1.0, 0.0, 0.0], 1),   # second conversation (id // 8 = 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.conv_id: (r.n_members, list(r.pooled))
+        for r in conv_mean_embeddings(df).collect()
+    }
+
+    def rha(s, n):
+        return (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+
+    def q(x):
+        import math
+        v = x * 1e6
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    m0 = [
+        rha(q(0.5) + q(0.1), 2),
+        rha(q(-0.25) + q(0.05), 2),
+        rha(q(0.1) + q(-0.3), 2),
+    ]
+    assert got["conv-000000000000"] == (2, m0)
+    assert got["conv-000000000001"] == (1, [1_000_000, 0, 0])
