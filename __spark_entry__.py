@@ -2697,6 +2697,34 @@ def _q_streaming_bloom(spark, sf_dir):
     )
 
 
+def _q_streaming_qsk(spark, sf_dir):
+    """Streaming quantile sketch (applyInPandasWithState keyed by
+    source, state = the bottom-k-by-hash sample) under the batch
+    quantile_sketch oracle VERBATIM: bottom-k merge is exact and
+    replay-idempotent (dedup on the deterministic (hash, value)
+    pair), and in the pinned exact regime the sample IS the group;
+    quantiles derive through the ONE shared aggregate list
+    (sketches.qsk_quantile_aggs)."""
+    from mircv_project_spark.streaming.qsk_stream import (
+        final_qsk_estimates,
+        run_streaming_qsk,
+    )
+
+    base = _tmpdir("mircv_sqsk_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_qsk(spark, inp, out, ckpt).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_qsk(spark, inp, out, ckpt).awaitTermination(300)
+    return final_qsk_estimates(spark.read.parquet(out))
+
+
 def _q_streaming_hll(spark, sf_dir):
     """Streaming HyperLogLog (applyInPandasWithState keyed by source,
     state = the sparse max-merged registers) under the batch-sketch
@@ -3191,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms": _q_streaming_cms,
         "streaming_bloom": _q_streaming_bloom,
         "streaming_hll": _q_streaming_hll,
+        "streaming_quantiles": _q_streaming_qsk,
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         # streaming ordered funnel: shares the BATCH funnel's SQL
         # oracle (streaming == batch under time-ordered epochs)

@@ -141,6 +141,18 @@ def _partial_kmin_v(k: int):
     return f
 
 
+def qsk_quantile_aggs(value_col: str = "v", qs: tuple = QSK_QS):
+    """The ONE copy of the sample-quantile aggregate list (n_sample +
+    linear-interpolated percentiles round 6), shared by the batch
+    operator and the streaming-sample gate so the two cannot drift."""
+    return [F.count("*").cast("long").alias("n_sample")] + [
+        F.round(F.percentile(F.col(value_col), F.lit(q)), 6).alias(
+            f"q{int(q * 100)}"
+        )
+        for q in qs
+    ]
+
+
 def quantile_sketch(
     docs: DataFrame,
     value_col: str = "n_chars",
@@ -189,13 +201,7 @@ def quantile_sketch(
         partial.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
     )
-    aggs = [F.count("*").cast("long").alias("n_sample")] + [
-        F.round(F.percentile(F.col("v"), F.lit(q)), 6).alias(
-            f"q{int(q * 100)}"
-        )
-        for q in qs
-    ]
-    return sample.groupBy("source").agg(*aggs)
+    return sample.groupBy("source").agg(*qsk_quantile_aggs("v", qs))
 
 
 HLL_P = 8  # 2^8 = 256 registers

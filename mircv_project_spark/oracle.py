@@ -7108,6 +7108,10 @@ def pipeline_oracles() -> dict[str, str]:
         # at every SF, so the bottom-k sample IS the group — the kmv
         # below-k discipline; approximate regime in pytest)
         "quantile_sketch": _QUANTILE_SKETCH_SQL,
+        # streaming_quantiles shares the batch oracle VERBATIM:
+        # bottom-k-by-hash merge is exact and replay-idempotent, and
+        # in the pinned exact regime the sample IS the group
+        "streaming_quantiles": _QUANTILE_SKETCH_SQL,
         # streaming final state == batch sketch (mergeable-sketch law)
         "streaming_kmv": _KMV_STREAM_SQL,
         "streaming_cms": _CMS_STREAM_SQL,

@@ -438,3 +438,49 @@ def test_streaming_hll_final_state_equals_batch_and_replay_idempotent(
     }
     assert got == want
     assert got["sA"][0] >= 1
+
+
+def test_streaming_qsk_final_state_equals_batch_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Final (max-epoch) sample equals the batch bottom-k after a
+    two-batch split, AND replaying batch 1's documents verbatim in
+    batch 2 changes nothing — the (hash, value) dedup."""
+    from mircv_project_spark.streaming.qsk_stream import (
+        final_qsk_estimates,
+        run_streaming_qsk,
+    )
+
+    rows1 = [(i, "x", "en", "sA", 100 + 7 * i) for i in range(20)] + [
+        (100, "x", "en", "sB", 5)
+    ]
+    rows2 = [(i, "x", "en", "sA", 100 + 7 * i) for i in range(5)] + [  # replay
+        (200 + i, "x", "en", "sB", 50 + i) for i in range(10)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inp, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_qsk(spark, inp, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_qsk(spark, inp, out, ckpt).awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    got = {
+        r.source: (r.n_sample, r.q25, r.q50, r.q75, r.q90)
+        for r in final_qsk_estimates(raw).collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema).dropDuplicates(
+        ["doc_id"]
+    )
+    want = {
+        r.source: (r.n_sample, r.q25, r.q50, r.q75, r.q90)
+        for r in K.quantile_sketch(batch).collect()
+    }
+    assert got == want
+    assert got["sA"][0] == 20  # replays added nothing
