@@ -2183,6 +2183,20 @@ def _q_topk_compressed_pfor(spark, sf_dir):
     )
 
 
+def _q_topk_compressed_s8b(spark, sf_dir):
+    """Simple8b-coded block store under the oracle gate end-to-end
+    (functions/codecs.s8b_* — Anh & Moffat word-aligned 64-bit packing
+    over d-gaps, one shift/mask per word on decode); ranking must
+    still match the exhaustive oracle."""
+    from mircv_project_spark.operators.topk import topk_from_blocks
+    from mircv_project_spark.sources.index_store import IndexReader
+
+    idx = _index(spark, sf_dir, parse=False, codec="s8b")
+    return topk_from_blocks(
+        IndexReader.from_memory(idx), oracle.QUERY_SET, scoring.BM25, k=oracle.TOPK_K
+    )
+
+
 def _topk_maxscore(standard: str, conjunctive: bool = False):
     """Driver-side MaxScore dynamic pruning under the oracle gate
     (both scoring standards and both modes — Scorer.java:85-162)."""
@@ -3181,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pruned_conjunctive": _pruned_conjunctive(scoring.TFIDF),
         "bm25_topk_compressed_ef": _q_topk_compressed_ef,
         "bm25_topk_compressed_pfor": _q_topk_compressed_pfor,
+        "bm25_topk_compressed_s8b": _q_topk_compressed_s8b,
         "bm25_eval_metrics": _q_eval_metrics,
         "bm25_mrr_metrics": _q_mrr_metrics,
         "bm25_rbp_err_metrics": _q_rbp_err_metrics,

@@ -319,6 +319,82 @@ def pfor_decode(buf: bytes, n: int) -> np.ndarray:
 PFOR = "pfor"
 
 
+# -------------------------------- Simple8b ---------------------------------
+# Word-aligned packing (Anh & Moffat, "Index compression using 64-bit
+# words", SPE 2010): each 64-bit little-endian word carries a 4-bit
+# selector + 60 payload bits holding a FIXED count of fixed-width
+# values (the classic 16-row table below, zero-run selectors included).
+# Greedy encode: first table row (most values per word first) whose
+# count fits the remaining input and whose width covers the chunk max.
+# Values pack low-to-high within the payload (value j at bits j*b).
+# Decode is branch-light: one vectorized shift/mask per word — the
+# word-aligned answer to PFOR's bit-unpack, and the codec InfluxDB/
+# Prometheus use for timestamps.  Values must be < 2^60 (d-gaps always
+# are).
+
+S8B_SELECTORS = (
+    (240, 0), (120, 0), (60, 1), (30, 2), (20, 3), (15, 4),
+    (12, 5), (10, 6), (8, 7), (7, 8), (6, 10), (5, 12),
+    (4, 15), (3, 20), (2, 30), (1, 60),
+)
+
+
+def s8b_encode(values) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n and int(v.max()) >= (1 << 60):
+        raise ValueError("simple8b value >= 2^60")
+    words = []
+    i = 0
+    while i < n:
+        for sel, (cnt, b) in enumerate(S8B_SELECTORS):
+            if cnt > n - i:
+                continue
+            chunk = v[i : i + cnt]
+            if b == 0:
+                if chunk.any():
+                    continue
+                words.append(np.uint64(sel) << np.uint64(60))
+                i += cnt
+                break
+            if int(chunk.max()) < (1 << b):
+                shifts = (
+                    np.arange(cnt, dtype=np.uint64) * np.uint64(b)
+                )
+                payload = np.bitwise_or.reduce(chunk << shifts)
+                words.append(
+                    (np.uint64(sel) << np.uint64(60)) | payload
+                )
+                i += cnt
+                break
+        else:  # pragma: no cover — (1, 60) always fits
+            raise AssertionError("no simple8b selector fits")
+    return np.asarray(words, dtype="<u8").tobytes()
+
+
+def s8b_decode(buf: bytes, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    k = 0
+    for w in np.frombuffer(buf, dtype="<u8"):
+        sel = int(w >> np.uint64(60))
+        cnt, b = S8B_SELECTORS[sel]
+        take = min(cnt, n - k)
+        if b == 0:
+            out[k : k + take] = 0
+        else:
+            payload = w & np.uint64((1 << 60) - 1)
+            shifts = np.arange(cnt, dtype=np.uint64) * np.uint64(b)
+            vals = (payload >> shifts) & np.uint64((1 << b) - 1)
+            out[k : k + take] = vals[:take]
+        k += take
+        if k >= n:
+            break
+    return out
+
+
+S8B = "s8b"
+
+
 # ------------------------------- block layout -------------------------------
 
 def block_size_for(n: int) -> int:
@@ -365,6 +441,8 @@ def encode_posting_blocks(docids, tfs, dls, codec: str = VB) -> list[dict]:
             id_bytes = ef_encode(bids, u=int(bids[-1]))
         elif codec == PFOR:
             id_bytes = pfor_encode(gaps)
+        elif codec == S8B:
+            id_bytes = s8b_encode(gaps)
         elif codec == RAW:
             id_bytes = bids.tobytes()
         else:
@@ -399,6 +477,8 @@ def decode_block(block, codec: str = VB):
         ids = ef_decode(block["docids"], n, block["max_doc_id"])
     elif codec == PFOR:
         ids = np.cumsum(pfor_decode(block["docids"], n), dtype=np.uint64)
+    elif codec == S8B:
+        ids = np.cumsum(s8b_decode(block["docids"], n), dtype=np.uint64)
     else:
         raise ValueError(f"unknown codec {codec!r}")
     tfs = unary_decode(block["tfs"], n)

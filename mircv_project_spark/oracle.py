@@ -2146,6 +2146,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # compressed block-store scan and driver-side MaxScore pruning
         "bm25_topk_compressed": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "bm25_topk_compressed_pfor": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "bm25_topk_compressed_s8b": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_compressed": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_topk_maxscore": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_maxscore": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),

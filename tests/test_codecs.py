@@ -138,7 +138,7 @@ def test_gamma_known_values():
     assert C.gamma_encode([2, 5]) == np.packbits([0, 1, 0, 0, 0, 1, 0, 1]).tobytes()
 
 
-@pytest.mark.parametrize("codec", [C.VB, C.GAMMA, C.EF, C.RAW, C.PFOR])
+@pytest.mark.parametrize("codec", [C.VB, C.GAMMA, C.EF, C.RAW, C.PFOR, C.S8B])
 @pytest.mark.parametrize("n", [1, 10, 100, 1000, 10000])
 def test_block_roundtrip_and_skip_walk(codec, n):
     """Mirror of CompressedPostingListTest.java:16-60: compress ->
@@ -177,3 +177,22 @@ def test_block_roundtrip_and_skip_walk(codec, n):
             continue
         i, _, _ = C.decode_block(blk, codec=codec)
         assert int(i[np.searchsorted(i, tgt)]) == int(want)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**59), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_s8b_roundtrip(vals):
+    assert C.s8b_decode(C.s8b_encode(vals), len(vals)).tolist() == vals
+
+
+def test_s8b_greedy_packing_density():
+    """Uniform small gaps pick the densest fitting selector (20x3-bit
+    -> exactly n/20 words), and a zero run takes one word."""
+    import numpy as np
+
+    buf = C.s8b_encode([5] * 200)  # 3-bit values
+    assert len(buf) == (200 // 20) * 8
+    assert len(C.s8b_encode([0] * 240)) == 8
+    # selector survives the value-width boundary exactly
+    assert C.s8b_decode(C.s8b_encode([7] * 20), 20).tolist() == [7] * 20
+    assert len(C.s8b_encode([8] * 20)) > len(C.s8b_encode([7] * 20))

@@ -451,3 +451,38 @@ def test_facet_top_hits_no_nested_loop(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     df = facet_top_hits(idx, docs, QUERY_SET[:2])
     assert "BroadcastNestedLoopJoin" not in checks.plan_text(df)
+
+
+def test_session3c_new_ops_plan_guards(spark):
+    """Plan guards for the round-3 continuation wave: the chunker is
+    shuffle-free, the classifiers and rule miner compile to hash
+    joins (no nested loops), and VSM broadcasts the query side."""
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators.clustering import (
+        nearest_centroid_classify,
+    )
+    from mircv_project_spark.operators.curation import doc_chunks
+    from mircv_project_spark.operators.graph import item_assoc_rules
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+    # doc_chunks: pure projection + explode — NO exchange at all
+    chunks_plan = checks.plan_text(doc_chunks(docs))
+    assert "Exchange" not in chunks_plan
+
+    checks.assert_no_broadcast_nested_loop(
+        nearest_centroid_classify(emb, list(range(5)))
+    )
+    checks.assert_no_broadcast_nested_loop(item_assoc_rules(events))
+
+
+def test_vsm_plan_broadcasts_query_side(spark, vb_index):
+    from mircv_project_spark.operators.mlt import vsm_cosine_topk
+    from mircv_project_spark import oracle
+
+    idx, _ = vb_index
+    df = vsm_cosine_topk(idx, oracle.QUERY_SET, k=5)
+    checks.assert_no_broadcast_nested_loop(df)
+    checks.assert_broadcast_join(df)
