@@ -1432,6 +1432,33 @@ def _q_item_popularity(spark, sf_dir):
     return item_popularity_decayed(_events(spark, sf_dir))
 
 
+def _q_streaming_anomalies(spark, sf_dir):
+    """Streaming hourly anomaly counters (applyInPandasWithState keyed
+    by (event_type, hour), state = one integer counter) under the
+    batch event_anomalies oracle VERBATIM: counter addition is
+    commutative/associative with exactly-once offsets, and the
+    z²/dense-grid analysis derives at read time through the ONE
+    shared derivation (events.anomalies_from_counts)."""
+    from mircv_project_spark.streaming.anomaly_stream import (
+        final_anomalies,
+        run_streaming_anomaly_counts,
+    )
+
+    base = _tmpdir("mircv_sanom_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir)
+    split = ev.count() // 2
+    ev.where(F.col("event_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_anomaly_counts(spark, inp, out, ckpt).awaitTermination(300)
+    ev.where(F.col("event_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_anomaly_counts(spark, inp, out, ckpt).awaitTermination(300)
+    return final_anomalies(spark.read.parquet(out))
+
+
 def _q_event_anomalies(spark, sf_dir):
     """Hourly count anomalies per event type (|z| > 2 over the dense
     hour grid) — integer stats, bit-identical double z² on both
@@ -3286,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_counts": _q_events_sliding_counts,
         "events_gapfill": _q_events_gapfill,
         "event_anomalies": _q_event_anomalies,
+        "streaming_anomalies": _q_streaming_anomalies,
         "item_popularity": _q_item_popularity,
         # deterministic shuffled shard export + train/val/test split
         "export_shards": _q_export_shards,

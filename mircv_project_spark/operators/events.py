@@ -636,16 +636,27 @@ def event_anomalies(events: DataFrame, z2_threshold: float = ANOM_Z2) -> DataFra
         "event_type",
         F.floor(_us_col("ts") / F.lit(US_PER_HOUR)).cast("long").alias("h"),
     )
-    h0, h1 = base.agg(F.min("h"), F.max("h")).collect()[0]
+    cnts = base.groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    return anomalies_from_counts(events.sparkSession, cnts, z2_threshold)
+
+
+def anomalies_from_counts(
+    spark, cnts: DataFrame, z2_threshold: float = ANOM_Z2
+) -> DataFrame:
+    """SPARSE (event_type, h, c) hourly counts -> the anomaly table:
+    the ONE copy of the dense-grid / z² derivation, shared by the
+    batch operator and the streaming counter view so the two cannot
+    drift.  The global span comes from the counts' own min/max h —
+    identical to the batch events' span (an absent hour cannot extend
+    it)."""
+    h0, h1 = cnts.agg(F.min("h"), F.max("h")).collect()[0]
     if h0 is None:
-        return events.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "event_type string, hour_h long, cnt long, z2 double"
         )
-    spark = events.sparkSession
     hours = spark.range(int(h0), int(h1) + 1).select(F.col("id").alias("h"))
-    types = base.select("event_type").distinct()
+    types = cnts.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(hours))
-    cnts = base.groupBy("event_type", "h").agg(F.count("*").alias("c"))
     dense = grid.join(cnts, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )

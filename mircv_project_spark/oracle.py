@@ -7224,6 +7224,11 @@ ORDER BY source, term
         # hourly count anomalies (dense grid, integer stats, pinned
         # double-before-multiply z² form, threshold 4.0)
         "event_anomalies": _EVENT_ANOMALIES_SQL,
+        # streaming_anomalies shares the batch oracle VERBATIM:
+        # counter addition + exactly-once offsets make the final
+        # streamed counts equal the batch aggregate; the z² analysis
+        # derives at read time through the one shared derivation
+        "streaming_anomalies": _EVENT_ANOMALIES_SQL,
         # time-decayed item popularity (2^-age micro-quantized)
         "item_popularity": _ITEM_POPULARITY_SQL,
     }

@@ -608,3 +608,58 @@ def test_item_popularity_decay_hand_computed(spark):
         for r in item_popularity_decayed(ev).collect()
     ]
     assert got == [(1, 1, 1_000_000, 1), (2, 3, 750_000, 2)]
+
+
+def test_streaming_anomalies_counts_split_invariant(spark, tmp_path):
+    """The final streamed counters equal the batch (type, hour)
+    aggregate under a two-batch split, and the derived anomaly table
+    equals the batch operator's output."""
+    from mircv_project_spark.operators.events import event_anomalies
+    from mircv_project_spark.streaming.anomaly_stream import (
+        final_anomalies,
+        run_streaming_anomaly_counts,
+    )
+
+    rows = []
+    eid = 0
+    # type A: quiet hours with one screaming hour (z2 caps at H-1,
+    # so the span must exceed 5 hours for the threshold 4 to fire)
+    for h, n in [(h, 2) for h in range(11) if h != 5] + [(5, 50)]:
+        for i in range(n):
+            rows.append((eid, h * 3600_000_000 + i * 1000, 1, "A", 1.0, "{}"))
+            eid += 1
+    for h in range(11):
+        rows.append((eid, h * 3600_000_000, 2, "B", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestamp_micros(us) AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value", "props",
+    )
+    inp, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    half = eid // 2
+    df.where(f"event_id < {half}").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_anomaly_counts(spark, inp, out, ckpt).awaitTermination(120)
+    df.where(f"event_id >= {half}").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_anomaly_counts(spark, inp, out, ckpt).awaitTermination(120)
+
+    got = {
+        (r.event_type, r.hour_h): (r.cnt, r.z2)
+        for r in final_anomalies(spark.read.parquet(out)).collect()
+    }
+    want = {
+        (r.event_type, r.hour_h): (r.cnt, r.z2)
+        for r in event_anomalies(df).collect()
+    }
+    assert got == want
+    assert ("A", 5) in got  # the screaming hour flags
