@@ -1476,6 +1476,24 @@ def _q_event_range_join(spark, sf_dir):
     return event_range_join(_events(spark, sf_dir))
 
 
+def _q_funnel_summary(spark, sf_dir):
+    """Funnel aggregate readout (events.funnel_summary): per-step
+    reach counts + median time-to-convert seconds from the pinned
+    strictly-after funnel chain."""
+    from mircv_project_spark.operators.events import funnel_summary
+
+    return funnel_summary(_events(spark, sf_dir))
+
+
+def _q_ab_test_report(spark, sf_dir):
+    """A/B experiment readout (events.ab_test_report): deterministic
+    salted-coin variants, distinct-user conversion, integer
+    round-half-away ppm rates."""
+    from mircv_project_spark.operators.events import ab_test_report
+
+    return ab_test_report(_events(spark, sf_dir))
+
+
 def _q_events_value_histogram(spark, sf_dir):
     """Fixed-width value histogram per event type
     (events.events_value_histogram): exact-cents binning, $20 bins,
@@ -3309,6 +3327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "event_pivot": _q_event_pivot,
         "events_value_histogram": _q_events_value_histogram,
+        "ab_test_report": _q_ab_test_report,
+        "funnel_summary": _q_funnel_summary,
         "events_cube": _q_events_cube,
         "events_sliding_counts": _q_events_sliding_counts,
         "events_gapfill": _q_events_gapfill,

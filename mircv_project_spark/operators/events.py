@@ -833,3 +833,90 @@ def events_value_histogram(
             F.max("cents").cast("long").alias("max_cents"),
         )
     )
+
+
+AB_SALT = "ab-"
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """-> (variant, n_users, n_converted, conv_ppm): the A/B
+    experiment readout — users deterministically coin-flipped into
+    two variants, conversion = >= 1 'purchase' event, rates as exact
+    integers (the analysis every event pipeline ships next to the
+    funnel).
+
+    Pinned semantics (restated verbatim in oracle._AB_TEST_SQL —
+    change both sides or neither): variant = hash60('ab-' || user_id)
+    % 2 (the md5-derived salted coin — the domain_mix/train_split
+    discipline, independent of every other sampling salt); population
+    = DISTINCT user_ids; conv_ppm = (2*1e6*n_converted + n_users) DIV
+    (2*n_users) — the integer round-half-away rate, never a float.
+
+    Scale shape (100 TB): one distinct-user aggregate with the
+    conversion flag folded in (max of an indicator — map-side
+    combined), then a 2-row variant aggregate."""
+    from ..functions.textnorm import hash60_col
+
+    per_user = (
+        events.select(
+            F.col("user_id").cast("long").alias("u"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("u")
+        .agg(F.max("conv").alias("conv"))
+    )
+    variant = hash60_col(
+        F.concat(F.lit(AB_SALT), F.col("u").cast("string"))
+    ) % F.lit(2)
+    return (
+        per_user.select(variant.cast("long").alias("variant"), "conv")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_converted"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.expr(
+                "(2 * 1000000 * n_converted + n_users) DIV (2 * n_users)"
+            ).cast("long").alias("conv_ppm"),
+        )
+    )
+
+
+def funnel_summary(events: DataFrame) -> DataFrame:
+    """-> one row (n_entered, n_step2, n_step3, n_converted,
+    med_convert_s): the funnel's aggregate readout — users reaching
+    each step, completed conversions, and the median time-to-convert
+    (the dashboard number beside ab_test_report's variant rates).
+
+    Derives from event_funnel's per-user table (the pinned
+    strictly-after chain / horizon), so the step semantics exist
+    once.  Pins (restated in oracle._FUNNEL_SUMMARY_SQL): med over
+    the CONVERTED users' (t_purchase - t_view) microsecond deltas via
+    linear-interpolated percentile (the event_props_rollup parity
+    pin), reported as round(med_us / 1e6, 6) seconds; no converted
+    users -> NULL.
+
+    Scale shape: the funnel's own shuffles plus one global aggregate
+    (exact percentile is the one O(converted) piece — swap
+    approx_percentile at real scale, isolated in one expression)."""
+    f = event_funnel(events)
+    delta = F.when(
+        F.col("converted"), F.col("t_purchase") - F.col("t_view")
+    )
+    return f.agg(
+        F.count("*").cast("long").alias("n_entered"),
+        F.count("t_click").cast("long").alias("n_step2"),
+        F.count("t_purchase").cast("long").alias("n_step3"),
+        F.sum(F.col("converted").cast("int")).cast("long").alias(
+            "n_converted"
+        ),
+        F.round(
+            F.percentile(delta, F.lit(0.5)) / F.lit(1e6), 6
+        ).alias("med_convert_s"),
+    )

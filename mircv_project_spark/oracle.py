@@ -6601,6 +6601,48 @@ FROM s2
 """
 
 
+# Funnel aggregate readout (operators/events.funnel_summary): the
+# event_funnel CTEs verbatim + one global aggregate; med = linear-
+# interpolated percentile over converted users' us deltas, reported
+# round(med_us / 1e6, 6) seconds, NULL when nobody converts.
+_FUNNEL_SUMMARY_SQL = f"""WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS etype,
+           epoch_us(ts) AS us
+    FROM events
+),
+s0 AS (
+    SELECT user_id, min(us) AS t_view FROM e WHERE etype = 'view' GROUP BY 1
+),
+s1 AS (
+    SELECT s0.user_id, t_view,
+           min(CASE WHEN e.us > t_view THEN e.us END) AS t_click
+    FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.etype = 'click'
+    GROUP BY 1, 2
+),
+s2 AS (
+    SELECT s1.user_id, t_view, t_click,
+           min(CASE WHEN e.us > t_click THEN e.us END) AS t_purchase
+    FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.etype = 'purchase'
+    GROUP BY 1, 2, 3
+),
+fz AS (
+    SELECT *,
+           t_purchase IS NOT NULL
+               AND (t_purchase - t_view) <= {_FUNNEL_HORIZON_US} AS converted
+    FROM s2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_entered,
+       CAST(count(t_click) AS BIGINT) AS n_step2,
+       CAST(count(t_purchase) AS BIGINT) AS n_step3,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_converted,
+       round(quantile_cont(CASE WHEN converted
+                                THEN t_purchase - t_view END, 0.5)
+             / 1e6, 6) AS med_convert_s
+FROM fz
+"""
+
+
 # batch gaps-and-islands sessionization over events: break when the
 # inter-event gap STRICTLY exceeds the threshold; order (ts, event_id);
 # gap pinned to operators/events.SESSION_GAP_S
@@ -6747,6 +6789,31 @@ _EVENT_PIVOT_SQL = """SELECT
              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS purchase_cents
 FROM events
 GROUP BY 1
+"""
+
+
+# A/B experiment readout (operators/events.ab_test_report).  Pins
+# restated verbatim (change both sides or neither): variant =
+# hash60('ab-' || user_id) % 2, population = DISTINCT user_ids,
+# conversion = >= 1 'purchase' event, conv_ppm = (2*1e6*conv + n) DIV
+# (2*n) integer round-half-away.
+_AB_TEST_SQL = """WITH pu AS (
+    SELECT CAST(user_id AS BIGINT) AS u,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1
+),
+v AS (
+    SELECT CAST(('0x' || substr(md5('ab-' || CAST(u AS VARCHAR)), 1, 15))
+                ::UBIGINT AS BIGINT) % 2 AS variant,
+           conv
+    FROM pu
+)
+SELECT CAST(variant AS BIGINT) AS variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       CAST((2 * 1000000 * sum(conv) + count(*)) // (2 * count(*))
+            AS BIGINT) AS conv_ppm
+FROM v GROUP BY 1
 """
 
 
@@ -7191,6 +7258,7 @@ ORDER BY source, term
         # gaps-and-islands sessionization) over the events table
         "top_keywords": _top_keywords_sql(),
         "event_funnel": _EVENT_FUNNEL_SQL,
+        "funnel_summary": _FUNNEL_SUMMARY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         # the streaming funnel converges to the batch funnel under the
         # time-ordered-epoch contract — the SAME SQL gates both
@@ -7207,6 +7275,7 @@ ORDER BY source, term
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "event_pivot": _EVENT_PIVOT_SQL,
         "events_value_histogram": _EVENT_HIST_SQL,
+        "ab_test_report": _AB_TEST_SQL,
         # full CUBE (adds the per-day cross-type subtotals, lvl=2)
         "events_cube": _EVENTS_CUBE_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,
