@@ -1257,6 +1257,16 @@ def _q_cdc_apply(spark, sf_dir):
     return apply_changes(base, changes, ["conv_id", "turn_idx"])
 
 
+def _q_scd2_history(spark, sf_dir):
+    """SCD type-2 dimension history (cdc.scd2_history) over the SAME
+    pinned change feed as cdc_apply: validity intervals + is_current
+    from one window over the feed."""
+    from mircv_project_spark.operators.cdc import scd2_history
+
+    _, changes = _cdc_feed(spark, sf_dir)
+    return scd2_history(changes, ["conv_id", "turn_idx"])
+
+
 def _q_streaming_cdc(spark, sf_dir):
     """Streaming CDC apply (applyInPandasWithState keyed by the
     merge key, state = the highest-seq change) under the batch
@@ -3440,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": _q_term_suggest,
         "cdc_apply": _q_cdc_apply,
         "streaming_cdc": _q_streaming_cdc,
+        "scd2_history": _q_scd2_history,
         "turn_windows": _q_turn_windows,
         "assistant_token_spans": _q_assistant_token_spans,
         "session_paths": _q_session_paths,

@@ -47,3 +47,33 @@ def apply_changes(
     kept = base.join(latest.select(*keys), keys, "left_anti")
     upserts = latest.where(F.col(op_col) != "D").select(*base.columns)
     return kept.unionByName(upserts)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """-> the change feed with SCD TYPE-2 validity intervals: every
+    change row annotated with (valid_to_seq, is_current) — the
+    warehouse history-tracking twin of apply_changes (which keeps
+    only the winner, this keeps the full lineage with interval
+    bookkeeping for as-of queries over dimension history).
+
+    Pinned semantics (restated in oracle._scd2_sql — change both
+    sides or neither): per key ordered by seq ascending,
+    valid_to_seq = the NEXT change's seq (NULL on the latest row),
+    is_current = the latest row AND not a delete (a closing 'D' row
+    stays in the history but nothing is current).
+
+    Scale shape: one window over the CHANGE FEED only (the
+    apply_changes discipline — the base table is never touched)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+    nxt = F.lead(F.col(seq_col)).over(w)
+    return changes.withColumn(
+        "valid_to_seq", nxt.cast("long")
+    ).withColumn(
+        "is_current",
+        F.col("valid_to_seq").isNull() & (F.col(op_col) != "D"),
+    )

@@ -2485,17 +2485,7 @@ ORDER BY conv_id, turn_idx
 """
 
 
-def _cdc_apply_sql() -> str:
-    """CDC apply / MERGE INTO analog (operators/cdc.apply_changes).
-    The change feed is derived deterministically from documents —
-    restated verbatim on both sides (change both or neither):
-    upd1 = doc_id%10==3 (seq 1), upd2 = doc_id%20==3 (seq 2 — the
-    last-wins test, a subset of upd1), delete = doc_id%10==7, insert =
-    doc_id%40==1 at turn_idx 8 (absent from base), no-op delete =
-    doc_id%40==21 at turn_idx 9.  Winner = highest seq per key; 'D'
-    removes; payload rows replace whole rows."""
-    return """
-WITH t AS (
+_CDC_FEED_CTES = """WITH t AS (
     SELECT doc_id,
            'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
            CAST(doc_id % 8 AS INTEGER) AS turn_idx,
@@ -2533,7 +2523,20 @@ changes AS (
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS BIGINT), 'D', CAST(1 AS BIGINT)
     FROM t WHERE doc_id % 40 = 21
-),
+)"""
+
+
+def _cdc_apply_sql() -> str:
+    """CDC apply / MERGE INTO analog (operators/cdc.apply_changes).
+    The change feed is derived deterministically from documents —
+    restated verbatim on both sides (change both or neither):
+    upd1 = doc_id%10==3 (seq 1), upd2 = doc_id%20==3 (seq 2 — the
+    last-wins test, a subset of upd1), delete = doc_id%10==7, insert =
+    doc_id%40==1 at turn_idx 8 (absent from base), no-op delete =
+    doc_id%40==21 at turn_idx 9.  Winner = highest seq per key; 'D'
+    removes; payload rows replace whole rows."""
+    return """
+""" + _CDC_FEED_CTES + """,
 latest AS (
     SELECT * FROM (
         SELECT *, row_number() OVER (
@@ -2554,6 +2557,25 @@ SELECT conv_id, turn_idx, role, text, tool, us FROM latest WHERE op <> 'D'
 ORDER BY conv_id, turn_idx
 """
 
+
+
+def _scd2_sql() -> str:
+    """SCD type-2 history (operators/cdc.scd2_history) over the SAME
+    pinned change feed as cdc_apply: per key ordered by seq asc,
+    valid_to_seq = lead(seq) (NULL on the latest), is_current =
+    latest AND op <> 'D'."""
+    return """
+""" + _CDC_FEED_CTES + """
+SELECT conv_id, turn_idx, role, text, tool, us, op, seq,
+       CAST(lead(seq) OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY seq ASC
+       ) AS BIGINT) AS valid_to_seq,
+       (lead(seq) OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY seq ASC
+       ) IS NULL AND op <> 'D') AS is_current
+FROM changes
+ORDER BY conv_id, turn_idx, seq
+"""
 
 
 # bigram continuation suggestions (lm.next_term_suggest); a function
@@ -7208,6 +7230,7 @@ def pipeline_oracles() -> dict[str, str]:
         # idempotent, so the final streamed winners equal the batch
         # window under any feed split
         "streaming_cdc": _cdc_apply_sql(),
+        "scd2_history": _scd2_sql(),
         "turn_windows": _turn_windows_sql(3),
         "assistant_token_spans": _assistant_spans_sql(),
         # streaming SpaceSaving == batch top-k at the pinned capacity
