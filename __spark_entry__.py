@@ -2075,6 +2075,24 @@ def _q_ppm_resize(spark, sf_dir):
     return ppm_resize_stats(generate_ppm_media(spark, 64), factor=2)
 
 
+def _q_image_ahash_pairs(spark, sf_dir):
+    """Perceptual average-hash image near-dup pairs
+    (multimodal.image_ahash_pairs): real PPM decode kernel, all-
+    integer 64-bit aHash, byte-banded equi-join with pigeonhole-exact
+    recall at dist <= 7; corpus = the originals PLUS localized-edit
+    mutants (the near-dup regime aHash exists to catch — random
+    images never land within 7 bits); sf_dir unused (synthetic
+    media)."""
+    from mircv_project_spark.operators.multimodal import (
+        generate_ppm_media_with_mutants,
+        image_ahash_pairs,
+    )
+
+    return image_ahash_pairs(
+        generate_ppm_media_with_mutants(spark, oracle.N_PPM_MEDIA, seed=42)
+    )
+
+
 def _q_ppm_image_features(spark, sf_dir):
     """REAL (dependency-free) image decode under the oracle gate: a
     pure-Catalyst P6 writer synthesizes genuine binary-PPM images, the
@@ -3406,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": _q_training_corpus,
         # real binary image decode (P6) through mapInPandas, hash-gated
         "ppm_image_features": _q_ppm_image_features,
+        "image_ahash_pairs": _q_image_ahash_pairs,
         "ppm_resize": _q_ppm_resize,
         "wav_audio_features": _q_wav_audio_features,
         "y4m_frame_stats": _q_y4m_frame_stats,

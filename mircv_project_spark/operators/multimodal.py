@@ -571,3 +571,194 @@ def y4m_frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(run, Y4M_STATS_SCHEMA)
+
+
+AHASH_GRID = 8  # 8x8 cells -> 64-bit signature
+AHASH_T = 7  # hamming threshold; < number of bands -> banding is EXACT
+
+
+def ppm_ahash_sig(payload: bytes, kind: str) -> tuple[int, int]:
+    """REAL dependency-free perceptual average-hash kernel: parse the
+    binary-PPM payload (the ppm_image_features parser discipline),
+    sum the RGB bytes of each cell of the 8x8 grid over the pixel
+    matrix, and set bit j (row-major cell index) iff 64 * cell_sum >
+    total_sum — ALL integer arithmetic (no grayscale division, no
+    float mean), so the signature is bit-identical on any platform.
+    Returns (sig_hi, sig_lo): the 64 bits split into two 32-bit
+    halves held in non-negative ints (the Bloom 60-bit lesson — a
+    bit-63 BIGINT signature would wrap negative and engines diverge
+    on sign semantics)."""
+    if kind != "image":
+        raise ValueError("ahash is defined for image payloads")
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1
+    w, h, _maxval = fields
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    px = raster.reshape(h, w, 3).astype(np.int64).sum(axis=2)  # per-pixel RGB sum
+    ch, cw = h // AHASH_GRID, w // AHASH_GRID
+    total = int(px.sum())
+    sig = 0
+    for r in range(AHASH_GRID):
+        for c in range(AHASH_GRID):
+            cell = int(px[r * ch : (r + 1) * ch, c * cw : (c + 1) * cw].sum())
+            if AHASH_GRID * AHASH_GRID * cell > total:
+                sig |= 1 << (r * AHASH_GRID + c)
+    return (sig >> 32) & 0xFFFFFFFF, sig & 0xFFFFFFFF
+
+
+def ppm_ahash_table(media: DataFrame) -> DataFrame:
+    """(media_id, kind, payload, ...) -> (media_id, sig_hi, sig_lo)
+    via the mapInPandas real-decode kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                ppm_ahash_sig(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sig_hi": [s[0] for s in sigs],
+                    "sig_lo": [s[1] for s in sigs],
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, sig_hi long, sig_lo long"
+    )
+
+
+def image_ahash_pairs(media: DataFrame, max_dist: int = AHASH_T) -> DataFrame:
+    """-> (id_a, id_b, dist): image near-duplicate pairs by perceptual
+    average-hash — id_a < id_b, dist = hamming distance between 64-bit
+    aHash signatures, dist <= max_dist.  The image member of the dedup
+    family (exact/Jaccard/MinHash/SimHash for text, cosine for
+    embeddings, aHash for pixels).
+
+    Candidate generation is a BANDED EQUI-JOIN on the signature's 8
+    bytes (band k = bits 8k..8k+7): by pigeonhole, any pair within
+    hamming distance <= 7 shares at least one full byte band, so the
+    banding has recall EXACTLY 1 at the pinned threshold — the same
+    argument as the SymSpell deletion join and the prefix-filtered
+    Jaccard.  Pins restated in oracle._AHASH_PAIRS_SQL (change both
+    sides or neither): the all-integer bit rule (64 * cell_sum >
+    total, strict), row-major cell order, the (hi, lo) 32-bit split,
+    max_dist = 7, pairs id_a < id_b.
+
+    Scale shape (100 TB of images): decode+hash is embarrassingly
+    parallel mapInPandas; candidates arrive through the 8-per-image
+    band rows' equi-join (never an all-pairs signature scan); the
+    exact distance check touches candidates only."""
+    sigs = ppm_ahash_table(media)
+    bands = sigs.select(
+        "media_id",
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        (
+                            F.shiftright(
+                                F.col("sig_lo" if k < 4 else "sig_hi"),
+                                (k % 4) * 8,
+                            ).bitwiseAND(F.lit(255))
+                        ).alias("v"),
+                    )
+                    for k in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "media_id",
+        "sig_hi",
+        "sig_lo",
+        F.col("b.k").alias("bk"),
+        F.col("b.v").alias("bv"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("sig_hi").alias("ha"),
+        F.col("sig_lo").alias("la"),
+        "bk",
+        "bv",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("sig_hi").alias("hb"),
+        F.col("sig_lo").alias("lb"),
+        "bk",
+        "bv",
+    )
+    dist = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ) + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    return (
+        a.join(b, ["bk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+        .distinct()
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def generate_ppm_media_with_mutants(
+    spark: SparkSession, n: int, seed: int = 42
+) -> DataFrame:
+    """The aHash gate corpus: the n originals PLUS one mutant per
+    original (media_id = 1000 + i) whose raster equals the original's
+    except chunk 0 (bytes 0..15) comes from md5('ppm-mut-...') — a
+    localized pixel edit, the near-duplicate regime aHash exists to
+    catch.  Restated verbatim in oracle._AHASH_PAIRS_SQL's mutant
+    branch (change both sides or neither)."""
+    header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n").cast("binary")
+    reps = (PPM_W * PPM_H * 3) // 16
+
+    def _chunk(r):
+        return F.md5(F.concat_ws("-", F.lit("ppm"), F.col("id"), F.lit(seed), r))
+
+    def _mchunk(r):
+        return F.when(
+            r == 0,
+            F.md5(
+                F.concat_ws(
+                    "-", F.lit("ppm-mut"), F.col("id"), F.lit(seed), r
+                )
+            ),
+        ).otherwise(_chunk(r))
+
+    seqs = F.sequence(F.lit(0), F.lit(reps - 1))
+    orig = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            header, F.unhex(F.array_join(F.transform(seqs, _chunk), ""))
+        ).alias("payload"),
+        F.create_map(F.lit("seed"), F.lit(str(seed))).alias("meta"),
+    )
+    mut = spark.range(n).select(
+        (F.col("id") + F.lit(1000)).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            header, F.unhex(F.array_join(F.transform(seqs, _mchunk), ""))
+        ).alias("payload"),
+        F.create_map(F.lit("seed"), F.lit(str(seed))).alias("meta"),
+    )
+    return orig.unionByName(mut)

@@ -5053,6 +5053,64 @@ ORDER BY media_id, strip
 """
 
 
+# Perceptual average-hash image near-dup pairs
+# (operators/multimodal.image_ahash_pairs).  Pins restated verbatim
+# (change both sides or neither): per-pixel RGB byte sum, 8x8 cell
+# grid over the 16x16 matrix (cell = (row//2)*8 + col//2, row-major),
+# bit rule 64 * cell_sum > total STRICT, signature split (hi, lo)
+# 32-bit halves, pairs id_a < id_b with hamming dist <= 7.
+_AHASH_PAIRS_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, r.range AS r,
+           md5('ppm-' || ids.range || '-42-' || r.range) AS hx
+    FROM range({N_PPM_MEDIA}) ids CROSS JOIN range(48) r
+    UNION ALL
+    SELECT 1000 + ids.range, r.range,
+           CASE WHEN r.range = 0
+                THEN md5('ppm-mut-' || ids.range || '-42-' || r.range)
+                ELSE md5('ppm-' || ids.range || '-42-' || r.range) END
+    FROM range({N_PPM_MEDIA}) ids CROSS JOIN range(48) r
+),
+bytes AS (
+    SELECT id, (r * 16 + b.range) AS pos,
+           16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * b.range + 1 AS INTEGER), 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, CAST(2 * b.range + 2 AS INTEGER), 1)) - 1)
+           AS val
+    FROM chunks CROSS JOIN range(16) b
+),
+cells AS (
+    SELECT id,
+           ((pos // 3) // 16) // 2 * 8 + ((pos // 3) % 16) // 2 AS cell,
+           val
+    FROM bytes
+),
+cs AS (
+    SELECT id, cell, CAST(sum(val) AS BIGINT) AS s
+    FROM cells GROUP BY 1, 2
+),
+tot AS (SELECT id, CAST(sum(val) AS BIGINT) AS t FROM bytes GROUP BY 1),
+bits AS (
+    SELECT cs.id, cs.cell,
+           CASE WHEN 64 * cs.s > tot.t THEN 1 ELSE 0 END AS b
+    FROM cs JOIN tot USING (id)
+),
+sigs AS (
+    SELECT id,
+           CAST(sum(CASE WHEN cell >= 32
+                         THEN CAST(b AS BIGINT) << CAST(cell - 32 AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN cell < 32
+                         THEN CAST(b AS BIGINT) << CAST(cell AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS lo
+    FROM bits GROUP BY 1
+)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS BIGINT) AS dist
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+"""
+
+
 _PPM_RESIZE_SQL = f"""WITH chunks AS (
     SELECT ids.range AS id, r.range AS r,
            md5('ppm-' || ids.range || '-42-' || r.range) AS hx
@@ -7170,6 +7228,7 @@ def pipeline_oracles() -> dict[str, str]:
         # real binary decode (PPM P6) through mapInPandas vs the md5
         # byte stream restated in SQL
         "ppm_image_features": _PPM_FEATURES_SQL,
+        "image_ahash_pairs": _AHASH_PAIRS_SQL,
         # real resize kernel: stride-2 nearest-neighbor grid, exact
         # integer channel sums (16x16 -> 8x8; pixel = pos//3,
         # row = pixel//16, col = pixel%16, chan = pos%3)

@@ -301,3 +301,36 @@ def test_y4m_frame_sample_is_strided_subset(spark):
     }
     assert sampled == {k: v for k, v in full.items() if k[1] % 2 == 0}
     assert sampled and len(sampled) < len(full)
+
+
+def test_image_ahash_pairs_catches_planted_near_dups(spark):
+    """Exact copies land at dist 0, localized-edit mutants land within
+    the threshold, and unrelated random images never pair; the
+    candidate join is a band equi-join (no nested loop)."""
+    from mircv_project_spark import plans
+    from mircv_project_spark.operators.multimodal import (
+        AHASH_T,
+        generate_ppm_media,
+        generate_ppm_media_with_mutants,
+        image_ahash_pairs,
+        ppm_ahash_sig,
+    )
+    from mircv_project_spark.plans import checks
+
+    media = generate_ppm_media_with_mutants(spark, 16, seed=42)
+    df = image_ahash_pairs(media)
+    checks.assert_no_broadcast_nested_loop(df)
+    got = {(r.id_a, r.id_b): r.dist for r in df.collect()}
+    # every pair is an (original, its mutant) pair — random images
+    # never land within 7 bits of each other
+    assert got
+    assert all(b == a + 1000 for a, b in got)
+    assert all(0 <= d <= AHASH_T for d in got.values())
+
+    # kernel model check: signature of an exact byte copy is identical
+    rows = generate_ppm_media(spark, 2, seed=7).collect()
+    s0 = ppm_ahash_sig(bytes(rows[0].payload), "image")
+    s0b = ppm_ahash_sig(bytes(rows[0].payload), "image")
+    s1 = ppm_ahash_sig(bytes(rows[1].payload), "image")
+    assert s0 == s0b and s0 != s1
+    assert all(0 <= h < (1 << 32) for h in s0)
