@@ -2093,6 +2093,22 @@ def _q_image_ahash_pairs(spark, sf_dir):
     )
 
 
+def _q_audio_fingerprint_pairs(spark, sf_dir):
+    """Audio energy-delta fingerprint near-dup pairs
+    (multimodal.audio_fingerprint_pairs): real WAV decode kernel,
+    31-bit integer signature, 4-byte-band equi-join with pigeonhole-
+    exact recall at dist <= 3; corpus = originals + chunk-0 mutants;
+    sf_dir unused (synthetic media)."""
+    from mircv_project_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        generate_wav_media_with_mutants,
+    )
+
+    return audio_fingerprint_pairs(
+        generate_wav_media_with_mutants(spark, oracle.N_WAV_MEDIA, seed=42)
+    )
+
+
 def _q_ppm_image_features(spark, sf_dir):
     """REAL (dependency-free) image decode under the oracle gate: a
     pure-Catalyst P6 writer synthesizes genuine binary-PPM images, the
@@ -3425,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real binary image decode (P6) through mapInPandas, hash-gated
         "ppm_image_features": _q_ppm_image_features,
         "image_ahash_pairs": _q_image_ahash_pairs,
+        "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
         "ppm_resize": _q_ppm_resize,
         "wav_audio_features": _q_wav_audio_features,
         "y4m_frame_stats": _q_y4m_frame_stats,

@@ -762,3 +762,158 @@ def generate_ppm_media_with_mutants(
         F.create_map(F.lit("seed"), F.lit(str(seed))).alias("meta"),
     )
     return orig.unionByName(mut)
+
+
+AFP_FRAME = 16  # samples per energy frame -> 32 frames, 31 delta bits
+AFP_T = 3  # hamming threshold; < number of bands (4) -> banding EXACT
+
+
+def wav_fingerprint_sig(payload: bytes, kind: str) -> int:
+    """REAL dependency-free audio fingerprint kernel (the
+    chromaprint idea in its integer skeleton): parse the RIFF/WAVE
+    payload (the wav_audio_features parser discipline), sum |sample|
+    over 16-sample frames (exact integer energies), and set bit i iff
+    energy[i+1] > energy[i] STRICT — the energy-delta sign sequence,
+    robust to global gain changes by construction.  31 bits -> always
+    a positive BIGINT (no split needed)."""
+    if kind != "audio":
+        raise ValueError("fingerprint is defined for audio payloads")
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    data = None
+    fmt_ok = False
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, _, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError("need mono 16-bit PCM")
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # odd-size chunks carry a pad byte
+    if not fmt_ok or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n_frames = samples.size // AFP_FRAME
+    e = np.abs(samples[: n_frames * AFP_FRAME]).reshape(
+        n_frames, AFP_FRAME
+    ).sum(axis=1)
+    sig = 0
+    for i in range(n_frames - 1):
+        if int(e[i + 1]) > int(e[i]):
+            sig |= 1 << i
+    return sig
+
+
+def generate_wav_media_with_mutants(
+    spark: SparkSession, n: int, seed: int = 42
+) -> DataFrame:
+    """The fingerprint gate corpus: the n originals PLUS one mutant
+    per original (media_id = 1000 + i) whose PCM equals the
+    original's except chunk 0 (samples 0..7) comes from
+    md5('wav-mut-...') — a localized edit touching only the first
+    frame's energy.  Restated verbatim in oracle._AUDIO_FP_SQL."""
+    header = F.lit(_wav_header(_WAV_DATA_BYTES))
+    reps = _WAV_DATA_BYTES // 16
+
+    def _chunk(r):
+        return F.md5(F.concat_ws("-", F.lit("wav"), F.col("id"), F.lit(seed), r))
+
+    def _mchunk(r):
+        return F.when(
+            r == 0,
+            F.md5(
+                F.concat_ws("-", F.lit("wav-mut"), F.col("id"), F.lit(seed), r)
+            ),
+        ).otherwise(_chunk(r))
+
+    seqs = F.sequence(F.lit(0), F.lit(reps - 1))
+    meta = F.create_map(F.lit("seed"), F.lit(str(seed)))
+    orig = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(
+            header, F.unhex(F.array_join(F.transform(seqs, _chunk), ""))
+        ).alias("payload"),
+        meta.alias("meta"),
+    )
+    mut = spark.range(n).select(
+        (F.col("id") + F.lit(1000)).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(
+            header, F.unhex(F.array_join(F.transform(seqs, _mchunk), ""))
+        ).alias("payload"),
+        meta.alias("meta"),
+    )
+    return orig.unionByName(mut)
+
+
+def audio_fingerprint_pairs(media: DataFrame, max_dist: int = AFP_T) -> DataFrame:
+    """-> (id_a, id_b, dist): audio near-duplicate pairs by the
+    energy-delta fingerprint — the audio member of the dedup family
+    beside image_ahash_pairs.  Candidates via a 4-byte-band equi-join
+    (band k = bits 8k..8k+7): pigeonhole makes recall EXACTLY 1 at
+    hamming <= 3.  Pins restated in oracle._AUDIO_FP_SQL (change both
+    sides or neither): 16-sample integer |.|-energy frames, strict >
+    delta bits, 31-bit signature, max_dist = 3, pairs id_a < id_b."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                wav_fingerprint_sig(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sig": sigs,
+                }
+            )
+
+    sigs = media.mapInPandas(run, schema="media_id long, sig long")
+    bands = sigs.select(
+        "media_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        (
+                            F.shiftright(F.col("sig"), k * 8).bitwiseAND(
+                                F.lit(255)
+                            )
+                        ).alias("v"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "media_id",
+        "sig",
+        F.col("b.k").alias("bk"),
+        F.col("b.v").alias("bv"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("sig").alias("sa"), "bk", "bv"
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("sig").alias("sb"), "bk", "bv"
+    )
+    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["bk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+        .distinct()
+        .where(F.col("dist") <= max_dist)
+    )

@@ -5177,6 +5177,55 @@ ORDER BY media_id, strip
 """
 
 
+# Audio energy-delta fingerprint near-dup pairs
+# (operators/multimodal.audio_fingerprint_pairs).  Pins restated
+# verbatim (change both sides or neither): 16-sample integer
+# |.|-energy frames over the decoded int16 PCM, bit i = energy[i+1] >
+# energy[i] STRICT, 31-bit signature, pairs id_a < id_b with hamming
+# dist <= 3; corpus = originals + 'wav-mut' chunk-0 mutants.
+_AUDIO_FP_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, r.range AS r,
+           md5('wav-' || ids.range || '-42-' || r.range) AS hx
+    FROM range({N_WAV_MEDIA}) ids CROSS JOIN range(64) r
+    UNION ALL
+    SELECT 1000 + ids.range, r.range,
+           CASE WHEN r.range = 0
+                THEN md5('wav-mut-' || ids.range || '-42-' || r.range)
+                ELSE md5('wav-' || ids.range || '-42-' || r.range) END
+    FROM range({N_WAV_MEDIA}) ids CROSS JOIN range(64) r
+),
+samples AS (
+    SELECT id, (r * 8 + s.range) AS pos,
+           ({_hexbyte('hx', '4 * s.range + 1')})
+           + 256 * ({_hexbyte('hx', '4 * s.range + 3')}) AS uval
+    FROM chunks CROSS JOIN range(8) s
+),
+fe AS (
+    SELECT id, pos // 16 AS frame,
+           CAST(sum(abs(CASE WHEN uval >= 32768 THEN uval - 65536
+                             ELSE uval END)) AS BIGINT) AS e
+    FROM samples GROUP BY 1, 2
+),
+db AS (
+    SELECT id, frame,
+           CASE WHEN lead(e) OVER (PARTITION BY id ORDER BY frame) > e
+                THEN 1 ELSE 0 END AS b
+    FROM fe
+),
+sigs AS (
+    SELECT id,
+           CAST(sum(CASE WHEN frame < 31
+                         THEN CAST(b AS BIGINT) << CAST(frame AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS sig
+    FROM db GROUP BY 1
+)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 # Real video-decode gate: restate generate_y4m_media's md5 plane stream
 # (6 frames x 12 chunks keyed 'y4m-<id>-<seed>-<globalchunk>', each
 # frame = 64-byte Y, U, V planes in C444 order) and recompute per-frame
@@ -7229,6 +7278,7 @@ def pipeline_oracles() -> dict[str, str]:
         # byte stream restated in SQL
         "ppm_image_features": _PPM_FEATURES_SQL,
         "image_ahash_pairs": _AHASH_PAIRS_SQL,
+        "audio_fingerprint_pairs": _AUDIO_FP_SQL,
         # real resize kernel: stride-2 nearest-neighbor grid, exact
         # integer channel sums (16x16 -> 8x8; pixel = pos//3,
         # row = pixel//16, col = pixel%16, chan = pos%3)

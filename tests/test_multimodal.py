@@ -334,3 +334,32 @@ def test_image_ahash_pairs_catches_planted_near_dups(spark):
     s1 = ppm_ahash_sig(bytes(rows[1].payload), "image")
     assert s0 == s0b and s0 != s1
     assert all(0 <= h < (1 << 32) for h in s0)
+
+
+def test_audio_fingerprint_pairs_catches_planted_near_dups(spark):
+    """Mutant clips land within the threshold (only the first frame's
+    energy changes -> bit 0 at most), random clips never pair, and
+    the candidate join is a band equi-join."""
+    from mircv_project_spark.operators.multimodal import (
+        AFP_T,
+        audio_fingerprint_pairs,
+        generate_wav_media,
+        generate_wav_media_with_mutants,
+        wav_fingerprint_sig,
+    )
+    from mircv_project_spark.plans import checks
+
+    media = generate_wav_media_with_mutants(spark, 16, seed=42)
+    df = audio_fingerprint_pairs(media)
+    checks.assert_no_broadcast_nested_loop(df)
+    got = {(r.id_a, r.id_b): r.dist for r in df.collect()}
+    assert got
+    assert all(b == a + 1000 for a, b in got)
+    assert all(0 <= d <= AFP_T for d in got.values())
+    # a chunk-0 edit can only flip the first delta bit
+    assert all(d <= 1 for d in got.values())
+
+    rows = generate_wav_media(spark, 2, seed=9).collect()
+    s0 = wav_fingerprint_sig(bytes(rows[0].payload), "audio")
+    s1 = wav_fingerprint_sig(bytes(rows[1].payload), "audio")
+    assert s0 != s1 and 0 <= s0 < (1 << 31)
