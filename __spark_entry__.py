@@ -2109,6 +2109,22 @@ def _q_audio_fingerprint_pairs(spark, sf_dir):
     )
 
 
+def _q_video_fingerprint_pairs(spark, sf_dir):
+    """Video per-frame Y-plane aHash near-dup pairs
+    (multimodal.video_fingerprint_pairs): real y4m decode kernel,
+    identical-frame equi-join candidates (pigeonhole-exact at total
+    dist <= 5 over 6 frames); corpus = originals + frame-0 pixel-0
+    mutants; sf_dir unused (synthetic media)."""
+    from mircv_project_spark.operators.multimodal import (
+        generate_y4m_media_with_mutants,
+        video_fingerprint_pairs,
+    )
+
+    return video_fingerprint_pairs(
+        generate_y4m_media_with_mutants(spark, oracle.N_Y4M_MEDIA, seed=42)
+    )
+
+
 def _q_ppm_image_features(spark, sf_dir):
     """REAL (dependency-free) image decode under the oracle gate: a
     pure-Catalyst P6 writer synthesizes genuine binary-PPM images, the
@@ -3442,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_image_features": _q_ppm_image_features,
         "image_ahash_pairs": _q_image_ahash_pairs,
         "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
+        "video_fingerprint_pairs": _q_video_fingerprint_pairs,
         "ppm_resize": _q_ppm_resize,
         "wav_audio_features": _q_wav_audio_features,
         "y4m_frame_stats": _q_y4m_frame_stats,

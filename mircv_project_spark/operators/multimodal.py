@@ -917,3 +917,171 @@ def audio_fingerprint_pairs(media: DataFrame, max_dist: int = AFP_T) -> DataFram
         .distinct()
         .where(F.col("dist") <= max_dist)
     )
+
+
+VFP_T = 5  # total hamming over frames; < Y4M_FRAMES -> pigeonhole EXACT
+
+
+def y4m_frame_sigs(payload: bytes, kind: str) -> list[tuple[int, int, int]]:
+    """REAL video fingerprint kernel: parse the YUV4MPEG2 stream (the
+    y4m_frame_stats parser — _parse_y4m), and per frame compute the
+    Y-plane average hash over the 64 pixels (bit p set iff 64 *
+    Y[p] > plane_sum, STRICT, row-major p) — all integer.  Returns
+    [(frame, sig_hi, sig_lo), ...] with the 64 bits split into 32-bit
+    halves (the aHash discipline)."""
+    if kind != "video":
+        raise ValueError("frame sigs are defined for video payloads")
+    w, h, _cs, frames = _parse_y4m(payload)
+    out = []
+    for fidx, (y, _u, _v) in enumerate(frames):
+        yv = y.astype(np.int64).ravel()
+        total = int(yv.sum())
+        n = yv.size
+        sig = 0
+        for p in range(n):
+            if n * int(yv[p]) > total:
+                sig |= 1 << p
+        out.append((fidx, (sig >> 32) & 0xFFFFFFFF, sig & 0xFFFFFFFF))
+    return out
+
+
+def generate_y4m_media_with_mutants(
+    spark: SparkSession, n: int, seed: int = 42
+) -> DataFrame:
+    """The video-fingerprint gate corpus: the n originals PLUS one
+    mutant per original (media_id = 1000 + i) whose byte stream
+    equals the original's except frame 0's FIRST BYTE (Y pixel (0,0))
+    is zeroed — the mutant chunk-0 hex string starts '00'.  Restated
+    verbatim in oracle._VIDEO_FP_SQL."""
+    header = F.lit(
+        f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C444\n"
+    ).cast("binary")
+    marker = F.lit(b"FRAME\n")
+    chunks_per_frame = _Y4M_FRAME_BYTES // 16
+
+    def _body(mutant: bool):
+        def _frame(fidx):
+            def _chunk(c):
+                hx = F.md5(
+                    F.concat_ws(
+                        "-", F.lit("y4m"), F.col("id"), F.lit(seed),
+                        fidx * chunks_per_frame + c,
+                    )
+                )
+                if mutant:
+                    return F.when(
+                        (fidx == 0) & (c == F.lit(0)),
+                        F.concat(F.lit("00"), F.substring(hx, 3, 30)),
+                    ).otherwise(hx)
+                return hx
+
+            return F.concat(
+                marker,
+                F.unhex(
+                    F.array_join(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(chunks_per_frame - 1)),
+                            _chunk,
+                        ),
+                        "",
+                    )
+                ),
+            )
+
+        return F.concat(*[_frame(F.lit(i)) for i in range(Y4M_FRAMES)])
+
+    meta = F.create_map(F.lit("seed"), F.lit(str(seed)))
+    orig = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.concat(header, _body(False)).alias("payload"),
+        meta.alias("meta"),
+    )
+    mut = spark.range(n).select(
+        (F.col("id") + F.lit(1000)).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.concat(header, _body(True)).alias("payload"),
+        meta.alias("meta"),
+    )
+    return orig.unionByName(mut)
+
+
+def video_fingerprint_pairs(media: DataFrame, max_dist: int = VFP_T) -> DataFrame:
+    """-> (id_a, id_b, dist): video near-duplicate pairs by per-frame
+    Y-plane average hashes — the video member of the dedup family
+    beside image_ahash_pairs and audio_fingerprint_pairs.  dist =
+    TOTAL hamming distance across the aligned frame signatures.
+
+    Candidate generation joins on an IDENTICAL FRAME signature
+    (frame_idx, sig_hi, sig_lo): by pigeonhole, total dist <= 5 over
+    6 frames forces at least one frame pair at distance 0, so the
+    equi-join has recall EXACTLY 1 at the pinned threshold.  Pins
+    restated in oracle._VIDEO_FP_SQL (change both sides or neither):
+    the strict 64*Y > plane_sum bit rule, row-major pixels, (hi, lo)
+    split, max_dist = 5, pairs id_a < id_b.
+
+    Scale shape: decode+hash is mapInPandas; candidates through the
+    per-frame signature equi-join (never an all-pairs scan); the
+    exact total distance touches candidates only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, k in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
+                for fidx, hi, lo in y4m_frame_sigs(p, k):
+                    rows.append((int(mid), fidx, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame", "sig_hi", "sig_lo"]
+            )
+
+    sigs = media.mapInPandas(
+        run, schema="media_id long, frame int, sig_hi long, sig_lo long"
+    ).persist()
+    a = sigs.select(
+        F.col("media_id").alias("id_a"),
+        "frame",
+        F.col("sig_hi").alias("ha"),
+        F.col("sig_lo").alias("la"),
+    )
+    b = sigs.select(
+        F.col("media_id").alias("id_b"),
+        "frame",
+        F.col("sig_hi").alias("hb"),
+        F.col("sig_lo").alias("lb"),
+    )
+    cand = (
+        a.join(b, ["frame"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("ha") == F.col("hb"))
+            & (F.col("la") == F.col("lb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    av = sigs.select(
+        F.col("media_id").alias("id_a"),
+        "frame",
+        F.col("sig_hi").alias("ha"),
+        F.col("sig_lo").alias("la"),
+    )
+    bv = sigs.select(
+        F.col("media_id").alias("id_b"),
+        "frame",
+        F.col("sig_hi").alias("hb"),
+        F.col("sig_lo").alias("lb"),
+    )
+    dist = (
+        cand.join(av, "id_a")
+        .join(bv, ["id_b", "frame"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            ).cast("long").alias("dist")
+        )
+    )
+    return dist.where(F.col("dist") <= max_dist)

@@ -5226,6 +5226,65 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+# Video per-frame Y-plane aHash near-dup pairs
+# (operators/multimodal.video_fingerprint_pairs).  Pins restated
+# verbatim (change both sides or neither): bit p = 64 * Y[p] >
+# plane_sum STRICT (row-major over the 8x8 Y plane), (hi, lo) 32-bit
+# split per frame, dist = TOTAL hamming over the 6 aligned frames,
+# pairs id_a < id_b with dist <= 5; corpus = originals + mutants
+# whose frame-0 chunk-0 hex starts '00' (Y pixel (0,0) zeroed).
+_VIDEO_FP_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, c.range AS c,
+           md5('y4m-' || ids.range || '-42-' || c.range) AS hx
+    FROM range({N_Y4M_MEDIA}) ids CROSS JOIN range(72) c
+    UNION ALL
+    SELECT 1000 + ids.range, c.range,
+           CASE WHEN c.range = 0
+                THEN '00' || substr(md5('y4m-' || ids.range || '-42-'
+                                        || c.range), 3, 30)
+                ELSE md5('y4m-' || ids.range || '-42-' || c.range) END
+    FROM range({N_Y4M_MEDIA}) ids CROSS JOIN range(72) c
+),
+bytes AS (
+    SELECT id, (c * 16 + b.range) AS pos,
+           {_hexbyte('hx', '2 * b.range + 1')} AS val
+    FROM chunks CROSS JOIN range(16) b
+),
+ybytes AS (
+    SELECT id, pos // 192 AS frame, pos % 192 AS pixel, val
+    FROM bytes WHERE pos % 192 < 64
+),
+ysum AS (
+    SELECT id, frame, CAST(sum(val) AS BIGINT) AS t
+    FROM ybytes GROUP BY 1, 2
+),
+bits AS (
+    SELECT y.id, y.frame, y.pixel,
+           CASE WHEN 64 * y.val > s.t THEN 1 ELSE 0 END AS b
+    FROM ybytes y JOIN ysum s ON s.id = y.id AND s.frame = y.frame
+),
+fsigs AS (
+    SELECT id, frame,
+           CAST(sum(CASE WHEN pixel >= 32
+                         THEN CAST(b AS BIGINT) << CAST(pixel - 32 AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN pixel < 32
+                         THEN CAST(b AS BIGINT) << CAST(pixel AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS lo
+    FROM bits GROUP BY 1, 2
+),
+pd AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(sum(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo))) AS BIGINT) AS dist
+    FROM fsigs a JOIN fsigs b ON a.id < b.id AND a.frame = b.frame
+    GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, dist
+FROM pd WHERE dist <= 5
+"""
+
+
 # Real video-decode gate: restate generate_y4m_media's md5 plane stream
 # (6 frames x 12 chunks keyed 'y4m-<id>-<seed>-<globalchunk>', each
 # frame = 64-byte Y, U, V planes in C444 order) and recompute per-frame
@@ -7279,6 +7338,7 @@ def pipeline_oracles() -> dict[str, str]:
         "ppm_image_features": _PPM_FEATURES_SQL,
         "image_ahash_pairs": _AHASH_PAIRS_SQL,
         "audio_fingerprint_pairs": _AUDIO_FP_SQL,
+        "video_fingerprint_pairs": _VIDEO_FP_SQL,
         # real resize kernel: stride-2 nearest-neighbor grid, exact
         # integer channel sums (16x16 -> 8x8; pixel = pos//3,
         # row = pixel//16, col = pixel%16, chan = pos%3)

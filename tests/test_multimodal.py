@@ -363,3 +363,31 @@ def test_audio_fingerprint_pairs_catches_planted_near_dups(spark):
     s0 = wav_fingerprint_sig(bytes(rows[0].payload), "audio")
     s1 = wav_fingerprint_sig(bytes(rows[1].payload), "audio")
     assert s0 != s1 and 0 <= s0 < (1 << 31)
+
+
+def test_video_fingerprint_pairs_catches_planted_near_dups(spark):
+    """Frame-0 pixel-0 mutants land within the threshold (5 intact
+    frames guarantee the frame-equality candidates fire), random
+    videos never pair, and the candidate join is an equi-join."""
+    from mircv_project_spark.operators.multimodal import (
+        VFP_T,
+        generate_y4m_media_with_mutants,
+        video_fingerprint_pairs,
+        y4m_frame_sigs,
+    )
+    from mircv_project_spark.plans import checks
+
+    media = generate_y4m_media_with_mutants(spark, 8, seed=42)
+    df = video_fingerprint_pairs(media)
+    checks.assert_no_broadcast_nested_loop(df)
+    got = {(r.id_a, r.id_b): r.dist for r in df.collect()}
+    assert got
+    assert all(b == a + 1000 for a, b in got)
+    assert all(0 <= d <= VFP_T for d in got.values())
+
+    # kernel: per-frame sigs are 6 frames of 32-bit halves
+    rows = media.where("media_id = 0").collect()
+    sigs = y4m_frame_sigs(bytes(rows[0].payload), "video")
+    assert [f for f, _, _ in sigs] == list(range(6))
+    assert all(0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+               for _, hi, lo in sigs)
