@@ -1562,6 +1562,14 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS report stage (textstats.winnow_pairs): pairs sharing >= 2
+    winnowing fingerprints after the df <= 10 boilerplate drop."""
+    from mircv_project_spark.operators.textstats import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir))
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """MOSS winnowing local fingerprints (guaranteed-coverage substring
     overlap detection) — params pinned to textstats.WINNOW_K/WINNOW_W."""
@@ -3360,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         # curation family: benchmark decontamination (broadcast n-gram
         # semi-join), Gopher repetition filters, PII scrub (injected-PII
         # corpus), deterministic domain-mix sampling — all full-oracle

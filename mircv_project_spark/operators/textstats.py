@@ -296,3 +296,47 @@ def winnow_fingerprints(
         .alias("pos"),
         F.shiftright(F.col("mk"), _WIN_POS_BITS).cast("long").alias("fp"),
     )
+
+
+WP_MAXDF = 10  # fingerprints in more docs than this are boilerplate
+WP_MIN = 2  # report pairs sharing at least this many fingerprints
+
+
+def winnow_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id_a, id_b, n_shared): document pairs sharing winnowing
+    fingerprints — the MOSS report stage on top of
+    winnow_fingerprints (Schleimer et al. SIGMOD 2003 run pair
+    scoring exactly this way): n_shared = DISTINCT fingerprint VALUES
+    common to both docs, pairs with n_shared >= 2 emitted, id_a <
+    id_b.
+
+    Pinned semantics (restated in oracle._winnow_pairs_sql — change
+    both sides or neither): fingerprint table = winnow_fingerprints'
+    pinned selection collapsed to distinct (id, fp); fingerprints
+    present in MORE THAN 10 documents are dropped BEFORE pairing
+    (MOSS's ignore-common-code rule — template boilerplate would
+    otherwise dominate every pair AND blow up the join fanout);
+    threshold n_shared >= 2.
+
+    Scale shape (100 TB): the df cap is what bounds the self-join —
+    each surviving fingerprint fans out <= maxdf^2 pairs, the minhash
+    bucket-cap discipline; everything else is equi-joins and
+    aggregates."""
+    fps = winnow_fingerprints(docs, id_col, text_col).select(
+        "id", "fp"
+    ).distinct()
+    df = fps.groupBy("fp").agg(F.count("*").alias("d"))
+    kept = fps.join(df.where(F.col("d") <= WP_MAXDF), "fp").select(
+        "id", "fp"
+    )
+    a = kept.select(F.col("id").alias("id_a"), "fp")
+    b = kept.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= WP_MIN)
+    )

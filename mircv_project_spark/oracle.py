@@ -2788,6 +2788,26 @@ ORDER BY id, pos
 """
 
 
+def _winnow_pairs_sql(k: int, w: int) -> str:
+    """textstats.winnow_pairs (the MOSS report stage): distinct
+    (id, fp) from the pinned winnowing selection, fingerprints in
+    > 10 docs dropped BEFORE pairing, pairs id_a < id_b with
+    n_shared >= 2."""
+    base = _winnow_sql(k, w).rsplit("ORDER BY", 1)[0]
+    return f"""WITH wf AS ({base}),
+fps AS (SELECT DISTINCT id, fp FROM wf),
+fdf AS (SELECT fp, count(*) AS d FROM fps GROUP BY 1),
+kept AS (
+    SELECT fps.id, fps.fp FROM fps JOIN fdf USING (fp) WHERE fdf.d <= 10
+)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 _EXACT_DEDUP_SQL = f"""WITH {_DOC_TOKENS}
 SELECT md5(array_to_string(tokens, ' ')) AS text_hash,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -7241,6 +7261,7 @@ def pipeline_oracles() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         # MOSS winnowing local fingerprints (textstats.winnow_fingerprints)
         "winnow_fingerprints": _winnow_sql(4, 5),
+        "winnow_pairs": _winnow_pairs_sql(4, 5),
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_topk_filtered": _COSINE_FILTERED_SQL,
         "knn_classify": _KNN_CLASSIFY_SQL,
