@@ -1185,6 +1185,15 @@ def _q_conversation_stats(spark, sf_dir):
     return conversation_stats(load_transcripts(spark, sf_dir))
 
 
+def _q_instruction_pairs(spark, sf_dir):
+    """SFT instruction/response pair extraction
+    (dialogue.instruction_pairs): strictly adjacent user->assistant
+    turn pairs with T1-T5 token counts."""
+    from mircv_project_spark.operators.dialogue import instruction_pairs
+
+    return instruction_pairs(load_transcripts(spark, sf_dir))
+
+
 def _q_turn_windows(spark, sf_dir):
     """Sliding 3-turn context windows per conversation
     (operators/dialogue.turn_windows)."""
@@ -3514,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc": _q_streaming_cdc,
         "scd2_history": _q_scd2_history,
         "turn_windows": _q_turn_windows,
+        "instruction_pairs": _q_instruction_pairs,
         "assistant_token_spans": _q_assistant_token_spans,
         "session_paths": _q_session_paths,
     }

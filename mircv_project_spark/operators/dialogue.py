@@ -89,3 +89,44 @@ def assistant_token_spans(transcripts: DataFrame) -> DataFrame:
         F.sum("ntok").over(win).cast("long").alias("end_tok"),
         "is_target",
     )
+
+
+def instruction_pairs(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, turn_idx, prompt, response, prompt_ntok,
+    response_ntok): SFT instruction/response pair extraction — every
+    assistant turn paired with the IMMEDIATELY preceding user turn of
+    its conversation (the canonical supervised-fine-tuning example
+    miner over a chat corpus).
+
+    Pinned semantics (restated in oracle._INSTRUCTION_PAIRS_SQL via
+    the documents->transcripts id law — change both sides or
+    neither): STRICT adjacency (prev turn_idx == turn_idx - 1 in the
+    SAME conversation) AND prev role == 'user' — an assistant turn
+    following a tool/system turn emits nothing; turn_idx = the
+    ASSISTANT turn's index; token counts = the T1-T5 token pipeline
+    (textnorm.tokens_col), NULL text counts 0.
+
+    Scale shape (100 TB): ONE self-equi-join on (conv_id, turn_idx-1)
+    — co-located under a conv-bucketed layout, never a window over
+    full conversations."""
+    a = transcripts.where(F.col("role") == "assistant").select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("text").alias("response"),
+    )
+    u = transcripts.where(F.col("role") == "user").select(
+        "conv_id",
+        (F.col("turn_idx").cast("int") + F.lit(1)).alias("turn_idx"),
+        F.col("text").alias("prompt"),
+    )
+    ntok = lambda c: F.coalesce(  # noqa: E731 — tiny local shorthand
+        F.size(tokens_col(F.col(c))), F.lit(0)
+    ).cast("long")
+    return a.join(u, ["conv_id", "turn_idx"]).select(
+        "conv_id",
+        "turn_idx",
+        "prompt",
+        "response",
+        ntok("prompt").alias("prompt_ntok"),
+        ntok("response").alias("response_ntok"),
+    )

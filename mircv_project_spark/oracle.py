@@ -2559,6 +2559,33 @@ ORDER BY conv_id, turn_idx
 
 
 
+# SFT instruction/response pairs (operators/dialogue.instruction_pairs).
+# Pins restated verbatim via the documents->transcripts id law (change
+# both sides or neither): strict adjacency (prev turn_idx ==
+# turn_idx - 1, same conv) AND prev role 'user'; turn_idx = the
+# assistant turn's; ntok = the T1-T5 token pipeline.
+_INSTRUCTION_PAIRS_SQL = f"""WITH t AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR),
+                           12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           list_extract(['user', 'assistant', 'system', 'tool'],
+                        CAST(doc_id % 4 AS INTEGER) + 1) AS role,
+           text
+    FROM documents
+)
+SELECT a.conv_id, a.turn_idx,
+       u.text AS prompt, a.text AS response,
+       CAST(len({_TOKENS_EXPR.format(col='u.text')}) AS BIGINT)
+           AS prompt_ntok,
+       CAST(len({_TOKENS_EXPR.format(col='a.text')}) AS BIGINT)
+           AS response_ntok
+FROM t a
+JOIN t u ON u.conv_id = a.conv_id AND u.turn_idx = a.turn_idx - 1
+WHERE a.role = 'assistant' AND u.role = 'user'
+"""
+
+
 def _scd2_sql() -> str:
     """SCD type-2 history (operators/cdc.scd2_history) over the SAME
     pinned change feed as cdc_apply: per key ordered by seq asc,
@@ -7421,6 +7448,7 @@ def pipeline_oracles() -> dict[str, str]:
         # window under any feed split
         "streaming_cdc": _cdc_apply_sql(),
         "scd2_history": _scd2_sql(),
+        "instruction_pairs": _INSTRUCTION_PAIRS_SQL,
         "turn_windows": _turn_windows_sql(3),
         "assistant_token_spans": _assistant_spans_sql(),
         # streaming SpaceSaving == batch top-k at the pinned capacity

@@ -52,3 +52,37 @@ def test_assistant_token_spans_exact(spark):
         2: (5, 5, False),  # NULL text: zero-width span
         3: (5, 6, True),
     }
+
+
+def test_instruction_pairs_strict_adjacency(spark):
+    """Only assistant turns IMMEDIATELY preceded by a user turn emit;
+    tool/system gaps and conversation starts emit nothing."""
+    from mircv_project_spark.operators.dialogue import instruction_pairs
+
+    rows = [
+        ("c1", 0, "user", "ask one", None, 1),
+        ("c1", 1, "assistant", "answer one", None, 2),   # pairs
+        ("c1", 2, "system", "note", None, 3),
+        ("c1", 3, "assistant", "orphan", None, 4),       # after system: no
+        ("c2", 0, "assistant", "cold open", None, 5),    # no prev: no
+        ("c2", 1, "user", "ask two", None, 6),
+        ("c2", 2, "assistant", "answer two", None, 7),   # pairs
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, us long",
+    ).selectExpr(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "timestamp_micros(us) AS ts",
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (
+            r.prompt, r.response, r.prompt_ntok, r.response_ntok
+        )
+        for r in instruction_pairs(df).collect()
+    }
+    assert got == {
+        ("c1", 1): ("ask one", "answer one", 2, 2),
+        ("c2", 2): ("ask two", "answer two", 2, 2),
+    }
