@@ -986,6 +986,15 @@ def _q_bloom_terms(spark, sf_dir):
     return bloom_term_filter(_docs(spark, sf_dir), list(oracle.BLOOM_PROBES))
 
 
+def _q_embedding_moments(spark, sf_dir):
+    """Exact integer first/second moments of the embedding matrix
+    (clustering.embedding_moments): partial int64 Gram matmuls per
+    Arrow batch, one (i, j)-keyed sum — the PCA/whitening prep."""
+    from mircv_project_spark.operators.clustering import embedding_moments
+
+    return embedding_moments(_emb(spark, sf_dir))
+
+
 def _q_conv_mean_embeddings(spark, sf_dir):
     """Mean-pooled conversation embeddings
     (clustering.conv_mean_embeddings): integer micro pooling over the
@@ -3503,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": _q_knn_classify,
         "nearest_centroid": _q_nearest_centroid,
         "conv_mean_embeddings": _q_conv_mean_embeddings,
+        "embedding_moments": _q_embedding_moments,
         "dense_maxp_topk": _q_dense_maxp_topk,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,

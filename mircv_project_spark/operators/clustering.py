@@ -374,3 +374,79 @@ def conv_mean_embeddings(
     return members.join(pooled, "conv_id").select(
         "conv_id", "n_members", "pooled"
     )
+
+
+def embedding_moments(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (i, j, n, sum_i, sum_j, sum_ij) for the upper triangle
+    i <= j (1-based dims): exact integer first and second moments of
+    the micro-quantized embedding matrix — everything PCA / whitening
+    / OPQ rotation training needs from the distributed pass (the
+    covariance is n*sum_ij - sum_i*sum_j, assembled driver-side at
+    d x d scale; eigen-decomposition is a driver-side numpy step on
+    that tiny matrix, not a distributed op).
+
+    Exactness contract (the k-means discipline): components
+    micro-quantized BIGINT, every emitted sum an exact BIGINT
+    (sum_ij <= n * 1e12 — keep n below ~9e6 per job or rescale MICRO;
+    the final covariance subtraction is the driver's to do in Python
+    ints, NOT here, because n * sum_ij overflows BIGINT first).
+    Restated verbatim in oracle._EMB_MOMENTS_SQL (change both sides
+    or neither).
+
+    Scale shape (100 TB): mapInPandas partial GRAM matrices — one
+    exact int64 X^T X matmul per Arrow batch, d*(d+1)/2 rows out per
+    batch (the map-side combine), then ONE (i, j)-keyed sum; the
+    n*d^2 exploded form never materializes."""
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    q = embeddings.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(KM_MICRO))).cast(
+                "long"
+            ),
+        ).alias("qv")
+    )
+
+    def gram(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _np.asarray(
+                [_np.asarray(v, dtype=_np.int64) for v in pdf["qv"]]
+            )
+            g = m.T @ m  # exact int64 partial Gram
+            s = m.sum(axis=0)
+            d = m.shape[1]
+            iu, ju = _np.triu_indices(d)
+            yield _pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int64"),
+                    "j": (ju + 1).astype("int64"),
+                    "n": _np.full(iu.size, len(pdf), dtype="int64"),
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "sij": g[iu, ju],
+                }
+            )
+
+    return (
+        q.mapInPandas(
+            gram,
+            schema="i long, j long, n long, si long, sj long, sij long",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("si").cast("long").alias("sum_i"),
+            F.sum("sj").cast("long").alias("sum_j"),
+            F.sum("sij").cast("long").alias("sum_ij"),
+        )
+    )

@@ -2867,6 +2867,32 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+# Embedding first/second moments (operators/clustering.embedding_moments):
+# micro-quantized components, exact BIGINT sums over the upper
+# triangle i <= j (1-based dims) — the PCA/whitening prep pass.
+_EMB_MOMENTS_SQL = """WITH q AS (
+    SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+d1 AS (
+    SELECT generate_subscripts(qv, 1) AS i, unnest(qv) AS vi, qv
+    FROM q
+),
+d2 AS (
+    SELECT i, vi, generate_subscripts(qv, 1) AS j, unnest(qv) AS vj
+    FROM d1
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vi) AS BIGINT) AS sum_i,
+       CAST(sum(vj) AS BIGINT) AS sum_j,
+       CAST(sum(vi * vj) AS BIGINT) AS sum_ij
+FROM d2 WHERE i <= j
+GROUP BY 1, 2
+"""
+
+
 # Mean-pooled conversation embeddings
 # (operators/clustering.conv_mean_embeddings): k-means integer
 # discipline — micro components, exact per-(conv, dim) sums, mean =
@@ -7294,6 +7320,7 @@ def pipeline_oracles() -> dict[str, str]:
         "knn_classify": _KNN_CLASSIFY_SQL,
         "nearest_centroid": _NEAREST_CENTROID_SQL,
         "conv_mean_embeddings": _CONV_MEAN_EMB_SQL,
+        "embedding_moments": _EMB_MOMENTS_SQL,
         "dense_maxp_topk": _DENSE_MAXP_SQL,
         "knn_join": _KNN_JOIN_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)

@@ -189,3 +189,37 @@ def test_conv_mean_embeddings_array_api_matches_python(spark):
     ]
     assert got["conv-000000000000"] == (2, m0)
     assert got["conv-000000000001"] == (1, [1_000_000, 0, 0])
+
+
+def test_embedding_moments_assemble_exact_covariance(spark):
+    """The driver-side assembly the op exists for: scaled covariance
+    n*sum_ij - sum_i*sum_j (python ints, no overflow) equals numpy's
+    computation on the quantized matrix exactly, and the assembled
+    matrix is PSD (eigendecomposition runs)."""
+    import numpy as np
+
+    from mircv_project_spark.operators.clustering import embedding_moments
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    rows = embedding_moments(emb).collect()
+    d = max(r.j for r in rows)
+    n = rows[0].n
+    cov = np.zeros((d, d), dtype=object)
+    for r in rows:
+        v = int(r.n) * int(r.sum_ij) - int(r.sum_i) * int(r.sum_j)
+        cov[r.i - 1, r.j - 1] = v
+        cov[r.j - 1, r.i - 1] = v
+
+    q = np.asarray(
+        [
+            np.round(np.asarray(v.embedding, dtype=np.float64) * 1e6)
+            for v in emb.collect()
+        ],
+        dtype=np.int64,
+    )
+    want = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+    assert (cov.astype(np.int64) == want).all()
+    evals = np.linalg.eigvalsh(cov.astype(np.float64))
+    assert evals.min() >= -1e-3 * abs(evals.max())  # PSD up to fp noise
