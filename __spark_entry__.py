@@ -1568,6 +1568,15 @@ def _q_quality_score(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_token_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility (textstats.token_fertility):
+    subword tokens per whitespace word, integer round-half-away
+    micro rate."""
+    from mircv_project_spark.operators.textstats import token_fertility
+
+    return token_fertility(_docs(spark, sf_dir))
+
+
 def _q_token_counts(spark, sf_dir):
     from mircv_project_spark.operators.textstats import token_counts
 
@@ -3384,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "token_counts": _q_token_counts,
+        "token_fertility": _q_token_fertility,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,

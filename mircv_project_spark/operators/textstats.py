@@ -340,3 +340,49 @@ def winnow_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= WP_MIN)
     )
+
+
+def token_fertility(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (source, n_docs, ws_total, bpe_total, fert_micro): per-source
+    tokenizer FERTILITY — subword tokens per whitespace word, the
+    metric every LLM data pipeline tracks per domain (high-fertility
+    domains eat context budget; Scao et al. BLOOM report it per
+    language exactly this way).
+
+    Pinned semantics (restated in oracle._TOKEN_FERTILITY_SQL — change
+    both sides or neither): ws / bpe formulas are token_counts'
+    VERBATIM (whitespace split with empties dropped; bpe_est = sum of
+    ceil(len/4) over T1-T5 tokens); fert_micro = (2*1e6*bpe_total +
+    ws_total) DIV (2*ws_total), the integer round-half-away rate.
+
+    Scale shape: one partial-aggregating groupBy(source) over the
+    fused per-doc projection."""
+    per_doc = token_counts(docs, id_col, text_col).join(
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(source_col).alias("source"),
+        ),
+        "id",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("ws_total"),
+            F.sum("bpe_est").cast("long").alias("bpe_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "ws_total",
+            "bpe_total",
+            F.expr(
+                "(2 * 1000000 * bpe_total + ws_total) DIV (2 * ws_total)"
+            ).cast("long").alias("fert_micro"),
+        )
+    )

@@ -2767,6 +2767,32 @@ SELECT t.doc_id AS id, w.ws_tokens,
 FROM doctoks t JOIN ws w ON t.doc_id = w.id
 """
 
+# Per-source tokenizer fertility (operators/textstats.token_fertility):
+# token_counts' ws/bpe formulas verbatim, fert_micro = (2*1e6*bpe +
+# ws) DIV (2*ws) integer round-half-away.
+_TOKEN_FERTILITY_SQL = f"""WITH {_DOC_TOKENS},
+ws AS (
+    SELECT doc_id AS id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens
+    FROM documents
+),
+pd AS (
+    SELECT t.doc_id AS id, w.ws_tokens,
+           CAST(coalesce(list_sum(list_transform(t.tokens,
+                x -> CAST(ceil(length(x) / 4) AS INTEGER))), 0) AS BIGINT)
+               AS bpe_est
+    FROM doctoks t JOIN ws w ON t.doc_id = w.id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pd.ws_tokens) AS BIGINT) AS ws_total,
+       CAST(sum(pd.bpe_est) AS BIGINT) AS bpe_total,
+       CAST((2 * 1000000 * sum(pd.bpe_est) + sum(pd.ws_tokens))
+            // (2 * sum(pd.ws_tokens)) AS BIGINT) AS fert_micro
+FROM pd JOIN documents d ON pd.id = d.doc_id
+GROUP BY 1
+"""
+
 _FINGERPRINT_SQL = f"""WITH {_DOC_TOKENS}
 SELECT doc_id AS id, md5(array_to_string(tokens, ' ')) AS fp FROM doctoks
 """
@@ -7311,6 +7337,7 @@ def pipeline_oracles() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "quality_score": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        "token_fertility": _TOKEN_FERTILITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         # MOSS winnowing local fingerprints (textstats.winnow_fingerprints)
         "winnow_fingerprints": _winnow_sql(4, 5),
