@@ -617,6 +617,40 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), oracle.JACCARD_THRESHOLD)
 
 
+def _q_streaming_neardup(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup detection (foreachBatch + a
+    parquet band/shingle delta store) under the batch
+    minhash_lsh_pairs oracle BY DESIGN: every derivation is the batch
+    operator's own shared expression, each pair is discovered exactly
+    once (the epoch its later member arrives), and the bucket cap
+    never binds on the driver corpora — the same condition under
+    which batch LSH equals exact Jaccard."""
+    from mircv_project_spark.streaming.neardup_stream import (
+        all_neardup_pairs,
+        run_streaming_neardup,
+    )
+
+    base = _tmpdir("mircv_sndup_gate_")
+    inp, store, out, ckpt = (
+        f"{base}/in", f"{base}/store", f"{base}/out", f"{base}/ckpt"
+    )
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_neardup(
+        spark, inp, store, out, ckpt, threshold=oracle.JACCARD_THRESHOLD
+    ).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_neardup(
+        spark, inp, store, out, ckpt, threshold=oracle.JACCARD_THRESHOLD
+    ).awaitTermination(300)
+    return all_neardup_pairs(spark, out)
+
+
 def _q_dedup_keep_list(spark, sf_dir):
     """End-to-end near-dup removal decision: MinHash-LSH pairs ->
     connected components (join-based min-label propagation) -> keep =
@@ -3388,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "streaming_neardup": _q_streaming_neardup,
         "dedup_keep_list": _q_dedup_keep_list,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,

@@ -146,6 +146,35 @@ def minhash_signatures(
     return _signatures_from_shingles(shingle_sets(docs, id_col, text_col, n), perms)
 
 
+def lsh_band_rows(
+    sh: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(id, shingle) -> (id, band, bkey): the ONE copy of the
+    signature + banding derivation (md5 over the band's concatenated
+    minhash rows), shared by the batch LSH join and the streaming
+    near-dup store so the two cannot drift."""
+    r = perms // bands
+    sig = _signatures_from_shingles(sh, perms)
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "_", *[F.col("sig")[bi * r + j] for j in range(r)]
+                            )
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -169,29 +198,10 @@ def minhash_lsh_pairs(
     how many buckets/rows that cap discarded (no-silent-caps rule) —
     the count costs one extra aggregate job, so it is on request only.
     """
-    r = perms // bands
     # one shingle derivation reused by signature, candidate-verify and
     # size branches (persisted; see jaccard_pairs note)
     sh = shingle_sets(docs, id_col, text_col, n).persist()
-    sig = _signatures_from_shingles(sh, perms)
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "_", *[F.col("sig")[bi * r + j] for j in range(r)]
-                            )
-                        ).alias("bkey"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bkey")
+    band_rows = lsh_band_rows(sh, perms, bands)
 
     # band_rows feeds the bucket-size agg AND both sides of the
     # candidate self-join: persist (n_docs x bands small rows).

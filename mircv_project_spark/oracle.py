@@ -7331,6 +7331,11 @@ def pipeline_oracles() -> dict[str, str]:
         # banding recall is 1 at the threshold (asserted in tests) —
         # the oracle is the exhaustive computation.
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        # streaming_neardup shares the batch LSH oracle BY DESIGN:
+        # shared band/shingle expressions, each pair discovered in
+        # exactly one epoch, bucket cap non-binding on the driver
+        # corpora (the batch==exact condition)
+        "streaming_neardup": _JACCARD_PAIRS_SQL,
         # connected-components survivor selection over the same pairs
         "dedup_keep_list": _DEDUP_KEEP_SQL,
         "simhash": _simhash_sql(),

@@ -726,3 +726,71 @@ def test_lexicon_diff_statuses(spark, tmp_path):
     # epochs identical -> everything 'stable'
     same = S.lexicon_diff(spark, delta, 1, 1)
     assert same.where(F.col("status") != "stable").count() == 0
+
+
+def test_streaming_neardup_cross_epoch_and_replay(spark, tmp_path):
+    """A near-dup pair split ACROSS epochs is found when the later
+    member arrives; replaying the last batch verbatim changes nothing
+    (epoch-dir overwrite idempotence); results equal the batch
+    operator on the full corpus."""
+    from mircv_project_spark.operators.dedup import minhash_lsh_pairs
+    from mircv_project_spark.streaming.neardup_stream import (
+        all_neardup_pairs,
+        run_streaming_neardup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows1 = [
+        (0, base, "en", "s", 0),
+        (1, "totally different words entirely here now", "en", "s", 0),
+    ]
+    rows2 = [
+        (2, base + " extra", "en", "s", 0),   # near-dup of 0, later epoch
+        (3, "another unrelated document text", "en", "s", 0),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inp, store, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "store"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_neardup(spark, inp, store, out, ckpt, threshold=0.5
+                          ).awaitTermination(120)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_neardup(spark, inp, store, out, ckpt, threshold=0.5
+                          ).awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in all_neardup_pairs(spark, out).collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(batch, 0.5).collect()
+    }
+    assert got == want
+    assert (0, 2) in got  # the cross-epoch pair
+
+    # duplicate re-ingestion: the same documents arrive AGAIN as new
+    # files (a feed replay / backfill overlap).  The store dedups on
+    # (id, value), so jaccards stay exact, re-emitted rows are
+    # byte-identical, and the distinct union is unchanged — row for
+    # row, not just per-key.
+    before = sorted(got.items())
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_neardup(spark, inp, store, out, ckpt, threshold=0.5
+                          ).awaitTermination(120)
+    after_rows = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in all_neardup_pairs(spark, out).collect()
+    )
+    assert after_rows == sorted(
+        (a, b, j) for (a, b), j in before
+    )
