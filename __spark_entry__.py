@@ -1237,6 +1237,48 @@ def _q_instruction_pairs(spark, sf_dir):
     return instruction_pairs(load_transcripts(spark, sf_dir))
 
 
+def _q_streaming_sft(spark, sf_dir):
+    """Streaming SFT pair mining (applyInPandasWithState keyed by
+    conversation, state = the most recent turn) under the batch
+    instruction_pairs oracle BY DESIGN: the doc_id-prefix split keeps
+    every conversation's turns time-ordered across epochs (turn order
+    IS doc order within a conversation — the streaming_funnel feed
+    contract), so the union of per-batch emissions equals the batch
+    miner; token counts derive through the shared expression."""
+    from mircv_project_spark.streaming.sft_stream import (
+        run_streaming_sft,
+        sft_pairs_with_counts,
+    )
+
+    base = _tmpdir("mircv_ssft_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t = load_transcripts(spark, sf_dir).select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role", "text",
+    )
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    conv_split = F.concat(
+        F.lit("conv-"),
+        F.lpad(F.floor(F.lit(split) / 8).cast("string"), 12, "0"),
+    )
+    # epoch 1 = conversations strictly before the split conv PLUS the
+    # split conv's turns below the boundary — a doc_id-prefix split
+    e1 = t.where(
+        (F.col("conv_id") < conv_split)
+        | (
+            (F.col("conv_id") == conv_split)
+            & (F.col("turn_idx") < F.lit(split % 8))
+        )
+    )
+    e2 = t.join(e1, ["conv_id", "turn_idx"], "left_anti")
+    e1.coalesce(1).write.mode("overwrite").parquet(inp)
+    run_streaming_sft(spark, inp, out, ckpt).awaitTermination(300)
+    e2.coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_sft(spark, inp, out, ckpt).awaitTermination(300)
+    return sft_pairs_with_counts(spark.read.parquet(out))
+
+
 def _q_turn_windows(spark, sf_dir):
     """Sliding 3-turn context windows per conversation
     (operators/dialogue.turn_windows)."""
@@ -3579,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "turn_windows": _q_turn_windows,
         "instruction_pairs": _q_instruction_pairs,
+        "streaming_sft": _q_streaming_sft,
         "assistant_token_spans": _q_assistant_token_spans,
         "session_paths": _q_session_paths,
     }

@@ -7508,6 +7508,11 @@ def pipeline_oracles() -> dict[str, str]:
         "streaming_cdc": _cdc_apply_sql(),
         "scd2_history": _scd2_sql(),
         "instruction_pairs": _INSTRUCTION_PAIRS_SQL,
+        # streaming_sft shares the batch oracle BY DESIGN: the
+        # doc_id-prefix split keeps per-conversation turn order across
+        # epochs, so the held-last-turn state sees exactly the batch
+        # adjacency
+        "streaming_sft": _INSTRUCTION_PAIRS_SQL,
         "turn_windows": _turn_windows_sql(3),
         "assistant_token_spans": _assistant_spans_sql(),
         # streaming SpaceSaving == batch top-k at the pinned capacity

@@ -86,3 +86,47 @@ def test_instruction_pairs_strict_adjacency(spark):
         ("c1", 1): ("ask one", "answer one", 2, 2),
         ("c2", 2): ("ask two", "answer two", 2, 2),
     }
+
+
+def test_streaming_sft_pairs_cross_batch_adjacency(spark, tmp_path):
+    """A user turn in batch 1 pairing with its assistant turn in
+    batch 2 is found via the held state; within-batch pairs and the
+    system-gap exclusion behave like the batch miner."""
+    from mircv_project_spark.streaming.sft_stream import (
+        run_streaming_sft,
+        sft_pairs_with_counts,
+    )
+
+    schema = "conv_id string, turn_idx int, role string, text string"
+    e1 = [
+        ("c1", 0, "user", "ask one"),
+        ("c1", 1, "assistant", "answer one"),   # within-batch pair
+        ("c2", 0, "user", "ask two"),           # pairs across batches
+    ]
+    e2 = [
+        ("c2", 1, "assistant", "answer two"),
+        ("c2", 2, "system", "note"),
+        ("c2", 3, "assistant", "orphan"),       # after system: no pair
+    ]
+    inp, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    spark.createDataFrame(e1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_sft(spark, inp, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(e2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_sft(spark, inp, out, ckpt).awaitTermination(120)
+
+    got = {
+        (r.conv_id, r.turn_idx): (r.prompt, r.response, r.prompt_ntok)
+        for r in sft_pairs_with_counts(
+            spark.read.parquet(out)
+        ).collect()
+    }
+    assert got == {
+        ("c1", 1): ("ask one", "answer one", 2),
+        ("c2", 1): ("ask two", "answer two", 2),
+    }
