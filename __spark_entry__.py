@@ -281,6 +281,16 @@ def _q_fuzzy_topk(spark, sf_dir):
     return fuzzy_topk(idx, oracle.FUZZY_QUERY_SET, scoring.BM25, k=oracle.TOPK_K)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining (ltr.hard_negatives): first 5
+    BM25-top-20 docs per query with synthetic-qrels grade <= 1, in
+    rank order."""
+    from mircv_project_spark.operators.ltr import hard_negatives
+
+    idx = _index(spark, sf_dir, parse=False)
+    return hard_negatives(idx, _docs(spark, sf_dir), oracle.QUERY_SET)
+
+
 def _q_ltr_features(spark, sf_dir):
     """LTR feature vectors (bm25/tfidf/qld + match shape) for the BM25
     top-20 candidate pool per query (operators/ltr.py)."""
@@ -3383,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_recency": _q_recency_topk,
         "bm25_topk_boolean": _q_boolean_topk,
         "ltr_features": _q_ltr_features,
+        "hard_negatives": _q_hard_negatives,
         "training_triplets": _q_training_triplets,
         "champion_lists": _q_champion_lists,
         "bm25_topk_champion": _q_champion_topk,

@@ -212,3 +212,52 @@ def training_triplets(
     return pos.join(neg, "qid").select(
         "qid", "pos_docno", "pos_grade", "neg_docno", "neg_rank"
     )
+
+
+HN_POOL = 20
+HN_K = 5
+
+
+def hard_negatives(
+    index: InvertedIndex,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    pool: int = HN_POOL,
+    k: int = HN_K,
+) -> DataFrame:
+    """-> (qid, docno, rank, score, grade): DPR-style hard-negative
+    mining — per query, the first k docs the lexical ranker retrieves
+    HIGH but the judgments grade LOW (Karpukhin et al. EMNLP 2020
+    train dense retrievers on exactly these "BM25 hard negatives";
+    random negatives are too easy).
+
+    Pinned semantics (restated in oracle._hard_negatives_sql — change
+    both sides or neither): run = exhaustive BM25 top pool (the
+    engine's standard ranking/total order), judged grade = the
+    synthetic-qrels law (least(#distinct matched query terms, 3)),
+    hard negative = grade <= 1 (the bpref judged-nonrel split: every
+    retrieved doc matches >= 1 term so grade 0 cannot occur in-run),
+    first k per query IN RANK ORDER.
+
+    Scale shape: one standard top-pool run + the qrels equi-join —
+    constant work per query."""
+    from . import scoring
+    from .evaluation import synthetic_qrels
+    from .topk import exhaustive_topk
+
+    run = exhaustive_topk(index, queries, scoring.BM25, k=pool)
+    qrels = synthetic_qrels(docs, queries)
+    j = run.join(qrels, ["qid", "docno"], "left").select(
+        "qid",
+        "docno",
+        "rank",
+        "score",
+        F.coalesce(F.col("grade"), F.lit(0)).cast("int").alias("grade"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rank").asc())
+    return (
+        j.where(F.col("grade") <= 1)
+        .withColumn("hn", F.row_number().over(w))
+        .where(F.col("hn") <= k)
+        .select("qid", "docno", "rank", "score", "grade")
+    )

@@ -295,6 +295,39 @@ ranked AS (
 )"""
 
 
+def _hard_negatives_sql(queries, pool: int, k: int) -> str:
+    """operators/ltr.hard_negatives: first k BM25-top-pool docs with
+    synthetic-qrels grade <= 1, in rank order (pins restated from
+    ltr.py)."""
+    return f"""{_ranked_ctes(queries, "bm25", False)},
+dterm AS (
+    SELECT DISTINCT docid, term
+    FROM (SELECT docid, unnest(tokens) AS term FROM tokend)
+),
+qrels AS (
+    SELECT q.qid, d.docid, least(count(*), 3) AS grade
+    FROM (SELECT DISTINCT qid, term FROM qterms) q
+    JOIN dterm d USING (term)
+    GROUP BY 1, 2
+),
+runk AS (
+    SELECT r.qid, r.docid, r.rank, r.score,
+           CAST(coalesce(g.grade, 0) AS INTEGER) AS grade
+    FROM ranked r
+    LEFT JOIN qrels g ON r.qid = g.qid AND r.docid = g.docid
+    WHERE r.rank <= {pool}
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score, grade
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY rank ASC
+    ) AS hn
+    FROM runk WHERE grade <= 1
+) WHERE hn <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _topk_sql(queries, standard: str, conjunctive: bool, k: int) -> str:
     return f"""{_ranked_ctes(queries, standard, conjunctive)}
 SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
@@ -2133,6 +2166,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_topk_boolean": _boolean_topk_sql(BOOLEAN_QUERY_SET, "bm25", TOPK_K),
         # LTR feature export over BM25 top-20 candidates
         "ltr_features": _ltr_features_sql(QUERY_SET, 20),
+        "hard_negatives": _hard_negatives_sql(QUERY_SET, 20, 5),
         # contrastive (positive, hard-negative) training pairs
         "training_triplets": _triplets_sql(QUERY_SET, 2, 3),
         # champion lists: static per-term top-m pruning + its serve path
