@@ -117,6 +117,48 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_chunks(args) -> int:
+    from mircv_project_spark.operators.curation import doc_chunks
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(args.input)
+    out = doc_chunks(docs, window=args.window, stride=args.stride)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"chunks": out.count()}))
+    return 0
+
+
+def cmd_sft(args) -> int:
+    from mircv_project_spark.operators.dialogue import instruction_pairs
+
+    spark = _spark(args.master)
+    t = spark.read.parquet(args.input)
+    out = instruction_pairs(t)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"pairs": out.count()}))
+    return 0
+
+
+def cmd_fertility(args) -> int:
+    from mircv_project_spark.operators.textstats import token_fertility
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(args.input)
+    rows = token_fertility(docs).collect()
+    print(
+        json.dumps(
+            {
+                r["source"]: {
+                    "docs": r["n_docs"],
+                    "fertility": r["fert_micro"] / 1e6,
+                }
+                for r in sorted(rows, key=lambda r: r["source"])
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--master", default=None)
@@ -142,6 +184,23 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats")
     s.add_argument("--input", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    ch = sub.add_parser("chunks")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--output", required=True)
+    ch.add_argument("--window", type=int, default=32)
+    ch.add_argument("--stride", type=int, default=16)
+    ch.set_defaults(fn=cmd_chunks)
+
+    sf = sub.add_parser("sft")
+    sf.add_argument("--input", required=True,
+                    help="transcript parquet (conv_id, turn_idx, role, text)")
+    sf.add_argument("--output", required=True)
+    sf.set_defaults(fn=cmd_sft)
+
+    fe = sub.add_parser("fertility")
+    fe.add_argument("--input", required=True)
+    fe.set_defaults(fn=cmd_fertility)
 
     args = p.parse_args(argv)
     return args.fn(args)

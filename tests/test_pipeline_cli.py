@@ -48,3 +48,33 @@ def test_pipeline_cli_all_subcommands(spark, tmp_path, capsys):
     assert rep3["rows"] == 500
     packed = spark.read.parquet(out3)
     assert packed.count() == 500
+
+
+def test_pipeline_cli_new_subcommands(spark, tmp_path, capsys):
+    import json as _json
+
+    main = _main()
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    out = str(tmp_path / "chunks")
+    assert main(["chunks", "--input", src, "--output", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["chunks"] > 0
+    assert spark.read.parquet(out).count() == rep["chunks"]
+
+    assert main(["fertility", "--input", src]) == 0
+    fert = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fert and all(v["fertility"] > 0 for v in fert.values())
+
+    # sft needs a transcript-shaped input
+    tsrc = str(tmp_path / "transcripts")
+    from mircv_project_spark.sources.transcripts import load_transcripts
+
+    load_transcripts(spark, "/root/testdata/sf0.001").select(
+        "conv_id", "turn_idx", "role", "text"
+    ).write.mode("overwrite").parquet(tsrc)
+    out2 = str(tmp_path / "sft")
+    assert main(["sft", "--input", tsrc, "--output", out2]) == 0
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["pairs"] > 0
+    assert spark.read.parquet(out2).count() == rep2["pairs"]
