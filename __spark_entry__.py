@@ -818,6 +818,15 @@ def _q_lm_importance(spark, sf_dir):
     return lm_importance(_docs(spark, sf_dir))
 
 
+def _q_segment_queries(spark, sf_dir):
+    """Statistical query segmentation (lm.segment_queries): adjacent
+    query tokens merge when their bigram is a positive-PMI corpus
+    collocation; greedy rule as a window, never an iteration."""
+    from mircv_project_spark.operators.lm import segment_queries
+
+    return segment_queries(_docs(spark, sf_dir), oracle.QUERY_SET)
+
+
 def _q_pmi_collocations(spark, sf_dir):
     """Corpus-wide collocation mining: top-50 word bigrams by
     micro-quantized PMI above a count floor of 5 (both pinned to the
@@ -3592,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_ppl": _q_bigram_lm_ppl,
         "lm_importance": _q_lm_importance,
         "pmi_collocations": _q_pmi_collocations,
+        "segment_queries": _q_segment_queries,
         "spell_correct": _q_spell_correct,
         "bpe_merges": _q_bpe_merges,
         "bpe_segmentation": _q_bpe_segmentation,

@@ -405,3 +405,118 @@ def next_term_suggest(
         .where(F.col("srank") <= k)
         .select("ctx", "suggestion", F.col("cnt").cast("long").alias("cnt"), "srank")
     )
+
+
+def segment_queries(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    min_count: int = PMI_MIN_COUNT,
+) -> DataFrame:
+    """-> (qid, seg_idx, segment): query segmentation by corpus
+    collocation statistics — adjacent query tokens merge into one
+    segment when their bigram is a POSITIVE-PMI collocation (>=
+    min_count corpus occurrences AND pmi_micro > 0), the classic
+    statistical query-understanding step ("new york times" retrieved
+    as units, not bags; Bergsma & Wang EMNLP 2007 use association
+    scores exactly this way).
+
+    Pinned semantics (restated in oracle._segment_queries_sql —
+    change both sides or neither): the pmi formula/quantizer is
+    pmi_collocations' VERBATIM (same floor, same double
+    parenthesization, NO k-cut — the collocation SET, not the top
+    list); query tokens = the T1-T5 pipeline in order; break BEFORE
+    position i iff i == 0 or (term_{i-1}, term_i) is not in the set;
+    seg_idx = running break count - 1; segment = the space-joined run.
+    The greedy left-to-right rule is expressed as a WINDOW (running
+    sum of break flags), not an iteration — exact on both engines.
+
+    Scale shape: the collocation set build is pmi_collocations' plan;
+    the query side is driver-tiny."""
+    spark = docs.sparkSession
+    tg = _doc_bigrams(docs, "doc_id", "text")
+    try:
+        uni = (
+            tg.select(F.explode("toks").alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("cu"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            bgc = (
+                tg.select(F.explode("grams").alias("gram"))
+                .groupBy("gram")
+                .agg(F.count("*").alias("c2"))
+                .where(F.col("c2") >= min_count)
+            )
+            u_tot = float(uni.agg(F.sum("cu")).collect()[0][0])
+            n_tot = float(
+                tg.select(F.explode("grams").alias("gram")).count()
+            )
+            num = (F.col("c2").cast("double") * F.lit(u_tot)) * F.lit(u_tot)
+            den = (F.lit(n_tot) * F.col("cu1").cast("double")) * F.col(
+                "cu2"
+            ).cast("double")
+            colls = (
+                bgc.withColumn("w1", F.split("gram", " ").getItem(0))
+                .withColumn("w2", F.split("gram", " ").getItem(1))
+                .join(
+                    uni.select(F.col("t").alias("w1"), F.col("cu").alias("cu1")),
+                    "w1",
+                )
+                .join(
+                    uni.select(F.col("t").alias("w2"), F.col("cu").alias("cu2")),
+                    "w2",
+                )
+                .where(
+                    F.round(F.log10(num / den) * F.lit(float(LM_MICRO)))
+                    .cast("long")
+                    > 0
+                )
+                .select("gram")
+            )
+            qdf = spark.createDataFrame(queries, "qid string, qtext string")
+            qt = qdf.select(
+                "qid",
+                F.posexplode(tokens_col(F.col("qtext"))).alias("pos", "term"),
+            )
+            w = Window.partitionBy("qid").orderBy("pos")
+            gram = F.concat_ws(" ", F.lag("term").over(w), F.col("term"))
+            flagged = (
+                qt.withColumn("gram", gram)
+                .join(
+                    colls.withColumn("merge", F.lit(1)), "gram", "left"
+                )
+                .withColumn(
+                    "brk",
+                    F.when(
+                        (F.col("pos") == 0) | F.col("merge").isNull(), 1
+                    ).otherwise(0),
+                )
+            )
+            seg = (
+                F.sum("brk").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - 1
+            )
+            out = (
+                flagged.withColumn("seg_idx", seg.cast("long"))
+                .groupBy("qid", "seg_idx")
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "term"))
+                            ),
+                            lambda x: x["term"],
+                        ),
+                        " ",
+                    ).alias("segment")
+                )
+                .localCheckpoint()
+            )
+        finally:
+            uni.unpersist()
+    finally:
+        tg.unpersist()
+    return out

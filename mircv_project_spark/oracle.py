@@ -5571,6 +5571,66 @@ ORDER BY pmi_micro DESC, gram ASC
 LIMIT 50
 """
 
+def _segment_queries_sql(queries) -> str:
+    """lm.segment_queries: adjacent query tokens merge when their
+    bigram is a positive-PMI collocation (floor 5, the
+    pmi_collocations formula VERBATIM, no k-cut); break flags +
+    running sum express the greedy rule as a window."""
+    return f"""WITH {_DOC_TOKENS},
+toks AS (SELECT unnest(tokens) AS t FROM doctoks),
+uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1),
+gramocc AS (
+    SELECT unnest(list_transform(
+        range(0, greatest(len(tokens) - 1, 0)),
+        i -> tokens[i+1] || ' ' || tokens[i+2]
+    )) AS gram
+    FROM doctoks
+),
+bgc AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM gramocc GROUP BY 1
+),
+tot AS (
+    SELECT CAST((SELECT sum(cu) FROM uni) AS DOUBLE) AS u_tot,
+           CAST((SELECT count(*) FROM gramocc) AS DOUBLE) AS n_tot
+),
+colls AS (
+    SELECT bgc.gram
+    FROM bgc
+    JOIN uni u1 ON split_part(bgc.gram, ' ', 1) = u1.t
+    JOIN uni u2 ON split_part(bgc.gram, ' ', 2) = u2.t
+    CROSS JOIN tot
+    WHERE c2 >= 5
+      AND CAST(round(log10(((CAST(c2 AS DOUBLE) * u_tot) * u_tot)
+                           / ((n_tot * CAST(u1.cu AS DOUBLE))
+                              * CAST(u2.cu AS DOUBLE)))
+                     * 1e6) AS BIGINT) > 0
+),
+qq AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+qt AS (
+    SELECT qid,
+           CAST(generate_subscripts(toks2, 1) AS BIGINT) - 1 AS pos,
+           unnest(toks2) AS term
+    FROM (SELECT qid, {_TOKENS_EXPR.format(col='qtext')} AS toks2 FROM qq)
+),
+fl AS (
+    SELECT qid, pos, term,
+           CASE WHEN pos = 0
+                     OR (lag(term) OVER (PARTITION BY qid ORDER BY pos)
+                         || ' ' || term) NOT IN (SELECT gram FROM colls)
+                THEN 1 ELSE 0 END AS brk
+    FROM qt
+),
+seg AS (
+    SELECT qid, pos, term,
+           sum(brk) OVER (PARTITION BY qid ORDER BY pos) - 1 AS seg_idx
+    FROM fl
+)
+SELECT qid, CAST(seg_idx AS BIGINT) AS seg_idx,
+       array_to_string(list(term ORDER BY pos), ' ') AS segment
+FROM seg GROUP BY 1, 2
+"""
+
+
 # Spell correction (operators/spell.py).  The Spark side finds
 # candidates via the SymSpell deletion-neighborhood equi-join (recall 1
 # for Levenshtein <= 1 by construction) then exact-filters; the oracle
@@ -7496,6 +7556,7 @@ def pipeline_oracles() -> dict[str, str]:
         "bigram_lm_ppl": _BIGRAM_LM_PPL_SQL,
         "lm_importance": _LM_IMPORTANCE_SQL,
         "pmi_collocations": _PMI_COLLOCATIONS_SQL,
+        "segment_queries": _segment_queries_sql(QUERY_SET),
         "spell_correct": _SPELL_CORRECT_SQL,
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segmentation": _BPE_SEGMENT_SQL,

@@ -166,3 +166,33 @@ def test_pmi_collocations_matches_reference_model(spark):
     # the always-adjacent pair tops the ranking; the floor held
     assert got[0].gram == "new york"
     assert all(r.c2 >= 2 for r in got)
+
+
+def test_segment_queries_merges_planted_collocation(spark):
+    """A bigram occurring >= 5 times with positive PMI merges into one
+    segment; other adjacencies stay separate."""
+    from mircv_project_spark.operators.lm import segment_queries
+
+    filler = [
+        (100 + i, f"filler{i} words about various other topics {i}", "en",
+         "s", 0)
+        for i in range(10)
+    ]
+    rows = [
+        (i, f"the neural network model number {i}", "en", "s", 0)
+        for i in range(6)
+    ] + filler
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.qid, r.seg_idx): r.segment
+        for r in segment_queries(
+            docs, [("q1", "deep neural network stack")]
+        ).collect()
+    }
+    segs = [got[("q1", i)] for i in range(len(got))]
+    assert "neural network" in segs          # the planted collocation
+    assert segs[0] == "deep"                 # no merge without stats
+    assert "deep neural" not in segs
