@@ -818,6 +818,16 @@ def _q_lm_importance(spark, sf_dir):
     return lm_importance(_docs(spark, sf_dir))
 
 
+def _q_vocab_kl_drift(spark, sf_dir):
+    """Vocabulary KL drift between the corpus's doc_id halves
+    (lm.vocab_kl_drift): add-one-smoothed KL(P_new || P_old) under
+    the clarity integer discipline — one drift number beside
+    lexicon_diff's per-term report."""
+    from mircv_project_spark.operators.lm import vocab_kl_drift
+
+    return vocab_kl_drift(_docs(spark, sf_dir))
+
+
 def _q_segment_queries(spark, sf_dir):
     """Statistical query segmentation (lm.segment_queries): adjacent
     query tokens merge when their bigram is a positive-PMI corpus
@@ -3602,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_importance": _q_lm_importance,
         "pmi_collocations": _q_pmi_collocations,
         "segment_queries": _q_segment_queries,
+        "vocab_kl_drift": _q_vocab_kl_drift,
         "spell_correct": _q_spell_correct,
         "bpe_merges": _q_bpe_merges,
         "bpe_segmentation": _q_bpe_segmentation,

@@ -520,3 +520,75 @@ def segment_queries(
     finally:
         tg.unpersist()
     return out
+
+
+def vocab_kl_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> one row (v, n_old, n_new, s_micro, kl): add-one-smoothed
+    KL(P_new || P_old) between the term distributions of the corpus's
+    two doc_id halves — the distribution-shift monitor a continuously
+    fed training pipeline alarms on (vocabulary drift as ONE number
+    beside lexicon_diff's per-term report).
+
+    Pinned semantics (restated in oracle._VOCAB_KL_SQL — change both
+    sides or neither): halves split at count(*)//2 by doc_id (the
+    streaming-gate split law); counts = T1-T5 token OCCURRENCES; V =
+    the UNION vocabulary; add-one smoothing on both sides; per-term
+    contribution cq = round(1e6 * log10( ((cn+1)_d * (N_old+V)_d) /
+    ((co+1)_d * (N_new+V)_d) )) BIGINT with factors cast to DOUBLE
+    before multiplying (the clarity/pmi discipline), weighted by the
+    exact integer (cn+1) and summed exactly; only the final kl =
+    S / ((N_new+V) * 1e6) is float (round 6).  The smoothing means
+    absent-in-new terms still contribute (cn+1 = 1) — pure-loss terms
+    are part of drift."""
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    split = n_docs // 2
+    toks = docs.select(
+        (F.col("doc_id") < F.lit(split)).alias("old"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = toks.groupBy("t").agg(
+            F.sum(F.when(F.col("old"), 1).otherwise(0)).cast("long").alias("co"),
+            F.sum(F.when(F.col("old"), 0).otherwise(1)).cast("long").alias("cn"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            tot = counts.agg(
+                F.count("*").cast("long").alias("v"),
+                F.sum("co").cast("long").alias("n_old"),
+                F.sum("cn").cast("long").alias("n_new"),
+            ).collect()[0]
+            v, n_old, n_new = int(tot.v), int(tot.n_old), int(tot.n_new)
+            do, dn = float(n_old + v), float(n_new + v)
+            cq = F.round(
+                F.log10(
+                    ((F.col("cn") + F.lit(1)).cast("double") * F.lit(do))
+                    / ((F.col("co") + F.lit(1)).cast("double") * F.lit(dn))
+                )
+                * F.lit(1e6)
+            ).cast("long")
+            s = counts.select(
+                ((F.col("cn") + F.lit(1)) * cq).alias("w")
+            ).agg(F.sum("w").cast("long").alias("s")).collect()[0].s
+            # kl derives in a CATALYST round (HALF_UP) — a Python
+            # round() would be a third, banker's, rounding (the
+            # streaming_kmv lesson)
+            return spark.createDataFrame(
+                [(v, n_old, n_new, int(s))],
+                "v long, n_old long, n_new long, s_micro long",
+            ).select(
+                "v",
+                "n_old",
+                "n_new",
+                "s_micro",
+                F.round(
+                    F.col("s_micro")
+                    / ((F.col("n_new") + F.col("v")).cast("double")
+                       * F.lit(1e6)),
+                    6,
+                ).alias("kl"),
+            )
+        finally:
+            counts.unpersist()
+    finally:
+        toks.unpersist()

@@ -5631,6 +5631,49 @@ FROM seg GROUP BY 1, 2
 """
 
 
+# Vocabulary KL drift (operators/lm.vocab_kl_drift).  Pins restated
+# verbatim: halves at count(*)//2 by doc_id, T1-T5 token occurrences,
+# union vocab, add-one smoothing both sides, cq = round(1e6 * log10(
+# ((cn+1)_d * (N_old+V)_d) / ((co+1)_d * (N_new+V)_d) )) BIGINT with
+# double-before-multiply factors, S = sum (cn+1)*cq exact, kl =
+# round(S / ((N_new+V)*1e6), 6).
+_VOCAB_KL_SQL = f"""WITH {_DOC_TOKENS},
+sp AS (SELECT CAST(count(*) // 2 AS BIGINT) AS split FROM documents),
+occ AS (
+    SELECT d.doc_id < sp.split AS old, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+    CROSS JOIN sp
+),
+counts AS (
+    SELECT t,
+           CAST(sum(CASE WHEN old THEN 1 ELSE 0 END) AS BIGINT) AS co,
+           CAST(sum(CASE WHEN old THEN 0 ELSE 1 END) AS BIGINT) AS cn
+    FROM occ GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS v,
+           CAST(sum(co) AS BIGINT) AS n_old,
+           CAST(sum(cn) AS BIGINT) AS n_new
+    FROM counts
+),
+contrib AS (
+    SELECT c.cn, tot.v, tot.n_old, tot.n_new,
+           CAST(round(log10(
+               (CAST(c.cn + 1 AS DOUBLE) * CAST(tot.n_old + tot.v AS DOUBLE))
+               / (CAST(c.co + 1 AS DOUBLE)
+                  * CAST(tot.n_new + tot.v AS DOUBLE))
+           ) * 1e6) AS BIGINT) AS cq
+    FROM counts c CROSS JOIN tot
+)
+SELECT max(v) AS v, max(n_old) AS n_old, max(n_new) AS n_new,
+       CAST(sum((cn + 1) * cq) AS BIGINT) AS s_micro,
+       round(CAST(sum((cn + 1) * cq) AS DOUBLE)
+             / (CAST(max(n_new) + max(v) AS DOUBLE) * 1e6), 6) AS kl
+FROM contrib
+"""
+
+
 # Spell correction (operators/spell.py).  The Spark side finds
 # candidates via the SymSpell deletion-neighborhood equi-join (recall 1
 # for Levenshtein <= 1 by construction) then exact-filters; the oracle
@@ -7557,6 +7600,7 @@ def pipeline_oracles() -> dict[str, str]:
         "lm_importance": _LM_IMPORTANCE_SQL,
         "pmi_collocations": _PMI_COLLOCATIONS_SQL,
         "segment_queries": _segment_queries_sql(QUERY_SET),
+        "vocab_kl_drift": _VOCAB_KL_SQL,
         "spell_correct": _SPELL_CORRECT_SQL,
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segmentation": _BPE_SEGMENT_SQL,

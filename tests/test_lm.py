@@ -196,3 +196,24 @@ def test_segment_queries_merges_planted_collocation(spark):
     assert "neural network" in segs          # the planted collocation
     assert segs[0] == "deep"                 # no merge without stats
     assert "deep neural" not in segs
+
+
+def test_vocab_kl_drift_sanity(spark):
+    """Identical halves -> kl == 0 exactly (every term's log ratio is
+    ~0 up to the count asymmetry); a shifted second half -> kl > 0."""
+    from mircv_project_spark.operators.lm import vocab_kl_drift
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "s", 0) for i in range(10)], schema
+    )
+    r = vocab_kl_drift(same).collect()[0]
+    assert r.kl == 0.0 and r.v == 3 and r.n_old == r.n_new == 15
+
+    shifted = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "s", 0) for i in range(5)]
+        + [(5 + i, "delta epsilon zeta", "en", "s", 0) for i in range(5)],
+        schema,
+    )
+    r2 = vocab_kl_drift(shifted).collect()[0]
+    assert r2.kl > 0.1 and r2.v == 6
