@@ -1673,6 +1673,15 @@ def _q_quality_score(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_corpus_manifest(spark, sf_dir):
+    """Per-source content manifest (textstats.corpus_manifest): the
+    reproducibility receipt — xor of salted per-doc content digests,
+    order-independent by construction."""
+    from mircv_project_spark.operators.textstats import corpus_manifest
+
+    return corpus_manifest(_docs(spark, sf_dir))
+
+
 def _q_token_fertility(spark, sf_dir):
     """Per-source tokenizer fertility (textstats.token_fertility):
     subword tokens per whitespace word, integer round-half-away
@@ -3501,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_counts": _q_token_counts,
         "token_fertility": _q_token_fertility,
+        "corpus_manifest": _q_corpus_manifest,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,

@@ -386,3 +386,44 @@ def token_fertility(
             ).cast("long").alias("fert_micro"),
         )
     )
+
+
+def corpus_manifest(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (source, n_docs, xor_h, min_id, max_id): a deterministic
+    per-source content manifest — the reproducibility receipt a data
+    pipeline publishes next to every corpus snapshot so any consumer
+    can verify bit-level identity without re-shipping the data
+    (row-count alone misses edits; this xor-of-content-hashes form
+    catches any changed/added/dropped document).
+
+    Pinned semantics (restated in oracle._CORPUS_MANIFEST_SQL —
+    change both sides or neither): per-doc digest h = hash60('mf-' ||
+    doc_id || '-' || md5(text)) — the salted md5-derived 60-bit value
+    (always positive, the bloom word discipline); xor_h = the bit_xor
+    aggregate (commutative/associative/order-independent — exactly
+    why a manifest can be computed distributed); min/max doc_id ride
+    as range audit columns.
+
+    Scale shape (100 TB): ONE partial-aggregating groupBy(source) —
+    xor combines map-side; no sort, no collect."""
+    from ..functions.textnorm import hash60_col
+
+    h = hash60_col(
+        F.concat(
+            F.lit("mf-"),
+            F.col(id_col).cast("string"),
+            F.lit("-"),
+            F.md5(F.col(text_col).cast("binary")),
+        )
+    )
+    return docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.bit_xor(h).cast("long").alias("xor_h"),
+        F.min(F.col(id_col)).cast("long").alias("min_id"),
+        F.max(F.col(id_col)).cast("long").alias("max_id"),
+    )

@@ -2801,6 +2801,20 @@ SELECT t.doc_id AS id, w.ws_tokens,
 FROM doctoks t JOIN ws w ON t.doc_id = w.id
 """
 
+# Per-source corpus manifest (operators/textstats.corpus_manifest):
+# per-doc digest h = hash60('mf-' || doc_id || '-' || md5(text)),
+# xor_h = bit_xor aggregate, min/max doc_id audit columns.
+_CORPUS_MANIFEST_SQL = """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(CAST(('0x' || substr(md5(
+           'mf-' || CAST(doc_id AS VARCHAR) || '-' || md5(text)
+       ), 1, 15))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_h,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY 1
+"""
+
 # Per-source tokenizer fertility (operators/textstats.token_fertility):
 # token_counts' ws/bpe formulas verbatim, fert_micro = (2*1e6*bpe +
 # ws) DIV (2*ws) integer round-half-away.
@@ -7480,6 +7494,7 @@ def pipeline_oracles() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "token_fertility": _TOKEN_FERTILITY_SQL,
+        "corpus_manifest": _CORPUS_MANIFEST_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         # MOSS winnowing local fingerprints (textstats.winnow_fingerprints)
         "winnow_fingerprints": _winnow_sql(4, 5),
