@@ -1673,6 +1673,14 @@ def _q_quality_score(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_readability_scores(spark, sf_dir):
+    """Per-source Flesch Reading Ease (textstats.readability_scores):
+    exact word/sentence/syllable-run sums, one pinned float formula."""
+    from mircv_project_spark.operators.textstats import readability_scores
+
+    return readability_scores(_docs(spark, sf_dir))
+
+
 def _q_corpus_manifest(spark, sf_dir):
     """Per-source content manifest (textstats.corpus_manifest): the
     reproducibility receipt — xor of salted per-doc content digests,
@@ -3511,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "token_fertility": _q_token_fertility,
         "corpus_manifest": _q_corpus_manifest,
+        "readability_scores": _q_readability_scores,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,

@@ -427,3 +427,62 @@ def corpus_manifest(
         F.min(F.col(id_col)).cast("long").alias("min_id"),
         F.max(F.col(id_col)).cast("long").alias("max_id"),
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (source, n_docs, n_words, n_sents, n_syll, fre): per-source
+    Flesch Reading Ease — the classic readability feature quality-
+    filtering stacks compute beside length/stopword ratios (Flesch
+    1948; the C4/Gopher-style cascades carry exactly this family).
+
+    Pinned semantics (restated in oracle._READABILITY_SQL — change
+    both sides or neither): words = the token_counts whitespace
+    formula; sentences per doc = greatest(#runs of [.!?]+, 1) — the
+    floor makes punctuation-free corpora well-defined (each doc
+    counts as one sentence); syllables = #runs of [aeiouy]+ in the
+    lowercased text (the standard vowel-group estimate); per-source
+    sums exact BIGINT; fre = round(206.835 - 1.015 * (w_d / s_d)
+    - 84.6 * (syl_d / w_d), 6) with the literals and parenthesization
+    pinned — ONE float expression at the end.
+
+    Scale shape: one partial-aggregating groupBy(source) over a fused
+    per-doc projection."""
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syll = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")
+    ).cast("long")
+    agg = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            ws.alias("w"),
+            sents.alias("s"),
+            syll.alias("y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("n_sents"),
+            F.sum("y").cast("long").alias("n_syll"),
+        )
+    )
+    fre = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syll").cast("double") / F.col("n_words").cast("double")),
+        6,
+    )
+    return agg.select(
+        "source", "n_docs", "n_words", "n_sents", "n_syll", fre.alias("fre")
+    )

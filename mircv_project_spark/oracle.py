@@ -2801,6 +2801,31 @@ SELECT t.doc_id AS id, w.ws_tokens,
 FROM doctoks t JOIN ws w ON t.doc_id = w.id
 """
 
+# Per-source Flesch Reading Ease (operators/textstats.readability_scores):
+# words = the token_counts whitespace formula, sentences =
+# greatest(#[.!?]+ runs, 1), syllables = #[aeiouy]+ runs on the
+# lowercased text, per-source exact sums, fre = round(206.835 - 1.015
+# * (w_d / s_d) - 84.6 * (syl_d / w_d), 6).
+_READABILITY_SQL = """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(s) AS BIGINT) AS n_sents,
+       CAST(sum(y) AS BIGINT) AS n_syll,
+       round(206.835
+             - 1.015 * (CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE))
+             - 84.6 * (CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE)),
+             6) AS fre
+FROM (
+    SELECT source,
+           len(list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '')) AS w,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+    FROM documents
+)
+GROUP BY 1
+"""
+
 # Per-source corpus manifest (operators/textstats.corpus_manifest):
 # per-doc digest h = hash60('mf-' || doc_id || '-' || md5(text)),
 # xor_h = bit_xor aggregate, min/max doc_id audit columns.
@@ -7495,6 +7520,7 @@ def pipeline_oracles() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "token_fertility": _TOKEN_FERTILITY_SQL,
         "corpus_manifest": _CORPUS_MANIFEST_SQL,
+        "readability_scores": _READABILITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         # MOSS winnowing local fingerprints (textstats.winnow_fingerprints)
         "winnow_fingerprints": _winnow_sql(4, 5),
