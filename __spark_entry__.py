@@ -1618,6 +1618,14 @@ def _q_funnel_summary(spark, sf_dir):
     return funnel_summary(_events(spark, sf_dir))
 
 
+def _q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (events.rfm_segments): quintile
+    scores under pinned deterministic total orders, exact cents."""
+    from mircv_project_spark.operators.events import rfm_segments
+
+    return rfm_segments(_events(spark, sf_dir))
+
+
 def _q_ab_test_report(spark, sf_dir):
     """A/B experiment readout (events.ab_test_report): deterministic
     salted-coin variants, distinct-user conversion, integer
@@ -3551,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": _q_event_pivot,
         "events_value_histogram": _q_events_value_histogram,
         "ab_test_report": _q_ab_test_report,
+        "rfm_segments": _q_rfm_segments,
         "funnel_summary": _q_funnel_summary,
         "events_cube": _q_events_cube,
         "events_sliding_counts": _q_events_sliding_counts,

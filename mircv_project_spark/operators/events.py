@@ -920,3 +920,61 @@ def funnel_summary(events: DataFrame) -> DataFrame:
             F.percentile(delta, F.lit(0.5)) / F.lit(1e6), 6
         ).alias("med_convert_s"),
     )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """-> (user_id, rec_days, freq, monetary_cents, r, f, m, rfm):
+    RFM customer segmentation over purchase events — the classic
+    behavioral quintile scoring (recency / frequency / monetary)
+    every growth-analytics stack ships.
+
+    Pinned semantics (restated verbatim in oracle._RFM_SQL — change
+    both sides or neither): population = users with >= 1 'purchase';
+    day = floor(epoch_us / 86400e6) (the cohort pin); rec_days =
+    corpus max purchase day - the user's max purchase day; freq =
+    purchase count; monetary_cents = per-event round(value * 100.0)
+    BIGINT summed exactly (the event_pivot discipline); quintiles via
+    ntile(5) under DETERMINISTIC total orders — r on (rec_days ASC,
+    user_id ASC) (most recent = 5 after the 6-x flip), f on (freq
+    DESC, user_id ASC), m on (monetary_cents DESC, user_id ASC), so
+    both engines' identical ntile distribution rule (first n%5
+    buckets one extra) assigns identically; r = 6 - ntile so larger
+    is better on every axis; rfm = 100*r + 10*f + m.
+
+    Scale shape: one user-keyed aggregate + three windows over the
+    (small) per-user table."""
+    pur = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(_us_col("ts") / F.lit(US_PER_DAY)).cast("long").alias("day"),
+        F.round(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    per_user = pur.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    maxday = per_user.agg(F.max("last_day").alias("gmax"))
+    base = per_user.crossJoin(F.broadcast(maxday)).select(
+        "user_id",
+        (F.col("gmax") - F.col("last_day")).cast("long").alias("rec_days"),
+        "freq",
+        "monetary_cents",
+    )
+    wr = Window.orderBy(F.col("rec_days").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("user_id").asc()
+    )
+    return base.select(
+        "user_id",
+        "rec_days",
+        "freq",
+        "monetary_cents",
+        (F.lit(6) - F.ntile(5).over(wr)).cast("long").alias("r"),
+        (F.lit(6) - F.ntile(5).over(wf)).cast("long").alias("f"),
+        (F.lit(6) - F.ntile(5).over(wm)).cast("long").alias("m"),
+    ).withColumn(
+        "rfm",
+        (F.lit(100) * F.col("r") + F.lit(10) * F.col("f") + F.col("m"))
+        .cast("long"),
+    )

@@ -7255,6 +7255,45 @@ GROUP BY 1
 """
 
 
+# RFM segmentation (operators/events.rfm_segments).  Pins restated
+# verbatim: purchases only, day = floor(epoch_us/86400e6), exact
+# cents, ntile(5) under the pinned deterministic total orders with
+# the 6-x flip (best = 5 on every axis), rfm = 100r + 10f + m.
+_RFM_SQL = """WITH pur AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(round(value * 100.0) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+pu AS (
+    SELECT user_id, max(day) AS last_day,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(cents) AS BIGINT) AS monetary_cents
+    FROM pur GROUP BY 1
+),
+base AS (
+    SELECT user_id,
+           CAST((SELECT max(last_day) FROM pu) - last_day AS BIGINT)
+               AS rec_days,
+           freq, monetary_cents
+    FROM pu
+),
+scored AS (
+    SELECT *,
+           CAST(6 - ntile(5) OVER (ORDER BY rec_days ASC, user_id ASC)
+                AS BIGINT) AS r,
+           CAST(6 - ntile(5) OVER (ORDER BY freq DESC, user_id ASC)
+                AS BIGINT) AS f,
+           CAST(6 - ntile(5) OVER (ORDER BY monetary_cents DESC,
+                                   user_id ASC) AS BIGINT) AS m
+    FROM base
+)
+SELECT user_id, rec_days, freq, monetary_cents, r, f, m,
+       CAST(100 * r + 10 * f + m AS BIGINT) AS rfm
+FROM scored
+"""
+
+
 # A/B experiment readout (operators/events.ab_test_report).  Pins
 # restated verbatim (change both sides or neither): variant =
 # hash60('ab-' || user_id) % 2, population = DISTINCT user_ids,
@@ -7761,6 +7800,7 @@ ORDER BY source, term
         "event_pivot": _EVENT_PIVOT_SQL,
         "events_value_histogram": _EVENT_HIST_SQL,
         "ab_test_report": _AB_TEST_SQL,
+        "rfm_segments": _RFM_SQL,
         # full CUBE (adds the per-day cross-type subtotals, lvl=2)
         "events_cube": _EVENTS_CUBE_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,
