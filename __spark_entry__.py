@@ -3178,6 +3178,18 @@ def _q_ranker_tau(spark, sf_dir):
     return ranker_tau(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_ranker_sign_test(spark, sf_dir):
+    """Exact two-sided sign test over the BM25-vs-QLD comparison
+    (evaluation.ranker_sign_test): factorial-exact binomial tails,
+    capped overlapping-middle form."""
+    from mircv_project_spark.operators.evaluation import ranker_sign_test
+
+    idx = _index(spark, sf_dir, parse=False)
+    return ranker_sign_test(
+        idx, _docs(spark, sf_dir), oracle.QUERY_SET, k=oracle.TOPK_K
+    )
+
+
 def _q_ranker_rbo(spark, sf_dir):
     """Rank-biased overlap (p=1/2, truncated depth k) between the BM25
     and QLD top-10 per query (evaluation.ranker_rbo) — top-weighted
@@ -3483,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranker_comparison": _q_ranker_comparison,
         "ranker_tau": _q_ranker_tau,
         "ranker_rbo": _q_ranker_rbo,
+        "ranker_sign_test": _q_ranker_sign_test,
         # RM3 query expansion — full-oracle (chain restated in SQL)
         "bm25_rm3_topk": _q_rm3_topk,
         "rocchio_topk": _q_rocchio_topk,

@@ -514,3 +514,64 @@ def ranker_rbo(index, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
             F.round(F.col("micro") / F.lit(1e6), 6).alias("rbo"),
         )
     )
+
+
+def ranker_sign_test(
+    index, docs: DataFrame, queries: list[tuple[str, str]], k: int = 10
+) -> DataFrame:
+    """-> one row (wins_bm25, wins_qld, ties, n_eff, p_micro): the
+    EXACT two-sided sign test over ranker_comparison's per-query
+    winners — the significance readout every IR comparison table
+    footnotes (Smucker et al. CIKM 2007 recommend exactly the
+    paired-sign family for system comparison).
+
+    Pinned semantics (restated in oracle._sign_test_sql — change both
+    sides or neither): wins from the comparison's ROUND-6 AP verdicts
+    (ties excluded from n_eff); exact binomial(n_eff, 1/2) two-sided
+    tail mass p = (sum_{j<=kmin} C(n,j) + sum_{j>=n-kmin} C(n,j)) /
+    2^n with kmin = least(wins) — the overlapping-middle form CAPPED
+    at 1 (p_micro = least(1e6, round(1e6 * num_d / 2^n_d))); all
+    binomial coefficients exact integers via factorial (n_eff <=
+    #queries << 20 keeps factorial in BIGINT); n_eff = 0 (all ties)
+    pins p_micro = 1e6.
+
+    Scale shape: the comparison's own runs + a one-row aggregate and
+    a <= n_eff+1-row tail sum."""
+    cmp = ranker_comparison(index, docs, queries, k)
+    agg = cmp.agg(
+        F.sum((F.col("winner") == "bm25").cast("long")).alias("wins_bm25"),
+        F.sum((F.col("winner") == "qld").cast("long")).alias("wins_qld"),
+        F.sum((F.col("winner") == "tie").cast("long")).alias("ties"),
+    ).select(
+        F.coalesce("wins_bm25", F.lit(0)).cast("long").alias("wins_bm25"),
+        F.coalesce("wins_qld", F.lit(0)).cast("long").alias("wins_qld"),
+        F.coalesce("ties", F.lit(0)).cast("long").alias("ties"),
+    )
+    base = agg.select(
+        "*",
+        (F.col("wins_bm25") + F.col("wins_qld")).alias("n_eff"),
+        F.least("wins_bm25", "wins_qld").alias("kmin"),
+    )
+    ks = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("n_eff"))).alias("j")
+    )
+    coef = F.expr("factorial(n_eff) DIV (factorial(j) * factorial(n_eff - j))")
+    tails = ks.where(
+        (F.col("j") <= F.col("kmin"))
+        | (F.col("j") >= F.col("n_eff") - F.col("kmin"))
+    ).groupBy("wins_bm25", "wins_qld", "ties", "n_eff").agg(
+        F.sum(coef).cast("long").alias("num")
+    )
+    p = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.round(
+            F.lit(1e6)
+            * F.col("num").cast("double")
+            / F.pow(F.lit(2.0), F.col("n_eff").cast("double"))
+        ).cast("long"),
+    )
+    return tails.select(
+        "wins_bm25", "wins_qld", "ties",
+        F.col("n_eff").cast("long").alias("n_eff"),
+        p.alias("p_micro"),
+    )

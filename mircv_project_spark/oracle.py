@@ -1769,6 +1769,44 @@ ORDER BY c.qid
 """
 
 
+def _sign_test_sql(queries, k: int) -> str:
+    """operators/evaluation.ranker_sign_test: exact two-sided
+    binomial sign test over the comparison's winners (the cmp SQL
+    wrapped; factorial-exact coefficients, overlapping-middle tail
+    form capped at 1; n_eff = 0 pins p_micro = 1e6)."""
+    return f"""WITH cmp AS ({_ranker_cmp_sql(queries, k)}),
+agg AS (
+    SELECT CAST(coalesce(sum(CASE WHEN winner = 'bm25' THEN 1 END), 0)
+                AS BIGINT) AS wins_bm25,
+           CAST(coalesce(sum(CASE WHEN winner = 'qld' THEN 1 END), 0)
+                AS BIGINT) AS wins_qld,
+           CAST(coalesce(sum(CASE WHEN winner = 'tie' THEN 1 END), 0)
+                AS BIGINT) AS ties
+    FROM cmp
+),
+base AS (
+    SELECT *, wins_bm25 + wins_qld AS n_eff,
+           least(wins_bm25, wins_qld) AS kmin
+    FROM agg
+),
+tails AS (
+    SELECT wins_bm25, wins_qld, ties, n_eff,
+           CAST(sum(CAST(factorial(CAST(n_eff AS INTEGER))
+                         // (factorial(CAST(j AS INTEGER))
+                             * factorial(CAST(n_eff - j AS INTEGER)))
+                    AS BIGINT)) AS BIGINT) AS num
+    FROM base, unnest(generate_series(0, base.n_eff)) t(j)
+    WHERE j <= kmin OR j >= n_eff - kmin
+    GROUP BY 1, 2, 3, 4
+)
+SELECT wins_bm25, wins_qld, ties, CAST(n_eff AS BIGINT) AS n_eff,
+       CAST(least(1000000, round(1e6 * CAST(num AS DOUBLE)
+                                 / pow(2.0, CAST(n_eff AS DOUBLE))))
+            AS BIGINT) AS p_micro
+FROM tails
+"""
+
+
 def _ranker_rbo_sql(queries, k: int, mu: float = 2048.0) -> str:
     """operators/evaluation.ranker_rbo: truncated depth-k rank-biased
     overlap (p = 1/2) between the BM25 and QLD top-k per query (both
@@ -2237,6 +2275,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # Kendall tau agreement between the two ranking families
         "ranker_tau": _ranker_tau_sql(QUERY_SET, TOPK_K),
         "ranker_rbo": _ranker_rbo_sql(QUERY_SET, TOPK_K),
+        "ranker_sign_test": _sign_test_sql(QUERY_SET, TOPK_K),
     }
     # streaming-ingestion compaction must yield the batch lexicon
     out["lexicon_streaming"] = out["lexicon"]

@@ -268,3 +268,38 @@ def test_ranker_rbo_matches_bruteforce(spark, vb_index):
     }
     assert got == expect and got
     assert all(0.0 <= v[1] <= 1.0 for v in got.values())
+
+
+def test_ranker_sign_test_matches_scipy_free_binomial(spark, vb_index):
+    """The exact p equals a hand-computed binomial tail over the
+    comparison's own winners (math.comb, no scipy)."""
+    import math
+
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators.evaluation import (
+        ranker_comparison,
+        ranker_sign_test,
+    )
+
+    idx, _ = vb_index
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cmp_rows = ranker_comparison(
+        idx, docs, oracle.QUERY_SET, k=oracle.TOPK_K
+    ).collect()
+    wb = sum(1 for r in cmp_rows if r.winner == "bm25")
+    wq = sum(1 for r in cmp_rows if r.winner == "qld")
+    n = wb + wq
+    kmin = min(wb, wq)
+    num = sum(
+        math.comb(n, j)
+        for j in range(n + 1)
+        if j <= kmin or j >= n - kmin
+    )
+    v = int(min(1_000_000, int(1e6 * float(num) / (2.0 ** n) + 0.5)))
+
+    got = ranker_sign_test(
+        idx, docs, oracle.QUERY_SET, k=oracle.TOPK_K
+    ).collect()[0]
+    assert (got.wins_bm25, got.wins_qld, got.n_eff) == (wb, wq, n)
+    assert got.p_micro == v
+    assert 0 <= got.p_micro <= 1_000_000
