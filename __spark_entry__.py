@@ -1644,6 +1644,31 @@ def _q_events_value_histogram(spark, sf_dir):
     return events_value_histogram(_events(spark, sf_dir))
 
 
+def _q_streaming_pivot(spark, sf_dir):
+    """Streaming per-user activity pivot (applyInPandasWithState
+    keyed by user, state = the additive wide counters) under the
+    batch event_pivot oracle VERBATIM — the streaming_cms/anomalies
+    counter discipline."""
+    from mircv_project_spark.streaming.pivot_stream import (
+        final_pivot,
+        run_streaming_pivot,
+    )
+
+    base = _tmpdir("mircv_spivot_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir)
+    split = ev.count() // 2
+    ev.where(F.col("event_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_pivot(spark, inp, out, ckpt).awaitTermination(300)
+    ev.where(F.col("event_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_pivot(spark, inp, out, ckpt).awaitTermination(300)
+    return final_pivot(spark.read.parquet(out))
+
+
 def _q_event_pivot(spark, sf_dir):
     """Per-user activity pivot (events.event_pivot): the pinned
     event-type column rotation with exact-cents purchase totals —
@@ -3570,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_range_join": _q_event_range_join,
         "events_rollup": _q_events_rollup,
         "event_pivot": _q_event_pivot,
+        "streaming_pivot": _q_streaming_pivot,
         "events_value_histogram": _q_events_value_histogram,
         "ab_test_report": _q_ab_test_report,
         "rfm_segments": _q_rfm_segments,

@@ -7837,6 +7837,10 @@ ORDER BY source, term
         "streaming_range_join": _EVENT_RANGE_JOIN_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "event_pivot": _EVENT_PIVOT_SQL,
+        # streaming_pivot shares the batch oracle VERBATIM: additive
+        # integer counters + exactly-once offsets (the streaming_cms
+        # discipline)
+        "streaming_pivot": _EVENT_PIVOT_SQL,
         "events_value_histogram": _EVENT_HIST_SQL,
         "ab_test_report": _AB_TEST_SQL,
         "rfm_segments": _RFM_SQL,

@@ -663,3 +663,46 @@ def test_streaming_anomalies_counts_split_invariant(spark, tmp_path):
     }
     assert got == want
     assert ("A", 5) in got  # the screaming hour flags
+
+
+def test_streaming_pivot_split_invariant(spark, tmp_path):
+    """The final streamed counters equal the batch pivot under a
+    two-batch split."""
+    from mircv_project_spark.operators.events import event_pivot
+    from mircv_project_spark.streaming.pivot_stream import (
+        final_pivot,
+        run_streaming_pivot,
+    )
+
+    rows = []
+    for i in range(40):
+        et = ["view", "click", "purchase", "signup", "error"][i % 5]
+        rows.append((i, i * 1_000_000, i % 4, et, 10.25 + i, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestamp_micros(us) AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value", "props",
+    )
+    inp, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    df.where("event_id < 20").coalesce(1).write.mode("overwrite").parquet(inp)
+    run_streaming_pivot(spark, inp, out, ckpt).awaitTermination(120)
+    df.where("event_id >= 20").coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_pivot(spark, inp, out, ckpt).awaitTermination(120)
+
+    got = {
+        r.user_id: (r.n_view, r.n_click, r.n_purchase, r.n_signup,
+                    r.n_error, r.n_total, r.purchase_cents)
+        for r in final_pivot(spark.read.parquet(out)).collect()
+    }
+    want = {
+        r.user_id: (r.n_view, r.n_click, r.n_purchase, r.n_signup,
+                    r.n_error, r.n_total, r.purchase_cents)
+        for r in event_pivot(df).collect()
+    }
+    assert got == want and got
