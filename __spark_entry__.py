@@ -1618,6 +1618,32 @@ def _q_funnel_summary(spark, sf_dir):
     return funnel_summary(_events(spark, sf_dir))
 
 
+def _q_streaming_rfm(spark, sf_dir):
+    """Streaming RFM counters (applyInPandasWithState keyed by user,
+    state = max last-day + additive freq/cents) under the batch
+    rfm_segments oracle VERBATIM: the quintile stage derives at read
+    time through the ONE shared derivation
+    (events.rfm_from_user_stats)."""
+    from mircv_project_spark.streaming.rfm_stream import (
+        final_rfm,
+        run_streaming_rfm,
+    )
+
+    base = _tmpdir("mircv_srfm_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir)
+    split = ev.count() // 2
+    ev.where(F.col("event_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_rfm(spark, inp, out, ckpt).awaitTermination(300)
+    ev.where(F.col("event_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_rfm(spark, inp, out, ckpt).awaitTermination(300)
+    return final_rfm(spark.read.parquet(out))
+
+
 def _q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation (events.rfm_segments): quintile
     scores under pinned deterministic total orders, exact cents."""
@@ -3599,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": _q_events_value_histogram,
         "ab_test_report": _q_ab_test_report,
         "rfm_segments": _q_rfm_segments,
+        "streaming_rfm": _q_streaming_rfm,
         "funnel_summary": _q_funnel_summary,
         "events_cube": _q_events_cube,
         "events_sliding_counts": _q_events_sliding_counts,

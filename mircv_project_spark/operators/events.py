@@ -953,6 +953,14 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("freq"),
         F.sum("cents").cast("long").alias("monetary_cents"),
     )
+    return rfm_from_user_stats(per_user)
+
+
+def rfm_from_user_stats(per_user: DataFrame) -> DataFrame:
+    """(user_id, last_day, freq, monetary_cents) -> the RFM table:
+    the ONE copy of the quintile derivation, shared by the batch
+    operator and the streaming counter view so the two cannot
+    drift."""
     maxday = per_user.agg(F.max("last_day").alias("gmax"))
     base = per_user.crossJoin(F.broadcast(maxday)).select(
         "user_id",

@@ -7844,6 +7844,10 @@ ORDER BY source, term
         "events_value_histogram": _EVENT_HIST_SQL,
         "ab_test_report": _AB_TEST_SQL,
         "rfm_segments": _RFM_SQL,
+        # streaming_rfm shares the batch oracle VERBATIM: max-merge +
+        # additive counters with exactly-once offsets; quintiles
+        # derive at read time through the one shared derivation
+        "streaming_rfm": _RFM_SQL,
         # full CUBE (adds the per-day cross-type subtotals, lvl=2)
         "events_cube": _EVENTS_CUBE_SQL,
         "events_sliding_counts": _EVENTS_SLIDING_SQL,
