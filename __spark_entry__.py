@@ -11,9 +11,12 @@ BM25/TFIDF scoring, exhaustive + MaxScore top-k).  The transcripts input
 table is derived deterministically from the driver's ``documents``
 parquet (sources/transcripts.py) so the DuckDB oracle can restate it.
 
-Parsed-mode (stopwords + Porter) queries carry no oracle_sql: DuckDB's
-stem() lives in the fts extension, which cannot be downloaded in this
-sandbox — parity is covered by reference-golden pytest fixtures instead.
+Parsed-mode (stopwords + Porter) queries get their oracle through the
+committed fixture parquet tests/fixtures/parsed_tokens.parquet
+(scripts/gen_parsed_fixture.py): DuckDB's stem() lives in the
+un-downloadable fts extension, so the parsed token streams are
+materialized once by the engine's jar-golden-pinned tokenizer and the
+SQL joins them on md5(text) — sf-agnostic, full value-hash gate.
 """
 
 from __future__ import annotations
@@ -3460,7 +3463,7 @@ def _q_bpref_metrics(spark, sf_dir):
     return bpref_metrics(run, qrels, k=oracle.TOPK_K)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR engine (reference parity) ---
         "doc_index": _q_doc_index,
@@ -3575,8 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle (streaming == batch under time-ordered epochs)
         "streaming_funnel": _q_streaming_funnel,
         "streaming_range_join": _q_streaming_range_join,
-        # parsed-mode (stopwords+Porter): no SQL oracle offline (see module
-        # docstring); driver records rows-only check, pytest covers parity.
+        # parsed-mode (stopwords+Porter): full hash oracle via the
+        # committed parsed-token fixture parquet (see module docstring)
         "bm25_topk_parsed": _topk_query(scoring.BM25, False, True),
         "tfidf_topk_parsed": _topk_query(scoring.TFIDF, False, True),
         # --- training-data pipeline ---
@@ -3751,6 +3754,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assistant_token_spans": _q_assistant_token_spans,
         "session_paths": _q_session_paths,
     }
+
+
+# A handful of IR canaries stay at the head of the dict every round so
+# the core engine always earns a fresh driver row even after rotation.
+_CANARIES = (
+    "doc_index",
+    "lexicon",
+    "bm25_topk",
+    "bm25_topk_maxscore",
+    "bm25_topk_compressed",
+)
+
+
+def _driver_checked() -> set[str]:
+    """Union of gate names that already have a driver-side CORRECTNESS
+    row in any earlier round (CORRECTNESS_r*.json beside this file).
+    Reading them at call time makes the rotation automatic: each round
+    the never-driver-checked entries move to the head of the dict, so
+    the driver's ~50-entry prefix budget lands on fresh gates instead
+    of re-checking the same ones (round-3 verdict ask #2)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as fh:
+                seen |= set(json.load(fh))
+        except Exception:
+            continue
+    return seen
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _all_queries()
+    checked = _driver_checked()
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _CANARIES:
+        if name in base:
+            out[name] = base[name]
+    fresh = [n for n in base if n not in checked and n not in out]
+    # The dict groups families contiguously (IR, streaming, dedup,
+    # curation, events, TPC-H, similarity, multimodal, sketches, graph);
+    # a straight never-checked-first order would spend the driver's
+    # ~50-entry prefix budget entirely on the first family.  Interleave
+    # 16 contiguous chunks round-robin so the prefix samples every
+    # family each round.
+    from itertools import zip_longest
+
+    n_chunks = 16
+    m = max(1, -(-len(fresh) // n_chunks))
+    chunks = [fresh[j * m : (j + 1) * m] for j in range(n_chunks)]
+    for tup in zip_longest(*chunks):
+        for name in tup:
+            if name is not None:
+                out[name] = base[name]
+    for name, fn in base.items():  # already-checked entries last
+        if name not in out:
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

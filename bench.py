@@ -29,10 +29,14 @@ docid-offset collects, UDF worker spin-up — ~10 s/run regardless of
 input size); the raw large-input throughputs and the raw efficiency are
 reported alongside, nothing hidden.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (< ~1.5 KB — the driver keeps only the
+last ~2 KB of stdout, and round 3's full report on one line overflowed
+that capture and recorded parsed:null):
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {<step>: sec, ...}, "sf": ...,
-   "throughput": {...}, "scaling": {...}}
+   "throughput": {...}, "scaling": {<compact>}, "detail": <path>}
+The per-round arrays, raw samples and method prose move to the side
+file BENCH_DETAIL.json next to this script (path echoed in "detail").
 """
 
 from __future__ import annotations
@@ -556,23 +560,67 @@ def main() -> None:
         "query_qps_maxscore_bm25": round(
             len(qset) / queries["maxscore_bm25_top10"], 2
         ),
+        "query_qps_maxscore_warm": round(
+            len(qset) / queries["maxscore_bm25_top10_warm"], 2
+        ),
     }
     extras["scaling"] = scaling
 
-    print(
-        json.dumps(
-            {
-                "metric": "index build (parsed+compressed) + BM25/TFIDF MaxScore "
-                "top-10 batch; scaling efficiency at 4x core ratio "
-                "(marginal throughput, interleaved fresh-JVM runs)",
-                "value": round(sec_full, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in queries.items()},
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                **extras,
-            }
+    # Full report (per-round arrays, raw samples, method prose) goes to
+    # a side file; stdout gets ONE compact line as the LAST line so the
+    # driver's ~2 KB tail capture parses it (round-3 lesson).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    full_report = {
+        "metric": "index build (parsed+compressed) + BM25/TFIDF MaxScore "
+        "top-10 batch; scaling efficiency at 4x core ratio "
+        "(marginal throughput, interleaved fresh-JVM runs)",
+        "value": round(sec_full, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        **extras,
+    }
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(full_report, fh, indent=1)
+    except OSError:
+        detail_path = None
+
+    scompact = {
+        k: scaling[k]
+        for k in (
+            "cores_low", "cores_high", "core_ratio",
+            "throughput_low", "throughput_high",
+            "efficiency", "efficiency_allround", "efficiency_raw",
+            "phase_qualified", "phase_limited", "qualified_rounds",
+            "rounds_run", "substrate_efficiency", "efficiency_vs_substrate",
         )
-    )
+    }
+    headline = {
+        "metric": "build+MaxScore/BMW query batch+scaling eff at 4x cores "
+        "(marginal thrpt, fresh-JVM interleaved; detail in side file)",
+        "value": round(sec_full, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "throughput": extras["throughput"],
+        "index_size": {
+            "compression_ratio_vs_raw": extras["index_size"][
+                "compression_ratio_vs_raw"
+            ]
+        },
+        "scaling": scompact,
+        "detail": detail_path,
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:  # hard guard: never overflow the tail capture
+        headline["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(queries.items())[:10]
+        }
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":

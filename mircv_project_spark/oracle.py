@@ -25,6 +25,8 @@ builds the identical table.
 
 from __future__ import annotations
 
+import os
+
 # (qid, text) — fixed retrieval query set over the synthetic corpus
 # vocabulary: multi-term, single-term, duplicate-term (q06 — duplicate
 # tokens score twice, QueryProcessorMain.getPostingLists has no dedup),
@@ -330,6 +332,115 @@ ORDER BY qid, rank
 
 def _topk_sql(queries, standard: str, conjunctive: bool, k: int) -> str:
     return f"""{_ranked_ctes(queries, standard, conjunctive)}
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+# --- parsed-mode (stopwords + Porter) oracle -------------------------------
+#
+# DuckDB cannot run stem() offline (fts extension is un-downloadable in
+# this sandbox), so the parsed token streams are materialized ONCE into
+# tests/fixtures/parsed_tokens.parquet by scripts/gen_parsed_fixture.py
+# using the engine's own scalar tokenizer — whose semantics are pinned
+# byte-for-byte against the reference jars' bundled classes
+# (tests/fixtures/tokgold_*, porter_golden).  The fixture is keyed by
+# md5(text): parsed tokens are a pure function of the text, so one
+# fixture covers every driver SF.  Docs whose text parses to zero
+# tokens (all stopwords) still count in n_docs/avgdl with doc_len 0 —
+# index_build.tokenize_stage keeps them in doc_index the same way.
+
+_PARSED_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "parsed_tokens.parquet",
+)
+
+_PARSED_PREFIX = f"""
+WITH transcripts AS (
+    SELECT doc_id,
+           'conv-' || lpad(CAST(CAST(doc_id // 8 AS BIGINT) AS VARCHAR), 12, '0') AS conv_id,
+           CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+           text
+    FROM documents
+),
+docs AS (
+    SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) AS BIGINT) AS docid,
+           conv_id, turn_idx, text
+    FROM transcripts
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+ptok AS (
+    SELECT d.docid, f.term, f.tf
+    FROM docs d
+    LEFT JOIN read_parquet('{_PARSED_FIXTURE}') f ON md5(d.text) = f.text_md5
+),
+doclens AS (
+    SELECT docid, CAST(coalesce(sum(tf), 0) AS BIGINT) AS doc_len
+    FROM ptok GROUP BY docid
+),
+postings AS (
+    SELECT docid, term, CAST(tf AS BIGINT) AS tf FROM ptok WHERE term IS NOT NULL
+),
+lexicon AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM postings GROUP BY term
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_len) AS BIGINT) AS sum_doc_len,
+           CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+    FROM doclens
+)
+"""
+
+
+def _parsed_query_ctes(queries: list[tuple[str, str]]) -> str:
+    """qterms for parsed mode: query tokens are parsed PYTHON-side with
+    the same golden-pinned tokenizer at SQL-build time and embedded as
+    literals (the oracle cannot stem in-engine)."""
+    from collections import Counter
+
+    from .functions.tokenizer import tokenize
+
+    rows = []
+    for qid, text in queries:
+        for term, qtf in sorted(Counter(tokenize(text, parse=True)).items()):
+            rows.append(
+                "('" + qid + "', '" + term.replace("'", "''") + f"', {qtf})"
+            )
+    values = ", ".join(rows)
+    return f"""
+qterms AS (SELECT * FROM (VALUES {values}) q(qid, term, qtf)),
+qexist AS (
+    SELECT q.qid, q.term, CAST(q.qtf AS BIGINT) AS qtf, l.df
+    FROM qterms q JOIN lexicon l USING (term)
+)
+"""
+
+
+def _topk_parsed_sql(queries, standard: str, k: int) -> str:
+    expr = _BM25 if standard == "bm25" else _TFIDF
+    return f"""{_PARSED_PREFIX}, {_parsed_query_ctes(queries)},
+scored AS (
+    SELECT q.qid, p.docid,
+           sum(q.qtf * ({expr})) AS raw_score
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+),
+ranked AS (
+    SELECT sc.qid, sc.docid, round(sc.raw_score, 6) AS score,
+           CAST(row_number() OVER (
+               PARTITION BY sc.qid
+               ORDER BY round(sc.raw_score, 6) DESC, sc.docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored sc
+)
 SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank, score
 FROM ranked WHERE rank <= {k}
 ORDER BY qid, rank
@@ -2138,6 +2249,13 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
 """,
         "bm25_topk": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        # parsed mode (stopwords + Porter): tokens come from the
+        # committed fixture parquet (scripts/gen_parsed_fixture.py) —
+        # the one derivation DuckDB cannot restate offline (no stem());
+        # fixture generated by the jar-golden-pinned tokenizer, joined
+        # on md5(text) so one fixture serves every SF
+        "bm25_topk_parsed": _topk_parsed_sql(QUERY_SET, "bm25", TOPK_K),
+        "tfidf_topk_parsed": _topk_parsed_sql(QUERY_SET, "tfidf", TOPK_K),
         # metadata-filtered retrieval (candidates restricted to
         # role='assistant'; corpus-global stats — see _filtered_topk_sql)
         "bm25_topk_filtered": _filtered_topk_sql(QUERY_SET, "bm25", False, TOPK_K),

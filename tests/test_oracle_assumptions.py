@@ -43,3 +43,35 @@ def test_query_set_free_of_t6_and_trim_cases():
             if t and t.isascii() and len(t) < 64
         ]
         assert toks == naive
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_parsed_fixture_covers_corpus(sf_dir):
+    """The parsed-mode oracle joins tests/fixtures/parsed_tokens.parquet
+    on md5(text); every non-blank corpus text at every SF must have its
+    parsed tokens in the fixture (texts whose parse is EMPTY are allowed
+    to be absent — the LEFT JOIN restates them as doc_len 0), and the
+    fixture rows must equal what the live tokenizer produces.
+    Regenerate with scripts/gen_parsed_fixture.py on any drift."""
+    import hashlib
+    import os
+    from collections import Counter
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "parsed_tokens.parquet"
+    )
+    fx = {}
+    for h, term, tf in duckdb.sql(
+        f"SELECT text_md5, term, tf FROM read_parquet('{fixture}')"
+    ).fetchall():
+        fx.setdefault(h, {})[term] = tf
+    rows = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL AND trim(text) <> ''"
+    ).fetchall()
+    assert rows
+    for (text,) in rows:
+        want = dict(Counter(tokenize(text, parse=True)))
+        h = hashlib.md5(text.encode("utf-8")).hexdigest()
+        got = fx.get(h, {})
+        assert got == want, f"fixture drift for text {text[:60]!r}"
