@@ -178,7 +178,9 @@ class PostingCursor:
                 self._exhausted = True
                 return
             self._load(bi)
-        pos = int(np.searchsorted(self._ids, target, side="left"))
+        # ndarray method, not np.searchsorted: the module-level wrapper
+        # adds ~25% call overhead and this is the hottest DAAT call
+        pos = int(self._ids.searchsorted(target, side="left"))
         if pos >= len(self._ids):  # defensive; block-max guarantees pos valid
             self._exhausted = True
             return
@@ -345,3 +347,53 @@ def maxscore_topk_df(
     return spark.createDataFrame(
         rows, "qid string, docno string, rank long, score double"
     )
+
+
+# The driver DAAT path materializes every query term's posting blocks
+# in the driver; past this many ESTIMATED posting bytes per batch the
+# dispatcher routes to the fully-distributed pruned path instead.  Both
+# routes are rank-identical (they share the exhaustive oracle and the
+# round-6 tie rules), so dispatch is purely a resource decision.
+DRIVER_POSTING_BYTES_BUDGET = 256 << 20
+_RAW_POSTING_BYTES = 8  # conservative pre-compression per-posting width
+
+
+def serve_topk(
+    reader,
+    queries: list[tuple[str, str]],
+    standard: str = scoring.BM25,
+    k: int = 10,
+    conjunctive: bool = False,
+    driver_bytes_budget: int = DRIVER_POSTING_BYTES_BUDGET,
+    metrics: dict | None = None,
+):
+    """Auto dispatch between the driver-side MaxScore DAAT
+    (``maxscore_topk_df`` — lowest latency while the batch's posting
+    lists fit the driver) and the fully-distributed block-max pruned
+    path (``topk.topk_from_blocks_pruned`` — the 10^9-posting route).
+
+    The routing estimate reads ONLY the pruned lexicon (sum of the
+    batch's term dfs x a conservative 8 B/posting raw width — an
+    overestimate vs the ~2.9x-compressed store, so big batches fail
+    over to the distributed path early, the safe direction).  Posting
+    payloads are never touched to decide the route.  Round-3 verdict
+    ask #7; equality of the two routes is pinned by
+    tests/test_maxscore.py::test_serve_topk_dispatch_routes_agree."""
+    from ..functions.tokenizer import tokenize
+
+    terms = sorted(
+        {t for _, text in queries for t in tokenize(text, reader.parse)}
+    )
+    est = 0
+    if terms:
+        rows = reader._prune(reader.lexicon, terms).select("df").collect()
+        est = sum(r["df"] for r in rows) * _RAW_POSTING_BYTES
+    route = "driver" if est <= driver_bytes_budget else "distributed"
+    if metrics is not None:
+        metrics["est_posting_bytes"] = est
+        metrics["route"] = route
+    if route == "driver":
+        return maxscore_topk_df(reader, queries, standard, k, conjunctive)
+    from . import topk as _topk
+
+    return _topk.topk_from_blocks_pruned(reader, queries, standard, k, conjunctive)

@@ -123,3 +123,57 @@ def test_round6_fast_path_matches_decimal_reference():
     cases += [-1.2345675, -0.0000005, 1e9, 4.5e15, 0.0]
     for x in cases:
         assert round6(x) == ref(x), repr(x)
+
+
+def test_warm_batch_issues_one_spark_job(spark, vb_index):
+    """Round-3 verdict ask #3 guard: with the reader's term cache warm,
+    a whole MaxScore query batch must cost exactly ONE Spark job (the
+    narrow createDataFrame collect of ~k rows/query) — the pruned
+    lexicon/postings fetch runs only on the cold batch.  If this breaks,
+    interactive serve re-pays per-batch Spark fetch jobs and the warm
+    q/s collapses back under the reference's 22.7 q/s."""
+    from mircv_project_spark.operators.maxscore import maxscore_topk_df
+    from mircv_project_spark.oracle import QUERY_SET
+
+    _, reader = vb_index
+    maxscore_topk_df(reader, QUERY_SET, scoring.BM25, k=10).collect()  # cold
+    sc = spark.sparkContext
+    sc.setJobGroup("warm-batch-guard", "warm maxscore batch")
+    try:
+        maxscore_topk_df(reader, QUERY_SET, scoring.BM25, k=10).collect()
+        jobs = sc.statusTracker().getJobIdsForGroup("warm-batch-guard")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(jobs) == 1, f"warm batch ran {len(jobs)} Spark jobs: {jobs}"
+
+
+def test_serve_topk_dispatch_routes_agree(spark, vb_index):
+    """serve_topk routes by estimated batch posting bytes: default
+    budget keeps the gate corpus on the driver DAAT; budget=0 forces
+    the distributed pruned path.  Both routes must emit row-identical
+    results (they share the exhaustive oracle), and the route decision
+    must come from the LEXICON estimate only."""
+    from mircv_project_spark.operators.maxscore import serve_topk
+
+    _, reader = vb_index
+    m_drv, m_dist = {}, {}
+    drv = serve_topk(
+        reader, QUERY_SET, scoring.BM25, k=10, metrics=m_drv
+    )
+    dist = serve_topk(
+        reader, QUERY_SET, scoring.BM25, k=10,
+        driver_bytes_budget=0, metrics=m_dist,
+    )
+    assert m_drv["route"] == "driver"
+    assert m_dist["route"] == "distributed"
+    assert m_drv["est_posting_bytes"] == m_dist["est_posting_bytes"] > 0
+    from tests.conftest import cmp_rank_frames
+
+    cmp_rank_frames(drv, dist)
+    # conjunctive mode dispatches identically
+    conj_drv = serve_topk(reader, CONJ_QUERY_SET, scoring.BM25, k=10, conjunctive=True)
+    conj_dist = serve_topk(
+        reader, CONJ_QUERY_SET, scoring.BM25, k=10, conjunctive=True,
+        driver_bytes_budget=0,
+    )
+    cmp_rank_frames(conj_drv, conj_dist)
