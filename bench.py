@@ -527,6 +527,50 @@ def main() -> None:
     _build_synthetic(spark, max(2_000, BENCH_TURNS // 100), seed=1)  # warmup
     sec_full = _best_build(spark, BENCH_TURNS, seed_base=100)
     queries[f"build_synthetic_{BENCH_TURNS}_local{CPUS}"] = sec_full
+
+    # --- 3b. adversarial-skew build: Zipf-1 head term at df == n ---
+    # every turn gets a shared head token, so one term's postings span
+    # the whole corpus; the df-scaled fanout must keep run payloads
+    # bounded (tests/test_salted_build.py proves the byte bound, this
+    # row records the throughput COST of the skew vs the headline)
+    from pyspark.sql import functions as _F
+
+    from mircv_project_spark.operators.index_build import build_index as _bi
+    from mircv_project_spark.sources.transcripts import (
+        assign_doc_ids as _adi,
+        generate_transcripts as _gt,
+    )
+
+    n_skew = max(10_000, BENCH_TURNS // 5)
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    t = _gt(spark, n_skew, seed=777)
+    t = t.withColumn("text", _F.concat(_F.lit("zzhead "), _F.col("text")))
+    t = _adi(filter_indexable(t), assume_sorted=True)
+    skew_idx = _bi(
+        spark, t, parse=True, heavy_df_threshold=max(2_000, n_skew // 32)
+    )
+    skew_idx.lexicon.write.mode("overwrite").format("noop").save()
+    queries[f"build_skew_zipf_head_{n_skew}_local{CPUS}"] = (
+        time.monotonic() - t0
+    )
+    head_runs = (
+        skew_idx.postings.where(_F.col("term") == "zzhead")
+        .agg(
+            _F.count("*").alias("n_runs"),
+            _F.max("run_df").alias("max_run_df"),
+        )
+        .collect()[0]
+    )
+    extras["skew_build"] = {
+        "n_turns": n_skew,
+        "head_df": n_skew,
+        "head_n_runs": int(head_runs["n_runs"]),
+        "head_max_run_df": int(head_runs["max_run_df"]),
+        "turns_per_sec": round(
+            n_skew / queries[f"build_skew_zipf_head_{n_skew}_local{CPUS}"], 1
+        ),
+    }
     # tear the main JVM down COMPLETELY before the scaling subprocesses:
     # spark.stop() alone leaves a 12g idle JVM attached to this process,
     # and the in-bench scale runs measured consistently slower than

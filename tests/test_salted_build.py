@@ -156,3 +156,62 @@ def test_segment_salting_keeps_run_fanout(spark):
     ).select("run", "run_df").collect()
     assert len(runs) >= 4, runs  # fan = ceil(4000/1000) = 4
     assert max(r["run_df"] for r in runs) <= 2000, runs
+
+
+def test_zipf_head_term_run_payload_bounded(spark):
+    """Adversarial-skew stress (round-3 verdict ask #6): a Zipf-1
+    vocabulary whose head term sits in EVERY doc (df = n).  The
+    df-scaled fanout must bound every run's payload: run_df and the
+    encoded block bytes stay within a small constant of
+    heavy_df_threshold (x POSTING_BYTES for the bytes bound) — the
+    property that makes the build safe when a stopword's df is 10^9.
+    c = 2 covers range-partition imbalance on uniform docids."""
+    from mircv_project_spark import config
+    from mircv_project_spark.operators.index_build import aggregate_postings
+
+    n, n_terms, thr = 50_000, 50, 1_000
+    # term z{k} in every k-th doc -> df(z_k) = n/k, a Zipf-1 df law
+    # with df(z1) = n
+    flat = (
+        spark.range(1, n + 1)
+        .selectExpr("id as docid")
+        .join(
+            spark.range(1, n_terms + 1).selectExpr("id as k"),
+            F.expr("docid % k = 0"),
+        )
+        .selectExpr(
+            "concat('z', k) as term", "docid",
+            "cast(1 as int) as tf", "cast(8 as int) as doc_len",
+        )
+    )
+    metrics: dict = {}
+    runs = (
+        aggregate_postings(
+            flat, n_docs=n, avgdl=8.0, heavy_df_threshold=thr,
+            heavy_fanout=64, metrics=metrics,
+        )
+        .select(
+            "term", "run", "run_df",
+            F.aggregate(
+                F.transform(
+                    "blocks",
+                    lambda b: F.length(b["docids"])
+                    + F.length(b["tfs"])
+                    + F.length(b["dls"]),
+                ),
+                F.lit(0), lambda acc, x: acc + x,
+            ).alias("payload_bytes"),
+        )
+        .persist()
+    )
+    assert metrics["heavy_terms"] > 0
+    agg = runs.agg(
+        F.max("run_df").alias("max_run_df"),
+        F.max("payload_bytes").alias("max_run_bytes"),
+    ).collect()[0]
+    assert agg["max_run_df"] <= 2 * thr, agg
+    assert agg["max_run_bytes"] <= 2 * thr * config.POSTING_BYTES, agg
+    # the head term really fanned out to the cap-or-df-scaled count
+    head = runs.where(F.col("term") == "z1").count()
+    assert head == min(64, -(-n // thr)), head
+    runs.unpersist()
