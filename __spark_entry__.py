@@ -783,6 +783,17 @@ def _q_doc_chunks(spark, sf_dir):
     return doc_chunks(_docs(spark, sf_dir))
 
 
+def _q_span_corruption(spark, sf_dir):
+    """T5 denoising mask selection (curation.span_corruption):
+    deterministic salted coins open 3-token mask windows, touching
+    windows merge into spans (the dup_spans island rule) — the
+    span-corruption front end of a T5-style pretraining pipeline, all
+    Catalyst (one tokenize pass, no joins)."""
+    from mircv_project_spark.operators.curation import span_corruption
+
+    return span_corruption(_docs(spark, sf_dir))
+
+
 def _q_budget_pack(spark, sf_dir):
     """Per-domain token-budget packing: (quality desc, id) order,
     running BPE total <= 1000 kept — computed as a DISTRIBUTED PREFIX
@@ -1031,6 +1042,16 @@ def _q_kmv_distinct(spark, sf_dir):
     return kmv_distinct_tokens(_docs(spark, sf_dir))
 
 
+def _q_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 sketch per source (sketches.ams_f2_tokens):
+    5 salted +-1 sign rows, exact BIGINT Z sums over the occurrence
+    stream, estimate = median of the squares; exact second frequency
+    moment rides beside as the verification column."""
+    from mircv_project_spark.operators.sketches import ams_f2_tokens
+
+    return ams_f2_tokens(_docs(spark, sf_dir))
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct sketch per source (sketches.
     hll_distinct_tokens): 256 integer max-registers from the salted
@@ -1125,6 +1146,17 @@ def _q_dense_maxp_topk(spark, sf_dir):
     from mircv_project_spark.operators.similarity import dense_maxp_topk
 
     return dense_maxp_topk(_emb(spark, sf_dir), oracle.PROBE_IDS, k=oracle.ANN_K)
+
+
+def _q_conv_maxsim_topk(spark, sf_dir):
+    """ColBERT-style late-interaction conversation retrieval
+    (similarity.conv_maxsim_topk): the probe conversation's member
+    vectors are the multi-vector query; MaxSim = exact integer sum of
+    per-query-vector micro-quantized best cosines — the third
+    multi-vector design beside mean-pooling and MaxP."""
+    from mircv_project_spark.operators.similarity import conv_maxsim_topk
+
+    return conv_maxsim_topk(_emb(spark, sf_dir), oracle.PROBE_IDS)
 
 
 def _q_containment_pairs(spark, sf_dir):
@@ -1267,6 +1299,16 @@ def _q_instruction_pairs(spark, sf_dir):
     from mircv_project_spark.operators.dialogue import instruction_pairs
 
     return instruction_pairs(load_transcripts(spark, sf_dir))
+
+
+def _q_preference_pairs(spark, sf_dir):
+    """Conversation-level best-of-n preference pairs
+    (dialogue.preference_pairs): chosen/rejected assistant turns by
+    the ONE shared quality formula (textstats.quality_expr), integer
+    micro margin — the DPO/RLHF preference-pair miner."""
+    from mircv_project_spark.operators.dialogue import preference_pairs
+
+    return preference_pairs(load_transcripts(spark, sf_dir))
 
 
 def _q_streaming_sft(spark, sf_dir):
@@ -2560,6 +2602,48 @@ def _topk_bmw(standard: str, conjunctive: bool = False):
     return run
 
 
+def _topk_wand(standard: str, conjunctive: bool = False):
+    """Driver-side plain WAND (Broder et al., CIKM 2003) under the
+    oracle gate — the third dynamic-pruning family (global term UBs
+    only, no block metadata; operators/wand.py); must reproduce the
+    exhaustive ranking exactly like MaxScore and BMW."""
+
+    def run(spark, sf_dir):
+        from mircv_project_spark.operators.wand import wand_topk_df
+        from mircv_project_spark.sources.index_store import IndexReader
+
+        idx = _index(spark, sf_dir, parse=False)
+        qset = oracle.CONJ_QUERY_SET if conjunctive else oracle.QUERY_SET
+        return wand_topk_df(
+            IndexReader.from_memory(idx), qset, standard, k=oracle.TOPK_K,
+            conjunctive=conjunctive,
+        )
+
+    return run
+
+
+def _topk_taat(standard: str, conjunctive: bool = False):
+    """Driver-side term-at-a-time accumulator retrieval (Moffat &
+    Zobel 1996; operators/taat.py) under the oracle gate — the third
+    traversal strategy beside DAAT (MaxScore/WAND/BMW) and SAAT
+    (impact-ordered).  The gate runs acc_cap=None (== exhaustive by
+    construction); the bounded Continue regime lives in
+    tests/test_taat.py."""
+
+    def run(spark, sf_dir):
+        from mircv_project_spark.operators.taat import taat_topk_df
+        from mircv_project_spark.sources.index_store import IndexReader
+
+        idx = _index(spark, sf_dir, parse=False)
+        qset = oracle.CONJ_QUERY_SET if conjunctive else oracle.QUERY_SET
+        return taat_topk_df(
+            IndexReader.from_memory(idx), qset, standard, k=oracle.TOPK_K,
+            conjunctive=conjunctive,
+        )
+
+    return run
+
+
 _TMP_DIRS: list[str] = []
 
 
@@ -3004,6 +3088,33 @@ def _q_streaming_cms(spark, sf_dir):
     return final_cms_estimates(
         spark.read.parquet(out), list(oracle.BLOOM_PROBES)
     )
+
+
+def _q_streaming_ams(spark, sf_dir):
+    """Streaming AMS F2 sketch (applyInPandasWithState keyed by
+    source, state = the 5 running Z counters) under the batch-sketch
+    oracle minus f2_true: signed integer addition is commutative/
+    associative, so the final state after the two-epoch doc_id split
+    equals the batch sketch; the estimate derives through the ONE
+    shared expression (sketches.ams_est_col)."""
+    from mircv_project_spark.streaming.ams_stream import (
+        final_ams_estimates,
+        run_streaming_ams,
+    )
+
+    base = _tmpdir("mircv_sams_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_ams(spark, inp, out, ckpt).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_ams(spark, inp, out, ckpt).awaitTermination(300)
+    return final_ams_estimates(spark.read.parquet(out))
 
 
 def _q_streaming_bloom(spark, sf_dir):
@@ -3516,6 +3627,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": _topk_maxscore(scoring.BM25),
         "tfidf_topk_maxscore": _topk_maxscore(scoring.TFIDF),
         "bm25_maxscore_conjunctive": _topk_maxscore(scoring.BM25, conjunctive=True),
+        "bm25_topk_wand": _topk_wand(scoring.BM25),
+        "tfidf_topk_wand": _topk_wand(scoring.TFIDF),
+        "bm25_wand_conjunctive": _topk_wand(scoring.BM25, conjunctive=True),
+        "bm25_topk_taat": _topk_taat(scoring.BM25),
+        "tfidf_topk_taat": _topk_taat(scoring.TFIDF),
+        "bm25_taat_conjunctive": _topk_taat(scoring.BM25, conjunctive=True),
         "bm25_topk_bmw": _topk_bmw(scoring.BM25),
         "tfidf_topk_bmw": _topk_bmw(scoring.TFIDF),
         "bm25_bmw_conjunctive": _topk_bmw(scoring.BM25, conjunctive=True),
@@ -3570,6 +3687,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming KMV: final state == batch sketch (mergeable sketch)
         "streaming_kmv": _q_streaming_kmv,
         "streaming_cms": _q_streaming_cms,
+        "streaming_ams": _q_streaming_ams,
         "streaming_bloom": _q_streaming_bloom,
         "streaming_hll": _q_streaming_hll,
         "streaming_quantiles": _q_streaming_qsk,
@@ -3610,6 +3728,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_stats": _q_boilerplate_stats,
         "budget_pack": _q_budget_pack,
         "doc_chunks": _q_doc_chunks,
+        "span_corruption": _q_span_corruption,
         # TF-IDF keyword extraction + event analytics (ordered funnel,
         # batch sessionization) — all full-oracle
         "top_keywords": _q_top_keywords,
@@ -3720,6 +3839,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdm_topk": _q_sdm_topk,
         "textrank_keywords": _q_textrank_keywords,
         "kmv_distinct": _q_kmv_distinct,
+        "ams_f2": _q_ams_f2,
         "hll_distinct": _q_hll_distinct,
         "bloom_terms": _q_bloom_terms,
         "cms_term_counts": _q_cms_term_counts,
@@ -3730,6 +3850,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_mean_embeddings": _q_conv_mean_embeddings,
         "embedding_moments": _q_embedding_moments,
         "dense_maxp_topk": _q_dense_maxp_topk,
+        "conv_maxsim_topk": _q_conv_maxsim_topk,
         "quantile_sketch": _q_quantile_sketch,
         "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
         "complete_prefix": _q_complete_prefix,
@@ -3750,6 +3871,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "turn_windows": _q_turn_windows,
         "instruction_pairs": _q_instruction_pairs,
+        "preference_pairs": _q_preference_pairs,
         "streaming_sft": _q_streaming_sft,
         "assistant_token_spans": _q_assistant_token_spans,
         "session_paths": _q_session_paths,

@@ -737,3 +737,85 @@ def doc_chunks(
         F.size(chunk).cast("long").alias("n_toks"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ----------------------- T5 span corruption masking -----------------------
+#
+# Deterministic span-corruption mask selection (Raffel et al., JMLR
+# 2020 — T5's denoising objective): each token position flips a salted
+# coin; fired positions open a SPAN_LEN-token mask window, overlapping
+# or ADJACENT windows merge into one span (T5 merges touching spans —
+# the dup_spans island rule: break only on a strict gap,
+# pos > prev_end + 1).  Salt 'span-' keeps the coins independent of the
+# shard/split/pack/mix/wsample salts.
+#
+# Gate pins (change both sides or neither): tokens = the oracle-side
+# pipeline (tokens_col), positions 0-based, coin fires iff
+# hash60('span-' || doc_id || '-' || pos) % 1e6 < SPAN_PPM
+# (SPAN_PPM = 150000), window [p, min(p + SPAN_LEN - 1, n - 1)] with
+# SPAN_LEN = 3, spans ordered by start (span_idx 1-based), zero-token
+# docs and docs with no fired coin emit nothing.
+#
+# Scale: one tokenize pass, one explode bounded by SPAN_LEN x fired
+# positions, one per-doc window — no joins, no driver state.
+
+SPAN_SALT = "span-"
+SPAN_LEN = 3
+SPAN_PPM = 150_000
+
+
+def span_corruption(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (id, span_idx, start_pos, end_pos, span_len): merged mask
+    spans per document under the deterministic salted coin."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    pos = (
+        toks.where(F.col("n") > 0)
+        .select("id", "n", F.posexplode("toks").alias("p", "t"))
+        .drop("t")
+    )
+    coin = hash60_col(
+        F.concat(
+            F.lit(SPAN_SALT),
+            F.col("id").cast("string"),
+            F.lit("-"),
+            F.col("p").cast("string"),
+        )
+    ) % 1_000_000
+    fired = pos.where(coin < SPAN_PPM)
+    masked = fired.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.col("p"),
+                F.least(F.col("p") + F.lit(SPAN_LEN - 1), F.col("n") - 1),
+            )
+        ).alias("m"),
+    ).distinct()
+    w = Window.partitionBy("id").orderBy("m")
+    isl = masked.withColumn(
+        "brk",
+        F.when(F.col("m") > F.lag("m", 1, -2).over(w) + 1, 1).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("id", "grp").agg(
+        F.min("m").cast("long").alias("start_pos"),
+        F.max("m").cast("long").alias("end_pos"),
+        F.count("*").cast("long").alias("span_len"),
+    )
+    wo = Window.partitionBy("id").orderBy("start_pos")
+    return spans.select(
+        "id",
+        F.row_number().over(wo).cast("long").alias("span_idx"),
+        "start_pos",
+        "end_pos",
+        "span_len",
+    )

@@ -130,3 +130,76 @@ def instruction_pairs(transcripts: DataFrame) -> DataFrame:
         ntok("prompt").alias("prompt_ntok"),
         ntok("response").alias("response_ntok"),
     )
+
+
+def preference_pairs(transcripts: DataFrame) -> DataFrame:
+    """-> (conv_id, chosen_turn, rejected_turn, chosen_quality,
+    rejected_quality, margin_micro): conversation-level best-of-n
+    response selection — among each conversation's ASSISTANT turns,
+    chosen = the highest-quality response, rejected = the lowest
+    (the DPO / RLHF preference-pair miner over a chat corpus: when a
+    conversation carries multiple candidate responses, train on the
+    best-vs-worst contrast).
+
+    Pinned semantics (restated in oracle._PREFERENCE_PAIRS_SQL —
+    change both sides or neither): quality = textstats.quality_expr,
+    the ONE shared round-6 formula; chosen = first under (quality
+    desc, turn_idx asc), rejected = first under (quality asc, turn_idx
+    DESC) — with all-equal qualities the pair is (earliest, latest),
+    never degenerate; only conversations with >= 2 assistant turns
+    emit; margin_micro = CAST(round((chosen_q - rejected_q) * 1e6) AS
+    BIGINT) (the integer contrast the downstream sampler ranks on).
+
+    Scale shape (100 TB): one tokenize pass over assistant turns, two
+    row_number windows + one count over (conv_id) — co-located under a
+    conv-bucketed layout, no joins beyond the 1:1 chosen/rejected
+    stitch."""
+    from ..functions.textnorm import tokens_col
+    from .textstats import quality_expr
+
+    a = (
+        transcripts.where(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            tokens_col(F.col("text")).alias("toks"),
+        )
+        .withColumn("q", quality_expr(F.col("toks")))
+        .drop("toks")
+    )
+    wc = Window.partitionBy("conv_id").orderBy(
+        F.col("q").desc(), F.col("turn_idx").asc()
+    )
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.col("q").asc(), F.col("turn_idx").desc()
+    )
+    wn = Window.partitionBy("conv_id")
+    ranked = (
+        a.withColumn("rc", F.row_number().over(wc))
+        .withColumn("rr", F.row_number().over(wr))
+        .withColumn("na", F.count("*").over(wn))
+        .where(F.col("na") >= 2)
+    )
+    chosen = ranked.where(F.col("rc") == 1).select(
+        "conv_id",
+        F.col("turn_idx").alias("chosen_turn"),
+        F.col("q").alias("chosen_quality"),
+    )
+    rejected = ranked.where(F.col("rr") == 1).select(
+        "conv_id",
+        F.col("turn_idx").alias("rejected_turn"),
+        F.col("q").alias("rejected_quality"),
+    )
+    return chosen.join(rejected, "conv_id").select(
+        "conv_id",
+        "chosen_turn",
+        "rejected_turn",
+        "chosen_quality",
+        "rejected_quality",
+        F.round(
+            (F.col("chosen_quality") - F.col("rejected_quality"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("margin_micro"),
+    )

@@ -1488,3 +1488,93 @@ def knn_classify(
             F.col("n").alias("votes"),
         )
     )
+
+
+# ---------------------- late interaction (MaxSim) ----------------------
+
+MAXSIM_K = 5
+
+
+def conv_maxsim_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = MAXSIM_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    turns_per_conv: int = 8,
+) -> DataFrame:
+    """ColBERT-style late-interaction conversation retrieval (Khattab
+    & Zaharia, SIGIR 2020): a probe CONVERSATION's member vectors act
+    as the multi-vector query; a candidate conversation scores
+    MaxSim = sum over query vectors q of max over candidate member
+    vectors d of cos(q, d).
+
+    The third multi-vector design point beside mean-pooling
+    (clustering.conv_mean_embeddings collapses before scoring) and
+    MaxP (dense_maxp_topk keeps one best turn): MaxSim matches every
+    query turn independently, so a conversation that covers ALL the
+    probe's turns beats one that nails a single turn.
+
+    Pins (restated in oracle._CONV_MAXSIM_SQL — change both or
+    neither): conv = the corpus id law 'conv-' || lpad(id // 8, 12,
+    '0'); probe convs = the DISTINCT convs of oracle.PROBE_IDS; the
+    probe's own conv is excluded from candidates; per (q, cand conv)
+    similarity quantized to micro BIGINT BEFORE the max/sum —
+    micro = round(1e6 * (dot/(|q|*|d|))) with the ONE shared Catalyst
+    cosine (_dot/_norm), multiplication binding AFTER the division (a
+    float sum of 8 maxes would be shuffle-order-dependent at round 6);
+    maxsim_micro = exact integer sum; rank (maxsim_micro desc, conv_id
+    asc); score = round(micro / 1e6, 6) reported beside.
+
+    Scale shape: probe-conv vectors broadcast over ONE vector scan,
+    then two keyed aggregations — at 1e9 vectors put an IVF/LSH
+    candidate stage in front exactly like the single-vector serve
+    paths.  -> (probe_conv, conv_id, rank, maxsim_micro, score)."""
+    conv_of = lambda c: F.concat(  # noqa: E731
+        F.lit("conv-"),
+        F.lpad(F.expr(f"CAST({c} DIV {int(turns_per_conv)} AS STRING)"), 12, "0"),
+    )
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("conv_id", conv_of("nid"))
+    probe_convs = sorted(
+        {int(p) // int(turns_per_conv) for p in probe_ids}
+    )
+    probe_conv_ids = [f"conv-{c:012d}" for c in probe_convs]
+    probes = base.where(F.col("conv_id").isin(probe_conv_ids)).select(
+        F.col("conv_id").alias("probe_conv"),
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+    )
+    micro = F.round(
+        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    pair = (
+        base.crossJoin(F.broadcast(probes))
+        .where(F.col("conv_id") != F.col("probe_conv"))
+        .select("probe_conv", "qid", "conv_id", micro.alias("m"))
+    )
+    per_q = pair.groupBy("probe_conv", "qid", "conv_id").agg(
+        F.max("m").alias("mq")
+    )
+    scored = per_q.groupBy("probe_conv", "conv_id").agg(
+        F.sum("mq").cast("long").alias("maxsim_micro")
+    )
+    w = Window.partitionBy("probe_conv").orderBy(
+        F.col("maxsim_micro").desc(), F.col("conv_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_conv",
+            "conv_id",
+            "rank",
+            "maxsim_micro",
+            F.round(F.col("maxsim_micro") / F.lit(1_000_000.0), 6).alias(
+                "score"
+            ),
+        )
+    )

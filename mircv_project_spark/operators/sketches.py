@@ -594,3 +594,85 @@ def cms_term_counts(
     finally:
         toks.unpersist()
     return out
+
+
+# ------------------------------ AMS F2 sketch ------------------------------
+#
+# Alon-Matias-Szegedy second frequency moment (F2 = sum over terms of
+# count^2) — the tug-of-war sketch (Alon, Matias, Szegedy, STOC 1996).
+# Each of AMS_R independent estimator rows assigns every term a salted
+# +-1 sign and keeps Z_r = SUM over the OCCURRENCE stream of sign_r(t)
+# (duplicates kept — F2 is about frequencies); E[Z_r^2] = F2 and the
+# estimate of record is the MEDIAN of the R squares.  State is one
+# BIGINT per (source, r): additive, commutative, mergeable — the
+# streaming_cms discipline (map-side partial sums, O(R) per key).
+# |Z_r| <= stream length, so Z^2 stays inside BIGINT up to ~3e9
+# occurrences per source per job — shard beyond that.
+#
+# Gate pins (change both sides or neither): R = 5 (odd — the median is
+# the exact middle element, no interpolation), salts 'ams0-'..'ams4-',
+# sign = +1 iff hash60(salt || term) is even, est = the sorted
+# 5-array's element 3 (1-based), exact f2_true rides beside as the
+# verification column.
+
+AMS_R = 5
+AMS_SALT = "ams"
+
+
+def ams_est_col(zs: list) -> "F.Column":
+    """Median-of-squares estimator — the ONE shared expression (batch
+    operator and the streaming-AMS read view both call it): sorted
+    array of the R squares, 1-based middle element (R odd)."""
+    squares = F.array_sort(F.array(*[(z * z).cast("long") for z in zs]))
+    return F.element_at(squares, (AMS_R + 1) // 2).cast("long")
+
+
+def ams_sign_col(term_col, r: int):
+    """+-1 sign for estimator row r — the ONE shared expression (the
+    oracle restates it verbatim over the same md5-derived hash60)."""
+    h = hash60_col(F.concat(F.lit(f"{AMS_SALT}{r}-"), term_col))
+    return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def ams_f2_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """-> (source, z0..z4, f2_est, f2_true): per-source AMS F2 over the
+    normalized-token occurrence stream.  One (source) shuffle for the
+    sketch (R integer partial sums ride map-side); the exact f2_true
+    branch pays the full (source, term) shuffle and exists for
+    verification — drop it at production scale."""
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    ).persist()  # sketch and exact branches both read it
+    try:
+        zs = toks.groupBy("source").agg(
+            *[
+                F.sum(ams_sign_col(F.col("t"), r)).cast("long").alias(f"z{r}")
+                for r in range(AMS_R)
+            ]
+        )
+        f2 = (
+            toks.groupBy("source", "t")
+            .agg(F.count("*").cast("long").alias("c"))
+            .groupBy("source")
+            .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_true"))
+        )
+        out = (
+            zs.join(f2, "source")
+            .select(
+                "source",
+                *[F.col(f"z{r}") for r in range(AMS_R)],
+                ams_est_col([F.col(f"z{r}") for r in range(AMS_R)]).alias(
+                    "f2_est"
+                ),
+                "f2_true",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        toks.unpersist()
+    return out

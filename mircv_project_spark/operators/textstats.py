@@ -71,6 +71,39 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def quality_expr(toks) -> "F.Column":
+    """The ONE copy of the round-6 composite quality formula over a
+    MATERIALIZED tokens column (callers must project the tokenizer
+    into a column first — the Catalyst re-evaluation gotcha).  Shared
+    by quality_score, training_corpus and dialogue.preference_pairs so
+    the formula cannot drift (the oracle restates it verbatim)."""
+    n = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    digit_chars = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda a, x: a + F.length(F.regexp_replace(x, "[^0-9]", "")),
+    )
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_QS_STOPS)))
+    nf = n.cast("double")
+    mean_len = F.when(n > 0, tok_chars / nf).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        tok_chars > 0, digit_chars / tok_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, stop_hits / nf).otherwise(F.lit(0.0))
+    len_term = F.least(nf / F.lit(20.0), F.lit(1.0))
+    wordlen_term = F.when(
+        (mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * len_term
+        + F.lit(0.2) * wordlen_term
+        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
+        + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0)),
+        6,
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (id, n_tokens, mean_token_len, digit_ratio, stopword_ratio,
     quality double): length/character/stopword heuristics composed into
@@ -94,17 +127,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.lit(0.0)
     )
     stop_ratio = F.when(n > 0, stop_hits / nf).otherwise(F.lit(0.0))
-    len_term = F.least(nf / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
-    wordlen_term = F.when(
-        (mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    quality = F.round(
-        F.lit(0.4) * len_term
-        + F.lit(0.2) * wordlen_term
-        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
-        + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0)),
-        6,
-    )
+    quality = quality_expr(F.col("toks"))  # the one shared formula
     return t.select(
         "id",
         n.cast("long").alias("n_tokens"),

@@ -2343,6 +2343,15 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_maxscore_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         # Block-Max WAND (operators/bmw.py) — rank-safe pruning, so the
         # exhaustive ranking is its oracle too
+        # plain WAND shares the exhaustive oracle (rank-safe pruning)
+        "bm25_topk_wand": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "tfidf_topk_wand": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        "bm25_wand_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
+        # unbounded TAAT shares the exhaustive oracle (every posting
+        # accumulates; acc_cap=None by construction)
+        "bm25_topk_taat": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
+        "tfidf_topk_taat": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
+        "bm25_taat_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
         "bm25_topk_bmw": _topk_sql(QUERY_SET, "bm25", False, TOPK_K),
         "tfidf_topk_bmw": _topk_sql(QUERY_SET, "tfidf", False, TOPK_K),
         "bm25_bmw_conjunctive": _topk_sql(CONJ_QUERY_SET, "bm25", True, TOPK_K),
@@ -2774,6 +2783,70 @@ SELECT a.conv_id, a.turn_idx,
 FROM t a
 JOIN t u ON u.conv_id = a.conv_id AND u.turn_idx = a.turn_idx - 1
 WHERE a.role = 'assistant' AND u.role = 'user'
+"""
+
+
+# Conversation-level best-of-n preference pairs
+# (operators/dialogue.preference_pairs).  Pins restated verbatim
+# (change both sides or neither): quality = textstats.quality_expr
+# (the ONE shared round-6 formula, restated below over the turn
+# tokens); chosen = first under (quality desc, turn_idx asc),
+# rejected = first under (quality asc, turn_idx DESC); only convs
+# with >= 2 assistant turns emit; margin_micro = CAST(round((cq - rq)
+# * 1e6) AS BIGINT).
+_PREFERENCE_PAIRS_SQL = f"""WITH {_DOC_TOKENS},
+m AS (
+    SELECT doc_id AS id,
+           CAST(len(tokens) AS BIGINT) AS n,
+           coalesce(list_sum(list_transform(tokens, t -> length(t))), 0) AS tok_chars,
+           coalesce(list_sum(list_transform(tokens,
+               t -> length(regexp_replace(t, '[^0-9]', '', 'g')))), 0) AS digit_chars,
+           len(list_filter(tokens, t -> t IN (__QS_STOPS__))) AS stop_hits
+    FROM doctoks
+),
+r AS (
+    SELECT id, n,
+           CASE WHEN n > 0 THEN tok_chars / CAST(n AS DOUBLE) ELSE 0.0 END AS mean_len,
+           CASE WHEN tok_chars > 0 THEN digit_chars / CAST(tok_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END AS stop_ratio
+    FROM m
+),
+q AS (
+    SELECT id,
+           round(0.4 * least(CAST(n AS DOUBLE) / 20.0, 1.0)
+               + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (1.0 - digit_ratio)
+               + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+    FROM r
+),
+a AS (
+    SELECT 'conv-' || lpad(CAST(CAST(d.doc_id // 8 AS BIGINT) AS VARCHAR),
+                           12, '0') AS conv_id,
+           CAST(d.doc_id % 8 AS INTEGER) AS turn_idx,
+           q.quality
+    FROM documents d JOIN q ON q.id = d.doc_id
+    WHERE d.doc_id % 4 = 1
+),
+ranked AS (
+    SELECT conv_id, turn_idx, quality,
+           row_number() OVER (
+               PARTITION BY conv_id ORDER BY quality DESC, turn_idx ASC
+           ) AS rc,
+           row_number() OVER (
+               PARTITION BY conv_id ORDER BY quality ASC, turn_idx DESC
+           ) AS rr,
+           count(*) OVER (PARTITION BY conv_id) AS na
+    FROM a
+)
+SELECT c.conv_id,
+       c.turn_idx AS chosen_turn,
+       j.turn_idx AS rejected_turn,
+       c.quality AS chosen_quality,
+       j.quality AS rejected_quality,
+       CAST(round((c.quality - j.quality) * 1000000.0) AS BIGINT)
+           AS margin_micro
+FROM (SELECT * FROM ranked WHERE rc = 1 AND na >= 2) c
+JOIN (SELECT * FROM ranked WHERE rr = 1 AND na >= 2) j USING (conv_id)
 """
 
 
@@ -3344,6 +3417,63 @@ ranked AS (
 SELECT CAST(pid AS BIGINT) AS probe_id, conv_id,
        CAST(nid AS BIGINT) AS best_id, rank, cos AS score
 FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# ColBERT-style late-interaction conversation retrieval
+# (similarity.conv_maxsim_topk).  Pins restated verbatim (change both
+# sides or neither): conv = the transcripts id law on vector ids
+# (vec_id // 8, 12-digit pad); probe convs = DISTINCT convs of
+# PROBE_IDS, self conv excluded; per-(query-vector, candidate-conv)
+# similarity micro-quantized CAST(round(cos * 1e6) AS BIGINT) BEFORE
+# the max and the exact integer sum (multiplication binds AFTER the
+# one division); rank (maxsim_micro desc, conv_id asc), k = 5.
+_MAXSIM_PROBE_CONVS = ", ".join(
+    f"'conv-{c:012d}'" for c in sorted({p // 8 for p in PROBE_IDS})
+)
+
+_CONV_MAXSIM_SQL = f"""WITH v AS (
+    SELECT vec_id AS nid,
+           'conv-' || lpad(CAST(CAST(vec_id // 8 AS BIGINT) AS VARCHAR),
+                           12, '0') AS conv_id,
+           embedding AS e
+    FROM embeddings
+),
+pr AS (
+    SELECT conv_id AS probe_conv, nid AS qid, e AS qe FROM v
+    WHERE conv_id IN ({_MAXSIM_PROBE_CONVS})
+),
+pair AS (
+    SELECT pr.probe_conv, pr.qid, v.conv_id,
+           CAST(round((list_sum(list_transform(range(1, len(pr.qe) + 1),
+                   i -> CAST(pr.qe[i] AS DOUBLE) * CAST(v.e[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(pr.qe,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(v.e,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+               * 1000000.0) AS BIGINT) AS m
+    FROM pr, v
+    WHERE v.conv_id <> pr.probe_conv
+),
+perq AS (
+    SELECT probe_conv, qid, conv_id, max(m) AS mq
+    FROM pair GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT probe_conv, conv_id, CAST(sum(mq) AS BIGINT) AS maxsim_micro
+    FROM perq GROUP BY 1, 2
+),
+ranked AS (
+    SELECT probe_conv, conv_id, maxsim_micro,
+           CAST(row_number() OVER (
+               PARTITION BY probe_conv
+               ORDER BY maxsim_micro DESC, conv_id ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT probe_conv, conv_id, rank, maxsim_micro,
+       round(maxsim_micro / 1000000.0, 6) AS score
+FROM ranked WHERE rank <= 5
 """
 
 
@@ -6703,6 +6833,124 @@ SELECT ex.source AS source, n_distinct, kth_hash,
 FROM ex JOIN sk USING (source)
 """
 
+# T5 span-corruption mask selection (operators/curation.span_corruption).
+# Pins restated verbatim (change both sides or neither): tokens = the
+# oracle-side pipeline, 0-based positions, coin = hash60('span-' || id
+# || '-' || pos) % 1e6 < 150000, window [p, min(p+2, n-1)] (SPAN_LEN
+# 3), islands break ONLY on a strict gap (m > prev + 1 — adjacent
+# windows merge, the dup_spans rule), span_idx 1-based by start; docs
+# with no fired coin emit nothing.
+_SPAN_CORRUPTION_SQL = f"""WITH {_DOC_TOKENS},
+posx AS (
+    SELECT doc_id AS id, unnest(range(len(tokens))) AS p,
+           len(tokens) AS n
+    FROM doctoks WHERE len(tokens) > 0
+),
+fired AS (
+    SELECT id, p, n FROM posx
+    WHERE (('0x' || substr(md5('span-' || CAST(id AS VARCHAR) || '-'
+            || CAST(p AS VARCHAR)), 1, 15))::UBIGINT % 1000000) < 150000
+),
+masked AS (
+    SELECT DISTINCT id, m FROM (
+        SELECT id, unnest(range(p, least(p + 3, n))) AS m FROM fired
+    )
+),
+isl AS (
+    SELECT id, m,
+           CASE WHEN m > coalesce(
+                    lag(m) OVER (PARTITION BY id ORDER BY m), -2) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM masked
+),
+grp AS (
+    SELECT id, m,
+           sum(brk) OVER (
+               PARTITION BY id ORDER BY m ROWS UNBOUNDED PRECEDING
+           ) AS g
+    FROM isl
+),
+spans AS (
+    SELECT id, g, CAST(min(m) AS BIGINT) AS start_pos,
+           CAST(max(m) AS BIGINT) AS end_pos,
+           CAST(count(*) AS BIGINT) AS span_len
+    FROM grp GROUP BY id, g
+)
+SELECT id,
+       CAST(row_number() OVER (
+           PARTITION BY id ORDER BY start_pos
+       ) AS BIGINT) AS span_idx,
+       start_pos, end_pos, span_len
+FROM spans
+"""
+
+# AMS F2 tug-of-war sketch (operators/sketches.ams_f2_tokens).  Pins
+# restated verbatim (change both sides or neither): R = 5 rows, salts
+# 'ams0-'..'ams4-', sign = +1 iff hash60(salt || term) even else -1,
+# Z_r = exact BIGINT sum over the occurrence stream (duplicates KEPT),
+# f2_est = middle element of the sorted 5 squares (odd R — exact
+# median, no interpolation), exact f2_true rides beside.
+def _ams_sign_sql(r: int) -> str:
+    return (
+        "CASE WHEN (('0x' || substr(md5('ams"
+        + str(r)
+        + "-' || t), 1, 15))::UBIGINT % 2) = 0 THEN 1 ELSE -1 END"
+    )
+
+
+_AMS_F2_SQL = f"""WITH {_DOC_TOKENS},
+occ AS (
+    SELECT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+zs AS (
+    SELECT source,
+           {', '.join(
+               f'CAST(sum({_ams_sign_sql(r)}) AS BIGINT) AS z{r}'
+               for r in range(5)
+           )}
+    FROM occ GROUP BY source
+),
+f2 AS (
+    SELECT source, CAST(sum(c * c) AS BIGINT) AS f2_true
+    FROM (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM occ GROUP BY 1, 2
+    ) GROUP BY source
+)
+SELECT zs.source AS source, z0, z1, z2, z3, z4,
+       CAST(list_sort([z0*z0, z1*z1, z2*z2, z3*z3, z4*z4])[3] AS BIGINT)
+           AS f2_est,
+       f2_true
+FROM zs JOIN f2 USING (source)
+"""
+
+# streaming AMS shares the batch sketch oracle minus f2_true (signed
+# integer addition is commutative/associative — final state after ANY
+# micro-batch split equals the batch sketch, test-pinned); the stream's
+# read view derives the estimate through sketches.ams_est_col, the ONE
+# shared expression.
+_STREAMING_AMS_SQL = f"""WITH {_DOC_TOKENS},
+occ AS (
+    SELECT d.source AS source, x.t AS t
+    FROM (SELECT doc_id, unnest(tokens) AS t FROM doctoks) x
+    JOIN documents d ON x.doc_id = d.doc_id
+),
+zs AS (
+    SELECT source,
+           {', '.join(
+               f'CAST(sum({_ams_sign_sql(r)}) AS BIGINT) AS z{r}'
+               for r in range(5)
+           )}
+    FROM occ GROUP BY source
+)
+SELECT source, z0, z1, z2, z3, z4,
+       CAST(list_sort([z0*z0, z1*z1, z2*z2, z3*z3, z4*z4])[3] AS BIGINT)
+           AS f2_est
+FROM zs
+"""
+
 # HyperLogLog distinct sketch (operators/sketches.hll_distinct_tokens).
 # Pins restated verbatim (change both sides or neither): salt 'hll-',
 # p = 8 / m = 256, bucket = h % 256, w = h >> 8, rho = bit_count((w &
@@ -7728,6 +7976,7 @@ def pipeline_oracles() -> dict[str, str]:
         "conv_mean_embeddings": _CONV_MEAN_EMB_SQL,
         "embedding_moments": _EMB_MOMENTS_SQL,
         "dense_maxp_topk": _DENSE_MAXP_SQL,
+        "conv_maxsim_topk": _CONV_MAXSIM_SQL,
         "knn_join": _KNN_JOIN_SQL,
         # MMR diversified top-k (params pinned to similarity.mmr_topk)
         "mmr_topk": _mmr_sql(PROBE_IDS, ANN_K, 20, 0.5),
@@ -7842,6 +8091,8 @@ def pipeline_oracles() -> dict[str, str]:
         "bpe_merges": _BPE_MERGES_SQL,
         "bpe_segmentation": _BPE_SEGMENT_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
+        "ams_f2": _AMS_F2_SQL,
+        "streaming_ams": _STREAMING_AMS_SQL,
         "hll_distinct": _HLL_DISTINCT_SQL,
         "bloom_terms": _BLOOM_SQL,
         "cms_term_counts": _CMS_SQL,
@@ -7933,6 +8184,10 @@ ORDER BY source, term
         "budget_pack": _budget_pack_sql(),
         "doc_chunks": _DOC_CHUNKS_SQL_TMPL.format(
             doctoks=_DOC_TOKENS, stride=16, window=32
+        ),
+        "span_corruption": _SPAN_CORRUPTION_SQL,
+        "preference_pairs": _PREFERENCE_PAIRS_SQL.replace(
+            "__QS_STOPS__", _QS_STOPS_SQL
         ),
         # per-doc TF-IDF keyword extraction + the two classic
         # event-analytics workloads (ordered funnel, batch

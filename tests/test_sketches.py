@@ -484,3 +484,52 @@ def test_streaming_qsk_final_state_equals_batch_and_replay_idempotent(
     }
     assert got == want
     assert got["sA"][0] == 20  # replays added nothing
+
+
+def test_streaming_ams_final_state_equals_batch(spark, tmp_path):
+    """Two micro-batches with overlapping and batch-2-only sources:
+    every source's final (max-epoch) Z state must equal the batch AMS
+    sketch over the full corpus — signed integer addition is
+    order-free — and the derived estimate must match ams_f2_tokens
+    minus the exact column."""
+    from mircv_project_spark.streaming.ams_stream import (
+        final_ams_estimates,
+        run_streaming_ams,
+    )
+
+    rows1 = [
+        (0, "alpha beta alpha " + " ".join(f"w{i}" for i in range(30)),
+         "en", "sA", 0),
+        (1, "alpha beta gamma", "en", "sB", 0),  # absent from batch 2
+    ]
+    rows2 = [
+        (2, "alpha " + " ".join(f"w{i}" for i in range(20, 50)),
+         "en", "sA", 0),
+        (3, " ".join(f"x{i}" for i in range(25)), "en", "sC", 0),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inp, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_ams(spark, inp, out, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_ams(spark, inp, out, ckpt).awaitTermination(120)
+
+    got = {
+        r.source: (r.z0, r.z1, r.z2, r.z3, r.z4, r.f2_est)
+        for r in final_ams_estimates(spark.read.parquet(out)).collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        r.source: (r.z0, r.z1, r.z2, r.z3, r.z4, r.f2_est)
+        for r in K.ams_f2_tokens(batch).collect()
+    }
+    assert got == want
+    assert set(got) == {"sA", "sB", "sC"}
