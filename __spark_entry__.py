@@ -1646,6 +1646,25 @@ def _q_event_anomalies(spark, sf_dir):
     return event_anomalies(_events(spark, sf_dir))
 
 
+def _q_event_trend(spark, sf_dir):
+    """Per-type OLS hourly-count trend over the dense hour grid
+    (events.event_trend): exact BIGINT sums, sign-aware half-away
+    micro slope — the one-number growth/decay readout beside
+    event_anomalies."""
+    from mircv_project_spark.operators.events import event_trend
+
+    return event_trend(_events(spark, sf_dir))
+
+
+def _q_session_entry_exit(spark, sf_dir):
+    """Per-session landing/exit event types (events.session_entry_exit)
+    on top of the pinned sessionization — the entry/exit-page
+    analysis."""
+    from mircv_project_spark.operators.events import session_entry_exit
+
+    return session_entry_exit(_events(spark, sf_dir))
+
+
 def _q_event_range_join(spark, sf_dir):
     """Interval join: every (purchase, click) pair within the prior
     hour via a bucketized equi-join — no nested-loop range scan."""
@@ -2069,6 +2088,62 @@ def _q_tpch_top_supplier(spark, sf_dir):
 
     return top_supplier(
         _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "supplier")
+    )
+
+
+def _q_tpch_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape over the derived partsupp (relational module
+    comment pins the law): min-cost EUROPE supplier per eligible part,
+    all min ties emitted, top 100."""
+    from mircv_project_spark.operators.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def _q_tpch_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape over the derived partsupp: NATION_3 stock value
+    per part, 0.0001-fraction threshold cross-multiplied in exact
+    integers."""
+    from mircv_project_spark.operators.relational import important_stock
+
+    return important_stock(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def _q_tpch_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape over the derived partsupp: distinct supplier
+    counts per (brand, type, size), complaint suppliers excluded."""
+    from mircv_project_spark.operators.relational import (
+        parts_supplier_counts,
+    )
+
+    return parts_supplier_counts(
+        _tbl(spark, sf_dir, "part"), _tbl(spark, sf_dir, "supplier")
+    )
+
+
+def _q_tpch_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape over the derived partsupp: ASIA-region
+    suppliers whose availqty beats half their 1995 shipped quantity of
+    a 'red' part — cross-multiplied integer threshold."""
+    from mircv_project_spark.operators.relational import (
+        excess_stock_suppliers,
+    )
+
+    return excess_stock_suppliers(
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "lineitem"),
     )
 
 
@@ -3753,6 +3828,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_counts": _q_events_sliding_counts,
         "events_gapfill": _q_events_gapfill,
         "event_anomalies": _q_event_anomalies,
+        "event_trend": _q_event_trend,
+        "session_entry_exit": _q_session_entry_exit,
         "streaming_anomalies": _q_streaming_anomalies,
         "item_popularity": _q_item_popularity,
         # deterministic shuffled shard export + train/val/test split
@@ -3786,6 +3863,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_market_share": _q_tpch_market_share,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_top_supplier": _q_tpch_top_supplier,
+        "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
+        "tpch_important_stock": _q_tpch_important_stock,
+        "tpch_parts_supplier_counts": _q_tpch_parts_supplier_counts,
+        "tpch_excess_stock": _q_tpch_excess_stock,
         "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
         "tpch_idle_rich_customers": _q_tpch_idle_rich_customers,
         "tpch_priority_mix": _q_tpch_priority_mix,

@@ -640,6 +640,24 @@ def event_anomalies(events: DataFrame, z2_threshold: float = ANOM_Z2) -> DataFra
     return anomalies_from_counts(events.sparkSession, cnts, z2_threshold)
 
 
+def _dense_hour_counts(spark, cnts: DataFrame):
+    """SPARSE (event_type, h, c) -> (h0, DENSE per-type hour grid with
+    zero hours filled) — the ONE copy of the dense-grid construction
+    (global [min, max] hour span from the counts themselves), shared
+    by the anomaly derivation and the OLS trend so the grid pins
+    cannot drift.  Returns (None, None) on an empty input."""
+    h0, h1 = cnts.agg(F.min("h"), F.max("h")).collect()[0]
+    if h0 is None:
+        return None, None
+    hours = spark.range(int(h0), int(h1) + 1).select(F.col("id").alias("h"))
+    types = cnts.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    dense = grid.join(cnts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return int(h0), dense
+
+
 def anomalies_from_counts(
     spark, cnts: DataFrame, z2_threshold: float = ANOM_Z2
 ) -> DataFrame:
@@ -649,17 +667,11 @@ def anomalies_from_counts(
     drift.  The global span comes from the counts' own min/max h —
     identical to the batch events' span (an absent hour cannot extend
     it)."""
-    h0, h1 = cnts.agg(F.min("h"), F.max("h")).collect()[0]
+    h0, dense = _dense_hour_counts(spark, cnts)
     if h0 is None:
         return spark.createDataFrame(
             [], "event_type string, hour_h long, cnt long, z2 double"
         )
-    hours = spark.range(int(h0), int(h1) + 1).select(F.col("id").alias("h"))
-    types = cnts.select("event_type").distinct()
-    grid = types.crossJoin(F.broadcast(hours))
-    dense = grid.join(cnts, ["event_type", "h"], "left").select(
-        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
-    )
     st = dense.groupBy("event_type").agg(
         F.count("*").alias("hh"),
         F.sum("c").alias("s"),
@@ -985,4 +997,133 @@ def rfm_from_user_stats(per_user: DataFrame) -> DataFrame:
         "rfm",
         (F.lit(100) * F.col("r") + F.lit(10) * F.col("f") + F.col("m"))
         .cast("long"),
+    )
+
+
+def event_trend(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """-> (event_type, n_hours, sx, sy, sxy, sxx, slope_micro,
+    mean_micro): per-type ordinary-least-squares trend of the hourly
+    event count over the DENSE hour grid (zero hours included —
+    silence pulls the trend down, the event_anomalies grid pin).
+
+    All-integer exactness contract (the clarity/pmi discipline):
+    x = h - h0 (0-based offsets off the global grid start), exact
+    BIGINT sums (n, Sx, Sy, Sxy, Sxx); slope = (n·Sxy - Sx·Sy) /
+    (n·Sxx - Sx²) quantized to micro with the SIGN-AWARE
+    round-half-away integer division (the k-means centroid rule —
+    slopes are routinely negative); mean_micro = rha(1e6·Sy, n).
+    Types present in fewer than 2 grid hours cannot regress and are
+    excluded (den = 0).  The raw sums ride as audit columns (the
+    embedding_moments discipline).  Overflow bound: 1e6·n·Sxy must
+    stay inside BIGINT — holds while hours³ x peak-count x 1e6 < 2^63
+    (≈6k dense hours at count ~100); beyond that, aggregate daily
+    before calling.
+
+    Scale shape (100 TB): one (type, hour) partial agg over the scan;
+    the dense grid is types x hours and the regression is one more
+    tiny agg — nothing materializes per event."""
+    base = events.select(
+        "event_type",
+        F.floor(_us_col(ts_col) / F.lit(US_PER_HOUR)).cast("long").alias("h"),
+    )
+    cnts = base.groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    h0, dense = _dense_hour_counts(events.sparkSession, cnts)
+    if h0 is None:
+        return events.sparkSession.createDataFrame(
+            [],
+            "event_type string, n_hours long, sx long, sy long, sxy long,"
+            " sxx long, slope_micro long, mean_micro long",
+        )
+    st = (
+        dense.select(
+            "event_type",
+            (F.col("h") - F.lit(h0)).cast("long").alias("x"),
+            F.col("c").cast("long").alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .where(F.col("n_hours") >= 2)
+    )
+    return st.selectExpr(
+        "event_type",
+        "n_hours",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        # slope_micro: sign-aware round-half-away of 1e6*num/den
+        "CAST(CASE WHEN (n_hours*sxy - sx*sy) >= 0 "
+        " THEN (2*1000000*(n_hours*sxy - sx*sy) + (n_hours*sxx - sx*sx))"
+        "      DIV (2*(n_hours*sxx - sx*sx)) "
+        " ELSE -((2*1000000*(sx*sy - n_hours*sxy) + (n_hours*sxx - sx*sx))"
+        "      DIV (2*(n_hours*sxx - sx*sx))) END AS BIGINT) AS slope_micro",
+        "CAST((2*1000000*sy + n_hours) DIV (2*n_hours) AS BIGINT)"
+        " AS mean_micro",
+    )
+
+
+def session_entry_exit(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_S,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """-> (user_id, session_idx, entry_type, exit_type, n_events,
+    duration_s): per-session landing/exit event types — the
+    entry/exit-page analysis on top of the pinned sessionization
+    (event_sessions' gap/order rules inherited verbatim: STRICT >
+    gap, order (ts, event_id) with explicit NULLS LAST on BOTH
+    directions — DuckDB defaults NULLS FIRST on DESC where Spark
+    defaults NULLS LAST, the event_sessions lesson).  entry = the
+    session's first event's type, exit = its last; duration_s =
+    (end_us - start_us) DIV 1e6 exact BIGINT.
+
+    Scale shape: the same single (user) window pass as
+    event_sessions plus two in-partition row_numbers — no extra
+    shuffle."""
+    gap_us = int(gap_seconds) * 1_000_000
+    base = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        _us_col(ts_col).alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col("event_type").alias("etype"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc_nulls_last(), F.col("eid").asc_nulls_last()
+    )
+    prev = F.lag("us").over(w)
+    flagged = base.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((F.col("us") - prev) > gap_us), 1).otherwise(0),
+    )
+    run = (
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1
+    )
+    marked = flagged.withColumn("session_idx", run.cast("long"))
+    ws_a = Window.partitionBy("user_id", "session_idx").orderBy(
+        F.col("us").asc_nulls_last(), F.col("eid").asc_nulls_last()
+    )
+    ws_d = Window.partitionBy("user_id", "session_idx").orderBy(
+        F.col("us").desc_nulls_last(), F.col("eid").desc_nulls_last()
+    )
+    ranked = marked.withColumn("ra", F.row_number().over(ws_a)).withColumn(
+        "rd", F.row_number().over(ws_d)
+    )
+    return ranked.groupBy("user_id", "session_idx").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("etype"))).alias("entry_type"),
+        F.max(F.when(F.col("rd") == 1, F.col("etype"))).alias("exit_type"),
+        F.count("*").cast("long").alias("n_events"),
+        F.expr("CAST((max(us) - min(us)) DIV 1000000 AS BIGINT)").alias(
+            "duration_s"
+        ),
     )

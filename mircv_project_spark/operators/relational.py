@@ -876,3 +876,245 @@ def idle_rich_customers(
             F.sum("acctbal_c").cast("long").alias("totacctbal_c"),
         )
     )
+
+
+# ------------------- derived partsupp (Q2/Q11/Q16/Q20) -------------------
+#
+# The synthetic schema carries no partsupp table, so the four TPC-H
+# shapes that need one (Q2 min-cost supplier, Q11 important stock,
+# Q16 supplier counts, Q20 excess stock) run over a DETERMINISTICALLY
+# DERIVED partsupp — a pinned law restated verbatim in every oracle
+# (change both sides or neither):
+#
+#   m            = greatest(n_suppliers // 4, 1)
+#   membership   : (p_partkey % m) == (s_suppkey % m)   -> ~4 suppliers
+#                  per part, expressed as an EQUI-JOIN on the residue
+#                  (never a cross join + filter)
+#   ps_availqty  = (p_partkey*7  + s_suppkey*11) % 9999  + 1
+#   ps_supplycost= (p_partkey*13 + s_suppkey*17) % 100000 + 100  CENTS
+#
+# Costs stay exact integer cents end-to-end (the relational
+# discipline); n_suppliers is one count() scalar per job.
+
+PS_PER_PART = 4
+PS_QTY_MOD = 9_999
+PS_COST_MOD = 100_000
+Q16_SIZES = (5, 11, 17, 23, 29, 35, 41, 47)
+Q16_EXCL_BRAND = "Brand#2"
+Q16_EXCL_TYPE = "ECONOMY"
+Q16_COMPLAINT_MOD = 13  # complaint supplier law: s_suppkey % 13 == 2
+Q16_COMPLAINT_REM = 2
+Q2_REGION = "EUROPE"
+Q2_TYPE = "ECONOMY"
+Q11_FRACTION_PPM = 100  # keep parts with value > 0.0001 of the total
+Q20_NAME_PREFIX = "red"
+Q20_REGION = "ASIA"
+Q20_YEAR_LO = "1995-01-01 00:00:00"
+Q20_YEAR_HI = "1996-01-01 00:00:00"
+
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """The pinned derived partsupp (module comment above).  One
+    count() scalar + one residue equi-join; at 1e9 parts the join key
+    is the m-residue, so each supplier co-locates with its 1/m slice
+    of parts — no cross join ever materializes."""
+    n_supp = supplier.count()
+    m = max(int(n_supp) // PS_PER_PART, 1)
+    p = part.select(
+        "p_partkey", (F.col("p_partkey") % m).alias("_k")
+    )
+    s = supplier.select(
+        "s_suppkey", (F.col("s_suppkey") % m).alias("_k")
+    )
+    return p.join(s, "_k").select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        (
+            (F.col("p_partkey") * 7 + F.col("s_suppkey") * 11)
+            % PS_QTY_MOD + 1
+        ).cast("long").alias("ps_availqty"),
+        (
+            (F.col("p_partkey") * 13 + F.col("s_suppkey") * 17)
+            % PS_COST_MOD + 100
+        ).cast("long").alias("ps_supplycost_c"),
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape over the derived partsupp: for ECONOMY parts
+    whose size is a multiple of 10, the EUROPE supplier(s) achieving
+    the MINIMUM supplycost per part — ALL min-tied suppliers emit (the
+    Q15 integer-exact-max discipline, min here), then top-k under
+    (acctbal_c desc, n_name asc, s_name asc, p_partkey asc).
+
+    Scale shape: region->nation->supplier chain broadcasts (tiny
+    dims), the per-part min is one window over the ps join — no
+    correlated subquery re-scan."""
+    from pyspark.sql import Window
+
+    ps = derived_partsupp(part, supplier)
+    eligible_p = part.where(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") % 10 == 0)
+    ).select("p_partkey", "p_brand")
+    sups = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == Q2_REGION)),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            _cents("s_acctbal").alias("acctbal_c"),
+        )
+    )
+    joined = (
+        ps.join(eligible_p, ps.ps_partkey == eligible_p.p_partkey)
+        .join(sups, ps.ps_suppkey == sups.s_suppkey)
+    )
+    wmin = Window.partitionBy("ps_partkey")
+    best = joined.withColumn(
+        "min_cost_c", F.min("ps_supplycost_c").over(wmin)
+    ).where(F.col("ps_supplycost_c") == F.col("min_cost_c"))
+    return (
+        best.select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            "acctbal_c",
+            F.col("ps_supplycost_c").alias("cost_c"),
+        )
+        .orderBy(
+            F.col("acctbal_c").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(k)
+    )
+
+
+def important_stock(
+    part: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q11 shape over the derived partsupp: per-part stock value
+    (supplycost_c x availqty, exact BIGINT) held by NATION_3
+    suppliers; keep parts whose value exceeds fraction 0.0001 of the
+    nation's total — compared CROSS-MULTIPLIED in integers
+    (value_c * 1e4 > total_c), never a float ratio at the boundary."""
+    ps = derived_partsupp(part, supplier)
+    nat_sups = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    vals = (
+        ps.join(nat_sups, ps.ps_suppkey == nat_sups.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("value_c")
+        )
+    )
+    total = vals.agg(F.sum("value_c").cast("long").alias("total_c"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value_c") * (1_000_000 // Q11_FRACTION_PPM) > F.col("total_c"))
+        .select("ps_partkey", "value_c")
+        .orderBy(F.col("value_c").desc(), F.col("ps_partkey").asc())
+    )
+
+
+def parts_supplier_counts(
+    part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape over the derived partsupp: distinct supplier
+    count per (brand, type, size) for the pinned size list, excluding
+    Brand#2/ECONOMY parts and 'complaint' suppliers (the adapted law
+    s_suppkey % 13 == 2 — no comment column in the synthetic schema)."""
+    ps = derived_partsupp(part, supplier)
+    parts = part.where(
+        ~((F.col("p_brand") == Q16_EXCL_BRAND) & (F.col("p_type") == Q16_EXCL_TYPE))
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ok = ps.where(
+        F.col("ps_suppkey") % Q16_COMPLAINT_MOD != Q16_COMPLAINT_REM
+    )
+    return (
+        ok.join(parts, ok.ps_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def excess_stock_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q20 shape over the derived partsupp: ASIA-region
+    suppliers (a single pinned nation is too brittle against the
+    synthetic supplier law — 0 rows at sf0.01) holding a ps row for a
+    'red'-prefixed part whose availqty exceeds
+    half the quantity they shipped of that part during 1995 — the
+    half-of-shipped threshold compared CROSS-MULTIPLIED in integers
+    (200 * availqty > sum_qty_cents; qty is cents-quantized like every
+    measure here).  Ship window filters push to the lineitem scan as
+    NTZ literals (the relational pushdown discipline)."""
+    ps = derived_partsupp(part, supplier)
+    red_parts = part.where(F.col("p_name").startswith(Q20_NAME_PREFIX)).select(
+        "p_partkey"
+    )
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= _ntz(Q20_YEAR_LO))
+            & (F.col("l_shipdate") < _ntz(Q20_YEAR_HI))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents("l_quantity")).cast("long").alias("sum_qty_c"))
+    )
+    hits = (
+        ps.join(red_parts, ps.ps_partkey == red_parts.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") * 200 > F.col("sum_qty_c"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == Q20_REGION)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    # alias: `supplier` already feeds the derived partsupp inside
+    # `hits`, so this second use must carry distinct attribute ids
+    sup = supplier.alias("q20s")
+    return (
+        hits.join(sup, hits.ps_suppkey == F.col("q20s.s_suppkey"))
+        .join(F.broadcast(nat), F.col("q20s.s_nationkey") == nat.n_nationkey)
+        .select(
+            F.col("q20s.s_suppkey").cast("long").alias("s_suppkey"),
+            F.col("q20s.s_name").alias("s_name"),
+        )
+        .orderBy(F.col("s_name").asc())
+    )

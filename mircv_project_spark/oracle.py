@@ -3921,6 +3921,119 @@ WHERE contains(p_name, 'widget')
 GROUP BY 1, 2
 """
 
+# Derived partsupp for the Q2/Q11/Q16/Q20 shapes (no partsupp in the
+# synthetic schema).  The law is pinned in
+# operators/relational.derived_partsupp and restated VERBATIM here
+# (change both sides or neither): m = greatest(n_suppliers // 4, 1),
+# membership (p_partkey % m) == (s_suppkey % m), availqty =
+# (p*7 + s*11) % 9999 + 1, supplycost CENTS = (p*13 + s*17) % 100000
+# + 100.
+_PARTSUPP_CTE = """partsupp AS (
+    SELECT p.p_partkey AS ps_partkey, s.s_suppkey AS ps_suppkey,
+           CAST((p.p_partkey*7 + s.s_suppkey*11) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+           CAST((p.p_partkey*13 + s.s_suppkey*17) % 100000 + 100 AS BIGINT)
+               AS ps_supplycost_c
+    FROM part p JOIN supplier s
+      ON p.p_partkey % greatest((SELECT count(*) FROM supplier) // 4, 1)
+       = s.s_suppkey % greatest((SELECT count(*) FROM supplier) // 4, 1)
+)"""
+
+# Q2: min-cost EUROPE supplier per ECONOMY part with size % 10 == 0;
+# ALL min-tied suppliers emit, top 100 by (acctbal_c desc, n_name,
+# s_name, p_partkey); acctbal exact cents.
+_TPCH_Q2_SQL = f"""WITH {_PARTSUPP_CTE},
+sups AS (
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(round(s.s_acctbal * 100.0) AS BIGINT) AS acctbal_c
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+joined AS (
+    SELECT ps.ps_partkey, p.p_brand, su.s_name, su.n_name, su.acctbal_c,
+           ps.ps_supplycost_c,
+           min(ps.ps_supplycost_c) OVER (PARTITION BY ps.ps_partkey)
+               AS min_cost_c
+    FROM partsupp ps
+    JOIN part p ON ps.ps_partkey = p.p_partkey
+    JOIN sups su ON ps.ps_suppkey = su.s_suppkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size % 10 = 0
+)
+SELECT CAST(ps_partkey AS BIGINT) AS p_partkey, p_brand, s_name, n_name,
+       acctbal_c, ps_supplycost_c AS cost_c
+FROM joined WHERE ps_supplycost_c = min_cost_c
+ORDER BY acctbal_c DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+# Q11: per-part NATION_3 stock value (exact BIGINT supplycost_c x
+# availqty); keep value_c * 1e4 > total_c (fraction 0.0001
+# cross-multiplied in integers).
+_TPCH_Q11_SQL = f"""WITH {_PARTSUPP_CTE},
+vals AS (
+    SELECT ps.ps_partkey,
+           CAST(sum(ps.ps_supplycost_c * ps.ps_availqty) AS BIGINT)
+               AS value_c
+    FROM partsupp ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY 1
+)
+SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey, value_c
+FROM vals
+WHERE value_c * 10000 > (SELECT CAST(sum(value_c) AS BIGINT) FROM vals)
+ORDER BY value_c DESC, ps_partkey ASC
+"""
+
+# Q16: distinct supplier count per (brand, type, size) over the pinned
+# size list, excluding Brand#2/ECONOMY parts and complaint suppliers
+# (adapted law s_suppkey % 13 == 2).
+_TPCH_Q16_SQL = f"""WITH {_PARTSUPP_CTE}
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON ps.ps_partkey = p.p_partkey
+WHERE NOT (p.p_brand = 'Brand#2' AND p.p_type = 'ECONOMY')
+  AND p.p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+  AND ps.ps_suppkey % 13 <> 2
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+# Q20: ASIA-region suppliers with a 'red'-part ps row whose availqty
+# exceeds half their 1995 shipped quantity of that part —
+# 200 * availqty > sum(qty cents), cross-multiplied; ship window
+# [1995-01-01, 1996-01-01) as naive epochs.
+_TPCH_Q20_SQL = f"""WITH {_PARTSUPP_CTE},
+shipped AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_qty_c
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= 788918400000000
+      AND epoch_us(l_shipdate) < 820454400000000
+    GROUP BY 1, 2
+),
+hits AS (
+    SELECT DISTINCT ps.ps_suppkey
+    FROM partsupp ps
+    JOIN part p ON ps.ps_partkey = p.p_partkey
+    JOIN shipped sh
+      ON ps.ps_partkey = sh.l_partkey AND ps.ps_suppkey = sh.l_suppkey
+    WHERE p.p_name LIKE 'red%' AND ps.ps_availqty * 200 > sh.sum_qty_c
+)
+SELECT CAST(h.ps_suppkey AS BIGINT) AS s_suppkey, s.s_name
+FROM hits h
+JOIN supplier s ON h.ps_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+ORDER BY s.s_name ASC
+"""
+
 # Q15: every supplier tied at the max quarterly revenue (integer-exact
 # max/equality); ship window [1996-01-01, 1996-04-01)
 _TPCH_Q15_SQL = """WITH rev AS (
@@ -4289,6 +4402,103 @@ WHERE (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       * (CAST(st.hh AS DOUBLE) * CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE))
       > 4.0 * (CAST(st.hh AS DOUBLE) * CAST(st.q AS DOUBLE)
                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+"""
+
+
+# Per-type OLS hourly trend (operators/events.event_trend).  Pins
+# restated verbatim (change both sides or neither): the SAME dense
+# hour grid as event_anomalies (global [min,max] span, zero hours
+# included), x = h - h0, exact BIGINT sums, slope_micro = SIGN-AWARE
+# round-half-away of 1e6*(n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) (the k-means
+# centroid division rule), mean_micro = rha(1e6*Sy, n), types with
+# fewer than 2 grid hours excluded; the raw sums ride as audit
+# columns in the gate hash.
+_EVENT_TREND_SQL = """WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h
+    FROM events
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+hours AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds),
+grid AS (SELECT t.event_type, hrs.h
+         FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN hours hrs),
+cnts AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+         FROM b GROUP BY 1, 2),
+dense AS (
+    SELECT g.event_type, g.h - (SELECT h0 FROM bounds) AS x,
+           coalesce(c.c, 0) AS y
+    FROM grid g LEFT JOIN cnts c ON g.event_type = c.event_type AND g.h = c.h
+),
+st AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM dense GROUP BY 1
+    HAVING count(*) >= 2
+)
+SELECT event_type, n_hours, sx, sy, sxy, sxx,
+       CAST(CASE WHEN (n_hours*sxy - sx*sy) >= 0
+            THEN (2*1000000*(n_hours*sxy - sx*sy) + (n_hours*sxx - sx*sx))
+                 // (2*(n_hours*sxx - sx*sx))
+            ELSE -((2*1000000*(sx*sy - n_hours*sxy) + (n_hours*sxx - sx*sx))
+                 // (2*(n_hours*sxx - sx*sx))) END AS BIGINT) AS slope_micro,
+       CAST((2*1000000*sy + n_hours) // (2*n_hours) AS BIGINT) AS mean_micro
+FROM st
+"""
+
+
+# Session entry/exit types (operators/events.session_entry_exit).
+# Inherits event_sessions' pins verbatim (gap 28800 s STRICT >, order
+# (us, event_id) NULLS LAST — and NULLS LAST explicitly on the DESC
+# window too: DuckDB defaults NULLS FIRST on DESC where Spark defaults
+# last); entry/exit = first/last event's type under that total order;
+# duration_s = (end - start) integer-DIV 1e6.
+_SESSION_ENTRY_EXIT_SQL = """WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           epoch_us(ts) AS us,
+           CAST(event_id AS BIGINT) AS eid,
+           event_type AS etype
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 28800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY us ASC NULLS LAST, eid ASC NULLS LAST)
+),
+marked AS (
+    SELECT *,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id
+               ORDER BY us ASC NULLS LAST, eid ASC NULLS LAST
+               ROWS UNBOUNDED PRECEDING
+           ) - 1 AS BIGINT) AS session_idx
+    FROM flagged
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY user_id, session_idx
+               ORDER BY us ASC NULLS LAST, eid ASC NULLS LAST
+           ) AS ra,
+           row_number() OVER (
+               PARTITION BY user_id, session_idx
+               ORDER BY us DESC NULLS LAST, eid DESC NULLS LAST
+           ) AS rd
+    FROM marked
+)
+SELECT user_id, session_idx,
+       max(CASE WHEN ra = 1 THEN etype END) AS entry_type,
+       max(CASE WHEN rd = 1 THEN etype END) AS exit_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s
+FROM ranked GROUP BY 1, 2
 """
 
 
@@ -8026,6 +8236,10 @@ def pipeline_oracles() -> dict[str, str]:
         "tpch_market_share": _TPCH_Q8_SQL,
         "tpch_product_profit": _TPCH_Q9_SQL,
         "tpch_top_supplier": _TPCH_Q15_SQL,
+        "tpch_min_cost_supplier": _TPCH_Q2_SQL,
+        "tpch_important_stock": _TPCH_Q11_SQL,
+        "tpch_parts_supplier_counts": _TPCH_Q16_SQL,
+        "tpch_excess_stock": _TPCH_Q20_SQL,
         "tpch_small_qty_revenue": _TPCH_Q17_SQL,
         "tpch_idle_rich_customers": _TPCH_Q22_SQL,
         "tpch_priority_mix": _TPCH_Q12_SQL,
@@ -8238,6 +8452,8 @@ ORDER BY source, term
         # hourly count anomalies (dense grid, integer stats, pinned
         # double-before-multiply z² form, threshold 4.0)
         "event_anomalies": _EVENT_ANOMALIES_SQL,
+        "event_trend": _EVENT_TREND_SQL,
+        "session_entry_exit": _SESSION_ENTRY_EXIT_SQL,
         # streaming_anomalies shares the batch oracle VERBATIM:
         # counter addition + exactly-once offsets make the final
         # streamed counts equal the batch aggregate; the z² analysis
