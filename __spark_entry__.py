@@ -1665,6 +1665,32 @@ def _q_session_entry_exit(spark, sf_dir):
     return session_entry_exit(_events(spark, sf_dir))
 
 
+def _q_streaming_trend(spark, sf_dir):
+    """Streaming hourly counters served as the OLS trend view
+    (anomaly_stream.final_trend): the SAME per-(type, hour) additive
+    counter state as streaming_anomalies, regressed at read time
+    through the ONE shared derivation (events.trend_from_counts) —
+    shares the batch event_trend oracle VERBATIM."""
+    from mircv_project_spark.streaming.anomaly_stream import (
+        final_trend,
+        run_streaming_anomaly_counts,
+    )
+
+    base = _tmpdir("mircv_strend_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events(spark, sf_dir)
+    split = ev.count() // 2
+    ev.where(F.col("event_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_anomaly_counts(spark, inp, out, ckpt).awaitTermination(300)
+    ev.where(F.col("event_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_anomaly_counts(spark, inp, out, ckpt).awaitTermination(300)
+    return final_trend(spark.read.parquet(out))
+
+
 def _q_event_range_join(spark, sf_dir):
     """Interval join: every (purchase, click) pair within the prior
     hour via a bucketized equi-join — no nested-loop range scan."""
@@ -3829,6 +3855,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": _q_events_gapfill,
         "event_anomalies": _q_event_anomalies,
         "event_trend": _q_event_trend,
+        "streaming_trend": _q_streaming_trend,
         "session_entry_exit": _q_session_entry_exit,
         "streaming_anomalies": _q_streaming_anomalies,
         "item_popularity": _q_item_popularity,

@@ -1027,9 +1027,17 @@ def event_trend(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.floor(_us_col(ts_col) / F.lit(US_PER_HOUR)).cast("long").alias("h"),
     )
     cnts = base.groupBy("event_type", "h").agg(F.count("*").alias("c"))
-    h0, dense = _dense_hour_counts(events.sparkSession, cnts)
+    return trend_from_counts(events.sparkSession, cnts)
+
+
+def trend_from_counts(spark, cnts: DataFrame) -> DataFrame:
+    """SPARSE (event_type, h, c) hourly counts -> the OLS trend table:
+    the ONE copy of the regression derivation, shared by the batch
+    operator and the streaming counter view (the
+    anomalies_from_counts discipline) so the two cannot drift."""
+    h0, dense = _dense_hour_counts(spark, cnts)
     if h0 is None:
-        return events.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [],
             "event_type string, n_hours long, sx long, sy long, sxy long,"
             " sxx long, slope_micro long, mean_micro long",

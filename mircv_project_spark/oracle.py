@@ -8453,6 +8453,9 @@ ORDER BY source, term
         # double-before-multiply z² form, threshold 4.0)
         "event_anomalies": _EVENT_ANOMALIES_SQL,
         "event_trend": _EVENT_TREND_SQL,
+        # streaming trend shares the batch oracle VERBATIM (additive
+        # counters + the ONE shared read-time derivation)
+        "streaming_trend": _EVENT_TREND_SQL,
         "session_entry_exit": _SESSION_ENTRY_EXIT_SQL,
         # streaming_anomalies shares the batch oracle VERBATIM:
         # counter addition + exactly-once offsets make the final

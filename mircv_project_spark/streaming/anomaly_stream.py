@@ -111,3 +111,20 @@ def final_anomalies(out: DataFrame) -> DataFrame:
     )
     cnts = last.select("event_type", "h", "c")
     return anomalies_from_counts(out.sparkSession, cnts)
+
+
+def final_trend(out: DataFrame) -> DataFrame:
+    """Counter-row stream output -> the OLS trend table: each key's
+    LAST count (max epoch), regressed through the ONE shared batch
+    derivation (events.trend_from_counts).  Shares the batch
+    event_trend oracle VERBATIM — same counters, same derivation (the
+    streaming_anomalies discipline)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.events import trend_from_counts
+
+    w = Window.partitionBy("event_type", "h").orderBy(F.col("epoch").desc())
+    last = out.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return trend_from_counts(out.sparkSession, last.select("event_type", "h", "c"))

@@ -506,3 +506,63 @@ def test_chunk_pair_grid_is_engine_generated(spark):
     assert got == [(i, j) for i in range(5) for j in range(i, 5)]
     _, small_huge = _chunk_pair_grid(spark, 250_000)
     assert not small_huge
+
+
+def test_round4_new_ops_plan_guards(spark):
+    """Plan guards for the round-4 wave: the derived partsupp is an
+    EQUI-join on the key residue (never a cross/nested-loop product),
+    every Q2/Q11/Q16/Q20 plan is nested-loop-free, MaxSim broadcasts
+    the probe-conv vectors, and span_corruption is join-free."""
+    from mircv_project_spark import oracle
+    from mircv_project_spark.operators.curation import span_corruption
+    from mircv_project_spark.operators.relational import (
+        derived_partsupp,
+        excess_stock_suppliers,
+        important_stock,
+        min_cost_supplier,
+        parts_supplier_counts,
+    )
+    from mircv_project_spark.operators.similarity import conv_maxsim_topk
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    supplier = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    region = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+
+    ps_plan = checks.plan_text(derived_partsupp(part, supplier))
+    assert "CartesianProduct" not in ps_plan
+    assert "BroadcastNestedLoopJoin" not in ps_plan
+
+    checks.assert_no_broadcast_nested_loop(
+        min_cost_supplier(part, supplier, nation, region)
+    )
+    # important_stock deliberately broadcast-cross-joins the ONE-ROW
+    # grand total onto the per-part values (the right plan at any
+    # scale); assert exactly that one nested loop and nothing else
+    stock_plan = checks.plan_text(
+        important_stock(part, supplier, nation), mode="simple"
+    )
+    assert stock_plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in stock_plan
+    checks.assert_no_broadcast_nested_loop(
+        parts_supplier_counts(part, supplier)
+    )
+    checks.assert_no_broadcast_nested_loop(
+        excess_stock_suppliers(part, supplier, nation, region, lineitem)
+    )
+
+    # MaxSim's exhaustive baseline broadcasts the tiny probe-conv
+    # vector table over ONE vector scan (the cosine_topk shape): the
+    # nested loop's build side must be the broadcast, and there must
+    # be exactly the one
+    msim_plan = checks.plan_text(conv_maxsim_topk(emb, oracle.PROBE_IDS), mode="simple")
+    assert msim_plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastExchange" in msim_plan
+    assert "CartesianProduct" not in msim_plan
+
+    # span_corruption: tokenize + explode + windows — no joins
+    span_plan = checks.plan_text(span_corruption(docs))
+    assert "Join" not in span_plan
