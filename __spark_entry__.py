@@ -393,6 +393,24 @@ def _tombstoned_store(spark, sf_dir) -> str:
     return store
 
 
+def _q_facet_histogram(spark, sf_dir):
+    """Numeric range facets (facets.facet_histogram): per-query
+    n_chars histogram over the disjunctive match set — the ES
+    histogram aggregation beside the categorical facet counts."""
+    from mircv_project_spark.operators.facets import facet_histogram
+
+    return facet_histogram(_docs(spark, sf_dir), oracle.QUERY_SET)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Stratified k-per-source sample (curation.stratified_sample):
+    bottom-k-by-salted-hash per domain — mergeable, partition-
+    invariant, the equal-size eval sampler."""
+    from mircv_project_spark.operators.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
 def _q_significant_terms(spark, sf_dir):
     """Significant-terms aggregation (Elasticsearch's discovery
     facet): terms over-represented in each query's disjunctive match
@@ -3706,6 +3724,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_page2": _q_search_after,
         "conv_maxp_topk": _q_conv_maxp,
         "facet_counts": _q_facet_counts,
+        "facet_histogram": _q_facet_histogram,
+        "stratified_sample": _q_stratified_sample,
         "significant_terms": _q_significant_terms,
         "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,

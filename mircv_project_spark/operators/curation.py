@@ -819,3 +819,60 @@ def span_corruption(
         "end_pos",
         "span_len",
     )
+
+
+# ------------------------- stratified sampling -------------------------
+
+SSAMP_SALT = "ssamp-"
+SSAMP_K = 20
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int = SSAMP_K,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """-> (source, doc_id, h, pos): k-per-source uniform sample — the
+    stratified eval/inspection sampler every curation pipeline runs
+    (equal-size per-domain samples regardless of domain skew).
+
+    Pins (restated in oracle._STRATIFIED_SAMPLE_SQL — change both
+    sides or neither): key = hash60('ssamp-' || doc_id) (salt
+    independent of the shard/split/pack/mix/wsample/qsk coins), the k
+    smallest keys per source win, pos = row_number under (h asc,
+    doc_id asc).  The bottom-k-by-hash rule is the quantile_sketch
+    sample law: mergeable (bottom-k of a union == bottom-k of
+    per-part bottom-ks), identical under any partitioning.
+
+    Scale shape: mapInPandas partial bottom-k per Arrow batch (the
+    sketches._partial_kmin_v kernel — bounded memory, map-side), then
+    one window over <= k-per-batch survivors; the full table never
+    shuffles."""
+    from pyspark.sql import Window
+
+    from .sketches import _partial_kmin_v
+
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        hash60_col(
+            F.concat(F.lit(SSAMP_SALT), F.col(id_col).cast("string"))
+        ).alias("h"),
+        F.col(id_col).cast("long").alias("v"),
+    )
+    partial = base.mapInPandas(
+        _partial_kmin_v(k), schema="source string, h long, v long"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    return (
+        partial.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(
+            "source",
+            F.col("v").alias("doc_id"),
+            "h",
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )

@@ -241,3 +241,57 @@ def facet_top_hits(
     return hits.join(counts, ["qid", "source"]).select(
         "qid", "source", "n_docs", "bucket_rank", "docno", "score"
     )
+
+
+FACET_HIST_BIN = 200  # n_chars per histogram bucket
+
+
+def facet_histogram(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    value_col: str = "n_chars",
+    bin_width: int = FACET_HIST_BIN,
+) -> DataFrame:
+    """-> (qid, bucket, n_docs): numeric range facets — the histogram
+    aggregation search UIs render beside the categorical facet counts
+    (ES `histogram` agg / Solr range facets).
+
+    Pins (restated in oracle._FACET_HISTOGRAM_SQL — change both sides
+    or neither): match set = facet_counts' DISJUNCTIVE rule verbatim
+    (any query term present, DISTINCT normalized tokens), bucket =
+    n_chars integer-DIV 200 (non-negative — the events_value_histogram
+    discipline), empty buckets absent.
+
+    Scale shape: same broadcast term semi-join as facet_counts, one
+    (qid, bucket) partial agg — no new shuffle family."""
+    from ..operators.topk import query_terms
+
+    spark = docs.sparkSession
+    qt_rows = query_terms(queries, parse=False)
+    if not qt_rows:
+        return spark.createDataFrame([], "qid string, bucket long, n_docs long")
+    qt = spark.createDataFrame(
+        sorted({(q, t) for q, t, _ in qt_rows}), "qid string, term string"
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+            "term"
+        ),
+    )
+    matched = (
+        toks.join(F.broadcast(qt), "term").select("qid", "doc_id").distinct()
+    )
+    vals = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(f"CAST({value_col} AS BIGINT) DIV {int(bin_width)}").alias(
+            "bucket"
+        ),
+    )
+    return (
+        matched.join(vals, "doc_id")
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

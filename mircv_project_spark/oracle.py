@@ -2299,6 +2299,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         # per-doc match decision => streaming == batch BY DESIGN
         "streaming_percolate": _percolate_sql(QUERY_SET),
         "facet_counts": _facets_sql(QUERY_SET),
+        "facet_histogram": _facet_histogram_sql(QUERY_SET),
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         # significant-terms discovery facet (JLH, micro-exact)
         "significant_terms": _SIGTERMS_SQL,
         # Efraimidis-Spirakis weighted sampling (deterministic coin)
@@ -4693,6 +4695,52 @@ UNION ALL
 SELECT qid, 'lang' AS facet, lang AS value,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM j GROUP BY 1, 3
+"""
+
+
+def _facet_histogram_sql(queries, bin_width: int = 200) -> str:
+    """operators/facets.facet_histogram: the numeric range facet.
+    Pins restated verbatim (change both sides or neither): match set
+    = facet_counts' DISJUNCTIVE rule, bucket = n_chars integer-DIV
+    200 (non-negative), empty buckets absent."""
+    return f"""WITH {_DOC_TOKENS},
+q AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+qinv AS (
+    SELECT DISTINCT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term
+    FROM q
+),
+dt AS (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM doctoks
+),
+matched AS (
+    SELECT DISTINCT i.qid, d.doc_id
+    FROM dt d JOIN qinv i USING (term)
+)
+SELECT m.qid, CAST(doc.n_chars // {int(bin_width)} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m JOIN documents doc ON doc.doc_id = m.doc_id
+GROUP BY 1, 2
+"""
+
+
+# Stratified per-source sample (operators/curation.stratified_sample).
+# Pins restated verbatim (change both sides or neither): key =
+# hash60('ssamp-' || doc_id), k = 20 smallest keys per source, pos =
+# row_number under (h asc, doc_id asc).
+_STRATIFIED_SAMPLE_SQL = """WITH keyed AS (
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(('0x' || substr(md5('ssamp-' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::UBIGINT AS BIGINT) AS h
+    FROM documents
+),
+ranked AS (
+    SELECT source, doc_id, h,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY h ASC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM keyed
+)
+SELECT source, doc_id, h, pos FROM ranked WHERE pos <= 20
 """
 
 
