@@ -411,6 +411,32 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir))
 
 
+def _q_streaming_ssample(spark, sf_dir):
+    """Streaming stratified sample (applyInPandasWithState keyed by
+    source, state = the bottom-k (hash, doc_id) sample) under the
+    batch stratified_sample oracle VERBATIM: bottom-k-of-union ==
+    bottom-k of bottom-ks and the (h, id) dedup makes replays no-ops;
+    pos re-derives at read time under the one ordering pin."""
+    from mircv_project_spark.streaming.ssample_stream import (
+        final_ssample,
+        run_streaming_ssample,
+    )
+
+    base = _tmpdir("mircv_sssamp_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    docs.where(F.col("doc_id") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_ssample(spark, inp, out, ckpt).awaitTermination(300)
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_ssample(spark, inp, out, ckpt).awaitTermination(300)
+    return final_ssample(spark.read.parquet(out))
+
+
 def _q_significant_terms(spark, sf_dir):
     """Significant-terms aggregation (Elasticsearch's discovery
     facet): terms over-represented in each query's disjunctive match
@@ -1327,6 +1353,37 @@ def _q_preference_pairs(spark, sf_dir):
     from mircv_project_spark.operators.dialogue import preference_pairs
 
     return preference_pairs(load_transcripts(spark, sf_dir))
+
+
+def _q_streaming_preference(spark, sf_dir):
+    """Streaming DPO preference mining (applyInPandasWithState keyed
+    by conversation, state = best/worst assistant turn under the
+    (quality, -turn) key + additive count) under the batch
+    preference_pairs oracle VERBATIM: max/min merges are commutative/
+    associative/idempotent, counts add under exactly-once offsets,
+    quality computes Catalyst-side through the ONE shared formula."""
+    from mircv_project_spark.streaming.preference_stream import (
+        final_preference_pairs,
+        run_streaming_preference,
+    )
+
+    base = _tmpdir("mircv_spref_gate_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t = load_transcripts(spark, sf_dir).select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role", "text",
+    )
+    docs = _docs(spark, sf_dir)
+    split_conv = f"conv-{(docs.count() // 2) // 8:012d}"
+    t.where(F.col("conv_id") < split_conv).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    run_streaming_preference(spark, inp, out, ckpt).awaitTermination(300)
+    t.where(F.col("conv_id") >= split_conv).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_preference(spark, inp, out, ckpt).awaitTermination(300)
+    return final_preference_pairs(spark.read.parquet(out))
 
 
 def _q_streaming_sft(spark, sf_dir):
@@ -3726,6 +3783,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet_counts,
         "facet_histogram": _q_facet_histogram,
         "stratified_sample": _q_stratified_sample,
+        "streaming_ssample": _q_streaming_ssample,
         "significant_terms": _q_significant_terms,
         "bm25_topk_vacuumed": _q_bm25_topk_vacuumed,
         "bm25_topk_fuzzy": _q_fuzzy_topk,
@@ -4000,6 +4058,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_windows": _q_turn_windows,
         "instruction_pairs": _q_instruction_pairs,
         "preference_pairs": _q_preference_pairs,
+        "streaming_preference": _q_streaming_preference,
         "streaming_sft": _q_streaming_sft,
         "assistant_token_spans": _q_assistant_token_spans,
         "session_paths": _q_session_paths,

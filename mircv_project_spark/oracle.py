@@ -2301,6 +2301,9 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "facet_counts": _facets_sql(QUERY_SET),
         "facet_histogram": _facet_histogram_sql(QUERY_SET),
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        # streaming twin shares the batch oracle VERBATIM (bottom-k
+        # merge + (h, id) replay dedup; pos re-derived at read time)
+        "streaming_ssample": _STRATIFIED_SAMPLE_SQL,
         # significant-terms discovery facet (JLH, micro-exact)
         "significant_terms": _SIGTERMS_SQL,
         # Efraimidis-Spirakis weighted sampling (deterministic coin)
@@ -8449,6 +8452,11 @@ ORDER BY source, term
         ),
         "span_corruption": _SPAN_CORRUPTION_SQL,
         "preference_pairs": _PREFERENCE_PAIRS_SQL.replace(
+            "__QS_STOPS__", _QS_STOPS_SQL
+        ),
+        # streaming twin shares the batch oracle VERBATIM (max/min
+        # merge idempotence + additive count, exactly-once offsets)
+        "streaming_preference": _PREFERENCE_PAIRS_SQL.replace(
             "__QS_STOPS__", _QS_STOPS_SQL
         ),
         # per-doc TF-IDF keyword extraction + the two classic
