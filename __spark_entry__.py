@@ -2680,6 +2680,48 @@ def _q_y4m_frame_stats(spark, sf_dir):
     )
 
 
+def _q_y4m_scene_cuts(spark, sf_dir):
+    """REAL video decode -> shot-boundary detection
+    (multimodal.y4m_scene_cuts): exact integer Y-plane SAD between
+    consecutive frames, pinned strict threshold.  sf_dir unused
+    (synthetic media)."""
+    from mircv_project_spark.operators.multimodal import (
+        generate_y4m_media,
+        y4m_scene_cuts,
+    )
+
+    media = generate_y4m_media(spark, oracle.N_Y4M_MEDIA, seed=42)
+    return y4m_scene_cuts(media)
+
+
+def _q_wav_energy_segments(spark, sf_dir):
+    """REAL audio decode -> voice-activity segmentation
+    (multimodal.wav_energy_segments): maximal runs of integer energy
+    frames above the pinned strict threshold.  sf_dir unused
+    (synthetic media)."""
+    from mircv_project_spark.operators.multimodal import (
+        generate_wav_media,
+        wav_energy_segments,
+    )
+
+    media = generate_wav_media(spark, oracle.N_WAV_MEDIA, seed=42)
+    return wav_energy_segments(media)
+
+
+def _q_ppm_color_histogram(spark, sf_dir):
+    """REAL image decode -> per-channel color histogram
+    (multimodal.ppm_color_histogram): exact pixel counts per
+    (channel, value DIV 32) bucket.  sf_dir unused (synthetic
+    media)."""
+    from mircv_project_spark.operators.multimodal import (
+        generate_ppm_media,
+        ppm_color_histogram,
+    )
+
+    media = generate_ppm_media(spark, oracle.N_PPM_MEDIA, seed=42)
+    return ppm_color_histogram(media)
+
+
 def _topk_compressed(standard: str):
     """Distributed top-k over the compressed block store (codecs + the
     run-grained layout inside the oracle-checked path)."""
@@ -4008,6 +4050,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_resize": _q_ppm_resize,
         "wav_audio_features": _q_wav_audio_features,
         "y4m_frame_stats": _q_y4m_frame_stats,
+        "y4m_scene_cuts": _q_y4m_scene_cuts,
+        "wav_energy_segments": _q_wav_energy_segments,
+        "ppm_color_histogram": _q_ppm_color_histogram,
         "y4m_frame_sample": _q_y4m_frame_sample,
         # bigram-LM quality filter + DSIR-style data selection
         "bigram_lm_ppl": _q_bigram_lm_ppl,

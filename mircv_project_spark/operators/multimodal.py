@@ -1085,3 +1085,199 @@ def video_fingerprint_pairs(media: DataFrame, max_dist: int = VFP_T) -> DataFram
         )
     )
     return dist.where(F.col("dist") <= max_dist)
+
+
+Y4M_SCENE_SAD = 2_000  # scene-cut threshold on the 64-pixel Y-plane SAD
+Y4M_SCENE_SCHEMA = "media_id long, frame_idx int, sad long, is_cut boolean"
+
+
+def y4m_scene_cuts(
+    media: DataFrame, threshold: int = Y4M_SCENE_SAD
+) -> DataFrame:
+    """REAL video decode -> shot-boundary detection: per consecutive
+    frame pair, the EXACT integer sum of absolute Y-plane differences
+    (SAD — the classic scene-cut feature); a cut fires where SAD
+    STRICTLY exceeds the pinned threshold.  frame_idx = the LATER
+    frame's index (1..F-1).
+
+    Pins (restated in oracle._Y4M_SCENE_SQL — change both sides or
+    neither): Y plane only, SAD = sum |Y_f[p] - Y_{f-1}[p]| over the
+    64 pixels as exact int64, threshold 2000 STRICT >.  On the
+    md5-noise synthetic corpus every pair is a cut (E[SAD] ~ 5400);
+    the informative gate signal is the exact SAD value itself.
+
+    Scale shape: one mapInPandas decode pass, rows/media = F-1 — the
+    plumbing (schema, batching, binary column) is identical to
+    y4m_frame_stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sads, cuts = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, _, frames = _parse_y4m(bytes(payload))
+                for i in range(1, len(frames)):
+                    y_prev = frames[i - 1][0].astype(np.int64)
+                    y_cur = frames[i][0].astype(np.int64)
+                    sad = int(np.abs(y_cur - y_prev).sum())
+                    ids.append(mid)
+                    idxs.append(i)
+                    sads.append(sad)
+                    cuts.append(sad > threshold)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "sad": pd.Series(sads, dtype="int64"),
+                 "is_cut": pd.Series(cuts, dtype="bool")}
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        run, Y4M_SCENE_SCHEMA
+    )
+
+
+WAV_ACTIVE_ENERGY = 250_000  # 16-sample |.|-energy activity threshold
+WAV_SEG_SCHEMA = (
+    "media_id long, seg_idx long, start_frame long, end_frame long,"
+    " n_frames long, energy_sum long"
+)
+
+
+def wav_energy_segments(
+    media: DataFrame, threshold: int = WAV_ACTIVE_ENERGY
+) -> DataFrame:
+    """REAL audio decode -> voice-activity-style segmentation: frames
+    whose 16-sample integer |.|-energy (the wav_fingerprint_sig frame
+    law) STRICTLY exceeds the threshold are ACTIVE; maximal runs of
+    consecutive active frames are segments.
+
+    Pins (restated in oracle._WAV_SEGMENTS_SQL — change both sides or
+    neither): energy frames identical to the fingerprint gate's,
+    active iff e > 250000 STRICT, segments = consecutive-frame runs,
+    seg_idx 1-based by start_frame, energy_sum = exact BIGINT sum over
+    the segment's frames; all-inactive clips emit nothing.
+
+    Scale shape: one mapInPandas decode pass, bounded per-clip state —
+    the y4m_scene_cuts plumbing on the audio column."""
+    import struct
+
+    def _energies(payload: bytes) -> list[int]:
+        # same RIFF walk as wav_fingerprint_sig (change both or neither)
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        i = 12
+        data = None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            body = payload[i + 8 : i + 8 + size]
+            if cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if data is None:
+            raise ValueError("no data chunk")
+        samples = np.frombuffer(
+            data[: (len(data) // 2) * 2], dtype="<i2"
+        ).astype(np.int64)
+        n_frames = len(samples) // 16
+        framed = np.abs(samples[: n_frames * 16]).reshape(n_frames, 16)
+        return framed.sum(axis=1).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, segs, starts, ends, ns, esums = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                es = _energies(bytes(payload))
+                seg_idx = 0
+                i = 0
+                while i < len(es):
+                    if es[i] > threshold:
+                        j = i
+                        while j + 1 < len(es) and es[j + 1] > threshold:
+                            j += 1
+                        seg_idx += 1
+                        mids.append(mid)
+                        segs.append(seg_idx)
+                        starts.append(i)
+                        ends.append(j)
+                        ns.append(j - i + 1)
+                        esums.append(int(sum(es[i : j + 1])))
+                        i = j + 1
+                    else:
+                        i += 1
+            yield pd.DataFrame(
+                {"media_id": pd.Series(mids, dtype="int64"),
+                 "seg_idx": pd.Series(segs, dtype="int64"),
+                 "start_frame": pd.Series(starts, dtype="int64"),
+                 "end_frame": pd.Series(ends, dtype="int64"),
+                 "n_frames": pd.Series(ns, dtype="int64"),
+                 "energy_sum": pd.Series(esums, dtype="int64")}
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        run, WAV_SEG_SCHEMA
+    )
+
+
+PPM_HIST_BUCKETS = 8  # byte DIV 32
+PPM_HIST_SCHEMA = "media_id long, channel int, bucket int, n long"
+
+
+def ppm_color_histogram(media: DataFrame) -> DataFrame:
+    """REAL image decode -> per-channel color histogram: exact pixel
+    counts per (channel, intensity DIV 32 bucket) — the color-profile
+    analytics member of the image family beside the strip features and
+    the perceptual hash.
+
+    Pins (restated in oracle._PPM_HIST_SQL — change both sides or
+    neither): channels in raster order (0=R, 1=G, 2=B — byte pos % 3),
+    bucket = byte value integer-DIV 32 (8 buckets), empty buckets
+    absent; the raster parse is the real P6 walker
+    (ppm_image_features' header discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, chans, bks, ns = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:2] != b"P6":
+                    raise ValueError("not a binary PPM (P6) payload")
+                fields: list[int] = []
+                i = 2
+                while len(fields) < 3:
+                    while i < len(payload) and payload[i : i + 1].isspace():
+                        i += 1
+                    if payload[i : i + 1] == b"#":
+                        while i < len(payload) and payload[i : i + 1] != b"\n":
+                            i += 1
+                        continue
+                    j = i
+                    while j < len(payload) and not payload[j : j + 1].isspace():
+                        j += 1
+                    fields.append(int(payload[i:j]))
+                    i = j
+                i += 1
+                w, h, _maxval = fields
+                raster = np.frombuffer(
+                    payload, dtype=np.uint8, count=w * h * 3, offset=i
+                )
+                px = raster.reshape(-1, 3)
+                for ch in range(3):
+                    counts = np.bincount(
+                        px[:, ch] >> 5, minlength=PPM_HIST_BUCKETS
+                    )
+                    for bk in range(PPM_HIST_BUCKETS):
+                        if counts[bk]:
+                            mids.append(mid)
+                            chans.append(ch)
+                            bks.append(bk)
+                            ns.append(int(counts[bk]))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(mids, dtype="int64"),
+                 "channel": pd.Series(chans, dtype="int32"),
+                 "bucket": pd.Series(bks, dtype="int32"),
+                 "n": pd.Series(ns, dtype="int64")}
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, PPM_HIST_SCHEMA
+    )

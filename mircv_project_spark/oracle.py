@@ -5773,6 +5773,31 @@ ORDER BY media_id, strip
 """
 
 
+# Per-channel color histogram (operators/multimodal.ppm_color_histogram).
+# Pins restated verbatim (change both sides or neither): channel =
+# raster byte pos % 3 (RGB order), bucket = value DIV 32 (8 buckets),
+# exact counts, empty buckets absent.
+_PPM_HIST_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, r.range AS r,
+           md5('ppm-' || ids.range || '-42-' || r.range) AS hx
+    FROM range({N_PPM_MEDIA}) ids CROSS JOIN range(48) r
+),
+bytes AS (
+    SELECT id, (r * 16 + b.range) AS pos,
+           16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * b.range + 1 AS INTEGER), 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, CAST(2 * b.range + 2 AS INTEGER), 1)) - 1)
+           AS val
+    FROM chunks CROSS JOIN range(16) b
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(pos % 3 AS INTEGER) AS channel,
+       CAST(val // 32 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM bytes
+GROUP BY 1, 2, 3
+"""
+
+
 # Perceptual average-hash image near-dup pairs
 # (operators/multimodal.image_ahash_pairs).  Pins restated verbatim
 # (change both sides or neither): per-pixel RGB byte sum, 8x8 cell
@@ -5894,6 +5919,62 @@ SELECT CAST(id AS BIGINT) AS media_id,
 FROM samples
 GROUP BY id, pos // 64
 ORDER BY media_id, strip
+"""
+
+
+# Voice-activity segmentation (operators/multimodal.wav_energy_segments).
+# Pins restated verbatim (change both sides or neither): energy frames
+# = the fingerprint gate's 16-sample |.| sums, active iff e > 250000
+# STRICT, segments = maximal runs of consecutive active frames,
+# seg_idx 1-based by start, energy_sum exact BIGINT.
+_WAV_SEGMENTS_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, r.range AS r,
+           md5('wav-' || ids.range || '-42-' || r.range) AS hx
+    FROM range({N_WAV_MEDIA}) ids CROSS JOIN range(64) r
+),
+samples AS (
+    SELECT id, (r * 8 + s.range) AS pos,
+           ({_hexbyte('hx', '4 * s.range + 1')})
+           + 256 * ({_hexbyte('hx', '4 * s.range + 3')}) AS uval
+    FROM chunks CROSS JOIN range(8) s
+),
+fe AS (
+    SELECT id, pos // 16 AS frame,
+           CAST(sum(abs(CASE WHEN uval >= 32768 THEN uval - 65536
+                             ELSE uval END)) AS BIGINT) AS e
+    FROM samples GROUP BY 1, 2
+),
+act AS (
+    SELECT id, frame, e FROM fe WHERE e > 250000
+),
+isl AS (
+    SELECT id, frame, e,
+           CASE WHEN frame > coalesce(
+                    lag(frame) OVER (PARTITION BY id ORDER BY frame), -2
+                ) + 1 THEN 1 ELSE 0 END AS brk
+    FROM act
+),
+grp AS (
+    SELECT id, frame, e,
+           sum(brk) OVER (
+               PARTITION BY id ORDER BY frame ROWS UNBOUNDED PRECEDING
+           ) AS g
+    FROM isl
+),
+segs AS (
+    SELECT id, g,
+           CAST(min(frame) AS BIGINT) AS start_frame,
+           CAST(max(frame) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(e) AS BIGINT) AS energy_sum
+    FROM grp GROUP BY 1, 2
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(row_number() OVER (
+           PARTITION BY id ORDER BY start_frame
+       ) AS BIGINT) AS seg_idx,
+       start_frame, end_frame, n_frames, energy_sum
+FROM segs
 """
 
 
@@ -6030,6 +6111,37 @@ SELECT CAST(id AS BIGINT) AS media_id,
 FROM bytes
 GROUP BY id, pos // 192
 ORDER BY media_id, frame_idx
+"""
+
+
+# Scene-cut detection (operators/multimodal.y4m_scene_cuts).  Pins
+# restated verbatim (change both sides or neither): Y plane only, SAD
+# = exact BIGINT sum of |Y_f[p] - Y_{f-1}[p]| over the 64 pixels,
+# frame_idx = the LATER frame (1..5), cut iff sad > 2000 STRICT.
+_Y4M_SCENE_SQL = f"""WITH chunks AS (
+    SELECT ids.range AS id, c.range AS c,
+           md5('y4m-' || ids.range || '-42-' || c.range) AS hx
+    FROM range({N_Y4M_MEDIA}) ids CROSS JOIN range(72) c
+),
+bytes AS (
+    SELECT id, (c * 16 + b.range) AS pos,
+           {_hexbyte('hx', '2 * b.range + 1')} AS val
+    FROM chunks CROSS JOIN range(16) b
+),
+yb AS (
+    SELECT id, pos // 192 AS frame, pos % 192 AS pixel, val
+    FROM bytes WHERE pos % 192 < 64
+),
+sad AS (
+    SELECT a.id, b.frame AS frame_idx,
+           CAST(sum(abs(a.val - b.val)) AS BIGINT) AS sad
+    FROM yb a JOIN yb b
+      ON a.id = b.id AND b.frame = a.frame + 1 AND a.pixel = b.pixel
+    GROUP BY 1, 2
+)
+SELECT CAST(id AS BIGINT) AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       sad, sad > 2000 AS is_cut
+FROM sad
 """
 
 
@@ -8340,6 +8452,9 @@ def pipeline_oracles() -> dict[str, str]:
         "ppm_resize": _PPM_RESIZE_SQL,
         "wav_audio_features": _WAV_FEATURES_SQL,
         "y4m_frame_stats": _Y4M_STATS_SQL,
+        "y4m_scene_cuts": _Y4M_SCENE_SQL,
+        "wav_energy_segments": _WAV_SEGMENTS_SQL,
+        "ppm_color_histogram": _PPM_HIST_SQL,
         # frame sampling: the SAME stats restricted to even frames
         "y4m_frame_sample": _Y4M_STATS_SQL.replace(
             "GROUP BY id, pos // 192",
