@@ -1923,6 +1923,16 @@ def _q_token_fertility(spark, sf_dir):
     return token_fertility(_docs(spark, sf_dir))
 
 
+def _q_length_outliers(spark, sf_dir):
+    """Per-source Tukey-fence length outliers
+    (textstats.length_outliers): interpolated quartiles round 6, 1.5
+    IQR fences — the corpus-QA pass for truncated/concatenated
+    shards."""
+    from mircv_project_spark.operators.textstats import length_outliers
+
+    return length_outliers(_docs(spark, sf_dir))
+
+
 def _q_token_counts(spark, sf_dir):
     from mircv_project_spark.operators.textstats import token_counts
 
@@ -3930,6 +3940,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
+        "length_outliers": _q_length_outliers,
         "token_counts": _q_token_counts,
         "token_fertility": _q_token_fertility,
         "corpus_manifest": _q_corpus_manifest,

@@ -509,3 +509,70 @@ def readability_scores(
     return agg.select(
         "source", "n_docs", "n_words", "n_sents", "n_syll", fre.alias("fre")
     )
+
+
+# Tukey fence multiplier: the textbook 1.5 flags nothing on the
+# synthetic corpus's thin-tailed length law (0 rows at sf0.001/0.1),
+# so the GATE pins the stricter 0.75 fence — non-empty at every
+# driver SF (18/14/3 rows measured) while remaining a true
+# tail-flagging regime; production callers pass 1.5.
+OUTLIER_FENCE_K = 0.75
+
+
+def length_outliers(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    fence_k: float = OUTLIER_FENCE_K,
+) -> DataFrame:
+    """-> (source, doc_id, n_chars, lo_fence, hi_fence, side): per-source
+    Tukey-fence length outliers — the corpus-QA pass that flags
+    truncated shards and concatenation bugs before training.
+
+    Pins (restated in oracle._LENGTH_OUTLIERS_SQL — change both sides
+    or neither): q1/q3 = linear-interpolated quartiles over the
+    source's values (Spark percentile == DuckDB quantile_cont at round
+    6 — the event_props_rollup pin), both rounded 6 BEFORE the fence
+    arithmetic, fences = q1 - 1.5*iqr / q3 + 1.5*iqr each rounded 6
+    (one float expression per fence, identical parenthesization),
+    outlier iff value < lo_fence OR value > hi_fence STRICT, side =
+    'low'/'high'.
+
+    Scale shape: one per-source aggregate (exact percentile is the
+    O(group) piece — swap approx_percentile at 100 TB) broadcast back
+    over the scan; no window over the full table."""
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    qs = base.groupBy("source").agg(
+        F.round(F.percentile(F.col("v"), F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile(F.col("v"), F.lit(0.75)), 6).alias("q3"),
+    )
+    fences = qs.select(
+        "source",
+        F.round(
+            F.col("q1") - F.lit(fence_k) * (F.col("q3") - F.col("q1")), 6
+        ).alias("lo_fence"),
+        F.round(
+            F.col("q3") + F.lit(fence_k) * (F.col("q3") - F.col("q1")), 6
+        ).alias("hi_fence"),
+    )
+    return (
+        base.join(F.broadcast(fences), "source")
+        .where(
+            (F.col("v") < F.col("lo_fence")) | (F.col("v") > F.col("hi_fence"))
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.col("v").alias("n_chars"),
+            "lo_fence",
+            "hi_fence",
+            F.when(F.col("v") < F.col("lo_fence"), F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("side"),
+        )
+    )

@@ -3023,6 +3023,34 @@ SELECT CAST(q.id AS BIGINT) AS id, q.domain, q.quality, t.domain_p50,
 FROM q JOIN thr t USING (domain)
 """
 
+# Per-source Tukey-fence length outliers (textstats.length_outliers).
+# Pins restated verbatim (change both sides or neither): q1/q3 =
+# linear-interpolated quartiles rounded 6 BEFORE the fence
+# arithmetic, fences = q1 -+ 0.75*iqr rounded 6 (0.75, not the
+# textbook 1.5: the synthetic length law's thin tails flag 0 rows at
+# 1.5 — see textstats.OUTLIER_FENCE_K),
+# outlier iff v < lo OR v > hi STRICT, side = 'low'/'high'.
+_LENGTH_OUTLIERS_SQL = """WITH qs AS (
+    SELECT source,
+           round(CAST(quantile_cont(n_chars, 0.25) AS DOUBLE), 6) AS q1,
+           round(CAST(quantile_cont(n_chars, 0.75) AS DOUBLE), 6) AS q3
+    FROM documents GROUP BY 1
+),
+fences AS (
+    SELECT source,
+           round(q1 - 0.75 * (q3 - q1), 6) AS lo_fence,
+           round(q3 + 0.75 * (q3 - q1), 6) AS hi_fence
+    FROM qs
+)
+SELECT d.source, CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       f.lo_fence, f.hi_fence,
+       CASE WHEN d.n_chars < f.lo_fence THEN 'low' ELSE 'high' END AS side
+FROM documents d JOIN fences f USING (source)
+WHERE d.n_chars < f.lo_fence OR d.n_chars > f.hi_fence
+"""
+
+
 _TOKEN_COUNTS_SQL = f"""WITH {_DOC_TOKENS},
 ws AS (
     SELECT doc_id AS id,
@@ -8334,6 +8362,7 @@ def pipeline_oracles() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": _QUALITY_SQL,
+        "length_outliers": _LENGTH_OUTLIERS_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "token_fertility": _TOKEN_FERTILITY_SQL,
         "corpus_manifest": _CORPUS_MANIFEST_SQL,
