@@ -1311,6 +1311,16 @@ def _q_item_bfs(spark, sf_dir):
     return item_bfs(_events(spark, sf_dir), oracle.BFS_SEEDS)
 
 
+def _q_item_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities (graph.item_lpa):
+    3 deterministic integer-weight iterations over the co-visitation
+    graph — the modularity-free community view beside the
+    threshold-components one."""
+    from mircv_project_spark.operators.graph import item_lpa
+
+    return item_lpa(_events(spark, sf_dir))
+
+
 def _q_item_communities(spark, sf_dir):
     """Connected components over the strong co-visitation edges
     (epsilon-guarded 0.99-quantile weight threshold), via the shared
@@ -4099,6 +4109,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_pagerank": _q_item_pagerank,
         "item_transitions": _q_item_transitions,
         "item_communities": _q_item_communities,
+        "item_lpa": _q_item_lpa,
         "item_bfs": _q_item_bfs,
         "item_similarity": _q_item_similarity,
         "item_adamic_adar": _q_item_adamic_adar,

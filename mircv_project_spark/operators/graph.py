@@ -1034,3 +1034,90 @@ def item_hits(events: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
         )
     finally:
         ui.unpersist()
+
+
+LPA_ITERS = 3
+
+
+def item_lpa(events: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """-> (item, label): synchronous label propagation communities over
+    the item co-visitation graph (Raghavan et al. 2007, made
+    deterministic) — the modularity-free community member beside the
+    threshold-components view (item_communities) and the centrality
+    family (pagerank/PPR/HITS).
+
+    Pins (restated in oracle._ITEM_LPA_SQL — change both sides or
+    neither): incidence/edges = item_pagerank's derivation VERBATIM
+    (distinct (user, item), directed pairs a <> b, w = common-user
+    count); label_0(v) = v; each of the 3 SYNCHRONOUS iterations sets
+    label(v) = the neighbor label maximizing the incident weight sum,
+    ties (weight desc, label asc), isolated items keep their label; no
+    self vote.  All-integer state — a synchronous integer-weight LPA
+    is shuffle-order-independent, which is what lets an iterative
+    community algorithm sit under the hash gate (the k-means/pagerank
+    discipline).
+
+    Scale shape: per iteration ONE (edge join labels) shuffle + one
+    (src, label) agg + one window — localCheckpoint per round cuts the
+    re-planned lineage (the dup_components lesson)."""
+    ui = (
+        events.select(
+            F.col("user_id").cast("long").alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        a, b = ui.alias("a"), ui.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.u") == F.col("b.u"))
+                & (F.col("a.item") != F.col("b.item")),
+            )
+            .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+            .agg(F.count("*").cast("long").alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        items = ui.select("item").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            labels = items.select("item", F.col("item").alias("label"))
+            wv = Window.partitionBy("src").orderBy(
+                F.col("ws").desc(), F.col("label").asc()
+            )
+            for _ in range(int(iters)):
+                votes = (
+                    edges.join(
+                        labels.select(
+                            F.col("item").alias("dst"),
+                            F.col("label"),
+                        ),
+                        "dst",
+                    )
+                    .groupBy("src", "label")
+                    .agg(F.sum("w").alias("ws"))
+                )
+                new = (
+                    votes.withColumn("rn", F.row_number().over(wv))
+                    .where(F.col("rn") == 1)
+                    .select(F.col("src").alias("item"), F.col("label").alias("nl"))
+                )
+                labels = (
+                    items.join(new, "item", "left")
+                    .select(
+                        "item",
+                        F.coalesce(F.col("nl"), F.col("item")).alias("label"),
+                    )
+                    .localCheckpoint()
+                )
+            return labels.select(
+                F.col("item").cast("long").alias("item"),
+                F.col("label").cast("long").alias("label"),
+            )
+        finally:
+            edges.unpersist()
+            items.unpersist()
+    finally:
+        ui.unpersist()

@@ -7030,6 +7030,79 @@ FROM pr{iters}
     return "".join(parts)
 
 
+# Synchronous label-propagation communities (graph.item_lpa).  Pins
+# restated verbatim (change both sides or neither): incidence/edges =
+# item_pagerank's derivation (distinct (u, item), directed pairs
+# a <> b, w = common users), label_0 = item id, 3 SYNCHRONOUS
+# iterations, new label = neighbor label with max incident weight sum
+# (ties weight desc / label asc), isolated items keep their label, no
+# self vote; iteration CTEs stay MATERIALIZED (the pagerank pin).
+_ITEM_LPA_SQL = """WITH ui AS MATERIALIZED (
+    SELECT DISTINCT user_id AS u,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+),
+nodes AS MATERIALIZED (SELECT DISTINCT item FROM ui),
+edges AS MATERIALIZED (
+    SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item <> b.item
+    GROUP BY 1, 2
+),
+l0 AS MATERIALIZED (SELECT item, item AS label FROM nodes),
+v1 AS MATERIALIZED (
+    SELECT e.src, l.label, CAST(sum(e.w) AS BIGINT) AS ws
+    FROM edges e JOIN l0 l ON e.dst = l.item
+    GROUP BY 1, 2
+),
+n1 AS MATERIALIZED (
+    SELECT src AS item, label FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src ORDER BY ws DESC, label ASC
+        ) AS rn FROM v1
+    ) WHERE rn = 1
+),
+l1 AS MATERIALIZED (
+    SELECT i.item, coalesce(n.label, i.item) AS label
+    FROM nodes i LEFT JOIN n1 n USING (item)
+),
+v2 AS MATERIALIZED (
+    SELECT e.src, l.label, CAST(sum(e.w) AS BIGINT) AS ws
+    FROM edges e JOIN l1 l ON e.dst = l.item
+    GROUP BY 1, 2
+),
+n2 AS MATERIALIZED (
+    SELECT src AS item, label FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src ORDER BY ws DESC, label ASC
+        ) AS rn FROM v2
+    ) WHERE rn = 1
+),
+l2 AS MATERIALIZED (
+    SELECT i.item, coalesce(n.label, i.item) AS label
+    FROM nodes i LEFT JOIN n2 n USING (item)
+),
+v3 AS MATERIALIZED (
+    SELECT e.src, l.label, CAST(sum(e.w) AS BIGINT) AS ws
+    FROM edges e JOIN l2 l ON e.dst = l.item
+    GROUP BY 1, 2
+),
+n3 AS MATERIALIZED (
+    SELECT src AS item, label FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src ORDER BY ws DESC, label ASC
+        ) AS rn FROM v3
+    ) WHERE rn = 1
+),
+l3 AS MATERIALIZED (
+    SELECT i.item, coalesce(n.label, i.item) AS label
+    FROM nodes i LEFT JOIN n3 n USING (item)
+)
+SELECT CAST(item AS BIGINT) AS item, CAST(label AS BIGINT) AS label
+FROM l3
+"""
+
+
 _ITEM_PAGERANK_SQL = _pagerank_sql(3)
 
 
@@ -8523,6 +8596,7 @@ def pipeline_oracles() -> dict[str, str]:
         "jaccard_pairs_prefix": _JACCARD_PAIRS_SQL,
         "complete_prefix": _COMPLETE_PREFIX_SQL,
         "item_pagerank": _ITEM_PAGERANK_SQL,
+        "item_lpa": _ITEM_LPA_SQL,
         "item_ppr": _ITEM_PPR_SQL,
         "item_transitions": _ITEM_TRANSITIONS_SQL,
         "item_communities": _ITEM_COMMUNITIES_SQL,
