@@ -130,3 +130,28 @@ def test_streaming_sft_pairs_cross_batch_adjacency(spark, tmp_path):
         ("c1", 1): ("ask one", "answer one", 2),
         ("c2", 1): ("ask two", "answer two", 2),
     }
+
+
+def test_preference_pairs_edge_rules(spark):
+    """Single-assistant conversations emit nothing; all-equal
+    qualities pin the pair to (earliest, latest) — never
+    degenerate."""
+    from mircv_project_spark.operators.dialogue import preference_pairs
+
+    rows = [
+        # conv A: ONE assistant turn -> no row
+        ("conv-a", 0, "user", "hello there my friend"),
+        ("conv-a", 1, "assistant", "a reply of medium length here"),
+        # conv B: two assistant turns with IDENTICAL text (equal
+        # quality) -> chosen = earliest, rejected = latest
+        ("conv-b", 1, "assistant", "same answer text here okay"),
+        ("conv-b", 5, "assistant", "same answer text here okay"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r["conv_id"]: r for r in preference_pairs(t).collect()}
+    assert "conv-a" not in got
+    b = got["conv-b"]
+    assert b["chosen_turn"] == 1 and b["rejected_turn"] == 5
+    assert b["margin_micro"] == 0

@@ -103,3 +103,18 @@ def test_taat_bounded_continue_recall(vb_index):
 
     tiny = taat_topk_df(reader, QUERY_SET, scoring.BM25, k=10, acc_cap=5).collect()
     assert tiny  # still serves under a 5-accumulator budget
+
+
+def test_taat_duplicate_tokens_double_score(monkeypatch):
+    monkeypatch.setattr(codecs, "BLOCK_THRESHOLD_BYTES", 64)
+    rng = np.random.default_rng(7)
+    n_docs = 100
+    dls = rng.integers(1, 200, size=n_docs).astype(np.int64)
+    tp, raw = _mk_postings(rng, n_docs, dls, 40, codecs.VB)
+    avgdl = dls.mean()
+    got = taat_topk(
+        {"t": tp}, ["t", "t"], codecs.VB, scoring.BM25, n_docs,
+        avgdl, 5, False,
+    )
+    want = _brute([raw, raw], [tp.idf, tp.idf], scoring.BM25, avgdl, 5, False)
+    assert [(d, round6(s)) for d, s in got] == want

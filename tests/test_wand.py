@@ -73,3 +73,19 @@ def test_wand_randomized_vs_brute_and_maxscore(monkeypatch, standard, conjunctiv
             tps, toks, codecs.VB, standard, n_docs, avgdl, k, conjunctive
         )
         assert [(d, round6(s)) for d, s in ms] == want, f"seed={seed} maxscore"
+
+
+def test_wand_duplicate_tokens_double_score(monkeypatch):
+    monkeypatch.setattr(codecs, "BLOCK_THRESHOLD_BYTES", 64)
+    rng = np.random.default_rng(7)
+    n_docs = 100
+    dls = rng.integers(1, 200, size=n_docs).astype(np.int64)
+    tp, raw = _mk_postings(rng, n_docs, dls, 40, codecs.VB)
+    avgdl = dls.mean()
+    got = wand(
+        [PostingCursor(tp, codecs.VB, scoring.BM25, n_docs, avgdl) for _ in range(2)],
+        5,
+        False,
+    )
+    want = _brute([raw, raw], [tp.idf, tp.idf], scoring.BM25, avgdl, 5, False)
+    assert [(d, round6(s)) for d, s in got] == want
