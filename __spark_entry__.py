@@ -1611,6 +1611,15 @@ def _q_event_asof(spark, sf_dir):
     return event_asof(_events(spark, sf_dir))
 
 
+def _q_event_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (events.event_asof_forward): each purchase's
+    EARLIEST same-user click at-or-after it — the mirror direction of
+    event_asof, reversed single-window, min-eid ties."""
+    from mircv_project_spark.operators.events import event_asof_forward
+
+    return event_asof_forward(_events(spark, sf_dir))
+
+
 def _q_cohort_retention(spark, sf_dir):
     """Retention matrix: users cohorted by UTC day of first event,
     counted once per active day offset."""
@@ -3158,6 +3167,16 @@ def _q_bm25_topk_nrt(spark, sf_dir):
     )
 
 
+def _q_percolate_scored(spark, sf_dir):
+    """Scored percolation (percolate.percolate_scored): each doc's
+    conjunctively-matching registered queries ranked by exact BM25
+    over the documents-corpus stats — the ES percolator with scoring
+    on."""
+    from mircv_project_spark.operators.percolate import percolate_scored
+
+    return percolate_scored(_docs(spark, sf_dir), oracle.QUERY_SET)
+
+
 def _q_streaming_percolate(spark, sf_dir):
     """Streaming percolation (alerting): documents arrive as two
     micro-batches, each batch's matches against the stored query set
@@ -3836,6 +3855,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combmnz_topk": _q_hybrid_combmnz_topk,
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "percolate": _q_percolate,
+        "percolate_scored": _q_percolate_scored,
         "streaming_percolate": _q_streaming_percolate,
         "weighted_sample": _q_weighted_sample,
         "bm25_topk_msm": _q_msm_topk,
@@ -3978,6 +3998,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         # as-of join, retention matrix, JSON props rollup — full-oracle
         "event_asof": _q_event_asof,
+        "event_asof_forward": _q_event_asof_forward,
         "cohort_retention": _q_cohort_retention,
         "event_props_rollup": _q_event_props_rollup,
         # bucketized interval join, OLAP rollup, sliding windows,

@@ -1135,3 +1135,63 @@ def session_entry_exit(
             "duration_s"
         ),
     )
+
+
+def event_asof_forward(
+    events: DataFrame,
+    left_type: str = ASOF_LEFT,
+    right_type: str = ASOF_RIGHT,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """-> (event_id, user_id, us, matched_eid, matched_us, lead_us):
+    the FORWARD as-of join — for every ``left_type`` event, the
+    EARLIEST ``right_type`` event by the same user with
+    ``right.us >= left.us`` (an equal-timestamp right IS visible);
+    ties among rights at the same us resolve to the SMALLEST event_id.
+    Lefts with no later right keep nulls.  The deliberate mirror of
+    event_asof (backward): both textbook directions exist, never
+    "unify" them.
+
+    Implementation: the same tagged-union single-window shape run over
+    the REVERSED total order — (us DESC, side ASC, eid DESC), all
+    NULLS LAST explicitly on both engines (DuckDB defaults NULLS FIRST
+    on DESC) — so last(ignorenulls) picks the nearest FORWARD right,
+    min-eid on ties.  One shuffle, no range join."""
+    base = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(type_col).alias("etype"),
+        _us_col(ts_col).alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+    )
+    tagged = base.where(F.col("etype").isin([left_type, right_type])).select(
+        "user_id",
+        "us",
+        "eid",
+        F.when(F.col("etype") == left_type, F.lit(1)).otherwise(F.lit(0)).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("us").desc_nulls_last(),
+            F.col("side").asc_nulls_last(),
+            F.col("eid").desc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_right = (F.col("side") == 0) & F.col("us").isNotNull()
+    right_us = F.when(is_right, F.col("us"))
+    right_eid = F.when(is_right, F.col("eid"))
+    enriched = tagged.withColumn(
+        "matched_us", F.last(right_us, ignorenulls=True).over(w)
+    ).withColumn("matched_eid", F.last(right_eid, ignorenulls=True).over(w))
+    return enriched.where(F.col("side") == 1).select(
+        F.col("eid").alias("event_id"),
+        "user_id",
+        "us",
+        "matched_eid",
+        "matched_us",
+        (F.col("matched_us") - F.col("us")).alias("lead_us"),
+    )

@@ -2296,6 +2296,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "bm25_topk_vacuumed": _topk_vacuumed_sql(QUERY_SET, TOPK_K),
         # reverse search + result-set aggregations
         "percolate": _percolate_sql(QUERY_SET),
+        "percolate_scored": _percolate_scored_sql(QUERY_SET),
         # per-doc match decision => streaming == batch BY DESIGN
         "streaming_percolate": _percolate_sql(QUERY_SET),
         "facet_counts": _facets_sql(QUERY_SET),
@@ -4695,6 +4696,72 @@ hit AS (
 SELECT CAST(h.doc_id AS BIGINT) AS doc_id, h.qid, n.n_terms
 FROM hit h JOIN need n ON n.qid = h.qid
 WHERE h.n_have = n.n_terms
+"""
+
+
+def _percolate_scored_sql(queries, k: int = 3) -> str:
+    """operators/percolate.percolate_scored: percolate's conjunctive
+    containment VERBATIM, matched queries ranked per doc by the exact
+    BM25 sum over the DOCUMENTS-corpus stats (N = all docs, avgdl =
+    sum(dl)/N, df over the oracle token pipeline); score = sum over
+    distinct query terms of qtf * bm25(tf, dl, df), round 6; rank
+    (score desc, qid asc) top k = 3."""
+    return f"""WITH {_DOC_TOKENS},
+q AS (SELECT * FROM {_values(queries)} q(qid, qtext)),
+qtok AS (
+    SELECT qid, unnest({_TOKENS_EXPR.format(col='qtext')}) AS term FROM q
+),
+qterms AS (
+    SELECT qid, term, CAST(count(*) AS BIGINT) AS qtf
+    FROM qtok GROUP BY 1, 2
+),
+need AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_terms FROM qterms GROUP BY 1),
+dls AS (
+    SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM doctoks
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM dls
+),
+flat AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(tokens) AS term FROM doctoks)
+    GROUP BY 1, 2
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM flat GROUP BY 1),
+hit AS (
+    SELECT f.doc_id, qt.qid, CAST(count(*) AS BIGINT) AS n_have
+    FROM flat f JOIN qterms qt USING (term)
+    GROUP BY 1, 2
+),
+matched AS (
+    SELECT h.doc_id, h.qid
+    FROM hit h JOIN need n ON n.qid = h.qid
+    WHERE h.n_have = n.n_terms
+),
+scored AS (
+    SELECT f.doc_id, qt.qid,
+           round(sum(qt.qtf * (
+               (f.tf / ((1.5 * (0.3 + (0.7 * (d.dl / s.avgdl)))) + f.tf))
+               * log10(s.n_docs / x.df)
+           )), 6) AS score
+    FROM flat f
+    JOIN qterms qt USING (term)
+    JOIN dfs x USING (term)
+    JOIN dls d ON d.doc_id = f.doc_id
+    CROSS JOIN stats s
+    JOIN matched m ON m.doc_id = f.doc_id AND m.qid = qt.qid
+    GROUP BY 1, 2
+)
+SELECT doc_id, qid, rank, score FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, qid,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, qid ASC
+           ) AS BIGINT) AS rank,
+           score
+    FROM scored
+) WHERE rank <= {k}
 """
 
 
@@ -8051,6 +8118,44 @@ FROM m WHERE side = 1
 """
 
 
+# FORWARD as-of join (events.event_asof_forward) — the deliberate
+# mirror of _EVENT_ASOF_SQL.  Pins (change both sides or neither):
+# (left=purchase, right=click), visibility us_r >= us_l, MIN-eid tie
+# on equal right us — all three encoded as the REVERSED window sort
+# (us DESC, side ASC, eid DESC) with every direction NULLS LAST
+# explicitly (DuckDB defaults NULLS FIRST on DESC).
+_EVENT_ASOF_FWD_SQL = """WITH e AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS etype,
+           epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS eid
+    FROM events
+),
+t AS (
+    SELECT user_id, us, eid,
+           CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END AS side
+    FROM e WHERE etype IN ('purchase', 'click')
+),
+m AS (
+    SELECT *,
+           last_value(CASE WHEN side = 0 AND us IS NOT NULL THEN us END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY us DESC NULLS LAST, side ASC NULLS LAST,
+                        eid DESC NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS matched_us,
+           last_value(CASE WHEN side = 0 AND us IS NOT NULL THEN eid END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY us DESC NULLS LAST, side ASC NULLS LAST,
+                        eid DESC NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS matched_eid
+    FROM t
+)
+SELECT eid AS event_id, user_id, us, matched_eid, matched_us,
+       matched_us - us AS lead_us
+FROM m WHERE side = 1
+"""
+
+
 # retention matrix: cohort = UTC day index (days since epoch) of the
 # user's first event; a user counts once per (cohort, offset) they were
 # active in.  Day math restated as floor(us / 86_400e6) on both sides.
@@ -8689,6 +8794,7 @@ ORDER BY source, term
         "streaming_funnel": _EVENT_FUNNEL_SQL,
         # as-of join, retention matrix, semi-structured JSON rollup
         "event_asof": _EVENT_ASOF_SQL,
+        "event_asof_forward": _EVENT_ASOF_FWD_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "event_props_rollup": _EVENT_PROPS_ROLLUP_SQL,
         # bucketized interval join, OLAP rollup, sliding windows
