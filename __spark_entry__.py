@@ -263,6 +263,16 @@ def _q_pl2_topk(spark, sf_dir):
     return pl2_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_pivoted_topk(spark, sf_dir):
+    """Pivoted document-length normalization (Singhal et al. SIGIR'96;
+    operators/pivoted.py) — the seventh scoring standard; micro-BIGINT
+    aggregation, ln routed through log10 with the pinned literal."""
+    from mircv_project_spark.operators.pivoted import pivoted_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return pivoted_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_dph_topk(spark, sf_dir):
     """DPH divergence-from-randomness top-k (operators/dfr.py) — the
     PARAMETER-FREE DFR model beside PL2 (no c/mu/b/k1 to tune);
@@ -3847,6 +3857,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qljm_topk": _q_qljm_topk,
         "qlad_topk": _q_qlad_topk,
         "pl2_topk": _q_pl2_topk,
+        "pivoted_topk": _q_pivoted_topk,
         "dph_topk": _q_dph_topk,
         "doc_term_vectors": _q_doc_term_vectors,
         "bm25_topk_collapse": _q_bm25_topk_collapse,

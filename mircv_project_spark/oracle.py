@@ -788,6 +788,52 @@ ORDER BY h.qid, b.rank, h.inner_rank
 """
 
 
+def _pivoted_topk_sql(queries, k: int) -> str:
+    """Pivoted length normalization (operators/pivoted.pivoted_topk):
+    per-(term,doc) weight micro-quantized BIGINT before the exact
+    per-doc sum.  Pins restated from pivoted.py: every ln through
+    log10 with the LITERAL LN10 = 2.302585092994046, slope literals
+    0.75/0.25 (never 1 - 0.25), parenthesizations ltf = 1.0 +
+    (log10(tf_d) * LN10), num = 1.0 + (log10(ltf) * LN10), den =
+    0.75 + (0.25 * (dl_d / avgdl)), idfp = log10((N_d + 1.0) / df_d)
+    * LN10, w = (num / den) * idfp; rank (micro desc, docid asc)."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+feat AS (
+    SELECT q.qid, q.qtf, p.docid,
+           1.0 + (log10(1.0 + (log10(CAST(p.tf AS DOUBLE))
+                               * 2.302585092994046))
+                  * 2.302585092994046) AS num,
+           0.75 + (0.25 * (CAST(dl.doc_len AS DOUBLE) / s.avgdl)) AS den,
+           log10((CAST(s.n_docs AS DOUBLE) + 1.0) / CAST(q.df AS DOUBLE))
+           * 2.302585092994046 AS idfp
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+),
+wq AS (
+    SELECT qid, qtf, docid,
+           CAST(round(((num / den) * idfp) * 1e6) AS BIGINT) AS wm
+    FROM feat
+),
+scored AS (
+    SELECT qid, docid, CAST(sum(qtf * wm) AS BIGINT) AS micro
+    FROM wq GROUP BY qid, docid
+),
+ranked AS (
+    SELECT qid, docid, micro,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY micro DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       round(micro / 1000000.0, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _pl2_topk_sql(queries, k: int) -> str:
     """PL2 divergence-from-randomness ranking (operators/dfr.pl2_topk):
     per-(term,doc) weight quantized to integer micro BIGINT before the
@@ -2270,6 +2316,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "qljm_topk": _qljm_topk_sql(QUERY_SET, TOPK_K),
         "qlad_topk": _qlad_topk_sql(QUERY_SET, TOPK_K),
         "pl2_topk": _pl2_topk_sql(QUERY_SET, TOPK_K),
+        "pivoted_topk": _pivoted_topk_sql(QUERY_SET, TOPK_K),
         "dph_topk": _dph_topk_sql(QUERY_SET, TOPK_K),
         "doc_term_vectors": _doc_term_vectors_sql(MLT_PROBE_DOCNOS),
         "bm25_topk_collapse": _collapse_sql(QUERY_SET, TOPK_K, 2),
