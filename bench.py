@@ -512,6 +512,17 @@ def main() -> None:
     t0 = time.monotonic()
     bmw_topk_df(reader, qset, scoring.BM25, k=10).collect()
     queries["bmw_bm25_top10_warm"] = time.monotonic() - t0
+    # the other two traversal families over the same warm cache —
+    # comparable numbers beside the MaxScore/BMW warm rows
+    from mircv_project_spark.operators.taat import taat_topk_df
+    from mircv_project_spark.operators.wand import wand_topk_df
+
+    t0 = time.monotonic()
+    wand_topk_df(reader, qset, scoring.BM25, k=10).collect()
+    queries["wand_bm25_top10_warm"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    taat_topk_df(reader, qset, scoring.BM25, k=10).collect()
+    queries["taat_bm25_top10_warm"] = time.monotonic() - t0
     # fully-distributed pruned path (the big-list fallback when posting
     # lists exceed the driver): block-max theta bootstrap + candidate-
     # driven lookups, executors end-to-end
