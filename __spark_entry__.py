@@ -1962,6 +1962,15 @@ def _q_length_outliers(spark, sf_dir):
     return length_outliers(_docs(spark, sf_dir))
 
 
+def _q_feature_hashing(spark, sf_dir):
+    """Signed feature hashing (textstats.feature_hashing): the
+    vocabulary-free fixed-width sparse vectorizer — exact integer
+    signed bucket sums, dim 1024."""
+    from mircv_project_spark.operators.textstats import feature_hashing
+
+    return feature_hashing(_docs(spark, sf_dir))
+
+
 def _q_token_counts(spark, sf_dir):
     from mircv_project_spark.operators.textstats import token_counts
 
@@ -3982,6 +3991,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "length_outliers": _q_length_outliers,
+        "feature_hashing": _q_feature_hashing,
         "token_counts": _q_token_counts,
         "token_fertility": _q_token_fertility,
         "corpus_manifest": _q_corpus_manifest,

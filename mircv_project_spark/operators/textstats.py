@@ -576,3 +576,50 @@ def length_outliers(
             .alias("side"),
         )
     )
+
+
+FH_DIM = 1_024
+FH_SALT = "fh-"
+FH_SIGN_SALT = "fhs-"
+
+
+def feature_hashing(
+    docs: DataFrame,
+    dim: int = FH_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, idx, val): signed feature-hashing vectorizer
+    (Weinberger et al., ICML 2009 — the "hashing trick"): every token
+    occurrence lands in bucket hash60('fh-' || t) % dim with sign +1
+    iff hash60('fhs-' || t) is even (the AMS sign discipline, distinct
+    salt), val = the exact integer signed sum; zero cells absent.
+    The fixed-width sparse featurizer in front of any linear model —
+    no vocabulary pass, mergeable by addition, dimension pinned.
+
+    Pins (restated in oracle._FEATURE_HASHING_SQL — change both sides
+    or neither): dim = 1024, salts 'fh-'/'fhs-' (independent of every
+    other coin), duplicates KEPT (occurrence stream), val != 0 rows
+    only.
+
+    Scale shape: one tokenize pass, one (id, idx) partial-agg shuffle
+    — map-side combine does the summing."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    )
+    from ..functions.textnorm import hash60_col
+
+    idx = (hash60_col(F.concat(F.lit(FH_SALT), F.col("t"))) % dim).cast(
+        "long"
+    )
+    sign = F.when(
+        hash60_col(F.concat(F.lit(FH_SIGN_SALT), F.col("t"))) % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("id", idx.alias("idx"), sign.alias("s"))
+        .groupBy("id", "idx")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .where(F.col("val") != 0)
+    )

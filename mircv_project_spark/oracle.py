@@ -3071,6 +3071,27 @@ SELECT CAST(q.id AS BIGINT) AS id, q.domain, q.quality, t.domain_p50,
 FROM q JOIN thr t USING (domain)
 """
 
+# Signed feature hashing (textstats.feature_hashing).  Pins restated
+# verbatim (change both sides or neither): dim = 1024, idx =
+# hash60('fh-' || t) % 1024, sign = +1 iff hash60('fhs-' || t) even,
+# occurrence stream (duplicates KEPT), exact signed BIGINT sums,
+# val != 0 rows only.
+_FEATURE_HASHING_SQL = f"""WITH {_DOC_TOKENS},
+occ AS (
+    SELECT doc_id AS id, unnest(tokens) AS t FROM doctoks
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST((('0x' || substr(md5('fh-' || t), 1, 15))::UBIGINT % 1024)
+           AS BIGINT) AS idx,
+       CAST(sum(CASE WHEN (('0x' || substr(md5('fhs-' || t), 1, 15))::UBIGINT
+                           % 2) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
+FROM occ
+GROUP BY 1, 2
+HAVING sum(CASE WHEN (('0x' || substr(md5('fhs-' || t), 1, 15))::UBIGINT
+                      % 2) = 0 THEN 1 ELSE -1 END) <> 0
+"""
+
+
 # Per-source Tukey-fence length outliers (textstats.length_outliers).
 # Pins restated verbatim (change both sides or neither): q1/q3 =
 # linear-interpolated quartiles rounded 6 BEFORE the fence
@@ -8588,6 +8609,7 @@ def pipeline_oracles() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "quality_score": _QUALITY_SQL,
         "length_outliers": _LENGTH_OUTLIERS_SQL,
+        "feature_hashing": _FEATURE_HASHING_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "token_fertility": _TOKEN_FERTILITY_SQL,
         "corpus_manifest": _CORPUS_MANIFEST_SQL,
