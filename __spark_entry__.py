@@ -273,6 +273,16 @@ def _q_pivoted_topk(spark, sf_dir):
     return pivoted_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
 
 
+def _q_bm25_plus_topk(spark, sf_dir):
+    """BM25+ (Lv & Zhai CIKM'11; operators/pivoted.bm25_plus_topk) —
+    the eighth scoring standard: the engine's BM25 coefficient
+    lower-bounded by the dyadic delta 0.5, micro-BIGINT aggregation."""
+    from mircv_project_spark.operators.pivoted import bm25_plus_topk
+
+    idx = _index(spark, sf_dir, parse=False)
+    return bm25_plus_topk(idx, oracle.QUERY_SET, k=oracle.TOPK_K)
+
+
 def _q_dph_topk(spark, sf_dir):
     """DPH divergence-from-randomness top-k (operators/dfr.py) — the
     PARAMETER-FREE DFR model beside PL2 (no c/mu/b/k1 to tune);
@@ -3867,6 +3877,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qlad_topk": _q_qlad_topk,
         "pl2_topk": _q_pl2_topk,
         "pivoted_topk": _q_pivoted_topk,
+        "bm25_plus_topk": _q_bm25_plus_topk,
         "dph_topk": _q_dph_topk,
         "doc_term_vectors": _q_doc_term_vectors,
         "bm25_topk_collapse": _q_bm25_topk_collapse,

@@ -108,3 +108,80 @@ def pivoted_topk(
             F.round(F.col("micro") / F.lit(_MICRO), 6).alias("score"),
         )
     )
+
+
+BM25P_DELTA = 0.5  # BM25+ lower bound (dyadic — exactly representable)
+
+
+def bm25_plus_weight_col(tf, dl, df, n_docs: int, avgdl: float):
+    """BM25+ per-(term,doc) weight (Lv & Zhai, CIKM 2011): the
+    engine's exact BM25 coefficient (scoring.py parenthesization —
+    tf / ((k1 * (0.3 + 0.7*dl/avgdl)) + tf)) LOWER-BOUNDED by the
+    dyadic delta = 0.5, times the engine idf log10(N/df).  The fix for
+    BM25's over-penalization of long documents: a single occurrence
+    in any doc is worth at least delta*idf."""
+    from .. import config
+
+    tf_d = tf.cast("double")
+    dl_d = dl.cast("double")
+    bj = F.lit(config.BM25_ONE_MINUS_B) + (
+        F.lit(config.BM25_B) * (dl_d / F.lit(float(avgdl)))
+    )
+    coeff = tf_d / ((F.lit(config.BM25_K1) * bj) + tf_d)
+    idf = F.log10(F.lit(float(n_docs)) / df.cast("double"))
+    return (coeff + F.lit(BM25P_DELTA)) * idf
+
+
+def bm25_plus_topk(
+    index: InvertedIndex,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """-> DataFrame(qid string, docno string, rank long, score double)
+    — the eighth scoring standard, under the micro-BIGINT aggregation
+    discipline (weights quantized BEFORE the per-doc sum; pins
+    restated in oracle._bm25_plus_topk_sql: delta = 0.5 LITERAL,
+    coefficient parenthesization = the engine's BM25 form, idf =
+    log10(N/df), rank (micro desc, docid asc))."""
+    spark = index.flat.sparkSession
+    qt_rows = query_terms(queries, index.parse)
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    terms = sorted({t for _, t, _ in qt_rows})
+    lex = (
+        index.lexicon.where(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    df_by_term = {r["term"]: r["df"] for r in lex}
+    qt_rows = [(q, t, c, df_by_term[t]) for q, t, c in qt_rows if t in df_by_term]
+    if not qt_rows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf int, df long")
+
+    matched = index.flat.join(F.broadcast(qt), "term")
+    w_micro = F.round(
+        bm25_plus_weight_col(
+            F.col("tf"), F.col("doc_len"), F.col("df"), index.n_docs, index.avgdl
+        )
+        * F.lit(_MICRO)
+    ).cast("long")
+    scored = (
+        matched.withColumn("wm", w_micro)
+        .groupBy("qid", "docid")
+        .agg(F.sum(F.col("qtf").cast("long") * F.col("wm")).alias("micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("micro").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("docid") - 1).cast("string").alias("docno"),
+            "rank",
+            F.round(F.col("micro") / F.lit(_MICRO), 6).alias("score"),
+        )
+    )

@@ -834,6 +834,41 @@ ORDER BY qid, rank
 """
 
 
+def _bm25_plus_topk_sql(queries, k: int) -> str:
+    """BM25+ (operators/pivoted.bm25_plus_topk): the engine's BM25
+    coefficient parenthesization lower-bounded by the LITERAL dyadic
+    delta 0.5, times log10(N/df); per-(term,doc) weight
+    micro-quantized BIGINT before the exact per-doc sum; rank
+    (micro desc, docid asc)."""
+    return f"""{_PREFIX}, {_query_ctes(queries)},
+wq AS (
+    SELECT q.qid, q.qtf, p.docid,
+           CAST(round((((p.tf / ((1.5 * (0.3 + (0.7 * (dl.doc_len
+                          / s.avgdl)))) + p.tf)) + 0.5)
+                       * log10(s.n_docs / q.df)) * 1e6) AS BIGINT) AS wm
+    FROM qexist q
+    JOIN postings p USING (term)
+    JOIN doclens dl ON p.docid = dl.docid
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT qid, docid, CAST(sum(qtf * wm) AS BIGINT) AS micro
+    FROM wq GROUP BY qid, docid
+),
+ranked AS (
+    SELECT qid, docid, micro,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY micro DESC, docid ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT qid, CAST(docid - 1 AS VARCHAR) AS docno, rank,
+       round(micro / 1000000.0, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _pl2_topk_sql(queries, k: int) -> str:
     """PL2 divergence-from-randomness ranking (operators/dfr.pl2_topk):
     per-(term,doc) weight quantized to integer micro BIGINT before the
@@ -2317,6 +2352,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM doclens) AS n_docs,
         "qlad_topk": _qlad_topk_sql(QUERY_SET, TOPK_K),
         "pl2_topk": _pl2_topk_sql(QUERY_SET, TOPK_K),
         "pivoted_topk": _pivoted_topk_sql(QUERY_SET, TOPK_K),
+        "bm25_plus_topk": _bm25_plus_topk_sql(QUERY_SET, TOPK_K),
         "dph_topk": _dph_topk_sql(QUERY_SET, TOPK_K),
         "doc_term_vectors": _doc_term_vectors_sql(MLT_PROBE_DOCNOS),
         "bm25_topk_collapse": _collapse_sql(QUERY_SET, TOPK_K, 2),
