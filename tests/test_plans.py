@@ -566,3 +566,20 @@ def test_round4_new_ops_plan_guards(spark):
     # span_corruption: tokenize + explode + windows — no joins
     span_plan = checks.plan_text(span_corruption(docs))
     assert "Join" not in span_plan
+
+
+def test_pivoted_and_bm25plus_broadcast_query_side(spark, vb_index):
+    """The seventh/eighth scoring standards keep the qld/vsm plan
+    shape: tiny query-term table broadcast into ONE postings scan —
+    no shuffle of the posting stream against the query side."""
+    from mircv_project_spark.operators.pivoted import (
+        bm25_plus_topk,
+        pivoted_topk,
+    )
+    from mircv_project_spark.oracle import QUERY_SET
+
+    idx, _ = vb_index
+    for fn in (pivoted_topk, bm25_plus_topk):
+        df = fn(idx, QUERY_SET, k=10)
+        checks.assert_broadcast_join(df)
+        checks.assert_no_broadcast_nested_loop(df)
