@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bars: the bench/driver artifacts capture a
+        # bounded output tail, and the \r-escape progress spam can push
+        # the headline JSON line out of that capture window.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.windowExec.buffer.in.memory.threshold", "4194304")
         .config("spark.sql.windowExec.buffer.spill.threshold", "4194304")
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
