@@ -159,6 +159,39 @@ def cmd_fertility(args) -> int:
     return 0
 
 
+def cmd_span_corruption(args) -> int:
+    from mircv_project_spark.operators.curation import span_corruption
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(args.input)
+    out = span_corruption(docs)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"spans": out.count()}))
+    return 0
+
+
+def cmd_preference_pairs(args) -> int:
+    from mircv_project_spark.operators.dialogue import preference_pairs
+
+    spark = _spark(args.master)
+    t = spark.read.parquet(args.input)
+    out = preference_pairs(t)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"pairs": out.count()}))
+    return 0
+
+
+def cmd_stratified_sample(args) -> int:
+    from mircv_project_spark.operators.curation import stratified_sample
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(args.input)
+    out = stratified_sample(docs, k=args.k)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"sampled": out.count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--master", default=None)
@@ -201,6 +234,23 @@ def main(argv: list[str] | None = None) -> int:
     fe = sub.add_parser("fertility")
     fe.add_argument("--input", required=True)
     fe.set_defaults(fn=cmd_fertility)
+
+    sc = sub.add_parser("span-corruption")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", required=True)
+    sc.set_defaults(fn=cmd_span_corruption)
+
+    pp = sub.add_parser("preference-pairs")
+    pp.add_argument("--input", required=True,
+                    help="transcript parquet (conv_id, turn_idx, role, text)")
+    pp.add_argument("--output", required=True)
+    pp.set_defaults(fn=cmd_preference_pairs)
+
+    ss = sub.add_parser("stratified-sample")
+    ss.add_argument("--input", required=True)
+    ss.add_argument("--output", required=True)
+    ss.add_argument("--k", type=int, default=20)
+    ss.set_defaults(fn=cmd_stratified_sample)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -78,3 +78,37 @@ def test_pipeline_cli_new_subcommands(spark, tmp_path, capsys):
     rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["pairs"] > 0
     assert spark.read.parquet(out2).count() == rep2["pairs"]
+
+
+def test_pipeline_cli_round5_subcommands(spark, tmp_path, capsys):
+    import json as _json
+
+    main = _main()
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    out = str(tmp_path / "spans")
+    assert main(["span-corruption", "--input", src, "--output", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["spans"] > 0
+    assert spark.read.parquet(out).count() == rep["spans"]
+
+    out2 = str(tmp_path / "ssamp")
+    assert main(["stratified-sample", "--input", src, "--output", out2,
+                 "--k", "5"]) == 0
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["sampled"] > 0
+    samp = spark.read.parquet(out2)
+    assert samp.count() == rep2["sampled"]
+    assert samp.groupBy("source").count().agg({"count": "max"}).collect()[0][0] <= 5
+
+    tsrc = str(tmp_path / "transcripts")
+    from mircv_project_spark.sources.transcripts import load_transcripts
+
+    load_transcripts(spark, "/root/testdata/sf0.001").select(
+        "conv_id", "turn_idx", "role", "text"
+    ).write.mode("overwrite").parquet(tsrc)
+    out3 = str(tmp_path / "prefs")
+    assert main(["preference-pairs", "--input", tsrc, "--output", out3]) == 0
+    rep3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["pairs"] > 0
+    assert spark.read.parquet(out3).count() == rep3["pairs"]
