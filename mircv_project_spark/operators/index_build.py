@@ -273,6 +273,23 @@ def aggregate_postings(
         )
         .cast("int"),
     )
+    # Pre-partition by the aggregation key so BOTH aggregate passes run
+    # ABOVE the exchange (verified plan shape: Exchange -> partial ->
+    # final, one shuffle total).  Without this, Spark's MAP-SIDE partial
+    # collect_list buffers up to objectHashAggregate.sortBased.
+    # fallbackThreshold (raised session-wide for the window/query paths)
+    # keyed UnsafeRow lists per task — a key-COUNT bound, not a byte
+    # bound, and the 8x data-axis probe OOM'd a 12 GiB heap exactly
+    # there (ObjectAggregationIterator.processInputs, round-5).  With
+    # the exchange first, the map side is a pure streaming shuffle
+    # write and a reduce task's memory is its partition's payload —
+    # bounded by spark.sql.shuffle.partitions, which scales with input.
+    # Map-side combining loses nothing here: (term, run) keys are
+    # near-unique per map partition, so partial lists were pure copy
+    # overhead anyway.
+    salted = salted.select(
+        "term", "run", "docid", "tf", "doc_len", "bm25_coeff", "tfidf_coeff"
+    ).repartition("term", "run")
     runs = _encode_runs(salted.groupBy("term", "run").agg(*run_agg))
 
     bucket = F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")

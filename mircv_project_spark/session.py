@@ -51,7 +51,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # 32g on the 128 GiB sandbox = 1 GiB per local[32] worker
+        # thread — still lean vs the 2-4 GiB/core a real cluster
+        # executor gets.  The previous 12g (375 MiB/thread) OOM'd the
+        # 8x data-axis build (4M turns): stage caches + reduce-side
+        # collect buffers are sized per task, and task memory must
+        # scale with per-core share, not stay flat while parallelism
+        # grows.  Overridable via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         # No console progress bars: the bench/driver artifacts capture a
         # bounded output tail, and the \r-escape progress spam can push
