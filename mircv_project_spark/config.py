@@ -38,3 +38,13 @@ HEAVY_TERM_FANOUT = 64
 # default number of term buckets used to partition the postings table
 # (query-side pruning: a term lookup touches exactly one bucket).
 POSTINGS_TERM_BUCKETS = 64
+
+# Token budget above which aggregate_postings switches from map-side
+# partial collect (fast, per-task memory grows with input) to the
+# reduce-side exchange-first aggregation (memory bounded by shuffle
+# partitioning).  24M tokens ~= 2M turns at the synthetic token law;
+# per-task map-side state there is ~2-3 GiB across local[32], well
+# inside the 32g heap, while an 8x (4M-turn, ~48M-token) build OOMs
+# without the switch.  On a real cluster size this to executor memory:
+# budget ~= executors x per-executor-heap-share / ~100 B-per-posting.
+REDUCE_SIDE_AGG_TOKENS = 24_000_000

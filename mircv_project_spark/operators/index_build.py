@@ -160,6 +160,7 @@ def aggregate_postings(
     metrics: dict | None = None,
     bm_frontier: bool = False,
     docid_lo: int = 0,
+    reduce_side: bool | None = None,
 ) -> DataFrame:
     """flat (term, docid, tf, doc_len) -> run-grained postings table:
 
@@ -273,23 +274,38 @@ def aggregate_postings(
         )
         .cast("int"),
     )
-    # Pre-partition by the aggregation key so BOTH aggregate passes run
-    # ABOVE the exchange (verified plan shape: Exchange -> partial ->
-    # final, one shuffle total).  Without this, Spark's MAP-SIDE partial
-    # collect_list buffers up to objectHashAggregate.sortBased.
-    # fallbackThreshold (raised session-wide for the window/query paths)
-    # keyed UnsafeRow lists per task — a key-COUNT bound, not a byte
-    # bound, and the 8x data-axis probe OOM'd a 12 GiB heap exactly
-    # there (ObjectAggregationIterator.processInputs, round-5).  With
-    # the exchange first, the map side is a pure streaming shuffle
-    # write and a reduce task's memory is its partition's payload —
-    # bounded by spark.sql.shuffle.partitions, which scales with input.
-    # Map-side combining loses nothing here: (term, run) keys are
-    # near-unique per map partition, so partial lists were pure copy
-    # overhead anyway.
-    salted = salted.select(
-        "term", "run", "docid", "tf", "doc_len", "bm25_coeff", "tfidf_coeff"
-    ).repartition("term", "run")
+    # MEMORY-SAFETY DISPATCH (round-5, found by the 8x data-axis
+    # probe): Spark's MAP-SIDE partial collect_list buffers one
+    # UnsafeRow copy per posting per task until the
+    # objectHashAggregate.sortBased.fallbackThreshold KEY count trips —
+    # a key-COUNT bound, not a byte bound, and with a ~50k-term
+    # vocabulary the key count never trips while per-task bytes grow
+    # linearly with input: a 4M-turn build OOM'd a 12 GiB heap in
+    # ObjectAggregationIterator.processInputs.  Above a total-token
+    # budget we therefore pre-partition by the aggregation key so BOTH
+    # aggregate passes run ABOVE the exchange (verified plan: Exchange
+    # -> partial -> final, one shuffle total): the map side becomes a
+    # pure streaming shuffle write and a reduce task's memory is its
+    # partition's payload, bounded by spark.sql.shuffle.partitions
+    # (which scales with input).  Below the budget the classic
+    # map-side path stays: it shuffles compact per-task list rows
+    # instead of raw posting rows (fewer shuffle-row overheads; an
+    # interleaved A/B at 500k turns measured the two paths within host
+    # noise — ratios 1.05/0.63 — so the dispatch is a memory-safety
+    # decision, not a latency tradeoff), and its per-task memory is
+    # provably small there.
+    # Both paths produce IDENTICAL runs (same keys, same per-run rows;
+    # rundata order is nondeterministic either way and the encode UDF
+    # sorts by docid) — the 8x probe's n_runs/posting_bytes matched
+    # across paths bit-for-bit.
+    total_tokens = n_docs * avgdl
+    if reduce_side is None:
+        reduce_side = total_tokens > config.REDUCE_SIDE_AGG_TOKENS
+    metrics["reduce_side_agg"] = bool(reduce_side)
+    if reduce_side:
+        salted = salted.select(
+            "term", "run", "docid", "tf", "doc_len", "bm25_coeff", "tfidf_coeff"
+        ).repartition("term", "run")
     runs = _encode_runs(salted.groupBy("term", "run").agg(*run_agg))
 
     bucket = F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")

@@ -215,3 +215,59 @@ def test_zipf_head_term_run_payload_bounded(spark):
     head = runs.where(F.col("term") == "z1").count()
     assert head == min(64, -(-n // thr)), head
     runs.unpersist()
+
+
+def test_reduce_side_agg_path_identical(spark):
+    """Round-5 memory-safety dispatch: aggregate_postings' reduce-side
+    (exchange-first) path must produce BIT-IDENTICAL run rows to the
+    map-side partial-collect path — the dispatch is a resource
+    decision, never a semantic one.  Also pins the auto rule: the
+    token budget selects map-side below and reduce-side above."""
+    from mircv_project_spark import config
+    from mircv_project_spark.operators.index_build import aggregate_postings
+
+    n_terms, n_docs = 200, 40
+    flat = (
+        spark.range(n_terms)
+        .selectExpr("concat('t', id) as term")
+        .crossJoin(spark.range(1, n_docs + 1).selectExpr("id as docid"))
+        .where("(hash(term, docid) % 3) != 0")
+        .selectExpr(
+            "term", "docid",
+            "cast(1 + pmod(hash(docid, term), 4) as int) as tf",
+            "cast(10 as int) as doc_len",
+        )
+    )
+    m_map, m_red = {}, {}
+    a = aggregate_postings(
+        flat, n_docs=n_docs, avgdl=10.0, heavy_df_threshold=8,
+        heavy_fanout=4, reduce_side=False, metrics=m_map,
+    )
+    b = aggregate_postings(
+        flat, n_docs=n_docs, avgdl=10.0, heavy_df_threshold=8,
+        heavy_fanout=4, reduce_side=True, metrics=m_red,
+    )
+    assert m_map["reduce_side_agg"] is False
+    assert m_red["reduce_side_agg"] is True
+
+    def canon(df):
+        rows = df.select(
+            "term", "run", "run_df", "pcf", "pbm", "ptf", "blocks", "bucket"
+        ).collect()
+        out = []
+        for r in rows:
+            blocks = tuple(
+                tuple(sorted(bl.asDict().items())) for bl in r["blocks"]
+            )
+            out.append((r["term"], r["run"], r["run_df"], r["pcf"],
+                        r["pbm"], r["ptf"], blocks, r["bucket"]))
+        return sorted(out)
+
+    assert canon(a) == canon(b)
+
+    # auto rule: total tokens (n_docs * avgdl) vs the config budget
+    m_auto: dict = {}
+    aggregate_postings(flat, n_docs=n_docs, avgdl=10.0, metrics=m_auto)
+    assert m_auto["reduce_side_agg"] is (
+        n_docs * 10.0 > config.REDUCE_SIDE_AGG_TOKENS
+    )
