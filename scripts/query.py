@@ -36,9 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--exhaustive", action="store_true",
                    help="distributed exhaustive scorer instead of MaxScore")
-    p.add_argument("--algo", default="maxscore", choices=["maxscore", "bmw"],
-                   help="driver-side DAAT pruner: the reference's MaxScore "
-                        "or Block-Max WAND (operators/bmw.py); rank-identical")
+    p.add_argument("--algo", default="maxscore",
+                   choices=["maxscore", "wand", "taat", "bmw"],
+                   help="traversal family for the serve dispatcher "
+                        "(operators/maxscore.serve_topk): all four are "
+                        "rank-identical; batches whose posting lists "
+                        "exceed the driver budget fail over to the "
+                        "distributed pruned path automatically")
     p.add_argument("--mode", default="exact",
                    choices=["exact", "fuzzy", "prefix"],
                    help="fuzzy = Levenshtein-1 expansion (fuzzy-OR); "
@@ -47,8 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    from mircv_project_spark.operators.bmw import bmw_topk_df
-    from mircv_project_spark.operators.maxscore import maxscore_topk_df
+    from mircv_project_spark.operators.maxscore import serve_topk
     from mircv_project_spark.operators.topk import topk_from_blocks, trec_format
     from mircv_project_spark.session import get_spark
     from mircv_project_spark.sources.index_store import IndexReader
@@ -58,7 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.exhaustive:  # distributed scan of the block store, no pruning
         topk_df = topk_from_blocks
     else:
-        topk_df = bmw_topk_df if args.algo == "bmw" else maxscore_topk_df
+        def topk_df(rdr, qs, std, k, conjunctive=False):
+            return serve_topk(
+                rdr, qs, std, k=k, conjunctive=conjunctive,
+                family=args.algo,
+            )
 
     queries: list[tuple[str, str]] = []
     conjunctive = False
