@@ -4225,19 +4225,29 @@ def _driver_checked() -> set[str]:
         try:
             with open(p) as fh:
                 rows = json.load(fh)
+            if not isinstance(rows, dict):  # older/partial formats
+                seen |= set(rows)
+                continue
+            for name, row in rows.items():
+                if not isinstance(row, dict):
+                    seen.add(name)
+                    continue
+                err = row.get("err")
+                if not err:
+                    seen.add(name)
+                elif err == "no_oracle" and name not in have_oracle:
+                    seen.add(name)
+                elif err == "no_oracle":
+                    # errored ONLY for lack of an oracle, and an oracle
+                    # exists now: the specific repair class that earns a
+                    # jump to the head of the rotation queue.  Other
+                    # error classes re-enter the normal fresh pool (not
+                    # `seen`) but never jump the queue — a gate with a
+                    # persistent runtime error must not burn a priority
+                    # prefix slot every round.
+                    errored.add(name)
         except Exception:
             continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                seen.add(name)
-                continue
-            err = row.get("err")
-            if not err:
-                seen.add(name)
-            elif err == "no_oracle" and name not in have_oracle:
-                seen.add(name)
-            else:
-                errored.add(name)
     # Repaired gates: errored in an earlier round but now checkable
     # (oracle exists and nothing green yet).  queries() puts these
     # right after the canaries so the driver prefix reaches them THIS

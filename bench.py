@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -549,43 +550,44 @@ def main() -> None:
     from mircv_project_spark.streaming import incremental as _S
 
     nrt_base = tempfile.mkdtemp(prefix="mircv_bench_nrt_")
-    n_inp, n_delta, n_ckpt = (
-        f"{nrt_base}/in", f"{nrt_base}/delta", f"{nrt_base}/ckpt"
-    )
-    convs = t.select("conv_id").distinct()
-    n_convs = convs.count()
-    cut = (
-        convs.orderBy(_F.col("conv_id").desc())
-        .limit(max(1, n_convs // 100))
-        .agg(_F.min("conv_id"))
-        .collect()[0][0]
-    )
-    nrt_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    t.where(_F.col("conv_id") < cut).select(nrt_cols).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(n_inp)
-    _S.index_delta_query(spark, n_inp, n_delta, n_ckpt, parse=True).awaitTermination(
-        600
-    )
-    _S.compact_index(spark, n_delta, parse=True)
-    fresh = t.where(_F.col("conv_id") >= cut).select(nrt_cols)
-    n_fresh = fresh.count()
-    t0 = time.monotonic()
-    fresh.coalesce(1).write.mode("append").parquet(n_inp)
-    _S.index_delta_query(spark, n_inp, n_delta, n_ckpt, parse=True).awaitTermination(
-        600
-    )
-    nrt_idx = _S.nrt_index(spark, n_delta, parse=True)
-    nrt_reader = IndexReader.from_memory(nrt_idx)
-    maxscore_topk_df(nrt_reader, qset, scoring.BM25, k=10).collect()
-    queries["nrt_freshness_s"] = time.monotonic() - t0
-    extras["nrt"] = {
-        "fresh_turns": int(n_fresh),
-        "n_docs_serving": int(nrt_idx.n_docs),
-        "freshness_s": round(queries["nrt_freshness_s"], 3),
-    }
-    shutil_rmtree = __import__("shutil").rmtree
-    shutil_rmtree(nrt_base, ignore_errors=True)
+    try:
+        n_inp, n_delta, n_ckpt = (
+            f"{nrt_base}/in", f"{nrt_base}/delta", f"{nrt_base}/ckpt"
+        )
+        convs = t.select("conv_id").distinct()
+        n_convs = convs.count()
+        cut = (
+            convs.orderBy(_F.col("conv_id").desc())
+            .limit(max(1, n_convs // 100))
+            .agg(_F.min("conv_id"))
+            .collect()[0][0]
+        )
+        nrt_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        t.where(_F.col("conv_id") < cut).select(nrt_cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(n_inp)
+        _S.index_delta_query(
+            spark, n_inp, n_delta, n_ckpt, parse=True
+        ).awaitTermination(600)
+        _S.compact_index(spark, n_delta, parse=True)
+        fresh = t.where(_F.col("conv_id") >= cut).select(nrt_cols)
+        n_fresh = fresh.count()
+        t0 = time.monotonic()
+        fresh.coalesce(1).write.mode("append").parquet(n_inp)
+        _S.index_delta_query(
+            spark, n_inp, n_delta, n_ckpt, parse=True
+        ).awaitTermination(600)
+        nrt_idx = _S.nrt_index(spark, n_delta, parse=True)
+        nrt_reader = IndexReader.from_memory(nrt_idx)
+        maxscore_topk_df(nrt_reader, qset, scoring.BM25, k=10).collect()
+        queries["nrt_freshness_s"] = time.monotonic() - t0
+        extras["nrt"] = {
+            "fresh_turns": int(n_fresh),
+            "n_docs_serving": int(nrt_idx.n_docs),
+            "freshness_s": round(queries["nrt_freshness_s"], 3),
+        }
+    finally:
+        shutil.rmtree(nrt_base, ignore_errors=True)
 
     # --- 3. synthetic build at full parallelism (headline) ---
     _build_synthetic(spark, max(2_000, BENCH_TURNS // 100), seed=1)  # warmup
@@ -652,8 +654,6 @@ def main() -> None:
     scaling = _scaling(queries)
 
     # all measurements that read the store are collected by now
-    import shutil
-
     shutil.rmtree(store, ignore_errors=True)
 
     thru_full = BENCH_TURNS / sec_full

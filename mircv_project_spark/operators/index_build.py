@@ -298,9 +298,15 @@ def aggregate_postings(
     # rundata order is nondeterministic either way and the encode UDF
     # sorts by docid) — the 8x probe's n_runs/posting_bytes matched
     # across paths bit-for-bit.
-    total_tokens = n_docs * avgdl
+    # Dispatch on the tokens flowing through THIS aggregation: for a
+    # batch build that's the whole corpus, but incremental/NRT
+    # compaction feeds only the new segment (docid_lo = committed
+    # n_docs) — a small fresh epoch over a large committed corpus must
+    # not be forced onto the reduce-side path by corpus-cumulative
+    # stats (segment tokens ~= segment docs x avgdl).
+    segment_tokens = (n_docs - docid_lo) * avgdl
     if reduce_side is None:
-        reduce_side = total_tokens > config.REDUCE_SIDE_AGG_TOKENS
+        reduce_side = segment_tokens > config.REDUCE_SIDE_AGG_TOKENS
     metrics["reduce_side_agg"] = bool(reduce_side)
     if reduce_side:
         salted = salted.select(
