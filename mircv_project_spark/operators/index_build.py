@@ -92,7 +92,7 @@ def tokenize_stage(transcripts_with_docid: DataFrame, parse: bool) -> DataFrame:
     )
 
 
-def _encode_blocks_udf(codec_name: str):
+def _encode_blocks_udf(codec_name: str, avgdl: float, bm_frontier: bool):
     """Block encoder over one term-run's postings arrays.
 
     docId ordering happens HERE (numpy argsort per run) rather than as
@@ -100,53 +100,63 @@ def _encode_blocks_udf(codec_name: str):
     millions of short-lived struct objects was measurable GC/alloc
     churn in the postings stage, while an int64 argsort over the same
     data is a few ms per run and keeps the whole ordering step inside
-    the Arrow batch."""
+    the Arrow batch.
+
+    The same crossing also computes:
+
+    - ``pbm`` = max per-posting BM25 coefficient of the run, via
+      scoring.bm25_coeff_np — bit-identical to the Catalyst
+      max(bm25_coeff_col) it replaces (same constants + parenthesization;
+      IEEE float64 elementwise).  Computing it HERE removes an 8-byte
+      double per posting from the aggregation shuffle (guide §2.3
+      "shuffle fewer bytes"); the TFIDF coefficient is monotone in tf so
+      its max derives from max(tf) JVM-side and needs no payload column
+      at all.
+    - ``bmfront`` (optional) = the per-run (tf -> min doc_len) frontier:
+      bm25_coeff is strictly decreasing in dl for fixed tf, so
+      max(coeff) over a run equals max over this frontier for ANY avgdl
+      — incremental compaction recomputes exact upper bounds as avgdl
+      drifts without re-reading payloads (streaming/incremental.py).
+      Previously a SECOND pandas UDF over the same arrays; folded into
+      this one so the run data crosses the Python boundary once.
+    """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(BLOCKS_SCHEMA)
-    def _enc(docids: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.Series:
-        out = []
+    from . import scoring as _scoring
+
+    schema = f"struct<pbm:double, blocks:{BLOCKS_SCHEMA}"
+    if bm_frontier:
+        schema += ", bmfront:array<struct<tf:int, dl:int>>"
+    schema += ">"
+
+    @pandas_udf(schema)
+    def _enc(docids: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
+        pbms: list[float] = []
+        blocks: list[list] = []
+        fronts: list[list] = []
         for i, t, d in zip(docids, tfs, dls):
             ids = np.asarray(i, dtype=np.int64)
             order = np.argsort(ids, kind="stable")  # docids unique per run
-            out.append(
-                codecs.encode_posting_blocks(
-                    ids[order],
-                    np.asarray(t, dtype=np.int64)[order],
-                    np.asarray(d, dtype=np.int64)[order],
-                    codec=codec_name,
-                )
+            ta = np.asarray(t, dtype=np.int64)[order]
+            da = np.asarray(d, dtype=np.int64)[order]
+            pbms.append(float(_scoring.bm25_coeff_np(ta, da, avgdl).max()))
+            blocks.append(
+                codecs.encode_posting_blocks(ids[order], ta, da, codec=codec_name)
             )
-        return pd.Series(out)
+            if bm_frontier:
+                uniq, inv = np.unique(ta, return_inverse=True)
+                mind = np.full(len(uniq), np.iinfo(np.int64).max)
+                np.minimum.at(mind, inv, da)
+                fronts.append(
+                    [{"tf": int(u), "dl": int(m)} for u, m in zip(uniq, mind)]
+                )
+        out = {"pbm": pbms, "blocks": blocks}
+        if bm_frontier:
+            out["bmfront"] = fronts
+        return pd.DataFrame(out)
 
     return _enc
-
-
-def _bm_frontier_udf():
-    """Per-run (tf -> min doc_len) frontier: bm25_coeff is strictly
-    decreasing in dl for fixed tf, so max(coeff) over a run's postings
-    equals max over this frontier for ANY avgdl — it lets incremental
-    compaction recompute exact term upper bounds as the corpus avgdl
-    drifts, without re-reading posting payloads (streaming/incremental.py)."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<struct<tf:int, dl:int>>")
-    def _front(tfs: pd.Series, dls: pd.Series) -> pd.Series:
-        out = []
-        for t, d in zip(tfs, dls):
-            ta = np.asarray(t, dtype=np.int64)
-            da = np.asarray(d, dtype=np.int64)
-            uniq, inv = np.unique(ta, return_inverse=True)
-            mind = np.full(len(uniq), np.iinfo(np.int64).max)
-            np.minimum.at(mind, inv, da)
-            out.append(
-                [{"tf": int(u), "dl": int(m)} for u, m in zip(uniq, mind)]
-            )
-        return pd.Series(out)
-
-    return _front
 
 
 def aggregate_postings(
@@ -215,44 +225,48 @@ def aggregate_postings(
     metrics["heavy_terms"] = heavy.count()
     metrics["heavy_detect_sec"] = time.monotonic() - t1
 
-    scored = flat.withColumn(
-        "bm25_coeff", scoring.bm25_coeff_col(F.col("tf"), F.col("doc_len"), avgdl)
-    ).withColumn("tfidf_coeff", scoring.tfidf_coeff_col(F.col("tf")))
-
-    enc = _encode_blocks_udf(codec)
-    front = _bm_frontier_udf() if bm_frontier else None
+    enc = _encode_blocks_udf(codec, avgdl, bm_frontier)
 
     def _encode_runs(grouped: DataFrame) -> DataFrame:
-        cols = [
-            F.col("term"),
-            F.col("run"),
+        # first projection materializes the UDF result as ONE column so
+        # the field extractions below never re-evaluate the UDF (the
+        # tokenizer-tree Catalyst gotcha, CLAUDE.md)
+        enc_cols = grouped.select(
+            "term",
+            "run",
             F.col("pdf").alias("run_df"),
-            F.col("pcf"),
-            F.col("pbm"),
-            F.col("ptf"),
+            "pcf",
+            "maxtf",
             enc(
                 F.transform("rundata", lambda p: p["docid"]),
                 F.transform("rundata", lambda p: p["tf"]),
                 F.transform("rundata", lambda p: p["doc_len"]),
-            ).alias("blocks"),
+            ).alias("e"),
+        )
+        cols = [
+            F.col("term"),
+            F.col("run"),
+            F.col("run_df"),
+            F.col("pcf"),
+            F.col("e.pbm").alias("pbm"),
+            # max over per-posting (1 + log10(tf)) == the expression at
+            # max(tf) — strictly increasing in tf, same JVM double
+            scoring.tfidf_coeff_col(F.col("maxtf")).alias("ptf"),
+            F.col("e.blocks").alias("blocks"),
         ]
-        if front is not None:
-            cols.append(
-                front(
-                    F.transform("rundata", lambda p: p["tf"]),
-                    F.transform("rundata", lambda p: p["doc_len"]),
-                ).alias("bmfront")
-            )
-        return grouped.select(*cols)
+        if bm_frontier:
+            cols.append(F.col("e.bmfront").alias("bmfront"))
+        return enc_cols.select(*cols)
 
     # rundata arrives UNSORTED from collect_list; the encode UDF sorts
     # by docid numpy-side (see _encode_blocks_udf) — cheaper than a JVM
-    # sort_array over the struct arrays.
+    # sort_array over the struct arrays.  No per-posting score columns
+    # ride the shuffle: pbm comes out of the encode UDF, ptf from
+    # max(tf) (16 fewer bytes per posting through the exchange).
     run_agg = [
         F.count("*").alias("pdf"),
         F.sum("tf").alias("pcf"),
-        F.max("bm25_coeff").alias("pbm"),
-        F.max("tfidf_coeff").alias("ptf"),
+        F.max("tf").alias("maxtf"),
         F.collect_list(F.struct("docid", "tf", "doc_len")).alias("rundata"),
     ]
 
@@ -266,7 +280,7 @@ def aggregate_postings(
     # fanout to ~fan * (segment/corpus) runs, unbounding run payloads
     # (docid_lo=0 reproduces the batch expression exactly).
     extent = n_docs - docid_lo + 1
-    salted = scored.join(F.broadcast(heavy), "term", "left").withColumn(
+    salted = flat.join(F.broadcast(heavy), "term", "left").withColumn(
         "run",
         F.when(F.col("fan").isNull(), F.lit(0))
         .otherwise(
@@ -310,7 +324,7 @@ def aggregate_postings(
     metrics["reduce_side_agg"] = bool(reduce_side)
     if reduce_side:
         salted = salted.select(
-            "term", "run", "docid", "tf", "doc_len", "bm25_coeff", "tfidf_coeff"
+            "term", "run", "docid", "tf", "doc_len"
         ).repartition("term", "run")
     runs = _encode_runs(salted.groupBy("term", "run").agg(*run_agg))
 
@@ -371,19 +385,15 @@ def build_index(
     t0 = time.monotonic()
 
     tok = tokenize_stage(transcripts_with_docid, parse)
-    tok = _materialize(spark, tok, checkpoint_dir, "tokenized", metrics)
-
-    # --- collection statistics (A2/A6) ---
-    row = tok.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("s")
-    ).collect()[0]
-    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
-    avgdl = sum_dl / float(n_docs)
-    metrics["stats_sec"] = time.monotonic() - t0
-
-    doc_index = tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len")
 
     # --- flat postings: one row per (doc, term); tf counted map-side ---
+    # The EXPLODED flat table is the stage that materializes (round-6
+    # measurement): the three downstream consumers (collection stats,
+    # heavy-term detect, posting aggregation) all read posting rows, and
+    # caching plain columns (term, docid, tf, doc_len) measured several
+    # times cheaper than caching the tokenized array<struct> column the
+    # old path persisted — the columnar cache build for nested arrays
+    # dominated the whole tokenize stage at 500k turns.
     flat = tok.select(
         "docid",
         "doc_len",
@@ -393,6 +403,46 @@ def build_index(
         "docid",
         F.col("kv.tf").alias("tf"),
         "doc_len",
+    )
+    if checkpoint_dir:
+        path = f"{checkpoint_dir}/flat"
+        flat.write.mode("overwrite").parquet(path)
+        flat = spark.read.parquet(path)
+    else:
+        flat = flat.cache()
+
+    # --- collection statistics (A2/A6) ---
+    # sum_doc_len == sum of all tfs (doc_len is the per-doc tf sum by
+    # construction, zero-length docs contribute 0 either way); n_docs
+    # comes from assign_doc_ids' already-collected partition counts
+    # (stashed on the DataFrame) so no extra pass over the input runs.
+    # This ONE job tokenizes, explodes, populates the flat cache and
+    # aggregates — the old path paid a cache-count job plus a separate
+    # stats job.
+    row = flat.agg(F.sum("tf").alias("s")).collect()[0]
+    sum_dl = int(row["s"] or 0)
+    n_docs = getattr(transcripts_with_docid, "_mircv_n_rows", None)
+    if n_docs is None:
+        n_docs = transcripts_with_docid.count()
+    n_docs = int(n_docs)
+    avgdl = sum_dl / float(n_docs)
+    metrics["stats_sec"] = time.monotonic() - t0
+
+    # doc_index derives from the input + the cached flat (per-doc tf
+    # sum, absent -> 0), NOT from a cached tokenized table — same rows
+    # and dtypes as the old tokenize-stage projection.
+    doc_index = transcripts_with_docid.select(
+        "docid", "docno", "conv_id", "turn_idx"
+    ).join(
+        flat.groupBy("docid").agg(F.sum("tf").alias("_dl")),
+        "docid",
+        "left",
+    ).select(
+        "docid",
+        "docno",
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("_dl"), F.lit(0)).cast("int").alias("doc_len"),
     )
 
     postings = aggregate_postings(

@@ -63,5 +63,15 @@ def bm25_np(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndar
     return (tf / ((BM25_K1 * bj) + tf)) * idf
 
 
+def bm25_coeff_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """numpy twin of bm25_coeff_col — same constants and operation order,
+    so float64 results are bit-identical to the Catalyst evaluation
+    (IEEE-754 +,*,/ are exactly rounded, hence deterministic across
+    engines at a fixed parenthesization; pinned by
+    tests/test_salted_build.py::test_numpy_bm25_coeff_matches_catalyst)."""
+    bj = BM25_ONE_MINUS_B + (BM25_B * (dl.astype(np.float64) / avgdl))
+    return tf / ((BM25_K1 * bj) + tf)
+
+
 def tfidf_np(tf: np.ndarray, idf: float) -> np.ndarray:
     return (1.0 + np.log10(tf.astype(np.float64))) * idf

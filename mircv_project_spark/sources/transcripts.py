@@ -82,6 +82,13 @@ def assign_doc_ids(
         return out.withColumn("docno", (F.col("docid") - 1).cast("string"))
 
     if assume_sorted:
+        # NO persist here (round-6 measurement): caching the generated
+        # text column cost 11-37 s at 500k turns while re-running the
+        # deterministic generator costs ~2 s, and the counts job below
+        # column-prunes the text away entirely when the source is lazy.
+        # Valid because assume_sorted sources are deterministic plans
+        # with stable partitioning (spark.range slices), so _pid and
+        # per-partition counts are identical across the two jobs.
         ranged = transcripts.withColumn("_pid", F.spark_partition_id())
     else:
         n_part = max(transcripts.sparkSession.sparkContext.defaultParallelism, 8)
@@ -89,10 +96,11 @@ def assign_doc_ids(
         ranged = ranged.sortWithinPartitions("conv_id", "turn_idx").withColumn(
             "_pid", F.spark_partition_id()
         )
-    # persisted: consumed twice (per-partition counts, then numbering) —
-    # without this the upstream (possibly generator/tokenizer) pipeline
-    # runs twice; at cluster scale this is the checkpointed stage
-    ranged = ranged.persist()
+        # persisted: consumed twice (per-partition counts, then
+        # numbering) — without this the sampling pass + shuffle + sort
+        # would run twice; at cluster scale this is the checkpointed
+        # stage
+        ranged = ranged.persist()
     # per-partition counts -> cumulative start offsets (tiny; collected)
     counts = dict(
         (r["_pid"], r["cnt"])
@@ -115,6 +123,9 @@ def assign_doc_ids(
         .drop("_pid")
         .withColumn("docno", (F.col("docid") - 1).cast("string"))
     )
+    # total row count is already known exactly (sum of partition
+    # counts); stash it so build_index's stats stage skips a count job
+    out._mircv_n_rows = acc
     return out
 
 

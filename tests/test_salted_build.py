@@ -217,6 +217,32 @@ def test_zipf_head_term_run_payload_bounded(spark):
     runs.unpersist()
 
 
+def test_numpy_bm25_coeff_matches_catalyst(spark):
+    """The encode UDF computes pbm (max per-run BM25 coefficient) with
+    scoring.bm25_coeff_np instead of shuffling a per-posting Catalyst
+    coefficient column (round-6 shuffle-bytes optimization).  The two
+    evaluations must be BIT-identical — same constants, same
+    parenthesization, IEEE float64 elementwise — or lexicon upper
+    bounds (and so pruning thresholds) would drift."""
+    import numpy as np
+
+    from mircv_project_spark.operators import scoring
+
+    avgdl = 23.714285714285715  # a non-dyadic realistic value
+    grid = spark.range(1, 65).selectExpr("cast(id as int) as tf").crossJoin(
+        spark.range(1, 120, 7).selectExpr("cast(id as int) as dl")
+    )
+    rows = grid.select(
+        "tf", "dl",
+        scoring.bm25_coeff_col(F.col("tf"), F.col("dl"), avgdl).alias("c"),
+    ).collect()
+    tfs = np.array([r["tf"] for r in rows], dtype=np.int64)
+    dls = np.array([r["dl"] for r in rows], dtype=np.int64)
+    got = scoring.bm25_coeff_np(tfs, dls, avgdl)
+    want = np.array([r["c"] for r in rows], dtype=np.float64)
+    assert (got == want).all()  # exact, not approx
+
+
 def test_reduce_side_agg_path_identical(spark):
     """Round-5 memory-safety dispatch: aggregate_postings' reduce-side
     (exchange-first) path must produce BIT-IDENTICAL run rows to the
