@@ -4196,9 +4196,11 @@ _CANARIES = (
 )
 
 
-def _driver_checked() -> set[str]:
-    """Gate names that already have a USEFUL driver-side CORRECTNESS
-    row in any earlier round (CORRECTNESS_r*.json beside this file).
+def _driver_checked() -> tuple[set[str], list[str]]:
+    """-> (checked, repaired): gate names that already have a USEFUL
+    driver-side CORRECTNESS row in any earlier round
+    (CORRECTNESS_r*.json beside this file), plus the repaired gates
+    that should jump the rotation queue.
     Reading them at call time makes the rotation automatic: each round
     the never-driver-checked entries move to the head of the dict, so
     the driver's ~50-entry prefix budget lands on fresh gates instead
@@ -4251,15 +4253,15 @@ def _driver_checked() -> set[str]:
     # Repaired gates: errored in an earlier round but now checkable
     # (oracle exists and nothing green yet).  queries() puts these
     # right after the canaries so the driver prefix reaches them THIS
-    # round instead of at the interleave's mercy.
-    _driver_checked.repaired = sorted(errored - seen)  # type: ignore[attr-defined]
-    return seen
+    # round instead of at the interleave's mercy.  Returned as part of
+    # the tuple (round-6 ADVICE): the previous function-attribute
+    # side-channel could go stale if a future edit returned early.
+    return seen, sorted(errored - seen)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    checked = _driver_checked()
-    repaired = getattr(_driver_checked, "repaired", [])
+    checked, repaired = _driver_checked()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _CANARIES:
         if name in base:

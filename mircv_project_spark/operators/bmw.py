@@ -41,6 +41,7 @@ fallback for head terms is operators/topk.py.
 from __future__ import annotations
 
 import heapq
+from bisect import bisect_left
 
 import numpy as np
 
@@ -63,6 +64,14 @@ class BMWCursor(PostingCursor):
     they binary-search the per-list max_doc_id skip array and read the
     precomputed per-block score bound — the deep pointer (and its
     lazily-decoded block) is left where it is.
+
+    The (bmax, bub) pair is memoized on TermPostings keyed
+    (standard, avgdl) — the PostingCursor._decoded discipline: shared
+    READ-ONLY across cursors/queries, so a warm batch builds each
+    term's metadata arrays once instead of once per query (round-6;
+    BMW was 4-7x slower than WAND on the same warm cache and most of
+    the gap was this per-query rebuild plus numpy scalar overhead in
+    the frontier walk — bmax is kept as a plain list for C bisect).
     """
 
     __slots__ = ("bmax", "bub")
@@ -70,22 +79,26 @@ class BMWCursor(PostingCursor):
     def __init__(self, tp: TermPostings, codec: str, standard: str,
                  n_docs: int, avgdl: float):
         super().__init__(tp, codec, standard, n_docs, avgdl)
-        self.bmax = np.array(
-            [b["max_doc_id"] for b in tp.blocks], dtype=np.int64
-        )
-        max_tf = np.array([b["max_tf"] for b in tp.blocks], dtype=np.float64)
-        if standard == scoring.BM25:
-            # same constants AND op order as PostingCursor.score /
-            # operators/scoring.py (rank-identity critical)
-            min_dl = np.array(
-                [b["min_dl"] for b in tp.blocks], dtype=np.float64
-            )
-            bj = config.BM25_ONE_MINUS_B + (config.BM25_B * (min_dl / avgdl))
-            self.bub = (
-                max_tf / ((config.BM25_K1 * bj) + max_tf)
-            ) * tp.idf
-        else:
-            self.bub = (1 + np.log10(max_tf)) * tp.idf
+        key = ("bmw_meta", standard, avgdl)
+        meta = tp._decoded.get(key)
+        if meta is None:
+            bmax = [b["max_doc_id"] for b in tp.blocks]
+            max_tf = np.array([b["max_tf"] for b in tp.blocks], dtype=np.float64)
+            if standard == scoring.BM25:
+                # same constants AND op order as PostingCursor.score /
+                # operators/scoring.py (rank-identity critical)
+                min_dl = np.array(
+                    [b["min_dl"] for b in tp.blocks], dtype=np.float64
+                )
+                bj = config.BM25_ONE_MINUS_B + (config.BM25_B * (min_dl / avgdl))
+                bub = (
+                    max_tf / ((config.BM25_K1 * bj) + max_tf)
+                ) * tp.idf
+            else:
+                bub = (1 + np.log10(max_tf)) * tp.idf
+            meta = (bmax, bub.tolist())
+            tp._decoded[key] = meta
+        self.bmax, self.bub = meta
 
 def _shallow_frontier(
     lists: list[BMWCursor], d: int, cap: int, theta: float,
@@ -101,15 +114,16 @@ def _shallow_frontier(
 
     ``require_all`` (conjunctive): a list with no block reaching x means
     no qualifying doc >= x at all -> MAX_DOCID (terminate)."""
-    sbis = [int(np.searchsorted(c.bmax, d, side="left")) for c in lists]
+    sbis = [bisect_left(c.bmax, d) for c in lists]
     cur = d
     while True:
         bsum = 0.0
         boundary = MAX_DOCID
         for c, s in zip(lists, sbis):
             if s < len(c.bmax):
-                bsum += float(c.bub[s])
-                boundary = min(boundary, int(c.bmax[s]))
+                bsum += c.bub[s]  # plain floats/ints: no numpy scalars
+                if c.bmax[s] < boundary:
+                    boundary = c.bmax[s]
             elif require_all:
                 return MAX_DOCID
         if bsum >= theta - ROUND_EPS:
@@ -118,7 +132,7 @@ def _shallow_frontier(
             return cap
         cur = boundary + 1
         for j, c in enumerate(lists):
-            if sbis[j] < len(c.bmax) and int(c.bmax[sbis[j]]) < cur:
+            if sbis[j] < len(c.bmax) and c.bmax[sbis[j]] < cur:
                 sbis[j] += 1
 
 

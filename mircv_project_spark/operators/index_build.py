@@ -385,15 +385,31 @@ def build_index(
     t0 = time.monotonic()
 
     tok = tokenize_stage(transcripts_with_docid, parse)
+    if checkpoint_dir:
+        path = f"{checkpoint_dir}/tokenized"
+        tok.write.mode("overwrite").parquet(path)
+        tok = spark.read.parquet(path)
+    else:
+        tok = tok.cache()
+
+    # --- collection statistics (A2/A6) ---
+    # ONE job materializes the tokenized cache AND aggregates the
+    # collection stats (caching is partition-granular, so the agg
+    # populates every cached column) — the old path paid a separate
+    # cache-count job before the stats agg.  Round-6 A/B note: caching
+    # the EXPLODED flat table instead measured ~13% slower end-to-end
+    # in a healthy host phase (12M plain rows cache slower than 500k
+    # array rows), so the tokenized table stays the cached stage.
+    row = tok.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
+    avgdl = sum_dl / float(n_docs)
+    metrics["stats_sec"] = time.monotonic() - t0
+
+    doc_index = tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len")
 
     # --- flat postings: one row per (doc, term); tf counted map-side ---
-    # The EXPLODED flat table is the stage that materializes (round-6
-    # measurement): the three downstream consumers (collection stats,
-    # heavy-term detect, posting aggregation) all read posting rows, and
-    # caching plain columns (term, docid, tf, doc_len) measured several
-    # times cheaper than caching the tokenized array<struct> column the
-    # old path persisted — the columnar cache build for nested arrays
-    # dominated the whole tokenize stage at 500k turns.
     flat = tok.select(
         "docid",
         "doc_len",
@@ -403,46 +419,6 @@ def build_index(
         "docid",
         F.col("kv.tf").alias("tf"),
         "doc_len",
-    )
-    if checkpoint_dir:
-        path = f"{checkpoint_dir}/flat"
-        flat.write.mode("overwrite").parquet(path)
-        flat = spark.read.parquet(path)
-    else:
-        flat = flat.cache()
-
-    # --- collection statistics (A2/A6) ---
-    # sum_doc_len == sum of all tfs (doc_len is the per-doc tf sum by
-    # construction, zero-length docs contribute 0 either way); n_docs
-    # comes from assign_doc_ids' already-collected partition counts
-    # (stashed on the DataFrame) so no extra pass over the input runs.
-    # This ONE job tokenizes, explodes, populates the flat cache and
-    # aggregates — the old path paid a cache-count job plus a separate
-    # stats job.
-    row = flat.agg(F.sum("tf").alias("s")).collect()[0]
-    sum_dl = int(row["s"] or 0)
-    n_docs = getattr(transcripts_with_docid, "_mircv_n_rows", None)
-    if n_docs is None:
-        n_docs = transcripts_with_docid.count()
-    n_docs = int(n_docs)
-    avgdl = sum_dl / float(n_docs)
-    metrics["stats_sec"] = time.monotonic() - t0
-
-    # doc_index derives from the input + the cached flat (per-doc tf
-    # sum, absent -> 0), NOT from a cached tokenized table — same rows
-    # and dtypes as the old tokenize-stage projection.
-    doc_index = transcripts_with_docid.select(
-        "docid", "docno", "conv_id", "turn_idx"
-    ).join(
-        flat.groupBy("docid").agg(F.sum("tf").alias("_dl")),
-        "docid",
-        "left",
-    ).select(
-        "docid",
-        "docno",
-        "conv_id",
-        "turn_idx",
-        F.coalesce(F.col("_dl"), F.lit(0)).cast("int").alias("doc_len"),
     )
 
     postings = aggregate_postings(

@@ -556,16 +556,17 @@ def topk_from_blocks_pruned(
         wsel = Window.partitionBy("term").orderBy(
             F.col("bub").desc(), F.col("run").asc(), F.col("bi").asc()
         )
-        sel_rows = (
+        # the block selection stays a DataFrame (persisted, metadata-
+        # sized) instead of a collect + re-createDataFrame round trip:
+        # the theta job below computes it as a broadcast subquery, so
+        # pass 1 costs ONE job submission instead of two (round-6; the
+        # selection is reused for the eager/decoded-key anti-joins)
+        sel_df = (
             _block_meta_df(reader, t1_terms, {t: lex[t][0] for t in t1_terms}, standard)
             .withColumn("cum", F.sum("bn").over(wsel))
             .where(F.col("cum") - F.col("bn") < theta_target)
             .select("term", "run", "bi")
-            .collect()
-        )
-        sel_df = spark.createDataFrame(
-            [(r["term"], r["run"], r["bi"]) for r in sel_rows],
-            "term string, run long, bi int",
+            .persist()
         )
         rows1 = _decode_blocks_df(
             reader._prune(reader.postings, t1_terms)
@@ -728,19 +729,27 @@ def topk_from_blocks_pruned(
             candidates, ["qid", "docid"], "left_semi"
         )
 
-    if ne_pairs:
-        matched = matched.unionByName(
-            _candidate_lookup(ne_pairs, metric_prefix="ne")
-        )
-
     # partial terms owe their COLD blocks' contributions to candidate
     # docs (the eager/hot rows are already in matched_e for these same
     # (qid, term) pairs, so decoded blocks are excluded)
     b_pairs = [(q, t, c, df) for q, t, c, df in ess_pairs if t in partial_terms]
+    decoded_keys = None
     if b_pairs:
         decoded_keys = eager.select("term", "run", "bi")
         if rows1 is not None:
             decoded_keys = decoded_keys.unionByName(sel_df)
+    # NOTE (round-6): merging the two lookup classes into one call was
+    # tried and REVERTED — the decoded-key exclusion is term-global
+    # while the "already counted" argument is per (qid, term): any term
+    # that is essential for one query and non-essential for another
+    # (the common case on a shared vocabulary) loses the second query's
+    # contributions from its eagerly-decoded blocks.  The split calls
+    # are the correct shape.
+    if ne_pairs:
+        matched = matched.unionByName(
+            _candidate_lookup(ne_pairs, metric_prefix="ne")
+        )
+    if b_pairs:
         matched = matched.unionByName(
             _candidate_lookup(
                 b_pairs, exclude_keys=decoded_keys, metric_prefix="cold"

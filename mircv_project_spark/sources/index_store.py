@@ -330,7 +330,9 @@ def shard_index(
     independent jobs in production."""
     from ..operators.index_build import aggregate_postings, lexicon_from_runs
 
-    reader = IndexReader.from_dir(spark, path)
+    # warm=False: this is a one-shot bulk rewrite, not a serving reader
+    # — the per-bucket sentinel warm-open fetch buys nothing here
+    reader = IndexReader.from_dir(spark, path, warm=False)
     n_shards = len(out_dirs)
     full_flat = reader.as_index_view().flat
     for s, out_dir in enumerate(out_dirs):
@@ -378,7 +380,8 @@ def vacuum_index(spark: SparkSession, path: str, out_dir: str) -> None:
     aggregate_postings' salted two-stage shuffle."""
     from ..operators.index_build import aggregate_postings, lexicon_from_runs
 
-    reader = IndexReader.from_dir(spark, path)
+    # warm=False: bulk rewrite, not a serving reader (see shard_index)
+    reader = IndexReader.from_dir(spark, path, warm=False)
     tomb = read_tombstones(spark, path)
     if tomb is None:
         tomb = spark.createDataFrame([], "docno long")

@@ -123,9 +123,6 @@ def assign_doc_ids(
         .drop("_pid")
         .withColumn("docno", (F.col("docid") - 1).cast("string"))
     )
-    # total row count is already known exactly (sum of partition
-    # counts); stash it so build_index's stats stage skips a count job
-    out._mircv_n_rows = acc
     return out
 
 

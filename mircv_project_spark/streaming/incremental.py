@@ -319,9 +319,16 @@ def nrt_index(
     runs = parts[0]
     for p in parts[1:]:
         runs = runs.unionByName(p)
+    # persist the assembled run table: a reader's fused lexicon+postings
+    # fetch (index_store._fetch_rows) is a UNION whose two branches both
+    # contain this plan — without the persist the fresh-epoch
+    # aggregation (shuffle + encode UDF) executes twice per query batch,
+    # with it the first fetch materializes it once and every subsequent
+    # batch serves from cache (round-6 NRT-freshness measurement).
+    # Read-only: nothing is written, the committed meta never advances.
     postings = runs.withColumn(
         "pbm", F.array_max(F.transform("bmfront", _coeff))
-    ).drop("bmfront")
+    ).drop("bmfront").persist()
 
     flat = spark.read.parquet(f"{delta_dir}/flat").select(
         "term", "docid", "tf", "doc_len"
