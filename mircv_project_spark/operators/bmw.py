@@ -74,7 +74,7 @@ class BMWCursor(PostingCursor):
     the frontier walk — bmax is kept as a plain list for C bisect).
     """
 
-    __slots__ = ("bmax", "bub")
+    __slots__ = ("bmax", "bub", "min_bub")
 
     def __init__(self, tp: TermPostings, codec: str, standard: str,
                  n_docs: int, avgdl: float):
@@ -96,9 +96,17 @@ class BMWCursor(PostingCursor):
                 ) * tp.idf
             else:
                 bub = (1 + np.log10(max_tf)) * tp.idf
-            meta = (bmax, bub.tolist())
+            blist = bub.tolist()
+            # min over the list's block bounds: when the pivot prefix's
+            # min-bound sum already reaches theta, NO position can be
+            # shallow-skipped (bsum >= sum of mins everywhere), so the
+            # caller skips the frontier walk outright — the common case
+            # on near-uniform-tf corpora, where the walk is pure
+            # overhead (conservative: skipping only skips an
+            # OPTIMIZATION, every candidate still scores fully)
+            meta = (bmax, blist, min(blist) if blist else 0.0)
             tp._decoded[key] = meta
-        self.bmax, self.bub = meta
+        self.bmax, self.bub, self.min_bub = meta
 
 def _shallow_frontier(
     lists: list[BMWCursor], d: int, cap: int, theta: float,
@@ -194,8 +202,14 @@ def block_max_wand(
 
         # --- shallow block-max check (no decode) ---
         if full:
-            cap = live[q + 1].docid() if q + 1 < len(live) else MAX_DOCID
-            nxt = _shallow_frontier(live[: q + 1], d, cap, theta)
+            smin = 0.0
+            for i in range(q + 1):
+                smin += live[i].min_bub
+            if smin >= theta - ROUND_EPS:
+                nxt = d  # no position is shallow-skippable; skip the walk
+            else:
+                cap = live[q + 1].docid() if q + 1 < len(live) else MAX_DOCID
+                nxt = _shallow_frontier(live[: q + 1], d, cap, theta)
             if nxt > d:
                 # nothing in [d, nxt) can make the heap — one deep jump
                 # straight to the first plausible block (or to where the
