@@ -53,7 +53,10 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def assign_doc_ids(
-    transcripts: DataFrame, scalable: bool = True, assume_sorted: bool = False
+    transcripts: DataFrame,
+    scalable: bool = True,
+    assume_sorted: bool = False,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Add ``docid`` (1-based dense rank over ORDER BY conv_id, turn_idx)
     and ``docno`` (= docid - 1, the external id).
@@ -99,8 +102,14 @@ def assign_doc_ids(
         # persisted: consumed twice (per-partition counts, then
         # numbering) — without this the sampling pass + shuffle + sort
         # would run twice; at cluster scale this is the checkpointed
-        # stage
+        # stage.  The cache must outlive the returned (lazy) numbering
+        # plan, so it cannot be unpersisted here; callers that fully
+        # materialize the result (e.g. the per-epoch streaming drain)
+        # pass a ``cleanup`` list and unpersist afterwards — otherwise a
+        # long-running stream accumulates one cached batch per epoch.
         ranged = ranged.persist()
+        if cleanup is not None:
+            cleanup.append(ranged)
     # per-partition counts -> cumulative start offsets (tiny; collected)
     counts = dict(
         (r["_pid"], r["cnt"])

@@ -90,21 +90,32 @@ def index_delta_query(
         # never funnels through a single-task global Window sort.
         from ..sources.transcripts import assign_doc_ids
 
+        caches: list = []
         with_ids = (
-            assign_doc_ids(batch_df, scalable=True)
+            assign_doc_ids(batch_df, scalable=True, cleanup=caches)
             .withColumn("docid", (F.col("docid") + F.lit(offset)).cast("long"))
             .withColumn("docno", (F.col("docid") - 1).cast("string"))
         )
-        tok = tokenize_stage(with_ids, parse)
-        # idempotent per-epoch outputs: reprocessing epoch N overwrites
-        # its own subdirectory instead of double-appending
-        tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len").write.mode(
-            "overwrite"
-        ).parquet(f"{delta_dir}/doc_index/batch={epoch_id}")
-        flat = tok.select(
-            "docid", "doc_len", F.explode("terms").alias("kv")
-        ).select("docid", F.col("kv.term").alias("term"), F.col("kv.tf").alias("tf"), "doc_len")
-        flat.write.mode("overwrite").parquet(f"{delta_dir}/flat/batch={epoch_id}")
+        # persisted: consumed by TWO write jobs below (doc_index, then
+        # flat) — without the cache the whole numbering + tokenizer-UDF
+        # lineage executes twice per epoch (the dedup.py multi-branch
+        # gotcha); a backfill-sized batch would pay the full tokenize
+        # twice.  The first write materializes it, the second reads cache.
+        tok = tokenize_stage(with_ids, parse).persist()
+        try:
+            # idempotent per-epoch outputs: reprocessing epoch N overwrites
+            # its own subdirectory instead of double-appending
+            tok.select("docid", "docno", "conv_id", "turn_idx", "doc_len").write.mode(
+                "overwrite"
+            ).parquet(f"{delta_dir}/doc_index/batch={epoch_id}")
+            flat = tok.select(
+                "docid", "doc_len", F.explode("terms").alias("kv")
+            ).select("docid", F.col("kv.term").alias("term"), F.col("kv.tf").alias("tf"), "doc_len")
+            flat.write.mode("overwrite").parquet(f"{delta_dir}/flat/batch={epoch_id}")
+        finally:
+            tok.unpersist(blocking=False)
+            for c in caches:
+                c.unpersist(blocking=False)
 
     writer = (
         transcript_stream(spark, input_dir)

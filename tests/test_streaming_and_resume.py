@@ -71,6 +71,40 @@ def test_streaming_deltas_match_batch(spark, tmp_path):
     assert S._next_doc_offset(spark, delta, epoch_id=99) == streamed.n_docs
 
 
+def test_delta_drain_leaves_no_epoch_caches(spark, tmp_path):
+    """The per-epoch drain persists its numbering + tokenize lineage so
+    the two writes (doc_index, flat) share one materialization (round-6:
+    the lineage previously executed twice per epoch), and must unpersist
+    BOTH caches (tok + assign_doc_ids' internal range cache) when the
+    epoch commits — a long-running stream must not accumulate one cached
+    batch per epoch."""
+    inp = str(tmp_path / "in")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    t = generate_transcripts(spark, 200, seed=13)
+    t.coalesce(1).write.mode("overwrite").parquet(inp)
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    S.index_delta_query(spark, inp, delta, ckpt, parse=False).awaitTermination(120)
+    # unpersist is non-blocking; give the async block-manager removal a
+    # moment before asserting
+    import time as _time
+
+    for _ in range(50):
+        if n_cached() <= before:
+            break
+        _time.sleep(0.1)
+    assert n_cached() <= before
+    # the drain's outputs are intact (both consumers saw the same rows)
+    di = spark.read.parquet(f"{delta}/doc_index")
+    fl = spark.read.parquet(f"{delta}/flat")
+    assert di.count() == 200
+    assert fl.select("docid").distinct().count() == 200
+
+
 def test_compaction_is_incremental(spark, tmp_path):
     """A second compaction must (a) reuse the first generation's run
     files untouched, aggregating ONLY the not-yet-compacted epochs, and
