@@ -68,6 +68,64 @@ def test_vb_known_values():
     assert C.vb_decode(bytes([0x00, 0x81]), 1).tolist() == [128]
 
 
+def test_vb_run_level_blocks_match_per_block_encode():
+    """encode_posting_blocks' VB path encodes the whole run once and
+    byte-slices per block (round-6); every field must equal the
+    straightforward per-block encode (vb_encode of patched gaps /
+    unary_encode of tfs / vb_encode of dls per block)."""
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 5, 64, 257, 3193, 20000):
+        for spread in (1.01, 50):
+            univ = max(n + 1, int(n * spread))
+            ids = np.sort(
+                rng.choice(univ, size=n, replace=False)
+            ).astype(np.uint64) + np.uint64(rng.choice([0, 2**45]))
+            tf = rng.randint(1, 200, size=n).astype(np.int64)
+            dl = rng.randint(1, 100_000, size=n).astype(np.int64)
+            got = C.encode_posting_blocks(ids, tf, dl, codec="vb")
+            bs = C.block_size_for(n)
+            want = []
+            for s in range(0, n, bs):
+                e = min(s + bs, n)
+                bids = ids[s:e]
+                gaps = np.empty(e - s, dtype=np.uint64)
+                gaps[0] = bids[0]
+                gaps[1:] = bids[1:] - bids[:-1]
+                want.append(
+                    {
+                        "max_doc_id": int(bids[-1]),
+                        "n": int(e - s),
+                        "max_tf": int(tf[s:e].max()),
+                        "min_dl": int(dl[s:e].min()),
+                        "docids": C.vb_encode(gaps),
+                        "tfs": C.unary_encode(tf[s:e]),
+                        "dls": C.vb_encode(dl[s:e]),
+                    }
+                )
+            assert got == want, (n, spread)
+
+
+def test_vb_fast_path_matches_general_path():
+    """vb_encode has an all-single-byte fast path (max < 128) and a
+    threshold loop bounded by the array max (round-6).  VB encodes each
+    value independently, so encode(concat) == concat(encode per value):
+    that property cross-pins the fast path against the general path at
+    the 127/128 boundary and at every byte-group width."""
+    groups = [0, 1, 50, 126, 127, 128, 129, 16383, 16384]
+    groups += [(1 << (7 * k)) - 1 for k in range(1, 10)]
+    groups += [1 << (7 * k) for k in range(1, 9)]
+    groups += [2**63, 2**64 - 1]
+    whole = C.vb_encode(np.array(groups, dtype=np.uint64))
+    per_value = b"".join(
+        C.vb_encode(np.array([g], dtype=np.uint64)) for g in groups
+    )
+    assert whole == per_value
+    assert C.vb_decode(whole, len(groups)).tolist() == groups
+    # all-small arrays take the fast path; same bytes as value-wise
+    small = [5, 0, 127, 1, 126]
+    assert C.vb_encode(small) == b"".join(C.vb_encode([s]) for s in small)
+
+
 def test_elias_fano_reference_golden_bytes():
     """The reference's own JUnit golden vectors (EliasFanoTest.java:33-126)
     — our EF implementation is byte-layout compatible."""
