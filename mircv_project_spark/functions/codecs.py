@@ -91,6 +91,10 @@ def vb_decode(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == n:
+        # every value single-byte (flag + 7 payload bits) — mirrors the
+        # encoder's fast path; the byte count alone proves it
+        return (b & np.uint8(0x7F)).astype(np.uint64)
     is_last = (b & 0x80) != 0
     ends = np.flatnonzero(is_last) + 1
     ends = ends[:n]
